@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session factory + table registry for the graft engine.
+  *
+  * The reference engine (lost-particles/Distributed_Map_Reduce) manages its
+  * own cluster: node spawn/stop (`distribution/local/status.js:132-161`),
+  * group membership (`distribution/local/groups.js`), HTTP RPC
+  * (`distribution/local/comm.js`). In Spark all of that is the cluster
+  * manager's job; the engine's only obligation is a well-configured
+  * `SparkSession`. Config targets a large cluster (AQE on, skew-join on,
+  * sensible shuffle partitioning) while tests run `local[32]`.
+  */
+object Engine {
+
+  /** TPC-H-ish tables the driver generates (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def session(
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      appName: String = "graft",
+      shufflePartitions: Int = 32): SparkSession = {
+    val b = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // Adaptive execution: runtime coalescing + skew-join splitting. At
+      // 100 TB this is what keeps a static partition count from being
+      // either a small-file storm or an OOM.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Dimension tables (region/nation/customer at test SF) broadcast.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one driver-generated table from a scale-factor directory.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 has no native
+    * type for — read it as a nanos long (legacy conf) and floor-divide to
+    * micros. DuckDB truncates NANOS→micros the same way, so oracle parity
+    * holds.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every table as a temp view so `spark.sql` works too. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach { n =>
+      table(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+}

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+import graft.Engine.table
+
+/** Relational / MR-parity query suite over the harness tables.
+  *
+  * These realize the reference's canonical workload shapes
+  * (test/mr.test.js:100-243 — grouped max/min folds, word count) plus the
+  * relational operators a user of any engine expects (join, top-k, window,
+  * distinct), expressed as declarative DataFrame plans so Catalyst gets
+  * pushdown/pruning/broadcast for free.
+  *
+  * Determinism note: money sums are computed in DECIMAL, not DOUBLE.
+  * Double addition is order-dependent and Spark's partial aggregation order
+  * differs from DuckDB's, so a double `sum()` hash-mismatches the oracle in
+  * the last ulps. Casting inputs to DECIMAL(18,6) makes the arithmetic
+  * exact and engine-independent. (Arbitrary doubles never sit exactly on a
+  * decimal rounding tie, so the cast itself is deterministic across
+  * engines.)
+  */
+object Relational {
+
+  /** double column → exact decimal for order-independent aggregation. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def dec38(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-filter-aggregate with partial aggregation.
+    // The reference analog is the grouped-fold MR job (mr.test.js:100-126).
+    "q01_pricing_summary" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dec38(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dec38(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // NCDC "max temperature per year" analog (mr.test.js:100-126): events
+    // is the timestamped fact table; max is order-independent → safe on
+    // doubles.
+    "q02_max_value_by_year" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(year(col("ts")).as("yr"), col("event_type"))
+        .agg(max(col("value")).as("max_value"))
+    }),
+
+    // "min temperature per year" variant (all.student.test.js:100-126).
+    "q03_min_value_by_year" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(year(col("ts")).as("yr"), col("event_type"))
+        .agg(min(col("value")).as("min_value"))
+    }),
+
+    // Word count — the reference's flagship flatMap-shaped MR job
+    // (mr.test.js:165-204). Declarative form (explode+groupBy) so Catalyst
+    // plans partial aggregation = the reference's compactV2 combiner.
+    "q04_wordcount" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Case-insensitive variant (all.student.test.js:376-416).
+    "q05_wordcount_ci" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Multi-way join: revenue by nation (TPC-H Q5 shape). nation/region
+    // are tiny → Catalyst broadcasts them; customer⋈orders⋈lineitem
+    // shuffle on their keys. The reference can only express joins by hand
+    // inside reduce closures (SURVEY §2.6) — this is the declarative form.
+    "q06_revenue_by_nation" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Top-k with deterministic tie-break (sort + limit; the reference has
+    // no sort operator at all, SURVEY §2.6 — strict superset).
+    "q07_top_orders" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Window functions: per-customer order sequencing (none in reference).
+    "q08_order_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("prev_price"))
+    }),
+
+    // Distinct aggregation (not expressible in reference's MR without a
+    // second job).
+    "q09_distinct_users" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // KV surface: content-addressed key enumeration — `store.get(null)`
+    // (all/store.js:150-163) with getID-style sha256 keys (id.js:72-78).
+    "q10_kv_scan" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(
+          sha2(concat_ws("|", col("doc_id"), col("lang"), col("source")), 256).as("key"),
+          col("doc_id"))
+    }),
+
+    // Semi/anti join shapes (EXISTS / NOT EXISTS).
+    "q11_customers_without_big_orders" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+        .filter(col("o_totalprice") > lit(400000.0))
+        .select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Grouped-fold with HAVING shape: large orders.
+    "q12_big_orders" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          dec38(sum(dec(col("l_quantity")))).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .filter(col("sum_qty") > lit(150))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_max_value_by_year" ->
+      """SELECT year(ts) AS yr, event_type, max(value) AS max_value
+         FROM events GROUP BY 1, 2""",
+    "q03_min_value_by_year" ->
+      """SELECT year(ts) AS yr, event_type, min(value) AS min_value
+         FROM events GROUP BY 1, 2""",
+    "q04_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+           SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
+         ) WHERE word <> '' GROUP BY word""",
+    "q05_wordcount_ci" ->
+      """SELECT word, count(*) AS cnt FROM (
+           SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents
+         ) WHERE word <> '' GROUP BY word""",
+    "q06_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q07_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q08_order_ranks" ->
+      """SELECT o_custkey, o_orderkey, rn, prev_price FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn,
+             lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+           FROM orders
+         ) WHERE rn <= 3""",
+    "q09_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    "q10_kv_scan" ->
+      """SELECT sha256(concat_ws('|', doc_id, lang, source)) AS key, doc_id
+         FROM documents""",
+    "q11_customers_without_big_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
+    "q12_big_orders" ->
+      """SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+         count(*) AS n_lines
+         FROM lineitem GROUP BY l_orderkey
+         HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) > 150"""
+  )
+}
