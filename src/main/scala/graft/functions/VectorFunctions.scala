@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, as pure Column
+  * expressions (`zip_with`/`aggregate` are codegen'd higher-order
+  * functions — no UDF, no deserialization of the array to JVM objects).
+  *
+  * All arithmetic is promoted to double BEFORE accumulation, and sums run
+  * strictly left-to-right — the same order DuckDB's list functions use —
+  * so results are bit-reproducible against the oracle.
+  */
+object VectorFunctions {
+
+  /** element-wise promote to double */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Sign-bit sketch against a fixed hyperplane set: bucket id in
+    * [0, 2^planes.length). The random-hyperplane LSH primitive — two
+    * vectors' bucket-collision probability rises with cosine similarity.
+    */
+  def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit): _*)
+      when(dot(v, pl) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (splitmix64-seeded,
+    * fixed across runs/machines — no Math.random, ever).
+    */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    var state = seed
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d4a68b021e9f4bL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(nPlanes)(Array.fill(dim) {
+      // uniform in [-1, 1) from the top 53 bits
+      (next() >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    })
+  }
+}

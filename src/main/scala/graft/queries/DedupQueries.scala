@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.ops.Dedup
+
+/** Dedup query surface.
+  *
+  * The driver corpus contains no duplicates (verified: 0 exact-dup groups,
+  * max pairwise embedding cosine 0.51), so dup-finding queries run over a
+  * planted corpus: `documents UNION ALL documents with doc_id+10000` —
+  * fully SQL-expressible, so the DuckDB oracle sees the same dups.
+  */
+object DedupQueries {
+
+  /** documents ∪ (documents ⊕ id+10000): every doc has exactly one exact
+    * duplicate — deterministic ground truth for dup queries.
+    */
+  private def planted(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groups (reference getID content addressing,
+    // util/id.js:72-78, generalized to normalized-text md5).
+    "d01_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(planted(s, dir), "text", "doc_id")),
+
+    // Exact dedup: surviving ids (keeper = min doc_id per content group).
+    "d02_exact_survivors" -> ((s, dir) =>
+      Dedup.exactSurvivors(planted(s, dir), "text", "doc_id")
+        .select(col("doc_id"))),
+
+    // MinHash + LSH near-dup pairs on 3-token shingles. The planted exact
+    // dups (jaccard 1.0) MUST all surface — banding guarantees identical
+    // signatures collide. No SQL oracle (xxhash64 family); rows-only check
+    // + MinHashDedupSpec asserts exact recall of planted pairs.
+    "d03_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(planted(s, dir), "text", "doc_id",
+        k = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)),
+
+    // SimHash near-dup pairs, Hamming ≤ 3 over 64-bit token sketches.
+    "d04_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(planted(s, dir), "text", "doc_id", maxDist = 3)),
+
+    // Exact n-gram (token-set) Jaccard ≥ 19/20 via inverted-index join —
+    // integer-exact filter, full DuckDB oracle.
+    "d05_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        table(s, dir, "documents"), "text", "doc_id", num = 19, den = 20))
+  )
+
+  private val plantedSql =
+    """(SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents)"""
+
+  private val normFp = """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_groups" ->
+      s"""SELECT $normFp AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+          FROM $plantedSql d GROUP BY 1""",
+    "d02_exact_survivors" ->
+      s"""SELECT min(doc_id) AS doc_id FROM $plantedSql d GROUP BY $normFp""",
+    "d05_ngram_jaccard" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id AS id,
+             unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS w
+           FROM documents),
+         sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+         inter AS (
+           SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+           FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, inter, (sa.sz + sb.sz - inter) AS uni
+         FROM inter
+         JOIN sizes sa ON id_a = sa.id
+         JOIN sizes sb ON id_b = sb.id
+         WHERE inter * 20 >= (sa.sz + sb.sz - inter) * 19"""
+  )
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.functions.TextFunctions._
+
+/** Text-analysis query surface over `documents` (language-ID, quality
+  * scoring, token statistics, fingerprinting). Every query has a DuckDB
+  * oracle built from the same primitive functions, so the heuristics are
+  * pinned down to exact integer/string semantics.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token statistics (whitespace tokenizer) per document.
+    "t01_token_stats" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_uniq_tokens"),
+        round(avgTokenLen(col("text")), 6).as("avg_token_len"))
+    }),
+
+    // Quality scoring: ratios + composite score.
+    "t02_quality" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_text"),
+        punctCount(col("text")).as("n_punct"),
+        stopwordHits(col("text"), "en").as("n_stopwords"),
+        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        qualityScore(col("text")).as("quality"))
+    }),
+
+    // Language-ID heuristic: stopword-hit argmax with fixed tie-break.
+    "t03_langid" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        col("lang").as("declared_lang"),
+        langId(col("text")).as("pred_lang"))
+    }),
+
+    // Aggregate: predicted-language distribution (grouped fold on top of a
+    // scalar heuristic).
+    "t04_langid_dist" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(langId(col("text")).as("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Content fingerprint (md5 of normalized text) — content addressing,
+    // the analog of the reference's getID (util/id.js:72-78).
+    "t05_fingerprint" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+    }),
+
+    // Subword ("BPE-ish" pre-tokenization) token counts.
+    "t06_subword_counts" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        size(subwordTokens(col("text"))).as("n_subwords"))
+    })
+  )
+
+  // DuckDB-side mirrors of the heuristics. Kept in exact lockstep with
+  // TextFunctions — same regexes (RE2-compatible), same tie-break order.
+  private val enHits =
+    """len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that|it)\b'))"""
+  private val deHits =
+    """len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b'))"""
+  private val frHits =
+    """len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans)\b'))"""
+  private val esHits =
+    """len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una|que)\b'))"""
+  private val zhHits =
+    """len(regexp_extract_all(lower(text), '\b(的|是|了|在|我)\b'))"""
+
+  private val langCase =
+    s"""CASE
+        WHEN $enHits > 0 AND $enHits >= greatest($enHits,$deHits,$frHits,$esHits,$zhHits) THEN 'en'
+        WHEN $deHits > 0 AND $deHits >= greatest($enHits,$deHits,$frHits,$esHits,$zhHits) THEN 'de'
+        WHEN $frHits > 0 AND $frHits >= greatest($enHits,$deHits,$frHits,$esHits,$zhHits) THEN 'fr'
+        WHEN $esHits > 0 AND $esHits >= greatest($enHits,$deHits,$frHits,$esHits,$zhHits) THEN 'es'
+        WHEN $zhHits > 0 AND $zhHits >= greatest($enHits,$deHits,$frHits,$esHits,$zhHits) THEN 'zh'
+        ELSE 'unknown' END"""
+
+  private val nTokens =
+    """len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))"""
+  private val tokenChars =
+    """length(regexp_replace(text, '\s+', '', 'g'))"""
+  private val nPunct =
+    """len(regexp_extract_all(text, '[.,;:!?]'))"""
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""SELECT doc_id,
+          $nTokens AS n_tokens,
+          len(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS n_uniq_tokens,
+          round(CASE WHEN $nTokens > 0
+                THEN CAST($tokenChars AS DOUBLE) / CAST($nTokens AS DOUBLE)
+                ELSE 0.0 END, 6) AS avg_token_len
+          FROM documents""",
+    "t02_quality" ->
+      s"""SELECT doc_id,
+          length(text) AS n_chars_text,
+          $nPunct AS n_punct,
+          $enHits AS n_stopwords,
+          round(CASE WHEN $nTokens > 0
+                THEN CAST($enHits AS DOUBLE) / CAST($nTokens AS DOUBLE)
+                ELSE 0.0 END, 6) AS stopword_ratio,
+          round(
+            least(CAST($nTokens AS DOUBLE) / 50.0, 1.0) * 0.4
+            + least((CASE WHEN $nTokens > 0
+                     THEN CAST($enHits AS DOUBLE) / CAST($nTokens AS DOUBLE)
+                     ELSE 0.0 END) * 4.0, 1.0) * 0.3
+            + (1.0 - least((CASE WHEN length(text) > 0
+                            THEN CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                            ELSE 0.0 END) * 10.0, 1.0)) * 0.3, 6) AS quality
+          FROM documents""",
+    "t03_langid" ->
+      s"""SELECT doc_id, lang AS declared_lang, $langCase AS pred_lang
+          FROM documents""",
+    "t04_langid_dist" ->
+      s"""SELECT $langCase AS pred_lang, count(*) AS n_docs
+          FROM documents GROUP BY 1""",
+    "t05_fingerprint" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+    "t06_subword_counts" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
+         FROM documents"""
+  )
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.ops.Similarity
+
+/** Similarity-search query surface over `embeddings` (64-dim float
+  * vectors).
+  *
+  * Oracle parity note: cosine is computed in DOUBLE with strict
+  * left-to-right accumulation on both sides (Spark `aggregate()` HOF,
+  * DuckDB `list_cosine_similarity` over `DOUBLE[]`) — verified bit-exact
+  * against a sequential reference, so even the rounded `sim` column
+  * hash-matches.
+  */
+object VectorQueries {
+
+  /** embeddings ∪ (embeddings ⊕ id+10000): plants one exact duplicate per
+    * vector (natural max pairwise cosine in the corpus is 0.51, so dup
+    * queries need ground truth).
+    */
+  private def planted(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.unionAll(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force ANN baseline: top-10 cosine neighbors for each of
+    // the first 5 vectors. Corpus side stays distributed; queries
+    // broadcast.
+    "v01_ann_bruteforce" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(e, q, k = 10)
+    }),
+
+    // LSH-bucketed ANN (the 100 TB path): no SQL oracle (hyperplane seeds
+    // live in Scala); SimilaritySpec asserts recall vs. v01.
+    "v02_ann_lsh" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(e, q, k = 10, nPlanes = 8, probes = 4)
+    }),
+
+    // Embedding-cosine near-dup pairs at ≥ 0.99 over the planted corpus:
+    // exactly the 500 planted identical pairs. Blocking cannot miss them
+    // (identical vectors share their exact bucket), so the full-pairwise
+    // DuckDB oracle is an equality check, not just a bound.
+    "v03_cosine_neardups" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        planted(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.99))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "v01_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS sim
+           FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         ranked AS (
+           SELECT qid, neighbor_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT qid, neighbor_id, rank, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 10""",
+    "v03_cosine_neardups" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL SELECT vec_id + 10000, embedding FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+         FROM u a JOIN u b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99"""
+  )
+}
