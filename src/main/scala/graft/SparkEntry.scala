@@ -18,7 +18,9 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.VectorQueries.queries
+      graft.queries.VectorQueries.queries ++
+      graft.queries.StreamQueries.queries ++
+      graft.queries.MMQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -26,5 +28,7 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
-      graft.queries.VectorQueries.oracles
+      graft.queries.VectorQueries.oracles ++
+      graft.queries.StreamQueries.oracles ++
+      graft.queries.MMQueries.oracles
 }

@@ -1,0 +1,105 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video ride as opaque `binary`
+  * columns with typed metadata structs; decode/feature-extract runs as
+  * batched per-partition transforms.
+  *
+  * The decode itself is STUBBED (no image/audio codecs in this
+  * container): [[StubDecoder]] produces deterministic fake
+  * width/height/frames from the byte content. Everything around it — the
+  * schema contract, the mapPartitions batch shape (the Scala analog of
+  * `mapInPandas`), partition sizing — is real and tested, so swapping a
+  * real codec in changes one function.
+  *
+  * Scale notes: binary payloads dominate row size, so media tables should
+  * be written with small `maxPartitionBytes`-friendly row groups and the
+  * metadata columns FIRST (parquet column pruning lets metadata-only
+  * queries skip the blobs entirely — that's the difference between a 100
+  * GB and a 100 TB scan).
+  */
+object Multimodal {
+
+  /** Metadata struct carried alongside each media blob. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** A decoded batch row: doc id + extracted features. */
+  case class MediaFeatures(
+      doc_id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, brightness: Double)
+
+  /** The seam where a real codec plugs in. Deterministic stub: derives
+    * fake dimensions from the payload length and a byte checksum —
+    * stable across runs, machines, and partitionings.
+    */
+  trait Decoder extends Serializable {
+    def decode(mediaType: String, bytes: Array[Byte]): MediaFeaturesRaw
+  }
+
+  case class MediaFeaturesRaw(width: Int, height: Int, nFrames: Int, brightness: Double)
+
+  object StubDecoder extends Decoder {
+    def decode(mediaType: String, bytes: Array[Byte]): MediaFeaturesRaw = {
+      val n = bytes.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
+      MediaFeaturesRaw(
+        width = (n % 640) + 16,
+        height = ((n * 7) % 480) + 16,
+        nFrames = (n % 16) + 1,
+        brightness = if (n == 0) 0.0 else sum.toDouble / n)
+    }
+  }
+
+  /** Attach media columns to documents: the text bytes stand in for a
+    * payload; `media_type` fans out deterministically. This is the
+    * ingest-side shape of a media table: (id, media_type, media binary).
+    */
+  def asMediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("media"))
+
+  /** Batched decode via mapPartitions — the Scala analog of mapInPandas:
+    * one decoder instance per partition, rows streamed through it, output
+    * a typed Dataset. No shuffle; runs inside the scan stage.
+    */
+  def decodeFeatures(
+      spark: SparkSession, media: DataFrame,
+      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("media"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mt, bytes) =>
+          val f = decoder.decode(mt, bytes)
+          MediaFeatures(id, mt, bytes.length.toLong,
+            f.width, f.height, f.nFrames, f.brightness)
+        }
+      }
+  }
+
+  /** Frame sampling plumbing: for video rows, emit one row per sampled
+    * frame index (stride sampling) — the explode-shaped half of a
+    * frame-extraction pipeline, with the actual pixel decode stubbed.
+    */
+  def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame =
+    media
+      .filter(col("media_type") === "video")
+      .withColumn("n_frames", (octet_length(col("media")) % 16 + 1).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"))
+}

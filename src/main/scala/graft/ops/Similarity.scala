@@ -43,23 +43,33 @@ object Similarity {
         col("rank"), round(col("sim"), 6).as("sim"))
   }
 
-  /** LSH-bucketed ANN: hyperplane sign buckets + single-bit multiprobe.
-    * Each query looks in its own bucket plus the `probes` nearest
-    * (1-bit-flip) buckets; candidates scored exactly, top-k per query.
+  /** LSH-bucketed ANN: hyperplane sign buckets + multiprobe.
+    * Each query looks in every bucket within Hamming distance `probeBits`
+    * of its own (1 + n + n(n-1)/2 buckets for probeBits=2); candidates are
+    * scored exactly, top-k per query.
+    *
+    * Tuning: bucket collision probability per plane is 1 − θ/π. For
+    * tight near-dup clusters (cosine ≥ 0.9, the 100 TB dedup case) use
+    * 8–16 planes, probeBits 1. For diffuse corpora (this test corpus:
+    * top-10 cosine ≈ 0.3–0.5) fewer planes + probeBits 2 keeps recall up.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 8, probes: Int = 4, dim: Int = 64,
+      nPlanes: Int = 4, probeBits: Int = 2, dim: Int = 64,
       idCol: String = "id", vecCol: String = "vec",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val planes = randomPlanes(nPlanes, dim)
     val cb = corpus.withColumn("bucket", hyperplaneBucket(col(vecCol), planes))
-    // query probes: own bucket + flip each of the lowest `probes` bits
     val qBuckets =
       queries.withColumn("qbucket0", hyperplaneBucket(col(qvecCol), planes))
-    val probeArr = array(
-      (Seq(col("qbucket0")) ++
-        (0 until probes).map(b => col("qbucket0").bitwiseXOR(lit(1L << b)))): _*)
+    val flips: Seq[Long] =
+      Seq(0L) ++
+        (if (probeBits >= 1) (0 until nPlanes).map(1L << _) else Nil) ++
+        (if (probeBits >= 2)
+          for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+            yield (1L << i) | (1L << j)
+        else Nil)
+    val probeArr = array(flips.map(f => col("qbucket0").bitwiseXOR(lit(f))): _*)
     val qb = qBuckets
       .withColumn("bucket", explode(probeArr))
       .drop("qbucket0")

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Engine.table
+import graft.mm.Multimodal
+
+/** Multimodal query surface. The decode is the deterministic
+  * [[Multimodal.StubDecoder]] (no codecs in this container); dimensions
+  * are integer functions of the payload size, so the DuckDB oracle can
+  * reproduce them from octet_length. `brightness` (byte-content checksum)
+  * is not SQL-reproducible and is covered by MultimodalSpec instead.
+  */
+object MMQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full plumbing path: documents → media table (binary payloads) →
+    // batched mapPartitions decode → typed features, minus brightness.
+    "m01_media_meta" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(table(s, dir, "documents"))
+      Multimodal.decodeFeatures(s, media).toDF()
+        .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames")
+    }),
+
+    // Frame-stride sampling (explode-shaped; video rows only).
+    "m02_frame_samples" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.asMediaTable(table(s, dir, "documents")), stride = 4))
+  )
+
+  private val nBytes = "octet_length(encode(text))"
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_meta" ->
+      s"""SELECT doc_id,
+          CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+          CAST($nBytes AS BIGINT) AS n_bytes,
+          CAST(($nBytes % 640) + 16 AS INT) AS width,
+          CAST((($nBytes * 7) % 480) + 16 AS INT) AS height,
+          CAST(($nBytes % 16) + 1 AS INT) AS n_frames
+          FROM documents""",
+    "m02_frame_samples" ->
+      s"""SELECT doc_id, CAST(unnest(range(0, ($nBytes % 16) + 1, 4)) AS INT) AS frame_idx,
+          CAST(($nBytes % 16) + 1 AS INT) AS n_frames
+          FROM documents
+          WHERE (doc_id % 3) = 2"""
+  )
+}

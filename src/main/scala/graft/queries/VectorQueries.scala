@@ -47,7 +47,7 @@ object VectorQueries {
       val q = table(s, dir, "embeddings")
         .filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.lshTopK(e, q, k = 10, nPlanes = 8, probes = 4)
+      Similarity.lshTopK(e, q, k = 10, nPlanes = 4, probeBits = 2)
     }),
 
     // Embedding-cosine near-dup pairs at ≥ 0.99 over the planted corpus:

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** Streaming analytics over the `events` table.
+  *
+  * The reference has no streaming at all (SURVEY §2.6 — closest construct
+  * is `gossip.at` periodic tasks); this module is part of the engine's
+  * extension surface. Every streaming computation has a batch-equivalent
+  * form with identical semantics so the DuckDB oracle can check it:
+  * Structured Streaming's incremental execution of the same logical plan
+  * is exactly the point of building on Spark.
+  */
+object EventStream {
+
+  /** Spark-side schema of events after Engine.table normalization. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window aggregate (batch form): events per hour × type.
+    * `date_trunc` keeps the output one flat timestamp column — same
+    * result as `window(ts, "1 hour").start`.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast(DecimalType(38, 6)).as("sum_value"))
+
+  /** Streaming form of [[hourlyAgg]]: watermarked tumbling window.
+    * Append mode emits a window only once it is closed by the watermark.
+    */
+  def hourlyAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast(DecimalType(38, 6)).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sessionization (batch form): a session breaks after `gapMinutes` of
+    * user inactivity. Window-function formulation — no state, two
+    * shuffles max (both on user_id), SQL-oracle-expressible.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapped = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L,
+          lit(1)).otherwise(lit(0)))
+    gapped
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("brk")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Accumulating session state. (Field names deliberately avoid `start`:
+    * janino fails to resolve a zero-arg `start()` accessor in the
+    * generated encoder code.)
+    */
+  case class SessionState(startMs: Long, lastMs: Long, n: Int)
+
+  /** Streaming sessionization via flatMapGroupsWithState — the stateful
+    * path for unbounded input, where the window formulation above is
+    * impossible. Emits (user_id, session_start, session_end, n_events)
+    * when a session times out.
+    */
+  def sessionizeStream(
+      spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, Timestamp, Long)]
+    typed
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, Timestamp, Timestamp, Int)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Timestamp, Long)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator((userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
+          } else {
+            // events within a micro-batch may arrive unsorted
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.Buffer
+              .empty[(Long, Timestamp, Timestamp, Int)]
+            sorted.foreach { case (_, ts, _) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += ((userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events")
+  }
+
+  /** Top event values per type in each hour — streaming-friendly rank
+    * (batch form; demonstrates windowed top-k).
+    */
+  def hourlyTopValues(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window
+      .partitionBy(date_trunc("hour", col("ts")), col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("hour"), col("event_type"), col("rk"),
+        col("event_id"), col("value"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSessionSpec {
+  import spark.implicits._
+
+  // corpus with planted exact dups and near-dups (one-word edits)
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup of 1
+    (4L, "completely different text about database engines and query optimizers"),
+    (5L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+    (6L, "THE  QUICK   brown fox jumps over the lazy dog near the river bank today") // dup of 1 modulo case/ws
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalized content groups") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    val byKeeper = groups.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeeper(1L) === 3L) // 1, 2, 6 collapse
+    assert(groups.length === 4)
+    val survivors = Dedup.exactSurvivors(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 6L))) // normalization catches case/ws
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => Set(a, b) === Set(4L, 5L) })
+  }
+
+  test("minhash jaccard estimate is exact-verified (planted dup = 1.0)") {
+    val j = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("simhash: identical docs at distance 0, near-dups within 3") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap((1L, 2L)) === 0)
+    assert(asMap((1L, 6L)) === 0)
+    assert(!asMap.contains((4L, 5L)))
+  }
+
+  test("ngram jaccard pairs: integer-exact thresholding") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", num = 9, den = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) === Set(4L, 5L) })
+  }
+}

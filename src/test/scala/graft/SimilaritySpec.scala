@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Engine.table
+import graft.functions.VectorFunctions
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSessionSpec {
+  import spark.implicits._
+
+  test("cosine column function matches manual computation") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (3L, Array(3.0f, 4.0f), Array(4.0f, 3.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 0.0) < 1e-12)
+    assert(math.abs(out(2L) - 1.0) < 1e-12)
+    assert(math.abs(out(3L) - 24.0 / 25.0) < 1e-12)
+  }
+
+  def corpusAndQueries() = {
+    val e = table(spark, sfDir, "embeddings")
+    (e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+  }
+
+  test("brute-force top-k: k rows per query, rank ordered by sim") {
+    val (corpus, queries) = corpusAndQueries()
+    val res = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("qid", "rank", "sim").as[(Long, Int, Double)].collect()
+    val byQ = res.groupBy(_._1)
+    assert(byQ.size === 10)
+    byQ.values.foreach { rows =>
+      assert(rows.length === 5)
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._3).sliding(2).forall(s => s.head >= s.last))
+    }
+  }
+
+  test("LSH ANN recall >= 0.5 vs brute force at k=10") {
+    val (corpus, queries) = corpusAndQueries()
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(corpus, queries, k = 10, nPlanes = 4, probeBits = 2)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"LSH recall@10 = $recall (candidates scored: ${approx.size})")
+    assert(recall >= 0.5)
+  }
+
+  test("near-dup mining finds planted identical vectors") {
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planted = e.unionAll(
+      e.select((col("id") + 10000).as("id"), col("vec")))
+    val pairs = Similarity.cosineNearDupPairs(planted, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length === 500)
+    assert(pairs.forall { case (a, b) => b === a + 10000 })
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.Engine.table
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkSessionSpec {
+  import spark.implicits._
+
+  test("streaming hourly agg == batch hourly agg (complete mode)") {
+    val events = table(spark, sfDir, "events")
+    val batch = EventStream.hourlyAgg(events)
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+    mem.addData(rows.toSeq)
+
+    // complete-mode aggregation (no watermark) over the same plan shape
+    val agg = EventStream.hourlyAgg(streamDf)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hourly_out").collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
+  test("watermarked append-mode windows emit once closed") {
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    def t(min: Int) = new Timestamp(3600L * 1000 * 24 + min * 60000L)
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStream.hourlyAggStream(
+      df.withColumn("event_id", lit(0L)).withColumn("user_id", lit(0L))
+        .withColumn("props", lit("")))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    mem.addData(Seq((t(0), "click", 1.0), (t(30), "click", 2.0)))
+    q.processAllAvailable()
+    // advance event time far past the watermark → first window closes
+    mem.addData(Seq((t(60 * 5), "click", 9.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((t(60 * 10), "click", 9.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_out")
+      .select("n_events").as[Long].collect()
+    assert(out.contains(2L)) // the closed first window, both events in it
+  }
+
+  test("streaming sessionization closes sessions on event-time timeout") {
+    val mem = MemoryStream[(Long, Timestamp, Long)](spark)
+    def t(min: Int) = new Timestamp(3600L * 1000 * 24 + min * 60000L)
+    val df = mem.toDF().toDF("user_id", "ts", "event_id")
+    val out = EventStream.sessionizeStream(spark, df, gapMinutes = 30)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // user 1: events at 0,10,20 (one session), then 120 (new session)
+    mem.addData(Seq((1L, t(0), 1L), (1L, t(10), 2L), (1L, t(20), 3L)))
+    q.processAllAvailable()
+    mem.addData(Seq((1L, t(120), 4L)))
+    q.processAllAvailable()
+    // push watermark far ahead so the second session times out too
+    mem.addData(Seq((2L, t(600), 5L)))
+    q.processAllAvailable()
+    mem.addData(Seq((2L, t(1200), 6L)))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_out")
+      .select("user_id", "n_events").as[(Long, Int)].collect().toSet
+    assert(sessions.contains((1L, 3))) // first session: 3 events
+    assert(sessions.contains((1L, 1))) // second session: 1 event
+  }
+
+  test("batch sessionize matches hand-computed sessions") {
+    def t(min: Int) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      (1L, t(0), 10L, "click", 0.0, ""),
+      (1L, t(10), 11L, "click", 0.0, ""),
+      (1L, t(60), 12L, "click", 0.0, ""), // gap 50min > 30 → new session
+      (2L, t(0), 13L, "view", 0.0, "")
+    ).toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+    val out = EventStream.sessionize(ev, 30)
+      .select("user_id", "n_sessions", "n_events")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(out(1L) === ((2L, 3L)))
+    assert(out(2L) === ((1L, 1L)))
+  }
+
+  implicit class Tup3Ops[A, B, C](arr: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
+  }
+}
