@@ -25,6 +25,13 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Partition count for quadratic pair-expansion joins: AQE coalesces by
+    * pre-join input size, which wildly underestimates an explosive join's
+    * output, so these stages need an explicit (AQE-exempt) width.
+    */
+  private def expansionParallelism(df: DataFrame): Int =
+    math.max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicate groups by normalized-content fingerprint.
@@ -51,13 +58,16 @@ object Dedup {
     * mode). Pure Column arithmetic over the hashed-shingle array →
     * codegen'd, no shuffle.
     */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val hs = hashedShingles(text, k)
-    val mins = (0 until numHashes).map { i =>
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    minhashFromShingles(hashedShingles(text, k), numHashes)
+
+  /** Same, over an already-computed hashed-shingle array (lets callers
+    * compute the shingle set once and reuse it for exact verification).
+    */
+  def minhashFromShingles(hs: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
       array_min(transform(hs, h => xxhash64(h, lit(i))))
-    }
-    array(mins: _*)
-  }
+    }: _*)
 
   /** LSH band keys: signature split into `bands` bands of `rowsPerBand`
     * minhashes; band key = hash of the band's values (+ band index so
@@ -80,21 +90,28 @@ object Dedup {
       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = df.select(
-      col(idCol).as("id"),
-      hashedShingles(col(textCol), k).as("shingles"),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
-    val banded = sigs
-      .select(col("id"), col("shingles"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
-    // pairs within a bucket; dedupe pairs that collide in several bands
+    val sh = df.select(
+      col(idCol).as("id"), hashedShingles(col(textCol), k).as("shingles"))
+    // band keys carry (id, bucket) ONLY: the wide shingle arrays never
+    // ride the bucket shuffle or the quadratic in-bucket pair stream.
+    // Explicit repartition by bucket: the in-bucket pair expansion happens
+    // AFTER this exchange, so its output size is invisible to AQE — an
+    // explicit partition count stops AQE coalescing the tiny pre-join
+    // inputs into one task that then does all the quadratic work.
+    val p = expansionParallelism(df)
+    val banded = sh.select(col("id"),
+      explode(lshBandKeys(minhashFromShingles(col("shingles"), numHashes),
+        bands, rowsPerBand)).as("bucket"))
+      .repartition(p, col("bucket"))
+    // pairs within a bucket, deduped across bands while still (long, long)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // fetch shingle sets only for the surviving unique candidate pairs
     cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni",
         size(col("sh_a")) + size(col("sh_b")) - col("inter"))
@@ -142,49 +159,85 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // explicit partition count: see minhashPairs — keeps the quadratic
+    // in-bucket expansion spread across the cluster when inputs are small
     val chunked = sh.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         concat_ws(":", c.cast("string"),
           call_function("shiftright", col("sh"), c * 16).bitwiseAND(lit(0xffffL)).cast("string"))))
         .as("chunk"))
+      .repartition(expansionParallelism(df), col("chunk"))
+    // distance filter BEFORE the pair-dedup shuffle: popcount is codegen'd
+    // and prunes the quadratic in-bucket stream down to the true near-dups,
+    // so only matching pairs pay the exchange.
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("dist"))
       .filter(col("dist") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   // ------------------------------------------------------ n-gram Jaccard
 
-  /** Exact token-set Jaccard pairs via inverted-index join: explode
-    * distinct tokens, self-join on token, count intersections, filter with
-    * INTEGER arithmetic (inter/union never materialized as a float until
-    * the output column) — engine-exact and oracle-friendly.
-    *
-    * Scale note: the token join is the classic skew hazard ("the" joins
-    * everything). At 100 TB, drop the top-percentile document-frequency
-    * tokens first (they carry no discriminative signal); here df sizes are
-    * tiny, and AQE skew-join handles moderate skew.
+  /** Exact token-set Jaccard pairs with **prefix filtering** (Bayardo et
+    * al., "Scaling Up All Pairs Similarity Search", WWW'07): order every
+    * doc's tokens by global rarity (document frequency asc, token asc) and
+    * index only the first `|d| − ⌈t·|d|⌉ + 1` tokens. Any pair with
+    * Jaccard ≥ t = num/den must share a prefix token (if A∩B misses A's
+    * prefix then |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| ≤ |A∩B|), so the candidate
+    * set is exact — no false negatives — while the inverted-index join
+    * shrinks ~(1−t)² in pair volume and never touches the frequent-token
+    * skew ("the" sorts to the suffix and is never indexed). Candidates are
+    * verified with INTEGER arithmetic (inter·den ≥ uni·num) — engine-exact
+    * and oracle-friendly. The naive all-token join this replaces is the
+    * classic quadratic blowup at 100 TB; prefix filtering is the standard
+    * scale-out answer and needs no similarity-destroying frequency cutoff.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       num: Int, den: Int): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
         explode(array_distinct(tokens(lower(col(textCol))))).as("w"))
-    val sizes = tok.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = tok.as("a").join(tok.as("b"),
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfreq"))
+    // per-doc token list in global rarity order + the prefix to index
+    val docs = tok.join(dfreq, "w")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("w")))).as("byRarity"),
+        count(lit(1)).as("sz"))
+      // token set as hashed longs: intersections compare 8-byte values, not
+      // strings (xxhash64 collisions are negligible at any corpus size)
+      .withColumn("hs", transform(col("byRarity"), s => xxhash64(s("w"))))
+      .withColumn("preflen",
+        (col("sz") - ((col("sz") * num + (den - 1)) / den).cast("long") + 1)
+          .cast("int"))
+      .select(col("id"), col("hs"), col("sz"),
+        slice(transform(col("byRarity"), s => s("w")), lit(1), col("preflen"))
+          .as("prefix"))
+    // The prefix index rows carry the doc's full hashed set: the heavy
+    // candidate stream is then produced AND verified inside one codegen'd
+    // join stage — no candidate-pair shuffle, no fetch-joins. Only pairs
+    // that pass the threshold reach the final dedup exchange. (For corpora
+    // with huge per-doc sets, flip to bare-id candidates + fetch-joins; for
+    // typical document token sets this payload-on-index shape is cheaper.)
+    // Probe side: round-robin repartition with an explicit count — pair
+    // expansion is balanced across tasks no matter how skewed the token
+    // frequencies are, because the build side is broadcast. At corpus
+    // scales where the prefix index outgrows broadcast, drop the hint and
+    // salt the join instead.
+    val pref = docs.select(col("id"), col("hs"), col("sz"),
+      explode(col("prefix")).as("w"))
+    pref.repartition(expansionParallelism(df)).as("a")
+      .join(broadcast(pref).as("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
-      .withColumn("uni", col("sa.sz") + col("sb.sz") - col("inter"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        size(array_intersect(col("a.hs"), col("b.hs"))).cast("long").as("inter"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       // jaccard >= num/den  ⇔  inter*den >= uni*num   (integer-exact)
       .filter(col("inter") * den >= col("uni") * lit(num))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 }

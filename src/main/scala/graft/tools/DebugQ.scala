@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+import graft.Engine
+
+/** Dev tool: run one named SparkEntry query and print per-stage task
+  * counts / durations / record counts — for diagnosing parallelism
+  * collapse and skew without the Spark UI.
+  *
+  * Usage: runMain graft.tools.DebugQ <queryName> <sfDir>
+  */
+object DebugQ {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = Engine.session()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val in = si.taskMetrics.inputMetrics.recordsRead
+        val sr = si.taskMetrics.shuffleReadMetrics.recordsRead
+        val sw = si.taskMetrics.shuffleWriteMetrics.recordsWritten
+        val out = si.taskMetrics.outputMetrics.recordsWritten
+        val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        println(f"[stage ${si.stageId}%3d] tasks=${si.numTasks}%4d " +
+          f"wall=${ms / 1000.0}%8.1fs in=$in%12d shufR=$sr%12d " +
+          f"shufW=$sw%12d out=$out%10d  ${si.name.takeWhile(_ != '\n')}")
+      }
+    })
+    val t0 = System.nanoTime()
+    val n = graft.SparkEntry.queries(name)(spark, dir).count()
+    println(f"[debugq] $name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    spark.stop()
+  }
+}
