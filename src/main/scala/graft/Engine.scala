@@ -27,6 +27,8 @@ object Engine {
     val b = SparkSession.builder()
       .master(master)
       .appName(appName)
+      // native graft expressions (cosine_sim, intersect_card_sorted)
+      .withExtensions(new graft.expr.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

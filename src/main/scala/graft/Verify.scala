@@ -7,13 +7,8 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Engine.session(
+      master = s"local[$cpus]", shufflePartitions = cpus.toInt)
     // Clean any previous dump: a renamed/removed query must not leave a
     // stale result dir for the driver's compare to trip over.
     def rm(f: java.io.File): Unit = {

@@ -1,0 +1,194 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static per-row kernels for the text-signature expressions. Kept as
+  * plain JVM methods so generated code calls straight into them with
+  * unboxed `ArrayData` in / `ArrayData` out — the expression classes stay
+  * inside whole-stage codegen, and the loops JIT like hand-written Java.
+  *
+  * Hash identities reuse Spark's XXH64 with the engine-default seed 42 in
+  * exactly the order the equivalent `xxhash64(...)` Column chains fold, so
+  * swapping a composed pipeline for a kernel never changes results.
+  */
+object SigOps {
+
+  private final val Seed = 42L
+
+  /** Sorted distinct 64-bit hashes of the k-token shingles of `toks`.
+    * Shingle hash folds the per-token hashes (XXH64 over UTF-8 bytes,
+    * seed 42), so each token's bytes are hashed once, not k times.
+    * Fewer than k tokens → one shingle over all tokens.
+    */
+  def hashedShingleSet(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+      i += 1
+    }
+    val m = if (n >= k) n - k + 1 else 1
+    val out = new Array[Long](m)
+    if (n >= k) {
+      i = 0
+      while (i < m) {
+        var h = Seed
+        var j = 0
+        while (j < k) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+        out(i) = h
+        i += 1
+      }
+    } else {
+      var h = Seed
+      i = 0
+      while (i < n) { h = XXH64.hashLong(th(i), h); i += 1 }
+      out(0) = h
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted array
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (w == m) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  /** MinHash signature over a hashed-shingle array: sig(i) = min over
+    * shingles h of xxhash64(h, i) — bit-identical to the Column chain
+    * `array_min(transform(hs, h => xxhash64(h, lit(i))))`, one pass.
+    */
+  def minhashSig(hs: ArrayData, numHashes: Int): ArrayData = {
+    val n = hs.numElements()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val base = XXH64.hashLong(hs.getLong(j), Seed)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashInt(i, base)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** LSH band keys from a minhash signature: key(b) folds XXH64 over the
+    * band's rows, seeded with the band index so buckets from different
+    * bands never collide.
+    */
+  def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashInt(b, Seed)
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XXH64.hashLong(sig.getLong(b * rowsPerBand + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 64-bit SimHash of a token array: bit j is set iff a strict majority
+    * of tokens have bit j set in their xxhash64 — identical output to the
+    * `aggregate(...zip_with...)` Column formulation, in one pass with a
+    * stack counter array.
+    */
+  def simhash64(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+      var j = 0
+      while (j < 64) {
+        counts(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) * 2 > n) r |= (1L << j)
+      j += 1
+    }
+    r
+  }
+}
+
+/** Unary wrappers exposing the [[SigOps]] kernels as Catalyst expressions.
+  * All are codegen'd via a single static call — no boxing, stages keep
+  * whole-stage codegen.
+  */
+object SignatureExpressions {
+
+  case class HashedShingleSet(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "hashed_shingle_set"
+    override protected def withNewChildInternal(newChild: Expression): HashedShingleSet =
+      copy(child = newChild)
+    override def nullSafeEval(in: Any): Any =
+      SigOps.hashedShingleSet(in.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expr.SigOps.hashedShingleSet($c, $k)")
+  }
+
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "minhash_sig"
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+    override def nullSafeEval(in: Any): Any =
+      SigOps.minhashSig(in.asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expr.SigOps.minhashSig($c, $numHashes)")
+  }
+
+  case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "band_keys"
+    override protected def withNewChildInternal(newChild: Expression): BandKeys =
+      copy(child = newChild)
+    override def nullSafeEval(in: Any): Any =
+      SigOps.bandKeys(in.asInstanceOf[ArrayData], bands, rowsPerBand)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.expr.SigOps.bandKeys($c, $bands, $rowsPerBand)")
+  }
+
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "simhash64"
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+    override def nullSafeEval(in: Any): Any =
+      SigOps.simhash64(in.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expr.SigOps.simhash64($c)")
+  }
+}

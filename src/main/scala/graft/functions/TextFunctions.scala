@@ -117,9 +117,22 @@ object TextFunctions {
       .otherwise(array(normalized(text)))
   }
 
-  /** Distinct 64-bit-hashed shingles — the set MinHash/Jaccard operate on.
-    * xxhash64 is Spark-native and codegen'd.
+  /** Distinct 64-bit-hashed shingles, sorted ascending — the set
+    * MinHash/Jaccard operate on. Native kernel
+    * ([[graft.expr.SigOps.hashedShingleSet]]): hashes each token's bytes
+    * once, folds k-grams arithmetically (no shingle strings built), and
+    * returns the set sorted so pairwise verification can use the
+    * allocation-free merge-walk `intersect_card_sorted`. MinHash is
+    * order-insensitive, so sorting has no semantic effect.
     */
   def hashedShingles(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+    graft.expr.nat(graft.expr.SignatureExpressions.HashedShingleSet(
+      graft.expr.toExpr(tokens(normalized(text))), k))
+
+  /** Composed-builtin formulation of the shingle set (string k-grams,
+    * xxhash64 each) — the differential oracle for the native kernel's
+    * cardinality behavior in tests.
+    */
+  def hashedShinglesComposed(text: Column, k: Int): Column =
+    sort_array(array_distinct(transform(shingles(text, k), s => xxhash64(s))))
 }

@@ -22,7 +22,20 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity via the native fused expression (one codegen'd
+    * pass; bit-identical to `dot/(norm·norm)` — see
+    * [[graft.expr.GraftExpressions.CosineSim]]). Constructed directly, so
+    * it works under ANY session — including ones the driver harness
+    * builds without graft's extensions.
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.expr.nat(graft.expr.GraftExpressions.CosineSim(
+      graft.expr.toExpr(a), graft.expr.toExpr(b)))
+
+  /** Composed-builtin cosine — kept as the differential-test oracle for
+    * the native expression.
+    */
+  def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   def l2Distance(a: Column, b: Column): Column =

@@ -32,6 +32,13 @@ object Dedup {
   private def expansionParallelism(df: DataFrame): Int =
     math.max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
 
+  /** |A∩B| of sorted distinct long arrays — session-independent direct
+    * construction of the native merge-walk expression.
+    */
+  private def intersectCard(a: Column, b: Column): Column =
+    graft.expr.nat(graft.expr.GraftExpressions.IntersectCardSorted(
+      graft.expr.toExpr(a), graft.expr.toExpr(b)))
+
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicate groups by normalized-content fingerprint.
@@ -63,21 +70,28 @@ object Dedup {
 
   /** Same, over an already-computed hashed-shingle array (lets callers
     * compute the shingle set once and reuse it for exact verification).
+    * Native one-pass kernel; bit-identical to [[minhashFromShinglesComposed]].
     */
   def minhashFromShingles(hs: Column, numHashes: Int): Column =
+    graft.expr.nat(graft.expr.SignatureExpressions.MinHashSig(
+      graft.expr.toExpr(hs), numHashes))
+
+  /** Composed-builtin minhash (numHashes array passes per row) — the
+    * differential oracle for the native kernel.
+    */
+  def minhashFromShinglesComposed(hs: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(hs, h => xxhash64(h, lit(i))))
     }: _*)
 
   /** LSH band keys: signature split into `bands` bands of `rowsPerBand`
-    * minhashes; band key = hash of the band's values (+ band index so
-    * buckets from different bands never collide).
+    * minhashes; band key = XXH64 fold of the band's values, seeded with
+    * the band index so buckets from different bands never collide.
+    * Native kernel — no per-band string materialization.
     */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      xxhash64(b, concat_ws(",",
-        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-          v => v.cast("string")))))
+    graft.expr.nat(graft.expr.SignatureExpressions.BandKeys(
+      graft.expr.toExpr(sig), bands, rowsPerBand))
 
   /** Candidate near-dup pairs via MinHash+LSH, verified with exact Jaccard
     * over hashed shingle sets.
@@ -90,7 +104,10 @@ object Dedup {
       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = df.select(
+    val p = expansionParallelism(df)
+    // spread signature computation: small single-file inputs otherwise run
+    // the whole shingling/minhash map side on 1-2 scan partitions
+    val sh = df.repartition(p).select(
       col(idCol).as("id"), hashedShingles(col(textCol), k).as("shingles"))
     // band keys carry (id, bucket) ONLY: the wide shingle arrays never
     // ride the bucket shuffle or the quadratic in-bucket pair stream.
@@ -98,7 +115,6 @@ object Dedup {
     // AFTER this exchange, so its output size is invisible to AQE — an
     // explicit partition count stops AQE coalescing the tiny pre-join
     // inputs into one task that then does all the quadratic work.
-    val p = expansionParallelism(df)
     val banded = sh.select(col("id"),
       explode(lshBandKeys(minhashFromShingles(col("shingles"), numHashes),
         bands, rowsPerBand)).as("bucket"))
@@ -112,7 +128,7 @@ object Dedup {
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", intersectCard(col("sh_a"), col("sh_b")))
       .withColumn("uni",
         size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard",
@@ -124,11 +140,18 @@ object Dedup {
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: bit j of the result is 1 iff
-    * the sum over tokens of ±1 (sign = bit j of xxhash64(token)) is
-    * positive. Expressed with aggregate() over a 64-long counter array —
-    * per-row compute inside the scan stage.
+    * a strict majority of tokens have bit j set in their xxhash64.
+    * Native one-pass kernel ([[graft.expr.SigOps.simhash64]]);
+    * bit-identical to [[simhashComposed]].
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.expr.nat(graft.expr.SignatureExpressions.SimHash64(
+      graft.expr.toExpr(tokens(normalized(text)))))
+
+  /** Composed-builtin SimHash (64-lane aggregate per token) — the
+    * differential oracle for the native kernel.
+    */
+  def simhashComposed(text: Column): Column = {
     val toks = tokens(normalized(text))
     // shiftright/shiftleft in the Scala API only take Int amounts; the SQL
     // functions accept column amounts — call them by name.
@@ -158,7 +181,8 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sh = df.repartition(expansionParallelism(df))
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     // explicit partition count: see minhashPairs — keeps the quadratic
     // in-bucket expansion spread across the cluster when inputs are small
     val chunked = sh.select(col("id"), col("sh"),
@@ -206,9 +230,11 @@ object Dedup {
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("dfreq"), col("w")))).as("byRarity"),
         count(lit(1)).as("sz"))
-      // token set as hashed longs: intersections compare 8-byte values, not
-      // strings (xxhash64 collisions are negligible at any corpus size)
-      .withColumn("hs", transform(col("byRarity"), s => xxhash64(s("w"))))
+      // token set as SORTED hashed longs: verification is then the
+      // allocation-free merge-walk `intersect_card_sorted` over 8-byte
+      // values (xxhash64 collisions are negligible at any corpus size)
+      .withColumn("hs",
+        sort_array(transform(col("byRarity"), s => xxhash64(s("w")))))
       .withColumn("preflen",
         (col("sz") - ((col("sz") * num + (den - 1)) / den).cast("long") + 1)
           .cast("int"))
@@ -232,7 +258,7 @@ object Dedup {
       .join(broadcast(pref).as("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        size(array_intersect(col("a.hs"), col("b.hs"))).cast("long").as("inter"),
+        intersectCard(col("a.hs"), col("b.hs")).as("inter"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       // jaccard >= num/den  ⇔  inter*den >= uni*num   (integer-exact)
