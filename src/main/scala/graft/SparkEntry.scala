@@ -16,6 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Extended.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.VectorQueries.queries ++
@@ -26,6 +27,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+      graft.queries.Extended.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.VectorQueries.oracles ++

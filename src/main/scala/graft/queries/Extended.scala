@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Engine.table
+import graft.mr.MapReduce
+import graft.ops.TemporalJoins
+
+/** Extended operator coverage: temporal/non-equi joins, set operations,
+  * grouping sets, and the MR-expressed reduce-side join (the tag-and-union
+  * idiom SURVEY §2.6 names as the reference's only join shape).
+  */
+object Extended {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+  private def dec38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 6))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // AS-OF join: each purchase matched to the user's most recent view at
+    // or before the purchase time. One shuffle (union + window), not a
+    // range-join blowup — see TemporalJoins.asofJoin.
+    "q13_asof_view_purchase" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+      TemporalJoins.asofJoin(purchases, views, "user_id", "ts", "ts",
+        rightCols = Seq("value"))
+    }),
+
+    // Banded range join: lineitems priced within a multiplicative band of
+    // each part's retail price — non-equi predicate rewritten to an
+    // equi-join on integer bands (vs Catalyst's BroadcastNestedLoop).
+    "q14_price_band_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_quantity"))
+      val p = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"))
+      TemporalJoins.bandedRangeJoin(
+        li, p, col("l_extendedprice"),
+        col("p_retailprice") * 30, col("p_retailprice") * 33,
+        bandWidth = 3000.0)
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          dec38(sum(dec(col("l_quantity")))).as("sum_qty"))
+    }),
+
+    // Set operations (reference has only implicit union via result
+    // flattening, SURVEY §2.6): big-spender ∩ rich ∪ (all ∖ big-spender).
+    "q15_setops" -> ((s, dir) => {
+      val bigSpenders = table(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("k"))
+      val rich = table(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey").as("k"))
+      val all = table(s, dir, "customer").select(col("c_custkey").as("k"))
+      bigSpenders.intersect(rich)
+        .unionAll(all.except(bigSpenders))
+    }),
+
+    // Grouping sets / rollup with GROUPING disambiguation (reference has
+    // no grouping-set concept, SURVEY §2.6).
+    "q16_rollup_revenue" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(
+          grouping(col("n_name")).cast("long").as("g_nation"),
+          grouping(col("c_mktsegment")).cast("long").as("g_segment"),
+          count(lit(1)).as("n_customers"),
+          dec38(sum(dec(col("c_acctbal")))).as("sum_acctbal"))
+        .select(col("n_name"), col("c_mktsegment"), col("g_nation"),
+          col("g_segment"), col("n_customers"), col("sum_acctbal"))
+    }),
+
+    // Reduce-side equi-join expressed through the MR-parity layer — the
+    // tag-and-union idiom, the ONLY join shape the reference can run
+    // (inside user closures; SURVEY §2.6). Deliberately the typed
+    // mapGroups path: q06 is the declarative fast path.
+    "q17_mr_join" -> ((s, dir) => {
+      import s.implicits._
+      val orders = table(s, dir, "orders")
+        .select(col("o_custkey").cast("long"), col("o_totalprice"))
+        .as[(Long, Double)]
+        .map { case (k, price) => (k, ("O", "", price)) }
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey").cast("long"), col("c_name"))
+        .as[(Long, String)]
+        .map { case (k, name) => (k, ("C", name, 0.0)) }
+      MapReduce.exec(orders.unionAll(cust)) { r => Iterator.single(r) } {
+        (k, it) =>
+          // single streaming pass: never materializes the value bag
+          var name: String = null
+          var cnt = 0L
+          var maxP: Option[Double] = None
+          it.foreach {
+            case ("C", n, _) => name = n
+            case (_, _, p) =>
+              cnt += 1
+              if (maxP.forall(_ < p)) maxP = Some(p)
+          }
+          (k, name, cnt, maxP)
+      }.filter(_._2 != null) // orders with no customer row (none in data)
+        .toDF("c_custkey", "c_name", "n_orders", "max_price")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q13_asof_view_purchase" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'purchase'),
+            v AS (SELECT user_id, ts, max(value) AS value FROM events
+                  WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts, p.value,
+                v.ts AS asof_ts, v.value AS asof_value
+         FROM p ASOF JOIN v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "q14_price_band_join" ->
+      """SELECT p_partkey, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+         FROM part JOIN lineitem
+           ON l_extendedprice >= p_retailprice * 30
+          AND l_extendedprice <= p_retailprice * 33
+         GROUP BY p_partkey""",
+    "q15_setops" ->
+      """(SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0
+          INTERSECT
+          SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0)
+         UNION ALL
+         (SELECT c_custkey AS k FROM customer
+          EXCEPT
+          SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0)""",
+    "q16_rollup_revenue" ->
+      """SELECT n_name, c_mktsegment,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+           CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP (n_name, c_mktsegment)""",
+    "q17_mr_join" ->
+      """SELECT c_custkey, c_name, count(o_custkey) AS n_orders,
+                max(o_totalprice) AS max_price
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name"""
+  )
+}
