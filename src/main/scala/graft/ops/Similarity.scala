@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -84,6 +84,104 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(qidCol), col(idCol).as("neighbor_id"),
         col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF (inverted-file) ANN: the second scale path, complementary to
+    * [[lshTopK]]. A small deterministic k-means (Lloyd's, fixed seed,
+    * driver-side over a bounded sample — the standard IVF training shape)
+    * partitions the space into `nCentroids` cells; corpus rows are
+    * assigned to their best cell (one narrow pass, `nCentroids` fused
+    * native cosine evals per row against broadcast centroid literals);
+    * queries probe their `nProbe` best cells. Candidates are scored
+    * exactly within probed cells, top-k per query.
+    *
+    * At 100 TB: training touches only the sample, assignment is embedded
+    * in the scan stage, and the single shuffle is the cell-key join whose
+    * fan-in `nProbe/nCentroids` controls cost — the same recall/cost dial
+    * as FAISS IVF.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      sampleSize: Int = 2048, iters: Int = 10,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // deterministic bounded sample: lowest ids (any fixed rule works; the
+    // sample only seeds centroids)
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = kmeans(sample, nCentroids, iters, dim)
+    def centCol(c: Array[Float]): Column =
+      array(c.map(x => lit(x)): _*)
+    def cosines(v: Column): Column =
+      array(centroids.map(c => cosine(v, centCol(c))): _*)
+    // corpus: argmax cell (1-based via array_position; ties → first)
+    val cb = corpus.withColumn("__cos", cosines(col(vecCol)))
+      .withColumn("cell",
+        array_position(col("__cos"), array_max(col("__cos"))).cast("int"))
+      .drop("__cos")
+    // queries: nProbe best cells — sort (−cos, idx) structs, take nProbe
+    val qb = queries.withColumn("__cos", cosines(col(qvecCol)))
+      .withColumn("__ranked", sort_array(zip_with(
+        col("__cos"), sequence(lit(1), lit(nCentroids)),
+        (c, i) => struct((-c).as("negc"), i.as("idx")))))
+      .withColumn("cell",
+        explode(slice(transform(col("__ranked"), s => s("idx").cast("int")),
+          1, nProbe)))
+      .drop("__cos", "__ranked")
+    val scored = cb.join(qb, Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .dropDuplicates(qidCol, idCol)
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"),
+        col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic Lloyd's k-means over a driver-side sample (cosine
+    * geometry: points and centroids L2-normalized each round, so argmax
+    * cosine = argmin L2). Seeded by taking every ⌈n/k⌉-th sample point.
+    */
+  private def kmeans(
+      sample: Array[Array[Float]], k: Int, iters: Int, dim: Int): Array[Array[Float]] = {
+    def normalize(v: Array[Float]): Array[Float] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    val pts = sample.map(normalize)
+    val stride = math.max(1, pts.length / k)
+    var cents = Array.tabulate(math.min(k, pts.length))(i => pts(i * stride % pts.length))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += p(i).toDouble * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else normalize(sums(c).map(x => (x / counts(c)).toFloat))
+      }.toArray
+    }
+    cents
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥

@@ -19,7 +19,10 @@ object StreamQueries {
       EventStream.sessionize(table(s, dir, "events"), gapMinutes = 30)),
 
     "s03_hourly_top_values" -> ((s, dir) =>
-      EventStream.hourlyTopValues(table(s, dir, "events"), k = 3))
+      EventStream.hourlyTopValues(table(s, dir, "events"), k = 3)),
+
+    "s04_view_purchase_counts" -> ((s, dir) =>
+      EventStream.viewPurchaseCounts(table(s, dir, "events"), windowMinutes = 60))
   )
 
   val oracles: Map[String, String] = Map(
@@ -44,6 +47,15 @@ object StreamQueries {
              row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
                                 ORDER BY value DESC, event_id ASC) AS rk
            FROM events)
-         WHERE rk <= 3"""
+         WHERE rk <= 3""",
+    "s04_view_purchase_counts" ->
+      """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+                count(*) AS n_views
+         FROM events p JOIN events v
+           ON p.user_id = v.user_id
+          AND v.ts <= p.ts
+          AND v.ts >= p.ts - INTERVAL 60 MINUTES
+         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+         GROUP BY 1, 2, 3"""
   )
 }

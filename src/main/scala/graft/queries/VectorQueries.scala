@@ -50,6 +50,18 @@ object VectorQueries {
       Similarity.lshTopK(e, q, k = 10, nPlanes = 4, probeBits = 2)
     }),
 
+    // IVF-cell ANN (the second scale path: k-means cells + nProbe probing,
+    // the FAISS-IVF shape). No SQL oracle (centroids live in Scala);
+    // SimilaritySpec asserts recall vs. v01.
+    "v04_ann_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(e, q, k = 10, nCentroids = 16, nProbe = 6)
+    }),
+
     // Embedding-cosine near-dup pairs at ≥ 0.99 over the planted corpus:
     // exactly the 500 planted identical pairs. Blocking cannot miss them
     // (identical vectors share their exact bucket), so the full-pairwise

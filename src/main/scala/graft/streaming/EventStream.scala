@@ -133,6 +133,60 @@ object EventStream {
       .toDF("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** Purchase←view attribution (batch form): for each purchase, the views
+    * by the same user within the preceding `windowMinutes`. Equi-join on
+    * user_id + time-range filter — one shuffle; the range rides the join
+    * as a residual predicate, never a nested loop.
+    */
+  def viewPurchaseJoin(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id"),
+        col("ts").as("v_ts"))
+    p.join(v, Seq("user_id"))
+      .filter(col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
+  /** Aggregated attribution (oracle-friendly): views-in-window per
+    * purchase.
+    */
+  def viewPurchaseCounts(events: DataFrame, windowMinutes: Int = 60): DataFrame =
+    viewPurchaseJoin(events, windowMinutes)
+      .groupBy(col("p_id"), col("user_id"), col("p_ts"))
+      .agg(count(lit(1)).as("n_views"))
+
+  /** Streaming form of [[viewPurchaseJoin]]: a watermarked stream-stream
+    * interval join — Spark buffers each side's state only for the
+    * watermark + interval horizon, so it runs unbounded.
+    */
+  def viewPurchaseJoinStream(purchases: DataFrame, views: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val v = views.select(col("event_id").as("v_id"),
+      col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("v_id"), col("v_ts"))
+  }
+
+  /** Streaming exact dedup on a key: state-backed `dropDuplicates`, with
+    * the watermark bounding how long a key's fingerprint is retained —
+    * the streaming half of the Dedup.exact* operators.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Top event values per type in each hour — streaming-friendly rank
     * (batch form; demonstrates windowed top-k).
     */

@@ -28,8 +28,11 @@ object DebugQ {
           f"shufW=$sw%12d out=$out%10d  ${si.name.takeWhile(_ != '\n')}")
       }
     })
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      println(df.queryExecution.executedPlan.toString)
     val t0 = System.nanoTime()
-    val n = graft.SparkEntry.queries(name)(spark, dir).count()
+    val n = df.count()
     println(f"[debugq] $name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
     spark.stop()
   }

@@ -1,0 +1,65 @@
+package graft
+
+/** Physical-plan quality gates: these assert the *plan*, not the result —
+  * a regression that silently turns a broadcast into a shuffle or loses
+  * parquet pushdown stays correct but dies at 100 TB. Keeping the
+  * properties in a spec makes plan quality part of the green bar.
+  */
+class PlanSpec extends SparkSessionSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  /** Post-execution plan: AQE finalizes stages (incl. WholeStageCodegen
+    * wrapping) only once the query has run.
+    */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // executes THIS queryExecution (count() would plan a new one)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // projection needs 6 of 11 lineitem columns; scan schema must not
+    // include the unused join keys
+    assert(!p.contains("l_partkey"))
+    assert(!p.contains("l_suppkey"))
+  }
+
+  test("q06: dimension tables broadcast, facts shuffle") {
+    val p = plan("q06_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    // the lineitem⋈orders⋈customer spine must NOT be nested-loop
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q01/q06: aggregates are partial (map-side combine present)") {
+    Seq("q01_pricing_summary", "q06_revenue_by_nation").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost partial aggregation")
+    }
+  }
+
+  test("v01: native cosine expression is in the plan, inside codegen") {
+    val p = finalPlan("v01_ann_bruteforce")
+    assert(p.contains("cosine_sim"))
+    // `*(n)` prefixes = WholeStageCodegen stages in the final AQE plan;
+    // the projection computing cosine_sim must carry one
+    assert(p.linesIterator.exists(l =>
+      l.contains("cosine_sim") && l.trim.startsWith("+- *(")))
+  }
+
+  test("q14: banded range join plans as a shuffled equi-join, not NLJ") {
+    val p = plan("q14_price_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q07: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q07_top_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}

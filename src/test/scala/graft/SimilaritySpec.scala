@@ -52,6 +52,28 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(recall >= 0.5)
   }
 
+  test("IVF ANN recall >= 0.5 vs brute force at k=10") {
+    val (corpus, queries) = corpusAndQueries()
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(corpus, queries, k = 10,
+      nCentroids = 16, nProbe = 6)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF recall@10 = $recall")
+    assert(recall >= 0.5)
+  }
+
+  test("IVF ANN is exact when probing every cell") {
+    val (corpus, queries) = corpusAndQueries()
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfTopK(corpus, queries, k = 5,
+      nCentroids = 8, nProbe = 8)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+  }
+
   test("near-dup mining finds planted identical vectors") {
     val e = table(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

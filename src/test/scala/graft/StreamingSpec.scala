@@ -55,6 +55,52 @@ class StreamingSpec extends SparkSessionSpec {
     assert(out.contains(2L)) // the closed first window, both events in it
   }
 
+  test("stream-stream interval join matches batch interval join") {
+    val events = table(spark, sfDir, "events")
+      .filter(col("user_id") < 50) // bounded slice keeps the test fast
+    val batch = EventStream.viewPurchaseJoin(events, windowMinutes = 60)
+      .select("p_id", "v_id").as[(Long, Long)].collect().toSet
+
+    def side(tpe: String) = {
+      val mem = MemoryStream[(Long, Timestamp, Long)](spark)
+      val rows = events.filter(col("event_type") === tpe)
+        .select("event_id", "ts", "user_id")
+        .as[(Long, Timestamp, Long)].collect()
+      mem.addData(rows.toSeq)
+      (mem, mem.toDF().toDF("event_id", "ts", "user_id"))
+    }
+    val (_, p) = side("purchase")
+    val (_, v) = side("view")
+    val q = EventStream.viewPurchaseJoinStream(p, v, windowMinutes = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj_out")
+      .select("p_id", "v_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming dedup removes injected duplicates") {
+    val mem = MemoryStream[(Long, Timestamp, Long)](spark)
+    val rows = table(spark, sfDir, "events")
+      .filter(col("user_id") < 50)
+      .select("event_id", "ts", "user_id")
+      .as[(Long, Timestamp, Long)].collect()
+    mem.addData(rows.toSeq)
+    mem.addData(rows.toSeq) // replay: every event arrives twice
+    val dedup = EventStream.dedupStream(
+      mem.toDF().toDF("event_id", "ts", "user_id"), Seq("event_id"))
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("event_id").as[Long].collect()
+    assert(out.length === rows.length)
+    assert(out.toSet === rows.map(_._1).toSet)
+  }
+
   test("streaming sessionization closes sessions on event-time timeout") {
     val mem = MemoryStream[(Long, Timestamp, Long)](spark)
     def t(min: Int) = new Timestamp(3600L * 1000 * 24 + min * 60000L)
