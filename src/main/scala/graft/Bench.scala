@@ -1,18 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at the sf dir given
+  * by SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Methodology:
+  *  - `Engine.session` config (AQE, Kryo, broadcast threshold) — the same
+  *    session shape Verify and production use;
+  *  - a warmup pass at sf0.001 first, so whole-stage codegen compilation
+  *    and JIT warmup are not billed to whichever query runs first;
+  *  - timed via `queryExecution.toRdd.count()`, which materializes every
+  *    output row of the final physical plan — `df.count()` would let
+  *    Catalyst prune the measured projections out of scan-shaped queries.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val warmDir = "/root/testdata/sf0.001"
+    val spark = Engine.session(master = s"local[$cpus]")
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

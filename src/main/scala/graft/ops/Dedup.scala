@@ -222,7 +222,10 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       num: Int, den: Int): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
+    // spread tokenization/aggregation off the (possibly single-partition)
+    // scan before the explode fans out
+    val tok = df.repartition(expansionParallelism(df))
+      .select(col(idCol).as("id"),
         explode(array_distinct(tokens(lower(col(textCol))))).as("w"))
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfreq"))
     // per-doc token list in global rarity order + the prefix to index

@@ -42,8 +42,8 @@ object Extended {
         .select(col("p_partkey"), col("p_retailprice"))
       TemporalJoins.bandedRangeJoin(
         li, p, col("l_extendedprice"),
-        col("p_retailprice") * 30, col("p_retailprice") * 33,
-        bandWidth = 3000.0)
+        col("p_retailprice") * 30, col("p_retailprice") * 30 + 60.0,
+        bandWidth = 100.0)
         .groupBy(col("p_partkey"))
         .agg(count(lit(1)).as("n_items"),
           dec38(sum(dec(col("l_quantity")))).as("sum_qty"))
@@ -126,7 +126,7 @@ object Extended {
          CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
          FROM part JOIN lineitem
            ON l_extendedprice >= p_retailprice * 30
-          AND l_extendedprice <= p_retailprice * 33
+          AND l_extendedprice <= p_retailprice * 30 + 60
          GROUP BY p_partkey""",
     "q15_setops" ->
       """(SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0
