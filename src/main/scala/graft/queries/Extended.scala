@@ -108,7 +108,25 @@ object Extended {
           (k, name, cnt, maxP)
       }.filter(_._2 != null) // orders with no customer row (none in data)
         .toDF("c_custkey", "c_name", "n_orders", "max_price")
-    })
+    }),
+
+    // Sketch aggregates (no SQL oracle — sketch internals differ across
+    // engines; SketchSpec bounds the error against exact aggregation).
+    // HLL++ distinct: constant memory per group at any cardinality — the
+    // 100 TB answer where exact countDistinct shuffles every key.
+    "q18_sketch_distinct" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
+          .as("approx_users"))),
+
+    // Quantile sketch over a positive-skew value distribution.
+    "q19_sketch_quantiles" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+          .as("q50_95_99")))
   )
 
   val oracles: Map[String, String] = Map(

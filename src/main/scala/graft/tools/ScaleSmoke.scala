@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.ops.{Dedup, Similarity}
+
+/** Dev tool: scale-up smoke test. Self-unions the sf tables N× (ids
+  * offset per replica so keys stay distinct) and runs the heavy operator
+  * shapes, printing wall times — evidence that plans scale linearly-ish
+  * rather than quadratically when the data grows, without needing a
+  * bigger generated dataset.
+  *
+  * Usage: runMain graft.tools.ScaleSmoke [factor] [sfDir]
+  */
+object ScaleSmoke {
+
+  private def scaled(
+      spark: SparkSession, dir: String, name: String,
+      idCols: Seq[String], factor: Int): DataFrame = {
+    val base = Engine.table(spark, dir, name)
+    (0 until factor).map { i =>
+      idCols.foldLeft(base) { (df, c) =>
+        df.withColumn(c, col(c) + lit(i.toLong * 100000000L))
+      }
+    }.reduce(_ unionAll _)
+  }
+
+  private def time(label: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"[scale] $label%-28s rows=$n%12d wall=${(System.nanoTime() - t0) / 1e9}%7.1fs")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.length > 0) args(0).toInt else 10
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = Engine.session()
+    println(s"[scale] factor=$factor over $dir")
+
+    val li = scaled(spark, dir, "lineitem", Seq("l_orderkey"), factor)
+    val o = scaled(spark, dir, "orders", Seq("o_orderkey"), factor)
+    time(s"agg lineitem x$factor") {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), count(lit(1))).queryExecution.toRdd.count()
+    }
+    time(s"join li⋈orders x$factor") {
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)))
+        .queryExecution.toRdd.count()
+    }
+
+    val docs = scaled(spark, dir, "documents", Seq("doc_id"), factor)
+    time(s"minhash pairs docs x$factor") {
+      Dedup.minhashPairs(docs, "text", "doc_id").queryExecution.toRdd.count()
+    }
+    time(s"simhash pairs docs x$factor") {
+      Dedup.simhashPairs(docs, "text", "doc_id").queryExecution.toRdd.count()
+    }
+    time(s"exact dedup docs x$factor") {
+      Dedup.exactGroups(docs, "text", "doc_id").queryExecution.toRdd.count()
+    }
+
+    val emb = scaled(spark, dir, "embeddings", Seq("vec_id"), factor)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Engine.table(spark, dir, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    time(s"ivf ann corpus x$factor") {
+      Similarity.ivfTopK(emb, q, k = 10, nCentroids = 16, nProbe = 6)
+        .queryExecution.toRdd.count()
+    }
+    spark.stop()
+  }
+}
