@@ -203,6 +203,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  // ------------------------------------------- components / survivors
+
+  /** Connected components over a near-dup pair set: every doc appearing
+    * in `pairs` gets the minimum id reachable through the pair graph as
+    * its `cluster_id` — the canonical keeper for transitive dup groups
+    * (a~b, b~c ⇒ {a,b,c} even when a~c was never emitted).
+    *
+    * Min-label propagation, driver-looped: each round joins current
+    * labels across edges and keeps the per-node min; converged when no
+    * label changes. Rounds ≈ graph diameter, and near-dup clusters are
+    * stars/cliques (diameter ≤ ~3), so this is 2–4 small shuffles — the
+    * DataFrame-native Pregel-lite that stays in Catalyst instead of
+    * dropping to RDDs.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // localCheckpoint (not cache): each round's plan must start from a
+    // materialized result, or the lineage grows by one join per round and
+    // analysis cost explodes exponentially — the classic iterative-
+    // DataFrame trap.
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor-min pass: label'(v) = min(label(v), min over (u,v) edges
+      // of label(u))
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("cluster_id"), col("id"))
+  }
+
+  /** One row per input doc: its dedup cluster id (= itself when it has no
+    * near-dup). Keepers are `cluster_id === id`.
+    */
+  def nearDupSurvivorMap(
+      df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"))
+      .join(components(pairs), Seq("id"), "left")
+      .select(coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+        col("id").as(idCol))
+
   // ------------------------------------------------------ n-gram Jaccard
 
   /** Exact token-set Jaccard pairs with **prefix filtering** (Bayardo et

@@ -50,7 +50,17 @@ object DedupQueries {
     // integer-exact filter, full DuckDB oracle.
     "d05_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
-        table(s, dir, "documents"), "text", "doc_id", num = 19, den = 20))
+        table(s, dir, "documents"), "text", "doc_id", num = 19, den = 20)),
+
+    // Transitive dup clusters: connected components over the exact-dup
+    // pair graph (jaccard = 1 minhash pairs). On the planted corpus the
+    // clusters are the content groups, so the oracle is SQL-expressible
+    // even though the pair generation isn't.
+    "d06_dup_clusters" -> ((s, dir) => {
+      val p = planted(s, dir)
+      val pairs = Dedup.minhashPairs(p, "text", "doc_id", threshold = 1.0)
+      Dedup.components(pairs)
+    })
   )
 
   private val plantedSql =
@@ -79,6 +89,10 @@ object DedupQueries {
          FROM inter
          JOIN sizes sa ON id_a = sa.id
          JOIN sizes sb ON id_b = sb.id
-         WHERE inter * 20 >= (sa.sz + sb.sz - inter) * 19"""
+         WHERE inter * 20 >= (sa.sz + sb.sz - inter) * 19""",
+    "d06_dup_clusters" ->
+      s"""SELECT min(doc_id) OVER (PARTITION BY fp) AS cluster_id, doc_id AS id
+          FROM (SELECT doc_id, $normFp AS fp FROM $plantedSql d)
+          QUALIFY count(*) OVER (PARTITION BY fp) > 1"""
   )
 }

@@ -26,6 +26,27 @@ class DedupSpec extends SparkSessionSpec {
     assert(survivors === Set(1L, 3L, 4L, 5L))
   }
 
+  test("components merges transitive chains and leaves islands alone") {
+    // a-b, b-c chain (a~c never emitted) + isolated pair + untouched ids
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs)
+      .as[(Long, Long)].collect().map(_.swap).toMap // id -> cluster
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val survivors = Dedup.nearDupSurvivorMap(
+      Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("doc_id"), pairs, "doc_id")
+      .as[(Long, Long)].collect().map(_.swap).toMap
+    assert(survivors(4L) === 4L) // singleton keeps itself
+    assert(survivors(3L) === 1L)
+  }
+
+  test("components converges on a long path (diameter > 2)") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(chain)
+      .as[(Long, Long)].collect()
+    assert(comp.length === 9)
+    assert(comp.forall(_._1 === 1L))
+  }
+
   test("minhash LSH finds exact and near dups, not unrelated docs") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
