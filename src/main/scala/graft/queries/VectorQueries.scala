@@ -10,10 +10,11 @@ import graft.ops.Similarity
   * vectors).
   *
   * Oracle parity note: cosine is computed in DOUBLE with strict
-  * left-to-right accumulation on both sides (Spark `aggregate()` HOF,
-  * DuckDB `list_cosine_similarity` over `DOUBLE[]`) — verified bit-exact
-  * against a sequential reference, so even the rounded `sim` column
-  * hash-matches.
+  * left-to-right accumulation on both sides (Spark: the native fused
+  * `cosine_sim` expression, whose accumulator chains preserve the same
+  * IEEE order as the composed dot/norm form; DuckDB:
+  * `list_cosine_similarity` over `DOUBLE[]`) — verified bit-exact, so
+  * even the rounded `sim` column hash-matches.
   */
 object VectorQueries {
 
