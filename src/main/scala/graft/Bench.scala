@@ -15,7 +15,7 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmDir = "/root/testdata/sf0.001"
     val spark = Engine.session(master = s"local[$cpus]")
     if (new java.io.File(warmDir).isDirectory)

@@ -126,7 +126,27 @@ object Extended {
         .groupBy(col("event_type"))
         .agg(percentile_approx(col("value"),
           array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
-          .as("q50_95_99")))
+          .as("q50_95_99"))),
+
+    // Pivot (long→wide): order counts per customer segment × priority.
+    // Explicit pivot values keep the plan a single pass (no distinct-scan
+    // to discover columns) — required at scale anyway.
+    "q20_pivot_priority" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("c_mktsegment"),
+          // empty cells: Spark pivot yields null, SQL FILTER yields 0
+          coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("n_notspec"),
+          coalesce(col("5-LOW"), lit(0L)).as("n_low"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,6 +186,15 @@ object Extended {
       """SELECT c_custkey, c_name, count(o_custkey) AS n_orders,
                 max(o_totalprice) AS max_price
          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
-         GROUP BY c_custkey, c_name"""
+         GROUP BY c_custkey, c_name""",
+    "q20_pivot_priority" ->
+      """SELECT c_mktsegment,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+           count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment"""
   )
 }
