@@ -91,6 +91,30 @@ object Multimodal {
       }
   }
 
+  /** Resize planning: compute the target geometry for every image/video
+    * (fit-within maxDim preserving aspect ratio, never upscale). The
+    * pixel transform itself is the stubbed codec seam; the geometry
+    * arithmetic, schema, and partition shape are the real pipeline
+    * plumbing — a codec plugs into [[decodeFeatures]]' Decoder and reads
+    * (target_w, target_h) from here.
+    */
+  def resizePlan(media: DataFrame, maxDim: Int = 224): DataFrame = {
+    // stub dimensions derived exactly as StubDecoder does
+    val w = (octet_length(col("media")) % 640 + 16).cast("int")
+    val h = ((octet_length(col("media")) * 7) % 480 + 16).cast("int")
+    media
+      .filter(col("media_type").isin("image", "video"))
+      .withColumn("width", w)
+      .withColumn("height", h)
+      .withColumn("scale",
+        least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height"))
+          .cast("double")))
+      .withColumn("target_w", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("target_h", floor(col("height") * col("scale")).cast("int"))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("target_w"), col("target_h"))
+  }
+
   /** Frame sampling plumbing: for video rows, emit one row per sampled
     * frame index (stride sampling) — the explode-shaped half of a
     * frame-extraction pipeline, with the actual pixel decode stubbed.

@@ -25,7 +25,12 @@ object MMQueries {
     // Frame-stride sampling (explode-shaped; video rows only).
     "m02_frame_samples" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.asMediaTable(table(s, dir, "documents")), stride = 4))
+        Multimodal.asMediaTable(table(s, dir, "documents")), stride = 4)),
+
+    // Resize planning (fit-within 224, aspect-preserving, no upscale).
+    "m03_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.asMediaTable(table(s, dir, "documents")), maxDim = 224))
   )
 
   private val nBytes = "octet_length(encode(text))"
@@ -43,6 +48,17 @@ object MMQueries {
       s"""SELECT doc_id, CAST(unnest(range(0, ($nBytes % 16) + 1, 4)) AS INT) AS frame_idx,
           CAST(($nBytes % 16) + 1 AS INT) AS n_frames
           FROM documents
-          WHERE (doc_id % 3) = 2"""
+          WHERE (doc_id % 3) = 2""",
+    "m03_resize_plan" ->
+      s"""WITH m AS (
+            SELECT doc_id,
+              CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+              CAST(($nBytes % 640) + 16 AS INT) AS width,
+              CAST((($nBytes * 7) % 480) + 16 AS INT) AS height
+            FROM documents)
+          SELECT doc_id, media_type, width, height,
+            CAST(floor(width * least(1.0, 224.0 / greatest(width, height))) AS INT) AS target_w,
+            CAST(floor(height * least(1.0, 224.0 / greatest(width, height))) AS INT) AS target_h
+          FROM m WHERE media_type IN ('image', 'video')"""
   )
 }
