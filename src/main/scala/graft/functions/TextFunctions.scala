@@ -48,8 +48,14 @@ object TextFunctions {
     "es" -> Seq("el", "los", "las", "y", "es", "una", "que"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
+  /** Space-delimited languages get \b word boundaries; CJK text has no
+    * word chars under Java/RE2 ASCII \w, so adjacent CJK characters have
+    * no \b between them and boundary anchors would make the pattern
+    * unmatchable — CJK stopwords match bare.
+    */
   private def hitPattern(words: Seq[String]): String =
-    "\\b(" + words.mkString("|") + ")\\b"
+    if (words.exists(_.exists(_ > '⹿'))) "(" + words.mkString("|") + ")"
+    else "\\b(" + words.mkString("|") + ")\\b"
 
   /** Stopword hits for one language. */
   def stopwordHits(text: Column, lang: String): Column =

@@ -57,9 +57,7 @@ class Store(spark: SparkSession, root: String) {
     // Write via a temp dir then swap, since `merged` reads the live dir.
     val tmp = path(gid) + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    val dir = new java.io.File(path(gid))
-    if (dir.exists()) delete(dir)
-    new java.io.File(tmp).renameTo(dir)
+    swapIn(tmp, path(gid))
   }
 
   /** Point lookup — a pushed-down filter on the key column, not a scan. */
@@ -83,8 +81,7 @@ class Store(spark: SparkSession, root: String) {
     val rest = spark.read.parquet(path(gid)).filter(col("key") =!= key)
     val tmp = path(gid) + "__tmp"
     rest.write.mode("overwrite").parquet(tmp)
-    delete(new java.io.File(path(gid)))
-    new java.io.File(tmp).renameTo(new java.io.File(path(gid)))
+    swapIn(tmp, path(gid))
   }
 
   /** Re-shard a gid into `numBuckets` hash partitions of the key — the
@@ -96,8 +93,21 @@ class Store(spark: SparkSession, root: String) {
     val df = spark.read.parquet(path(gid)).repartition(numBuckets, col("key"))
     val tmp = path(gid) + "__tmp"
     df.write.mode("overwrite").parquet(tmp)
-    delete(new java.io.File(path(gid)))
-    new java.io.File(tmp).renameTo(new java.io.File(path(gid)))
+    swapIn(tmp, path(gid))
+  }
+
+  /** Replace the live dir with the freshly-written tmp dir, failing
+    * loudly: an unchecked delete+rename that half-fails would leave the
+    * gid missing or truncated while put() reports success.
+    */
+  private def swapIn(tmp: String, live: String): Unit = {
+    val dir = new java.io.File(live)
+    if (dir.exists()) delete(dir)
+    if (dir.exists())
+      throw new java.io.IOException(s"store: could not clear $live")
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(
+        s"store: rename $tmp -> $live failed; data preserved at $tmp")
   }
 }
 
@@ -136,8 +146,13 @@ class Mem {
         old.join(kv.select("key"), Seq("key"), "left_anti").union(kv)
       case None => kv
     }
+    // materialize (localCheckpoint is eager) BEFORE dropping the old
+    // cache: unpersist-then-lazy-cache would rebuild the whole put chain
+    // from source on next read, and lineage would grow per put — the
+    // iterative-DataFrame trap (see Dedup.components).
+    val next = merged.localCheckpoint()
     groups.get(gid).foreach(_.unpersist())
-    groups(gid) = merged.cache()
+    groups(gid) = next
   }
 
   def get(gid: String, key: String): DataFrame =
@@ -148,8 +163,8 @@ class Mem {
   def scan(gid: String): DataFrame = groups(gid)
 
   def del(gid: String, key: String): Unit = {
-    val rest = groups(gid).filter(col("key") =!= key)
+    val rest = groups(gid).filter(col("key") =!= key).localCheckpoint()
     groups(gid).unpersist()
-    groups(gid) = rest.cache()
+    groups(gid) = rest
   }
 }

@@ -217,7 +217,7 @@ object Dedup {
     * DataFrame-native Pregel-lite that stays in Catalyst instead of
     * dropping to RDDs.
     */
-  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // localCheckpoint (not cache): each round's plan must start from a
     // materialized result, or the lineage grows by one join per round and
     // analysis cost explodes exponentially — the classic iterative-
@@ -250,6 +250,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // fail loudly: silently returning partially-propagated labels would
+    // report one transitive dup group as several and leak dups through
+    // the survivor map
+    if (!converged)
+      throw new IllegalStateException(
+        s"components: not converged after $maxIter rounds — graph diameter " +
+          s"exceeds maxIter; raise maxIter")
     labels.select(col("cluster_id"), col("id"))
   }
 

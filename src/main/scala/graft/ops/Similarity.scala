@@ -22,6 +22,20 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Shared ranking tail: per-query top-k by (sim desc, id asc), rounded
+    * sim — the single definition of the ANN output contract.
+    */
+  private def rankTopK(
+      scored: DataFrame, k: Int, idCol: String, qidCol: String): DataFrame = {
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"),
+        col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Exact top-k neighbors for each query row.
     *
     * @param corpus  (id, vec) — the big side; stays distributed
@@ -34,13 +48,7 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col(qidCol))
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(col("sim").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol).as("neighbor_id"),
-        col("rank"), round(col("sim"), 6).as("sim"))
+    rankTopK(scored, k, idCol, qidCol)
   }
 
   /** LSH-bucketed ANN: hyperplane sign buckets + multiprobe.
@@ -77,13 +85,7 @@ object Similarity {
       .filter(col(idCol) =!= col(qidCol))
       .dropDuplicates(qidCol, idCol)
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(col("sim").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol).as("neighbor_id"),
-        col("rank"), round(col("sim"), 6).as("sim"))
+    rankTopK(scored, k, idCol, qidCol)
   }
 
   /** IVF (inverted-file) ANN: the second scale path, complementary to
@@ -106,14 +108,23 @@ object Similarity {
       sampleSize: Int = 2048, iters: Int = 10,
       idCol: String = "id", vecCol: String = "vec",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     // deterministic bounded sample: lowest ids (any fixed rule works; the
     // sample only seeds centroids)
     val sample = corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(sampleSize)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as(qidCol), lit(0L).as("neighbor_id"),
+          lit(0).as("rank"), lit(0.0).as("sim")).limit(0)
+    val dim = sample.head.length
+    // an underfull corpus yields fewer centroids than requested: all cell
+    // arithmetic below must use the ACTUAL count, or queries would probe
+    // null-padded phantom cells and match nothing
     val centroids = kmeans(sample, nCentroids, iters, dim)
+    val nCells = centroids.length
+    val probes = math.min(nProbe, nCells)
     def centCol(c: Array[Float]): Column =
       array(c.map(x => lit(x)): _*)
     def cosines(v: Column): Column =
@@ -126,23 +137,17 @@ object Similarity {
     // queries: nProbe best cells — sort (−cos, idx) structs, take nProbe
     val qb = queries.withColumn("__cos", cosines(col(qvecCol)))
       .withColumn("__ranked", sort_array(zip_with(
-        col("__cos"), sequence(lit(1), lit(nCentroids)),
+        col("__cos"), sequence(lit(1), lit(nCells)),
         (c, i) => struct((-c).as("negc"), i.as("idx")))))
       .withColumn("cell",
         explode(slice(transform(col("__ranked"), s => s("idx").cast("int")),
-          1, nProbe)))
+          1, probes)))
       .drop("__cos", "__ranked")
     val scored = cb.join(qb, Seq("cell"))
       .filter(col(idCol) =!= col(qidCol))
       .dropDuplicates(qidCol, idCol)
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(col("sim").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol).as("neighbor_id"),
-        col("rank"), round(col("sim"), 6).as("sim"))
+    rankTopK(scored, k, idCol, qidCol)
   }
 
   /** Deterministic Lloyd's k-means over a driver-side sample (cosine

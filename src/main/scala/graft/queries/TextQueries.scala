@@ -83,7 +83,7 @@ object TextQueries {
   private val esHits =
     """len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una|que)\b'))"""
   private val zhHits =
-    """len(regexp_extract_all(lower(text), '\b(的|是|了|在|我)\b'))"""
+    """len(regexp_extract_all(lower(text), '(的|是|了|在|我)'))"""
 
   private val langCase =
     s"""CASE

@@ -66,8 +66,11 @@ object EventStream {
     val gapped = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("brk",
+        // microsecond-exact gap: unix_timestamp truncates to seconds,
+        // which diverges from the oracle's fractional epoch() and from
+        // the ms-exact streaming form on sub-second data
         when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L,
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60L * 1000000L,
           lit(1)).otherwise(lit(0)))
     gapped
       .groupBy(col("user_id"))
@@ -115,7 +118,12 @@ object EventStream {
               val t = ts.getTime
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(lastMs = t, n = s.n + 1))
+                  // min/max, not overwrite: a late event inside the
+                  // watermark may predate the session's current bounds,
+                  // and rewinding lastMs would corrupt gap computation
+                  cur = Some(s.copy(
+                    startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t), n = s.n + 1))
                 case Some(s) =>
                   closed += ((userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
                   cur = Some(SessionState(t, t, 1))
@@ -178,14 +186,17 @@ object EventStream {
         col("v_id"), col("v_ts"))
   }
 
-  /** Streaming exact dedup on a key: state-backed `dropDuplicates`, with
+  /** Streaming exact dedup on a key: state-backed key-only dedup with
     * the watermark bounding how long a key's fingerprint is retained —
-    * the streaming half of the Dedup.exact* operators.
+    * the streaming half of the Dedup.exact* operators. (`dropDuplicates`
+    * on key+ts would keep redeliveries that arrive with a re-stamped ts;
+    * `dropDuplicatesWithinWatermark` gives true key-only semantics with
+    * bounded state.)
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Top event values per type in each hour — streaming-friendly rank
     * (batch form; demonstrates windowed top-k).
