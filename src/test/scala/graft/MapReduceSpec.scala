@@ -56,6 +56,33 @@ class MapReduceSpec extends SparkSessionSpec {
     assert(!ci.contains("It"))
   }
 
+  test("min with ties emits one result per key (all.student.test.js:165-228)") {
+    val lines = spark.createDataset(ncdc ++ Seq(
+      "004301199099999 1950 0515180049999999N9 -0011 1+9999")) // tie: -11 twice
+    val out = MapReduce.execFold(lines) { line =>
+      val w = line.split("\\s+")
+      Iterator((w(1), w(3).toInt))
+    }(math.min).collect().toMap
+    assert(out === Map("1950" -> -11, "1949" -> 78))
+  }
+
+  test("MR over store computes on the stored (last-write-wins) set " +
+      "(all.student.test.js:230-293)") {
+    // the reference's dup-key semantics live at the storage layer: a
+    // repeated put overwrites, and MR then computes over the stored set
+    val root = java.nio.file.Files.createTempDirectory("graft-mr-kv").toString
+    val store = new graft.kv.Store(spark, root)
+    store.put(Seq(("a", 5)).toDF("k", "v"), "g", keyCol = Some("k"))
+    store.put(Seq(("a", 9), ("b", 2)).toDF("k", "v"), "g", keyCol = Some("k"))
+    val stored = store.scan("g")
+      .select(org.apache.spark.sql.functions.col("value")).as[String]
+    val out = MapReduce.execFold(stored) { json =>
+      val v = """"v":(-?\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
+      Iterator(("min", v))
+    }(math.min).collect().toMap
+    assert(out === Map("min" -> 2)) // 5 was overwritten by 9; {9, 2} → 2
+  }
+
   test("reduce sees all values for a key across partitions") {
     val data = spark.createDataset(1 to 1000).repartition(4)
     val out = MapReduce.exec(data) { i =>
