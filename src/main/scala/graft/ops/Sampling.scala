@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * Everything keys off a content hash (md5 of the key column), never a
+  * random number: the same row lands in the same split on every run, on
+  * any cluster, at any partitioning — the property training/eval splits
+  * must have for reproducibility and leak-freedom. (Spark's
+  * `randomSplit` is seed-stable only for a fixed partitioning; a
+  * repartitioned or appended-to dataset reshuffles membership.)
+  */
+object Sampling {
+
+  /** Bucket in [0, 100) derived from the key's md5 — the split
+    * coordinate. First 8 hex chars → int, mod 100; md5 exists everywhere
+    * (engine-portable, so oracles can reproduce membership exactly).
+    */
+  def hashBucket(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L)).cast("int")
+
+  /** Label each row train/val/test by cumulative percentage bands, e.g.
+    * (80, 10) → [0,80) train, [80,90) val, [90,100) test.
+    */
+  def split(df: DataFrame, keyCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = hashBucket(col(keyCol))
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Deterministic ~pct% sample: rows whose hash bucket falls below pct.
+    * Membership is stable under repartitioning, appends, and re-runs.
+    */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < pct)
+
+  /** Stratified deterministic sample: the exact ⌈fraction·n⌉ smallest
+    * rows per stratum in md5 order — every stratum is represented at the
+    * same rate regardless of its size (a flat hashSample under-represents
+    * small strata by variance). One shuffle on the stratum column.
+    */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: String, keyCol: String,
+      num: Int, den: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    val cnt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cnt))
+      // keep ⌊n·num/den⌋ rows: rn·den <= n·num ⇔ rn <= ⌊n·num/den⌋
+      .filter(col("__rn") * den <= col("__n") * num)
+      .drop("__rn", "__n")
+  }
+}

@@ -146,7 +146,20 @@ object Extended {
           coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"),
           coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("n_notspec"),
           coalesce(col("5-LOW"), lit(0L)).as("n_low"))
-    })
+    }),
+
+    // Deterministic train/val/test split by content hash — stable under
+    // repartitioning/appends/re-runs, unlike randomSplit.
+    "q21_train_val_split" -> ((s, dir) =>
+      graft.ops.Sampling.split(table(s, dir, "documents"), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"))),
+
+    // Stratified deterministic sample: same rate per language stratum.
+    "q22_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+        table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        stratumCol = "lang", keyCol = "doc_id", num = 1, den = 10))
   )
 
   val oracles: Map[String, String] = Map(
@@ -195,6 +208,25 @@ object Extended {
            count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
            count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment"""
+         GROUP BY c_mktsegment""",
+    "q21_train_val_split" ->
+      """WITH b AS (
+           SELECT CAST(CAST(concat('0x',
+                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 AS INT) AS bucket
+           FROM documents)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs
+         FROM b GROUP BY 1""",
+    "q22_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         WHERE rn * 10 <= n * 1"""
   )
 }

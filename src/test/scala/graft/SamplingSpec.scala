@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.ops.Sampling
+
+class SamplingSpec extends SparkSessionSpec {
+  import spark.implicits._
+
+  test("split membership is stable under repartitioning and appends") {
+    val docs = table(spark, sfDir, "documents").select("doc_id")
+    val before = Sampling.split(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // same rows, different physical layout → identical membership
+    val after = Sampling.split(docs.repartition(13), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(after === before)
+    // appending new rows must not move existing rows between splits
+    val appended = Sampling.split(
+      docs.unionAll(Seq(900001L, 900002L).toDF("doc_id")), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    before.foreach { case (id, s) => assert(appended(id) === s) }
+  }
+
+  test("split fractions are close to the requested bands") {
+    val docs = table(spark, sfDir, "documents")
+    val n = docs.count().toDouble
+    val counts = Sampling.split(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") / n - 0.8) < 0.06)
+    assert(math.abs(counts("val") / n - 0.1) < 0.05)
+    assert(math.abs(counts("test") / n - 0.1) < 0.05)
+  }
+
+  test("stratified sample takes the same rate from every stratum") {
+    val docs = table(spark, sfDir, "documents").select("doc_id", "lang")
+    val perLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id", 1, 10)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    perLang.foreach { case (lang, n) =>
+      val expected = n * 1 / 10 // floor
+      assert(sampled.getOrElse(lang, 0L) === expected, s"stratum $lang")
+    }
+  }
+}
