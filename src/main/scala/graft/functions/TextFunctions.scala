@@ -15,11 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Explicit whitespace class, identical under Java regex and RE2:
+    * Java's \s includes vertical tab, RE2's does not — an oracle-parity
+    * landmine on any corpus containing U+000B. Spark code and every
+    * DuckDB oracle use this same class.
+    */
+  val WhitespaceRegex: String = "[ \\t\\n\\u000B\\f\\r]+"
+
   /** Whitespace tokens, empties dropped (reference word-count map shape,
     * test/mr.test.js:166-176).
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= lit(""))
+    filter(split(text, WhitespaceRegex), t => t =!= lit(""))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -27,6 +27,8 @@ object Sampling {
     */
   def split(df: DataFrame, keyCol: String,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split bands: train=$trainPct val=$valPct")
     val b = hashBucket(col(keyCol))
     df.withColumn("split",
       when(b < trainPct, lit("train"))
@@ -40,10 +42,11 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(keyCol)) < pct)
 
-  /** Stratified deterministic sample: the exact ⌈fraction·n⌉ smallest
-    * rows per stratum in md5 order — every stratum is represented at the
-    * same rate regardless of its size (a flat hashSample under-represents
-    * small strata by variance). One shuffle on the stratum column.
+  /** Stratified deterministic sample: the ⌈n·fraction⌉ smallest rows per
+    * stratum in md5 order — every non-empty stratum is represented (a
+    * floor rule would silently drop strata smaller than den/num rows, and
+    * a flat hashSample under-represents small strata by variance). One
+    * shuffle on the stratum column.
     */
   def stratifiedSample(
       df: DataFrame, stratumCol: String, keyCol: String,
@@ -55,8 +58,8 @@ object Sampling {
       .partitionBy(col(stratumCol))
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(cnt))
-      // keep ⌊n·num/den⌋ rows: rn·den <= n·num ⇔ rn <= ⌊n·num/den⌋
-      .filter(col("__rn") * den <= col("__n") * num)
+      // keep ⌈n·num/den⌉ rows: rn ≤ ⌈n·num/den⌉ ⇔ (rn−1)·den < n·num
+      .filter((col("__rn") - 1) * den < col("__n") * num)
       .drop("__rn", "__n")
   }
 }

@@ -31,10 +31,12 @@ object SkewJoin {
       probe: DataFrame, build: DataFrame,
       keys: Seq[String], salt: Int = 16): DataFrame = {
     require(salt > 0)
-    // deterministic per-row spread on the probe side (hash of the whole
-    // row, not a random — keeps runs reproducible)
+    // per-row spread via a row uniquifier: hashing row CONTENT would send
+    // bit-identical probe rows (exactly the hot-key shape) to one salt
+    // bucket, and hash() rejects MapType columns. The salt only routes
+    // rows — join RESULTS are identical regardless of placement.
     val p = probe.withColumn("__salt",
-      pmod(hash(struct(probe.columns.map(col): _*)), lit(salt)))
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
     val b = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     p.join(b, keys :+ "__salt").drop("__salt")

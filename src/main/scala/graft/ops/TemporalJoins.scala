@@ -36,11 +36,17 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     val rStruct = struct(
       (col(rightTs) +: rightCols.map(col)).map(c => c): _*).as("__r")
-    val l2 = left.select(
+    // SQL ASOF semantics: a NULL timestamp can never satisfy r.ts <= l.ts,
+    // so null-ts rows match nothing on either side. Without this filter a
+    // null right ts sorts FIRST and becomes the running match for every
+    // earlier left row.
+    val left0 = left.filter(col(leftTs).isNotNull)
+    val right0 = right.filter(col(rightTs).isNotNull)
+    val l2 = left0.select(
       col(key).as("__k"), col(leftTs).as("__t"), lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__l"), lit(null).cast(
         right.select(rStruct).schema("__r").dataType).as("__r"))
-    val r2 = right.select(
+    val r2 = right0.select(
       col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__side"),
       lit(null).cast(left.select(struct(leftCols.map(col): _*).as("__l"))
         .schema("__l").dataType).as("__l"), rStruct)

@@ -67,7 +67,7 @@ object DedupQueries {
     """(SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents)"""
 
-  private val normFp = """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
+  private val normFp = """md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g')))"""
 
   val oracles: Map[String, String] = Map(
     "d01_exact_groups" ->
@@ -78,7 +78,7 @@ object DedupQueries {
     "d05_ngram_jaccard" ->
       """WITH tok AS (
            SELECT DISTINCT doc_id AS id,
-             unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS w
+             unnest(list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+'), t -> t <> ''))) AS w
            FROM documents),
          sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
          inter AS (

@@ -14,9 +14,6 @@ import graft.ops.TemporalJoins
   */
 object Extended {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
-  private def dec38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 6))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AS-OF join: each purchase matched to the user's most recent view at
     // or before the purchase time. One shuffle (union + window), not a
@@ -95,18 +92,23 @@ object Extended {
         .map { case (k, name) => (k, ("C", name, 0.0)) }
       MapReduce.exec(orders.unionAll(cust)) { r => Iterator.single(r) } {
         (k, it) =>
-          // single streaming pass: never materializes the value bag
+          // single streaming pass: never materializes the value bag.
+          // sawCustomer is tracked separately from the name value: a
+          // customer with NULL c_name must survive (LEFT JOIN semantics),
+          // only order-groups with no customer row at all are dropped.
           var name: String = null
+          var sawCustomer = false
           var cnt = 0L
           var maxP: Option[Double] = None
           it.foreach {
-            case ("C", n, _) => name = n
+            case ("C", n, _) => name = n; sawCustomer = true
             case (_, _, p) =>
               cnt += 1
               if (maxP.forall(_ < p)) maxP = Some(p)
           }
-          (k, name, cnt, maxP)
-      }.filter(_._2 != null) // orders with no customer row (none in data)
+          (k, name, cnt, maxP, sawCustomer)
+      }.filter(_._5)
+        .map { case (k, n, c, m, _) => (k, n, c, m) }
         .toDF("c_custkey", "c_name", "n_orders", "max_price")
     }),
 
@@ -227,6 +229,6 @@ object Extended {
                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn,
              count(*) OVER (PARTITION BY lang) AS n
            FROM documents)
-         WHERE rn * 10 <= n * 1"""
+         WHERE (rn - 1) * 10 < n * 1"""
   )
 }

@@ -25,10 +25,6 @@ import graft.Engine.table
   */
 object Relational {
 
-  /** double column → exact decimal for order-independent aggregation. */
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
-  private def dec38(c: Column): Column = c.cast(DecimalType(38, 6))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-filter-aggregate with partial aggregation.
     // The reference analog is the grouped-fold MR job (mr.test.js:100-126).
@@ -179,11 +175,11 @@ object Relational {
          FROM events GROUP BY 1, 2""",
     "q04_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
-           SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
+           SELECT unnest(string_split_regex(text, '[ \t\n\u000B\f\r]+')) AS word FROM documents
          ) WHERE word <> '' GROUP BY word""",
     "q05_wordcount_ci" ->
       """SELECT word, count(*) AS cnt FROM (
-           SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents
+           SELECT unnest(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+')) AS word FROM documents
          ) WHERE word <> '' GROUP BY word""",
     "q06_revenue_by_nation" ->
       """SELECT r_name, n_name,

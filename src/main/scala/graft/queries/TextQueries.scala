@@ -95,9 +95,9 @@ object TextQueries {
         ELSE 'unknown' END"""
 
   private val nTokens =
-    """len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))"""
+    """len(list_filter(string_split_regex(text, '[ \t\n\u000B\f\r]+'), t -> t <> ''))"""
   private val tokenChars =
-    """length(regexp_replace(text, '\s+', '', 'g'))"""
+    """length(regexp_replace(text, '[ \t\n\u000B\f\r]+', '', 'g'))"""
   private val nPunct =
     """len(regexp_extract_all(text, '[.,;:!?]'))"""
 
@@ -105,7 +105,7 @@ object TextQueries {
     "t01_token_stats" ->
       s"""SELECT doc_id,
           $nTokens AS n_tokens,
-          len(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS n_uniq_tokens,
+          len(list_distinct(list_filter(string_split_regex(text, '[ \t\n\u000B\f\r]+'), t -> t <> ''))) AS n_uniq_tokens,
           round(CASE WHEN $nTokens > 0
                 THEN CAST($tokenChars AS DOUBLE) / CAST($nTokens AS DOUBLE)
                 ELSE 0.0 END, 6) AS avg_token_len
@@ -135,11 +135,11 @@ object TextQueries {
           FROM documents GROUP BY 1""",
     "t05_fingerprint" ->
       """SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g'))) AS fp
          FROM documents""",
     "t06_subword_counts" ->
       """SELECT doc_id,
-         len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
+         len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\u000B\f\r]')) AS n_subwords
          FROM documents"""
   )
 }

@@ -22,7 +22,8 @@ object DebugQ {
         val sr = si.taskMetrics.shuffleReadMetrics.recordsRead
         val sw = si.taskMetrics.shuffleWriteMetrics.recordsWritten
         val out = si.taskMetrics.outputMetrics.recordsWritten
-        val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        val ms = (for (c <- si.completionTime; s <- si.submissionTime)
+          yield c - s).getOrElse(0L)
         println(f"[stage ${si.stageId}%3d] tasks=${si.numTasks}%4d " +
           f"wall=${ms / 1000.0}%8.1fs in=$in%12d shufR=$sr%12d " +
           f"shufW=$sw%12d out=$out%10d  ${si.name.takeWhile(_ != '\n')}")

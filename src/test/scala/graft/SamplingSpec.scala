@@ -39,7 +39,7 @@ class SamplingSpec extends SparkSessionSpec {
     val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id", 1, 10)
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     perLang.foreach { case (lang, n) =>
-      val expected = n * 1 / 10 // floor
+      val expected = (n + 9) / 10 // ceil: every stratum represented
       assert(sampled.getOrElse(lang, 0L) === expected, s"stratum $lang")
     }
   }
