@@ -52,4 +52,19 @@ class BucketingSpec extends AnyFunSuite {
     assert(joined === expected)
     assert(expected > 0)
   }
+
+  test("partitionBy layout prunes partitions at the scan") {
+    table(spark, sfDir, "events")
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$warehouse/events_p")
+    val one = spark.read.parquet(s"$warehouse/events_p")
+      .filter(col("event_type") === "purchase")
+    val plan = one.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning), not
+    // as a post-scan Filter over all partitions
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    val expected = table(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(one.count() === expected)
+  }
 }

@@ -62,4 +62,11 @@ class PlanSpec extends SparkSessionSpec {
     val p = plan("q07_top_orders")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q13: asof join is union+window, never a nested-loop join") {
+    val p = plan("q13_asof_view_purchase")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+  }
 }
