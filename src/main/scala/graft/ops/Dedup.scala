@@ -230,6 +230,12 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint()
+    // decimal sum: exact at any scale (a long sum could overflow on
+    // trillions of rows with large ids)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -244,10 +250,13 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      // labels are monotone non-increasing per node, so the label sum is
+      // unchanged iff NO label changed — one cheap aggregate per round
+      // instead of a join-based diff
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
-      converged = changed == 0
       iter += 1
     }
     // fail loudly: silently returning partially-propagated labels would

@@ -29,10 +29,12 @@ object DebugQ {
           f"shufW=$sw%12d out=$out%10d  ${si.name.takeWhile(_ != '\n')}")
       }
     })
+    // timer starts BEFORE construction: operators with driver-side loops
+    // (components) or sampling (ivf) do real work while building the plan
+    val t0 = System.nanoTime()
     val df = graft.SparkEntry.queries(name)(spark, dir)
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       println(df.queryExecution.executedPlan.toString)
-    val t0 = System.nanoTime()
     val n = df.count()
     println(f"[debugq] $name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
     spark.stop()
