@@ -134,7 +134,11 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      // raw IEEE division, not round(…, 6): division of exact integers is
+      // correctly rounded in every engine, so the double is bit-identical
+      // to the DuckDB oracle's — rounding would reintroduce engine-specific
+      // decimal behavior
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // -------------------------------------------------------------- SimHash

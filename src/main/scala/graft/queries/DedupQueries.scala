@@ -36,8 +36,11 @@ object DedupQueries {
 
     // MinHash + LSH near-dup pairs on 3-token shingles. The planted exact
     // dups (jaccard 1.0) MUST all surface — banding guarantees identical
-    // signatures collide. No SQL oracle (xxhash64 family); rows-only check
-    // + MinHashDedupSpec asserts exact recall of planted pairs.
+    // signatures collide. The OUTPUT is exact shingle-set Jaccard (the LSH
+    // candidates are verified), so the oracle is plain SQL: hashing only
+    // affects recall, which is total on this corpus (16 bands × 2 rows at
+    // j ≥ 0.8 ⇒ miss probability (1−j²)^16 ≤ 4e-8 per pair; DedupSpec
+    // additionally pins exact recall of the planted pairs).
     "d03_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(planted(s, dir), "text", "doc_id",
         k = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)),
@@ -70,6 +73,37 @@ object DedupQueries {
   private val normFp = """md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g')))"""
 
   val oracles: Map[String, String] = Map(
+    // Exact 3-token-shingle Jaccard ≥ 0.8 — the same set d03's verified
+    // LSH candidates produce (xxhash64 only drives candidate generation;
+    // verification is over the shingle sets themselves, and jaccard is a
+    // raw IEEE division of the same integers → bit-identical doubles).
+    "d03_minhash_pairs" ->
+      s"""WITH t AS (
+            SELECT doc_id AS id,
+              trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS norm
+            FROM $plantedSql d),
+          tk AS (
+            SELECT id, norm,
+              list_filter(string_split(norm, ' '), x -> x <> '') AS toks
+            FROM t),
+          sh AS (
+            SELECT id, unnest(CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [norm] END) AS s
+            FROM tk),
+          sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY 1, 2),
+          j AS (
+            SELECT id_a, id_b,
+              CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.id
+            JOIN sizes sb ON id_b = sb.id)
+          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""",
     "d01_exact_groups" ->
       s"""SELECT $normFp AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
           FROM $plantedSql d GROUP BY 1""",

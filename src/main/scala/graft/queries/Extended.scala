@@ -43,7 +43,8 @@ object Extended {
         bandWidth = 100.0)
         .groupBy(col("p_partkey"))
         .agg(count(lit(1)).as("n_items"),
-          dec38(sum(dec(col("l_quantity")))).as("sum_qty"))
+          // DECIMAL-exact sum, DOUBLE carrier for oracle hash parity
+          dec38(sum(dec(col("l_quantity")))).cast("double").as("sum_qty"))
     }),
 
     // Set operations (reference has only implicit union via result
@@ -71,7 +72,7 @@ object Extended {
           grouping(col("n_name")).cast("long").as("g_nation"),
           grouping(col("c_mktsegment")).cast("long").as("g_segment"),
           count(lit(1)).as("n_customers"),
-          dec38(sum(dec(col("c_acctbal")))).as("sum_acctbal"))
+          dec38(sum(dec(col("c_acctbal")))).cast("double").as("sum_acctbal"))
         .select(col("n_name"), col("c_mktsegment"), col("g_nation"),
           col("g_segment"), col("n_customers"), col("sum_acctbal"))
     }),
@@ -122,13 +123,16 @@ object Extended {
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
           .as("approx_users"))),
 
-    // Quantile sketch over a positive-skew value distribution.
+    // Quantile sketch over a positive-skew value distribution. Scalar
+    // columns (not array<double>): flat schemas survive any downstream
+    // consumer, and the checker canonicalizes them.
     "q19_sketch_quantiles" -> ((s, dir) =>
       table(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(percentile_approx(col("value"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
-          .as("q50_95_99"))),
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("q50"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("q95"),
+          percentile_approx(col("value"), lit(0.99), lit(10000)).as("q99"))),
 
     // Pivot (long→wide): order counts per customer segment × priority.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
@@ -176,7 +180,7 @@ object Extended {
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
     "q14_price_band_join" ->
       """SELECT p_partkey, count(*) AS n_items,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
          FROM part JOIN lineitem
            ON l_extendedprice >= p_retailprice * 30
           AND l_extendedprice <= p_retailprice * 30 + 60
@@ -194,7 +198,7 @@ object Extended {
            CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
            CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment,
            count(*) AS n_customers,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_acctbal
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP (n_name, c_mktsegment)""",
     "q17_mr_join" ->

@@ -33,10 +33,13 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec38(sum(dec(col("l_quantity")))).as("sum_qty"),
-          dec38(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          // arithmetic stays DECIMAL-exact; the final cast to DOUBLE only
+          // changes the carrier type so the Spark and DuckDB outputs
+          // canonicalize identically in the driver's hash compare
+          dec38(sum(dec(col("l_quantity")))).cast("double").as("sum_qty"),
+          dec38(sum(dec(col("l_extendedprice")))).cast("double").as("sum_base_price"),
           dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))))
-            .as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -93,7 +96,7 @@ object Relational {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           dec38(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))))
-            .as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -151,18 +154,21 @@ object Relational {
       table(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(
-          dec38(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dec38(sum(dec(col("l_quantity")))).as("sum_qty_dec"),
           count(lit(1)).as("n_lines"))
-        .filter(col("sum_qty") > lit(150))
+        .filter(col("sum_qty_dec") > lit(150))
+        .select(col("l_orderkey"),
+          col("sum_qty_dec").cast("double").as("sum_qty"),
+          col("n_lines"))
     })
   )
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS sum_disc_price,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -183,7 +189,7 @@ object Relational {
          ) WHERE word <> '' GROUP BY word""",
     "q06_revenue_by_nation" ->
       """SELECT r_name, n_name,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS revenue,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
@@ -213,7 +219,7 @@ object Relational {
                            WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
     "q12_big_orders" ->
       """SELECT l_orderkey,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
          count(*) AS n_lines
          FROM lineitem GROUP BY l_orderkey
          HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) > 150"""

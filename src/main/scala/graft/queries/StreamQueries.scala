@@ -29,7 +29,7 @@ object StreamQueries {
     "s01_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n_events,
-         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     "s02_sessions" ->
       """WITH g AS (
@@ -37,8 +37,8 @@ object StreamQueries {
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
            FROM events)
          SELECT user_id,
-           sum(CASE WHEN prev_ts IS NULL
-                    OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+           CAST(sum(CASE WHEN prev_ts IS NULL
+                    OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            count(*) AS n_events
          FROM g GROUP BY user_id""",
     "s03_hourly_top_values" ->

@@ -39,8 +39,10 @@ object EventStream {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
+        // DECIMAL-exact sum; DOUBLE carrier so batch, streaming, and the
+        // DuckDB oracle all canonicalize to the same output type
         sum(col("value").cast(DecimalType(18, 6)))
-          .cast(DecimalType(38, 6)).as("sum_value"))
+          .cast(DecimalType(38, 6)).cast("double").as("sum_value"))
 
   /** Streaming form of [[hourlyAgg]]: watermarked tumbling window.
     * Append mode emits a window only once it is closed by the watermark.
@@ -51,8 +53,10 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
+        // DECIMAL-exact sum; DOUBLE carrier so batch, streaming, and the
+        // DuckDB oracle all canonicalize to the same output type
         sum(col("value").cast(DecimalType(18, 6)))
-          .cast(DecimalType(38, 6)).as("sum_value"))
+          .cast(DecimalType(38, 6)).cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 

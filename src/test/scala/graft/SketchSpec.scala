@@ -28,7 +28,8 @@ class SketchSpec extends SparkSessionSpec {
   test("quantile sketch brackets exact percentiles") {
     val e = table(spark, sfDir, "events")
     val approx = SparkEntry.queries("q19_sketch_quantiles")(spark, sfDir)
-      .as[(String, Seq[Double])].collect().toMap
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
     val exact = e.groupBy("event_type")
       .agg(expr("percentile(value, array(0.45, 0.55))").as("p50band"),
         expr("percentile(value, array(0.93, 0.97))").as("p95band"))
