@@ -132,6 +132,48 @@ object SigOps {
     }
     r
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable 64-bit SimHash: per-token bits come from the first 8 bytes
+    * of md5(token) read as two big-endian unsigned 32-bit words (= the
+    * first/second 8 hex chars of the digest string), packed lo<<32|hi.
+    * Same majority rule as [[simhash64]], but every bit is reproducible in
+    * any engine with an md5 function — SQL oracles can recompute the
+    * signature exactly (see DedupQueries d04). Bit-identical to the
+    * composed `conv(substring(md5(t),…),16,10)` Column form.
+    */
+  def simhashMd5(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val counts = new Array[Int](64)
+    val md = md5Local.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(toks.getUTF8String(i).getBytes)
+      val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val lo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      val h = (lo << 32) | hi
+      var j = 0
+      while (j < 64) {
+        counts(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) * 2 > n) r |= (1L << j)
+      j += 1
+    }
+    r
+  }
 }
 
 /** Unary wrappers exposing the [[SigOps]] kernels as Catalyst expressions.
@@ -178,6 +220,18 @@ object SignatureExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
         c => s"graft.expr.SigOps.bandKeys($c, $bands, $rowsPerBand)")
+  }
+
+  case class SimHashMd5(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "simhash_md5"
+    override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+      copy(child = newChild)
+    override def nullSafeEval(in: Any): Any =
+      SigOps.simhashMd5(in.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expr.SigOps.simhashMd5($c)")
   }
 
   case class SimHash64(child: Expression) extends UnaryExpression {

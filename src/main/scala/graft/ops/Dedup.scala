@@ -152,6 +152,39 @@ object Dedup {
     graft.expr.nat(graft.expr.SignatureExpressions.SimHash64(
       graft.expr.toExpr(tokens(normalized(text)))))
 
+  /** Portable simhash variant: per-token bits from the first 16 hex chars
+    * of md5(token) as two 32-bit words (packed lo<<32|hi). Same majority
+    * rule and pair semantics as [[simhash]]; the hash family is chosen so
+    * a SQL engine with md5() can recompute the signature bit-for-bit —
+    * this is the oracle-checkable form a differential-testing pipeline
+    * wants, at identical kernel cost.
+    */
+  def simhashMd5(text: Column): Column =
+    graft.expr.nat(graft.expr.SignatureExpressions.SimHashMd5(
+      graft.expr.toExpr(tokens(normalized(text)))))
+
+  /** Composed-builtin form of [[simhashMd5]] — its differential oracle. */
+  def simhashMd5Composed(text: Column): Column = {
+    val toks = tokens(normalized(text))
+    def shr(v: Column, n: Column): Column = call_function("shiftright", v, n)
+    def shl(v: Column, n: Column): Column = call_function("shiftleft", v, n)
+    def word(t: Column, off: Int): Column =
+      conv(substring(md5(t), off, 8), 16, 10).cast("long")
+    val hs = transform(toks, t => shiftleft(word(t, 9), 32).bitwiseOR(word(t, 1)))
+    val counts = aggregate(
+      hs,
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, j) => c + shr(h, j).bitwiseAND(lit(1L))))
+    val n = size(toks).cast("long")
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, j) => when(c * 2 > n, shl(lit(1L), j)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b))
+  }
+
   /** Composed-builtin SimHash (64-lane aggregate per token) — the
     * differential oracle for the native kernel.
     */
@@ -184,9 +217,22 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    simhashPairsBy(df, simhash(col(textCol)), idCol, maxDist)
+
+  /** [[simhashPairs]] with the portable md5 hash family ([[simhashMd5]])
+    * — identical bucket/verify machinery, SQL-oracle-reproducible bits.
+    */
+  def simhashPairsMd5(
+      df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame =
+    simhashPairsBy(df, simhashMd5(col(textCol)), idCol, maxDist)
+
+  private def simhashPairsBy(
+      df: DataFrame, sig: Column, idCol: String,
+      maxDist: Int): DataFrame = {
     val sh = df.repartition(expansionParallelism(df))
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"), sig.as("sh"))
     // explicit partition count: see minhashPairs — keeps the quadratic
     // in-bucket expansion spread across the cluster when inputs are small
     val chunked = sh.select(col("id"), col("sh"),

@@ -61,6 +61,19 @@ object Similarity {
     * 8–16 planes, probeBits 1. For diffuse corpora (this test corpus:
     * top-10 cosine ≈ 0.3–0.5) fewer planes + probeBits 2 keeps recall up.
     */
+  /** Multiprobe bucket-xor masks: the identity probe, all 1-bit flips
+    * (probeBits ≥ 1), all 2-bit flips (probeBits ≥ 2). Public so SQL
+    * oracles can replicate the probe set (`xor(bucket_a, bucket_b) IN
+    * flips` ⇔ the exploded probe join).
+    */
+  def probeFlips(nPlanes: Int, probeBits: Int): Seq[Long] =
+    Seq(0L) ++
+      (if (probeBits >= 1) (0 until nPlanes).map(1L << _) else Nil) ++
+      (if (probeBits >= 2)
+        for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+          yield (1L << i) | (1L << j)
+      else Nil)
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 4, probeBits: Int = 2, dim: Int = 64,
@@ -70,13 +83,7 @@ object Similarity {
     val cb = corpus.withColumn("bucket", hyperplaneBucket(col(vecCol), planes))
     val qBuckets =
       queries.withColumn("qbucket0", hyperplaneBucket(col(qvecCol), planes))
-    val flips: Seq[Long] =
-      Seq(0L) ++
-        (if (probeBits >= 1) (0 until nPlanes).map(1L << _) else Nil) ++
-        (if (probeBits >= 2)
-          for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
-            yield (1L << i) | (1L << j)
-        else Nil)
+    val flips = probeFlips(nPlanes, probeBits)
     val probeArr = array(flips.map(f => col("qbucket0").bitwiseXOR(lit(f))): _*)
     val qb = qBuckets
       .withColumn("bucket", explode(probeArr))

@@ -46,8 +46,12 @@ object DedupQueries {
         k = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)),
 
     // SimHash near-dup pairs, Hamming ≤ 3 over 64-bit token sketches.
+    // The md5 hash family (two 32-bit words from the digest's hex prefix)
+    // is exactly reproducible in DuckDB, so the full pair set has a SQL
+    // oracle; the xxhash64-family simhashPairs is the same machinery
+    // (DedupSpec pins the two kernels' shared semantics differentially).
     "d04_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(planted(s, dir), "text", "doc_id", maxDist = 3)),
+      Dedup.simhashPairsMd5(planted(s, dir), "text", "doc_id", maxDist = 3)),
 
     // Exact n-gram (token-set) Jaccard ≥ 19/20 via inverted-index join —
     // integer-exact filter, full DuckDB oracle.
@@ -104,6 +108,35 @@ object DedupQueries {
             JOIN sizes sa ON id_a = sa.id
             JOIN sizes sb ON id_b = sb.id)
           SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""",
+    // Recomputes the md5-word simhash bit-for-bit: per (doc, bit) majority
+    // vote over the token multiset, then popcount of the xor. The chunked
+    // LSH on the Spark side only affects candidate generation — pigeonhole
+    // guarantees total recall at dist ≤ 3 — so the verified pair set is
+    // exactly this all-pairs filter.
+    "d04_simhash_pairs" ->
+      s"""WITH t AS (
+            SELECT doc_id AS id,
+              list_filter(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+'),
+                x -> x <> '') AS toks
+            FROM $plantedSql d),
+          tok AS (SELECT id, unnest(toks) AS w FROM t),
+          bits AS (
+            SELECT id, j,
+              sum(CASE WHEN j < 32
+                  THEN (CAST(concat('0x', substring(md5(w), 1, 8)) AS BIGINT) >> j) & 1
+                  ELSE (CAST(concat('0x', substring(md5(w), 9, 8)) AS BIGINT) >> (j - 32)) & 1 END) AS c,
+              count(*) AS n
+            FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js
+            GROUP BY id, j),
+          sh AS (
+            SELECT id,
+              CAST(sum(CASE WHEN j < 32 AND c * 2 > n THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS hi,
+              CAST(sum(CASE WHEN j >= 32 AND c * 2 > n THEN CAST(1 AS BIGINT) << (j - 32) ELSE 0 END) AS BIGINT) AS lo
+            FROM bits GROUP BY id)
+          SELECT a.id AS id_a, b.id AS id_b,
+            CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS dist
+          FROM sh a JOIN sh b ON a.id < b.id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""",
     "d01_exact_groups" ->
       s"""SELECT $normFp AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
           FROM $plantedSql d GROUP BY 1""",

@@ -40,8 +40,12 @@ object VectorQueries {
       Similarity.bruteForceTopK(e, q, k = 10)
     }),
 
-    // LSH-bucketed ANN (the 100 TB path): no SQL oracle (hyperplane seeds
-    // live in Scala); SimilaritySpec asserts recall vs. v01.
+    // LSH-bucketed ANN (the 100 TB path). Full SQL oracle: the hyperplanes
+    // are deterministic (splitmix64, seed 42), so their values are inlined
+    // into the oracle SQL as literals, the sign-bit bucket is recomputed
+    // with the same left-to-right double dot product, and multiprobe is
+    // `xor(bucket, qbucket) IN flips`. SimilaritySpec keeps the recall
+    // bound vs. v01.
     "v02_ann_lsh" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -73,7 +77,43 @@ object VectorQueries {
         threshold = 0.99))
   )
 
+  /** The v02 oracle rebuilt from the SAME deterministic constants the
+    * query uses: plane values as SQL literals (Double.toString round-trips
+    * exactly, so DuckDB parses the identical bits) and the probe-flip set
+    * from [[Similarity.probeFlips]].
+    */
+  private val v02OracleSql: String = {
+    val planes = graft.functions.VectorFunctions.randomPlanes(4, 64)
+    val flips = Similarity.probeFlips(nPlanes = 4, probeBits = 2)
+    def bucket(c: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        val lit = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product($c::DOUBLE[], $lit::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    s"""WITH cb AS (
+          SELECT vec_id AS id, embedding AS vec,
+            ${bucket("embedding")} AS bucket
+          FROM embeddings),
+        qb AS (
+          SELECT vec_id AS qid, embedding AS qvec,
+            ${bucket("embedding")} AS qbucket
+          FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT qb.qid, cb.id AS neighbor_id,
+            list_cosine_similarity(cb.vec::DOUBLE[], qb.qvec::DOUBLE[]) AS sim
+          FROM cb, qb
+          WHERE cb.id <> qb.qid
+            AND xor(cb.bucket, qb.qbucket) IN (${flips.mkString(", ")})),
+        ranked AS (
+          SELECT qid, neighbor_id, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT qid, neighbor_id, rank, round(sim, 6) AS sim
+        FROM ranked WHERE rank <= 10"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "v02_ann_lsh" -> v02OracleSql,
     "v01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          scored AS (

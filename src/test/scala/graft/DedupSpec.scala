@@ -72,6 +72,16 @@ class DedupSpec extends SparkSessionSpec {
     assert(!asMap.contains((4L, 5L)))
   }
 
+  test("md5 simhash pairs: same pair semantics as the xxhash64 family") {
+    val pairs = Dedup.simhashPairsMd5(docs, "text", "doc_id", maxDist = 3)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // identical docs have identical signatures under ANY hash family
+    assert(asMap((1L, 2L)) === 0)
+    assert(asMap((1L, 6L)) === 0)
+    assert(!asMap.contains((4L, 5L)))
+  }
+
   test("ngram jaccard pairs: integer-exact thresholding") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", num = 9, den = 10)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

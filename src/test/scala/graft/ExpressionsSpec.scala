@@ -76,6 +76,18 @@ class ExpressionsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("native md5 simhash matches composed md5-word formulation bit-for-bit") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c d e f g", "single", "", "  spaced   out  tokens ")
+    val df = texts.toDF("text")
+    val got = df.select(
+      graft.ops.Dedup.simhashMd5(col("text")).as("fast"),
+      graft.ops.Dedup.simhashMd5Composed(col("text")).as("slow"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("native shingle set has composed cardinality and sorted order") {
     val texts = Seq(
       "one two three four five six", "one two", "x",
