@@ -10,12 +10,16 @@ package graft
   *    and JIT warmup are not billed to whichever query runs first;
   *  - timed via `queryExecution.toRdd.count()`, which materializes every
   *    output row of the final physical plan — `df.count()` would let
-  *    Catalyst prune the measured projections out of scan-shaped queries.
+  *    Catalyst prune the measured projections out of scan-shaped queries;
+  *  - MEDIAN of 3 runs per query (SPARK_GRAFT_BENCH_RUNS to override):
+  *    a single GC pause / page-cache miss / compilation hiccup on one run
+  *    must not dominate the reported number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val warmDir = "/root/testdata/sf0.001"
     val spark = Engine.session(master = s"local[$cpus]")
     if (new java.io.File(warmDir).isDirectory)
@@ -24,16 +28,18 @@ object Bench {
         catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // a failing query must surface as -1, not as a plausible timing —
       // otherwise a query that breaks reads as a speedup in the bench line
-      val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(runs / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

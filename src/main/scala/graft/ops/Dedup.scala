@@ -376,16 +376,42 @@ object Dedup {
     // that pass the threshold reach the final dedup exchange. (For corpora
     // with huge per-doc sets, flip to bare-id candidates + fetch-joins; for
     // typical document token sets this payload-on-index shape is cheaper.)
-    // Probe side: round-robin repartition with an explicit count — pair
-    // expansion is balanced across tasks no matter how skewed the token
-    // frequencies are, because the build side is broadcast. At corpus
-    // scales where the prefix index outgrows broadcast, drop the hint and
-    // salt the join instead.
     val pref = docs.select(col("id"), col("hs"), col("sz"),
       explode(col("prefix")).as("w"))
-    pref.repartition(expansionParallelism(df)).as("a")
-      .join(broadcast(pref).as("b"),
-        col("a.w") === col("b.w") && col("a.id") < col("b.id"))
+    // Join strategy is SIZE-GATED: the prefix index grows linearly with
+    // the corpus, so an unconditional broadcast would blow the driver at
+    // scale. The estimate comes from the optimizer's input-size stats (no
+    // extra job): the index holds ~(1−t) of each doc's tokens, each row
+    // carrying the 8-byte-per-token hashed set ⇒ ~0.1× the raw text
+    // bytes; input/4 deliberately over-estimates several-fold so the
+    // broadcast path only runs when clearly safe. Under the session
+    // broadcast threshold we broadcast the build side and round-robin the
+    // probe side (pair expansion balanced regardless of token skew).
+    // Above it, both sides shuffle on (w, salt): the build side
+    // replicates `salt` ways, the probe side picks a deterministic salt
+    // per doc, so each (a, b) pair still meets exactly once and a hot
+    // token's quadratic work spreads over `salt` tasks.
+    val bytesEst = df.queryExecution.optimizedPlan.stats.sizeInBytes / 4
+    // "-1" (broadcast disabled) fails the byte-string parse → 0 → salted
+    val threshold = scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "64m")))
+      .getOrElse(0L)
+    val joined =
+      if (threshold > 0 && bytesEst <= threshold)
+        pref.repartition(expansionParallelism(df)).as("a")
+          .join(broadcast(pref).as("b"),
+            col("a.w") === col("b.w") && col("a.id") < col("b.id"))
+      else {
+        val salt = expansionParallelism(df)
+        val a = pref.withColumn("__salt", pmod(xxhash64(col("id")), lit(salt)))
+        val b = pref.withColumn("__salt",
+          explode(sequence(lit(0L), lit(salt - 1L))))
+        a.as("a").join(b.as("b"),
+          col("a.w") === col("b.w") && col("a.__salt") === col("b.__salt") &&
+            col("a.id") < col("b.id"))
+      }
+    joined
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         intersectCard(col("a.hs"), col("b.hs")).as("inter"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))

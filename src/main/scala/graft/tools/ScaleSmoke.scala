@@ -61,6 +61,21 @@ object ScaleSmoke {
     time(s"exact dedup docs x$factor") {
       Dedup.exactGroups(docs, "text", "doc_id").queryExecution.toRdd.count()
     }
+    // the d05 shape; at smoke scale the size gate usually still picks the
+    // broadcast path, so ALSO force the salted-shuffle fallback — the path
+    // a 100 TB corpus would take — and confirm it stays near-linear
+    time(s"ngram jaccard docs x$factor") {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", num = 19, den = 20)
+        .queryExecution.toRdd.count()
+    }
+    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      time(s"ngram jaccard salted x$factor") {
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", num = 19, den = 20)
+          .queryExecution.toRdd.count()
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcBefore)
 
     val emb = scaled(spark, dir, "embeddings", Seq("vec_id"), factor)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

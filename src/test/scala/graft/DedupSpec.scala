@@ -88,4 +88,18 @@ class DedupSpec extends SparkSessionSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists { case (a, b) => Set(a, b) === Set(4L, 5L) })
   }
+
+  test("ngram jaccard: salted shuffle path returns the broadcast path's pairs") {
+    def run() = Dedup.ngramJaccardPairs(docs, "text", "doc_id", num = 9, den = 10)
+      .collect().map(_.toSeq).toSet
+    val viaBroadcast = run()
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disabling broadcast forces the size gate onto the salted path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaSalted = run()
+      assert(viaSalted === viaBroadcast)
+      assert(viaSalted.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
 }
