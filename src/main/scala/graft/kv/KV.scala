@@ -1,6 +1,6 @@
 package graft.kv
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** KV storage layer — Spark realization of the reference's `mem`/`store`
@@ -18,51 +18,94 @@ import org.apache.spark.sql.functions._
   *    (all/store.js:217-285) — in Spark, placement is the shuffle's job, so
   *    reconf degenerates to an explicit repartition-by-key rewrite.
   *
-  * Spark-first mapping: `store` = a parquet directory per gid (vectorized
-  * scan, predicate pushdown for point lookups); `mem` = cached DataFrames.
-  * Values ride as JSON strings — the reference's values are schemaless JS
-  * blobs (SURVEY §1.2), so an opaque string column IS the faithful data
-  * model; schema-on-read (`from_json`) recovers structure when the caller
-  * knows it.
+  * Spark-first mapping: `store` = a parquet directory per gid, laid out in
+  * `bucket=<pmod(xxhash64(key), n)>` partition dirs — the Spark analog of
+  * the reference's hash placement (util/id.js:107-148): a point `get`
+  * constant-folds its bucket and partition-prunes to ONE bucket's files,
+  * and `put`/`del` rewrite only the buckets the batch touches, not the
+  * gid. `mem` = cached DataFrames. Values ride as JSON strings — the
+  * reference's values are schemaless JS blobs (SURVEY §1.2), so an opaque
+  * string column IS the faithful data model; schema-on-read (`from_json`)
+  * recovers structure when the caller knows it.
   *
   * NOT ported: HTTP-RPC transport, gossip, node spawn — Spark's control
   * plane owns those (SURVEY §2.4).
   */
-class Store(spark: SparkSession, root: String) {
+class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
   import Store._
+
+  /** The store's root directory (exposed for layout-level tooling/tests). */
+  def rootDir: String = root
 
   private def path(gid: String) = s"$root/$gid"
 
   private def exists(gid: String): Boolean =
     new java.io.File(path(gid)).exists()
 
+  /** The gid's bucket count, persisted in a `_`-prefixed marker file
+    * (invisible to the parquet reader) so the layout survives re-opens
+    * and `reconf` can change it per gid.
+    */
+  private def bucketCount(gid: String): Int = {
+    val m = new java.io.File(path(gid), MarkerFile)
+    if (m.exists())
+      java.nio.file.Files.readString(m.toPath).trim.toInt
+    else defaultBuckets
+  }
+
+  private def writeMarker(gid: String, n: Int): Unit = {
+    java.nio.file.Files.writeString(
+      new java.io.File(path(gid), MarkerFile).toPath, n.toString): Unit
+  }
+
+  private def bucketExpr(key: Column, n: Int): Column =
+    pmod(xxhash64(key), lit(n.toLong)).cast("int")
+
   /** Upsert a batch of rows into `gid` as (key, value-JSON) pairs.
+    * Rewrites ONLY the bucket partitions the batch's keys hash into;
+    * untouched buckets' files are never read or written.
     *
     * @param keyCol column to use as the key; None ⇒ content-addressed
     *               sha256(to_json(row)) like the reference's getID.
     */
   def put(df: DataFrame, gid: String, keyCol: Option[String] = None): Unit = {
+    val n = if (exists(gid)) bucketCount(gid) else defaultBuckets
     val batch = toKV(df, keyCol)
       // last-write-wins within the batch, made deterministic by keeping the
       // lexicographically greatest value per key (the reference's "last" is
       // arrival order; any deterministic winner satisfies the stored-set
       // semantics the tests assert).
       .groupBy("key").agg(max("value").as("value"))
+      .withColumn("bucket", bucketExpr(col("key"), n))
     val merged =
       if (exists(gid)) {
+        val touched = batch.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq // ≤ n values — driver-safe
         val old = spark.read.parquet(path(gid))
+          .filter(col("bucket").isin(touched: _*))
         // new batch wins over existing keys
-        old.join(batch.select("key"), Seq("key"), "left_anti").union(batch)
+        old.join(batch.select("key"), Seq("key"), "left_anti")
+          .unionByName(batch)
       } else batch
-    // Write via a temp dir then swap, since `merged` reads the live dir.
+    // Write via a temp dir then swap per-bucket, since `merged` reads the
+    // live dir. Every touched bucket is non-empty (it holds batch rows),
+    // so the tmp dir always carries a dir per touched bucket.
     val tmp = path(gid) + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    swapIn(tmp, path(gid))
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    swapBuckets(tmp, path(gid))
+    writeMarker(gid, n)
   }
 
-  /** Point lookup — a pushed-down filter on the key column, not a scan. */
-  def get(gid: String, key: String): DataFrame =
-    spark.read.parquet(path(gid)).filter(col("key") === key)
+  /** Point lookup: the bucket predicate constant-folds, so the scan
+    * partition-prunes to one bucket dir — O(files/n), not O(files).
+    */
+  def get(gid: String, key: String): DataFrame = {
+    val n = bucketCount(gid)
+    spark.read.parquet(path(gid))
+      .filter(col("bucket") === bucketExpr(lit(key), n) &&
+        col("key") === key)
+      .select(col("key"), col("value"))
+  }
 
   /** `get(null)` — enumerate all keys of a gid (reference
     * all/store.js:150-163 broadcast-concat).
@@ -72,46 +115,81 @@ class Store(spark: SparkSession, root: String) {
 
   /** Full scan of a gid. */
   def scan(gid: String): DataFrame =
-    spark.read.parquet(path(gid))
+    spark.read.parquet(path(gid)).select(col("key"), col("value"))
 
-  /** Delete one key (rewrite-minus-key; at production scale this is a
-    * Delta/Iceberg delete — out of scope offline).
+  /** Delete one key: rewrites only the key's own bucket (at production
+    * scale this is a Delta/Iceberg delete — out of scope offline).
     */
   def del(gid: String, key: String): Unit = {
-    val rest = spark.read.parquet(path(gid)).filter(col("key") =!= key)
+    val n = bucketCount(gid)
+    // evaluate the key's bucket (one local row, no distributed job)
+    val b = spark.range(1)
+      .select(bucketExpr(lit(key), n)).head().getInt(0)
+    val rest = spark.read.parquet(path(gid))
+      .filter(col("bucket") === b && col("key") =!= key)
+      .select(col("key"), col("value"), col("bucket"))
     val tmp = path(gid) + "__tmp"
-    rest.write.mode("overwrite").parquet(tmp)
-    swapIn(tmp, path(gid))
+    rest.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    // bucket emptied entirely ⇒ tmp has no dir for it ⇒ remove live dir
+    swapBuckets(tmp, path(gid), alsoClear = Seq(b))
   }
 
   /** Re-shard a gid into `numBuckets` hash partitions of the key — the
-    * reference's `reconf` (all/store.js:217-285). Spark moves all data on
-    * rewrite; minimal-movement is an implementation detail of the
-    * reference's placement model, not of the query surface.
+    * reference's `reconf` (all/store.js:217-285). A bucket-count change
+    * invalidates every key's placement, so this is the one full rewrite.
     */
   def reconf(gid: String, numBuckets: Int): Unit = {
-    val df = spark.read.parquet(path(gid)).repartition(numBuckets, col("key"))
+    val df = scan(gid)
+      .withColumn("bucket", bucketExpr(col("key"), numBuckets))
+      .repartition(numBuckets, col("bucket"))
     val tmp = path(gid) + "__tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    swapIn(tmp, path(gid))
+    df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val live = new java.io.File(path(gid))
+    delete(live)
+    if (live.exists())
+      throw new java.io.IOException(s"store: could not clear ${path(gid)}")
+    if (!new java.io.File(tmp).renameTo(live))
+      throw new java.io.IOException(
+        s"store: rename $tmp -> ${path(gid)} failed; data preserved at $tmp")
+    writeMarker(gid, numBuckets)
   }
 
-  /** Replace the live dir with the freshly-written tmp dir, failing
-    * loudly: an unchecked delete+rename that half-fails would leave the
-    * gid missing or truncated while put() reports success.
+  /** Move each freshly-written `bucket=N` dir from tmp over its live
+    * counterpart (plus explicitly cleared buckets), failing loudly: a
+    * half-applied swap must not read as success. Buckets absent from tmp
+    * and not in `alsoClear` are left untouched — that is the partial-
+    * rewrite contract.
     */
-  private def swapIn(tmp: String, live: String): Unit = {
-    val dir = new java.io.File(live)
-    if (dir.exists()) delete(dir)
-    if (dir.exists())
-      throw new java.io.IOException(s"store: could not clear $live")
-    if (!new java.io.File(tmp).renameTo(dir))
-      throw new java.io.IOException(
-        s"store: rename $tmp -> $live failed; data preserved at $tmp")
+  private def swapBuckets(
+      tmp: String, live: String, alsoClear: Seq[Int] = Nil): Unit = {
+    val liveDir = new java.io.File(live)
+    liveDir.mkdirs()
+    val tmpDir = new java.io.File(tmp)
+    val written = tmpDir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    alsoClear.map(b => new java.io.File(liveDir, s"bucket=$b"))
+      .filterNot(t => written.exists(_.getName == t.getName))
+      .foreach { t =>
+        if (t.exists()) delete(t)
+        if (t.exists())
+          throw new java.io.IOException(s"store: could not clear $t")
+      }
+    written.foreach { bd =>
+      val target = new java.io.File(liveDir, bd.getName)
+      if (target.exists()) delete(target)
+      if (target.exists())
+        throw new java.io.IOException(s"store: could not clear $target")
+      if (!bd.renameTo(target))
+        throw new java.io.IOException(
+          s"store: rename $bd -> $target failed; data preserved at $tmp")
+    }
+    delete(tmpDir)
   }
 }
 
 object Store {
+  private val MarkerFile = "_graft_buckets"
+
   /** Project an arbitrary DataFrame to the KV (key, value) shape.
     * value = canonical JSON of the full row; key = given column or
     * content-addressed sha256 of the value (id.js:72-78 analog).

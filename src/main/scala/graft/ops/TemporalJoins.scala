@@ -27,12 +27,22 @@ object TemporalJoins {
     * pre-aggregate if not (the match would otherwise be ambiguous in any
     * engine; DuckDB ASOF has the same contract).
     *
+    * Skew: the default single window serializes each key into one task —
+    * fine for natural key spreads (users, orders), a straggler when one
+    * celebrity key dominates. Pass `skewBucket = Some("hour" | "day" |
+    * ...)` (a `date_trunc` granularity of the timestamp columns) to run
+    * the window per (key, time-bucket) instead: in-bucket running match
+    * plus a carry of each bucket's final match from preceding buckets —
+    * computed over one row per (key, bucket), so the hot key's row volume
+    * spreads across buckets while the carry pass stays tiny. Identical
+    * output (TemporalJoinsSpec proves it); two extra small shuffles.
+    *
     * @param rightCols right-side payload columns, emitted as `asof_<name>`
     */
   def asofJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String], skewBucket: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val rStruct = struct(
       (col(rightTs) +: rightCols.map(col)).map(c => c): _*).as("__r")
@@ -50,11 +60,38 @@ object TemporalJoins {
       col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__side"),
       lit(null).cast(left.select(struct(leftCols.map(col): _*).as("__l"))
         .schema("__l").dataType).as("__l"), rStruct)
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionByName(r2)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val unioned = l2.unionByName(r2)
+    val matched = skewBucket match {
+      case None =>
+        val w = Window.partitionBy(col("__k"))
+          .orderBy(col("__t").asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      case Some(g) =>
+        val b = unioned.withColumn("__b", date_trunc(g, col("__t")))
+        // pass 1: running match WITHIN each (key, bucket) — the hot key's
+        // rows now split across its buckets
+        val wIn = Window.partitionBy(col("__k"), col("__b"))
+          .orderBy(col("__t").asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inb = b.withColumn("__m0", last(col("__r"), ignoreNulls = true).over(wIn))
+        // pass 2 (tiny: one row per (key, bucket)): each bucket's final
+        // right row, then the last such from STRICTLY PRECEDING buckets —
+        // safe to carry because any earlier bucket's right ts < this
+        // bucket's every left ts
+        val bfin = b.filter(col("__side") === 0)
+          .groupBy(col("__k"), col("__b"))
+          .agg(max_by(col("__r"), col("__t")).as("__bf"))
+        val wc = Window.partitionBy(col("__k")).orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = b.select(col("__k"), col("__b")).distinct()
+          .join(bfin, Seq("__k", "__b"), "left")
+          .withColumn("__carry", last(col("__bf"), ignoreNulls = true).over(wc))
+          .select(col("__k"), col("__b"), col("__carry"))
+        inb.join(carry, Seq("__k", "__b"))
+          .withColumn("__m", coalesce(col("__m0"), col("__carry")))
+    }
+    matched
       .filter(col("__side") === 1 && col("__m").isNotNull)
       .select(
         leftCols.map(c => col(s"__l.$c").as(c)) ++

@@ -31,6 +31,30 @@ class TemporalJoinsSpec extends AnyFunSuite {
     // key 3 dropped: no prior right row (inner asof)
   }
 
+  test("asof skew path: one celebrity key, bucketed result == plain result") {
+    val rnd = new scala.util.Random(7)
+    // 1 hot key with 2000 rows spanning many hours + 3 normal keys
+    val left = (1 to 2000).map(i => (1L, ts(i * 60L), s"h$i")) ++
+      (1 to 30).map(i => ((i % 3 + 2).toLong, ts(i * 500L), s"n$i"))
+    val right = (1 to 400).map(i => (1L, ts(rnd.nextInt(120000).toLong), s"r$i")) ++
+      (1 to 10).map(i => ((i % 3 + 2).toLong, ts(i * 700L), s"s$i"))
+    val l = left.toDF("k", "ts", "lv")
+    val r = right.toDF("k", "ts", "rv")
+      // contract: at most one right row per (key, ts)
+      .groupBy("k", "ts").agg(max("rv").as("rv"))
+    val plain = TemporalJoins.asofJoin(l, r, "k", "ts", "ts", Seq("rv"))
+      .collect().map(_.toSeq).toSet
+    val bucketed = TemporalJoins.asofJoin(l, r, "k", "ts", "ts", Seq("rv"),
+      skewBucket = Some("hour"))
+    assert(bucketed.collect().map(_.toSeq).toSet === plain)
+    assert(plain.size > 1500)
+    // the heavy window must partition by (key, bucket), not the bare key:
+    // that is what splits the hot key's rows across tasks
+    val phys = bucketed.queryExecution.executedPlan.toString
+    assert(phys.contains("hashpartitioning(__k") && phys.contains("__b"),
+      s"expected (__k, __b) window partitioning in:\n$phys")
+  }
+
   test("banded range join equals naive non-equi join") {
     val rnd = new scala.util.Random(3)
     val left = Seq.fill(300)(rnd.nextDouble() * 1000).zipWithIndex
