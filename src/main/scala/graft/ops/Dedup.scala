@@ -403,7 +403,14 @@ object Dedup {
           .join(broadcast(pref).as("b"),
             col("a.w") === col("b.w") && col("a.id") < col("b.id"))
       else {
-        val salt = expansionParallelism(df)
+        // salt trade-off: the build side replicates `salt`× through the
+        // shuffle, but each in-bucket expansion is quadratic, so per-task
+        // balance dominates replication cost until salt reaches the task
+        // slot count (measured at 10× smoke: salt 8/32/64 → 161/140/108s
+        // on 64 slots). Scale with parallelism, but cap: past ~64 splits
+        // a hot token is already spread thin and linear replication of
+        // the whole index takes over.
+        val salt = math.min(expansionParallelism(df), 64)
         val a = pref.withColumn("__salt", pmod(xxhash64(col("id")), lit(salt)))
         val b = pref.withColumn("__salt",
           explode(sequence(lit(0L), lit(salt - 1L))))
