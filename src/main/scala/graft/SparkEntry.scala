@@ -33,4 +33,12 @@ object SparkEntry {
       graft.queries.VectorQueries.oracles ++
       graft.queries.StreamQueries.oracles ++
       graft.queries.MMQueries.oracles
+
+  /** Oracles whose SQL embeds deterministic-but-DATA-DERIVED constants
+    * (e.g. v04's k-means centroids), so the string can only be produced
+    * against a concrete data dir. Verify evaluates these at dump time and
+    * merges them into oracle_sql.json alongside [[oracleSql]].
+    */
+  def dynamicOracleSql: Map[String, (SparkSession, String) => String] =
+    graft.queries.VectorQueries.dynamicOracles
 }

@@ -37,7 +37,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Data-dependent oracles are generated HERE, against the same sfDir
+    // the query results above were dumped from — a dynamic oracle that
+    // fails to build degrades to the rows-only check, never to a bogus
+    // compare.
+    val dynamic = SparkEntry.dynamicOracleSql.flatMap { case (k, fn) =>
+      try Some(k -> fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle $k failed: ${e.getMessage}")
+        None
+      }
+    }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

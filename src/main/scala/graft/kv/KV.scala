@@ -39,23 +39,68 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
 
   private def path(gid: String) = s"$root/$gid"
 
-  private def exists(gid: String): Boolean =
-    new java.io.File(path(gid)).exists()
+  /** The gid's `bucket=N` partition dirs (empty for a marker-only or
+    * missing gid).
+    */
+  private def bucketDirs(gid: String): Seq[java.io.File] = {
+    val d = new java.io.File(path(gid))
+    if (!d.isDirectory) Nil
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+  }
+
+  /** True iff the gid holds readable bucketed data. A dir containing only
+    * the marker (e.g. after `del` empties the last bucket, or a crash
+    * between marker write and first data swap) reads as an EMPTY store,
+    * never as a schema-inference failure.
+    */
+  private def hasData(gid: String): Boolean = bucketDirs(gid).nonEmpty
+
+  /** True iff the gid dir holds parquet data NOT laid out in bucket dirs —
+    * a layout this Store version cannot serve point-reads from.
+    */
+  private def isLegacyLayout(gid: String): Boolean = {
+    val d = new java.io.File(path(gid))
+    d.isDirectory && bucketDirs(gid).isEmpty &&
+      d.listFiles().exists(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
+  private def requireBucketed(gid: String): Unit =
+    if (isLegacyLayout(gid))
+      throw new IllegalStateException(
+        s"store: ${path(gid)} has an unbucketed (legacy) layout; " +
+          s"run reconf(\"$gid\", n) to migrate it in place")
 
   /** The gid's bucket count, persisted in a `_`-prefixed marker file
     * (invisible to the parquet reader) so the layout survives re-opens
-    * and `reconf` can change it per gid.
+    * and `reconf` can change it per gid. Bucketed data WITHOUT a marker
+    * (torn layout) fails loudly: guessing a count would silently
+    * constant-fold point-gets to the wrong bucket — a silent wrong read.
     */
   private def bucketCount(gid: String): Int = {
     val m = new java.io.File(path(gid), MarkerFile)
     if (m.exists())
       java.nio.file.Files.readString(m.toPath).trim.toInt
+    else if (hasData(gid))
+      throw new IllegalStateException(
+        s"store: ${path(gid)} has bucket dirs but no $MarkerFile marker " +
+          s"(torn layout?); run reconf(\"$gid\", n) to rebuild it")
     else defaultBuckets
   }
 
-  private def writeMarker(gid: String, n: Int): Unit = {
+  private def writeMarker(gid: String, n: Int): Unit =
+    writeMarkerInto(new java.io.File(path(gid)), n)
+
+  private def writeMarkerInto(dir: java.io.File, n: Int): Unit = {
+    dir.mkdirs()
     java.nio.file.Files.writeString(
-      new java.io.File(path(gid), MarkerFile).toPath, n.toString): Unit
+      new java.io.File(dir, MarkerFile).toPath, n.toString): Unit
+  }
+
+  /** The empty (key, value) frame — what reads of an empty gid return. */
+  private def emptyKV: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String)].toDF("key", "value")
   }
 
   private def bucketExpr(key: Column, n: Int): Column =
@@ -69,7 +114,10 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
     *               sha256(to_json(row)) like the reference's getID.
     */
   def put(df: DataFrame, gid: String, keyCol: Option[String] = None): Unit = {
-    val n = if (exists(gid)) bucketCount(gid) else defaultBuckets
+    requireBucketed(gid)
+    // an existing marker (even over a data-less dir) pins the gid's bucket
+    // count; a marker-only dir otherwise behaves as non-existing
+    val n = bucketCount(gid)
     val batch = toKV(df, keyCol)
       // last-write-wins within the batch, made deterministic by keeping the
       // lexicographically greatest value per key (the reference's "last" is
@@ -78,7 +126,7 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
       .groupBy("key").agg(max("value").as("value"))
       .withColumn("bucket", bucketExpr(col("key"), n))
     val merged =
-      if (exists(gid)) {
+      if (hasData(gid)) {
         val touched = batch.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq // ≤ n values — driver-safe
         val old = spark.read.parquet(path(gid))
@@ -87,40 +135,52 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
         old.join(batch.select("key"), Seq("key"), "left_anti")
           .unionByName(batch)
       } else batch
+    // Marker BEFORE data: a crash after this line leaves a marker-only
+    // dir, which reads as an empty store with the right bucket count —
+    // never a torn layout. (For an existing gid n is unchanged, so the
+    // rewrite is idempotent.)
+    writeMarker(gid, n)
     // Write via a temp dir then swap per-bucket, since `merged` reads the
     // live dir. Every touched bucket is non-empty (it holds batch rows),
     // so the tmp dir always carries a dir per touched bucket.
     val tmp = path(gid) + "__tmp"
     merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     swapBuckets(tmp, path(gid))
-    writeMarker(gid, n)
   }
 
   /** Point lookup: the bucket predicate constant-folds, so the scan
     * partition-prunes to one bucket dir — O(files/n), not O(files).
     */
   def get(gid: String, key: String): DataFrame = {
-    val n = bucketCount(gid)
-    spark.read.parquet(path(gid))
-      .filter(col("bucket") === bucketExpr(lit(key), n) &&
-        col("key") === key)
-      .select(col("key"), col("value"))
+    requireBucketed(gid)
+    if (!hasData(gid)) emptyKV.filter(col("key") === key)
+    else {
+      val n = bucketCount(gid)
+      spark.read.parquet(path(gid))
+        .filter(col("bucket") === bucketExpr(lit(key), n) &&
+          col("key") === key)
+        .select(col("key"), col("value"))
+    }
   }
 
   /** `get(null)` — enumerate all keys of a gid (reference
     * all/store.js:150-163 broadcast-concat).
     */
-  def keys(gid: String): DataFrame =
-    spark.read.parquet(path(gid)).select("key")
+  def keys(gid: String): DataFrame = scan(gid).select("key")
 
   /** Full scan of a gid. */
-  def scan(gid: String): DataFrame =
-    spark.read.parquet(path(gid)).select(col("key"), col("value"))
+  def scan(gid: String): DataFrame = {
+    requireBucketed(gid)
+    if (!hasData(gid)) emptyKV
+    else spark.read.parquet(path(gid)).select(col("key"), col("value"))
+  }
 
   /** Delete one key: rewrites only the key's own bucket (at production
     * scale this is a Delta/Iceberg delete — out of scope offline).
     */
   def del(gid: String, key: String): Unit = {
+    requireBucketed(gid)
+    if (!hasData(gid)) return // nothing stored; deleting is a no-op
     val n = bucketCount(gid)
     // evaluate the key's bucket (one local row, no distributed job)
     val b = spark.range(1)
@@ -131,27 +191,40 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
     val tmp = path(gid) + "__tmp"
     rest.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     // bucket emptied entirely ⇒ tmp has no dir for it ⇒ remove live dir
+    // (a gid whose LAST bucket empties keeps its marker: reads of the
+    // marker-only dir short-circuit to the empty frame)
     swapBuckets(tmp, path(gid), alsoClear = Seq(b))
   }
 
   /** Re-shard a gid into `numBuckets` hash partitions of the key — the
     * reference's `reconf` (all/store.js:217-285). A bucket-count change
     * invalidates every key's placement, so this is the one full rewrite.
+    * Also the migration path for legacy (unbucketed) gid dirs: the source
+    * read takes whatever parquet layout is present.
     */
   def reconf(gid: String, numBuckets: Int): Unit = {
-    val df = scan(gid)
+    val live = new java.io.File(path(gid))
+    if (!hasData(gid) && !isLegacyLayout(gid)) {
+      // empty (or marker-only) gid: reconf just pins the new bucket count
+      writeMarkerInto(live, numBuckets)
+      return
+    }
+    // raw read, not scan(): must also ingest legacy layouts scan() rejects
+    val df = spark.read.parquet(path(gid)).select(col("key"), col("value"))
       .withColumn("bucket", bucketExpr(col("key"), numBuckets))
       .repartition(numBuckets, col("bucket"))
     val tmp = path(gid) + "__tmp"
     df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    val live = new java.io.File(path(gid))
+    // the marker rides the rename: written into tmp BEFORE the swap, so no
+    // window exists where the new layout is live but the count is stale —
+    // a wrong count would silently constant-fold gets to the wrong bucket
+    writeMarkerInto(new java.io.File(tmp), numBuckets)
     delete(live)
     if (live.exists())
       throw new java.io.IOException(s"store: could not clear ${path(gid)}")
     if (!new java.io.File(tmp).renameTo(live))
       throw new java.io.IOException(
         s"store: rename $tmp -> ${path(gid)} failed; data preserved at $tmp")
-    writeMarker(gid, numBuckets)
   }
 
   /** Move each freshly-written `bucket=N` dir from tmp over its live

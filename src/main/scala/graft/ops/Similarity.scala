@@ -109,33 +109,59 @@ object Similarity {
     * fan-in `nProbe/nCentroids` controls cost — the same recall/cost dial
     * as FAISS IVF.
     */
+  /** Deterministic IVF centroids: k-means over the lowest-`sampleSize`
+    * ids (any fixed sampling rule works; the sample only seeds
+    * centroids). Public so SQL oracles can recompute cell assignment
+    * from the SAME values the query plans as literals — the v02
+    * plane-inlining trick. May return fewer than `nCentroids` rows on an
+    * underfull corpus; empty on an empty corpus.
+    */
+  def ivfCentroids(
+      corpus: DataFrame, nCentroids: Int,
+      sampleSize: Int = 2048, iters: Int = 10,
+      idCol: String = "id", vecCol: String = "vec"): Array[Array[Float]] = {
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty) Array.empty
+    else kmeans(sample, nCentroids, iters, sample.head.length)
+  }
+
+  /** Above this cell count, centroid cosines switch from per-cell literal
+    * arrays (fastest: each cosine is a fused codegen'd expression) to ONE
+    * `typedlit` array-of-arrays walked by a higher-order `transform` —
+    * plans stay O(1) in nCentroids instead of carrying nCells × dim
+    * literal nodes, which at production IVF sizes (4k–65k cells) is
+    * plan/codegen bloat.
+    */
+  private[graft] val IvfLiteralCellGate = 64
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       sampleSize: Int = 2048, iters: Int = 10,
       idCol: String = "id", vecCol: String = "vec",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    // deterministic bounded sample: lowest ids (any fixed rule works; the
-    // sample only seeds centroids)
-    val sample = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(sampleSize)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
-    if (sample.isEmpty)
-      return corpus.sparkSession.emptyDataFrame
-        .select(lit(0L).as(qidCol), lit(0L).as("neighbor_id"),
-          lit(0).as("rank"), lit(0.0).as("sim")).limit(0)
-    val dim = sample.head.length
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
     // an underfull corpus yields fewer centroids than requested: all cell
     // arithmetic below must use the ACTUAL count, or queries would probe
     // null-padded phantom cells and match nothing
-    val centroids = kmeans(sample, nCentroids, iters, dim)
+    val centroids =
+      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol)
+    if (centroids.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as(qidCol), lit(0L).as("neighbor_id"),
+          lit(0).as("rank"), lit(0.0).as("sim")).limit(0)
     val nCells = centroids.length
     val probes = math.min(nProbe, nCells)
     def centCol(c: Array[Float]): Column =
       array(c.map(x => lit(x)): _*)
     def cosines(v: Column): Column =
-      array(centroids.map(c => cosine(v, centCol(c))): _*)
+      if (nCells <= maxLiteralCells)
+        array(centroids.map(c => cosine(v, centCol(c))): _*)
+      else
+        transform(typedlit(centroids.map(_.toSeq).toSeq), c => cosine(v, c))
     // corpus: argmax cell (1-based via array_position; ties → first)
     val cb = corpus.withColumn("__cos", cosines(col(vecCol)))
       .withColumn("cell",

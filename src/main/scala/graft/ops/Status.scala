@@ -24,22 +24,29 @@ import graft.kv.Store
 object Status {
 
   /** One row per executor (local.status.get over the whole group): host,
-    * port, running tasks, cached blocks, storage memory used/total, plus
-    * the driver JVM heap columns every row shares (heapTotal/heapUsed —
-    * the closest analog of the reference's process-level heap fields).
+    * port, running tasks, cached blocks, storage memory used/total — plus
+    * ONE separate "driver" row carrying the driver JVM's heap
+    * (heapTotal/heapUsed, the analog of the reference's process-level
+    * heap fields). The heap columns are null on executor rows: each
+    * process's memory appears exactly once, so [[aggregate]]'s group sum
+    * counts it once — the reference sums DISTINCT per-node heaps
+    * (local/status.js:76-118), never one process N times.
     */
   def executors(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val rt = Runtime.getRuntime
     val heapTotal = rt.totalMemory()
     val heapUsed = rt.totalMemory() - rt.freeMemory()
-    spark.sparkContext.statusTracker.getExecutorInfos.toSeq
+    val execRows = spark.sparkContext.statusTracker.getExecutorInfos.toSeq
       .map { e =>
         (e.host(), e.port(), e.numRunningTasks(), e.cacheSize(),
           e.usedOnHeapStorageMemory() + e.usedOffHeapStorageMemory(),
           e.totalOnHeapStorageMemory() + e.totalOffHeapStorageMemory(),
-          heapTotal, heapUsed)
+          None: Option[Long], None: Option[Long])
       }
+    val driverRow =
+      ("driver", -1, 0, 0L, 0L, 0L, Some(heapTotal), Some(heapUsed))
+    (execRows :+ driverRow)
       .toDF("host", "port", "running_tasks", "cached_bytes",
         "storage_used", "storage_total", "heap_total", "heap_used")
   }
@@ -52,7 +59,11 @@ object Status {
     gids.map { g =>
       store.keys(g).agg(count(lit(1)).as("n_keys"))
         .select(lit(g).as("gid"), col("n_keys"))
-    }.reduce(_ unionAll _)
+    }.reduceOption(_ unionAll _).getOrElse {
+      // no gids: the schema-bearing empty frame, not empty.reduceLeft
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("gid", "n_keys")
+    }
 
   /** `all.status.get` aggregation: numeric columns summed across the
     * group (all/status.js:54-100 sums numeric keys like heap sizes).

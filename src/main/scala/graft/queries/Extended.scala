@@ -16,8 +16,11 @@ object Extended {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AS-OF join: each purchase matched to the user's most recent view at
-    // or before the purchase time. One shuffle (union + window), not a
-    // range-join blowup — see TemporalJoins.asofJoin.
+    // or before the purchase time. Union + window, not a range-join
+    // blowup — see TemporalJoins.asofJoin. Production runs the skew-
+    // hardened per-(user, day) window variant: a single celebrity user at
+    // 100× must spread across day buckets instead of serializing into one
+    // task (TemporalJoinsSpec proves output identity with the plain path).
     "q13_asof_view_purchase" -> ((s, dir) => {
       val e = table(s, dir, "events")
       val purchases = e.filter(col("event_type") === "purchase")
@@ -26,7 +29,7 @@ object Extended {
         .groupBy(col("user_id"), col("ts"))
         .agg(max(col("value")).as("value"))
       TemporalJoins.asofJoin(purchases, views, "user_id", "ts", "ts",
-        rightCols = Seq("value"))
+        rightCols = Seq("value"), skewBucket = Some("day"))
     }),
 
     // Banded range join: lineitems priced within a multiplicative band of

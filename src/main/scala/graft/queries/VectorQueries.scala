@@ -56,8 +56,9 @@ object VectorQueries {
     }),
 
     // IVF-cell ANN (the second scale path: k-means cells + nProbe probing,
-    // the FAISS-IVF shape). No SQL oracle (centroids live in Scala);
-    // SimilaritySpec asserts recall vs. v01.
+    // the FAISS-IVF shape). Full SQL oracle, generated per data dir (the
+    // centroids are a deterministic function of the table): see
+    // [[dynamicOracles]]. SimilaritySpec additionally bounds recall vs v01.
     "v04_ann_ivf" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -111,6 +112,65 @@ object VectorQueries {
         SELECT qid, neighbor_id, rank, round(sim, 6) AS sim
         FROM ranked WHERE rank <= 10"""
   }
+
+  /** The v04 oracle rebuilt from the SAME deterministic constants the
+    * query uses — v02's plane-inlining trick, extended to DATA-DEPENDENT
+    * constants: the IVF centroids are a deterministic function of the
+    * table (k-means, fixed seed/sample rule), so the oracle must be
+    * generated against the verify dir (hence a (spark, dir) => SQL entry,
+    * not a static string — Verify evaluates these at dump time).
+    *
+    * Exactness: each centroid float is printed as its EXACT decimal
+    * expansion (every binary float has one; `BigDecimal(f.toDouble)` is
+    * the exact widening), so DuckDB's `::DOUBLE[]` parse yields bit-for-
+    * bit the same doubles Spark's `cosine` reads from the float literals.
+    * Cell assignment ties break identically: `array_position(max)` and
+    * `list_position(list_aggregate 'max')` both pick the FIRST max; probe
+    * ranking orders by (cos DESC, idx ASC) on both sides.
+    */
+  private def v04OracleSql(s: SparkSession, dir: String): String = {
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.ivfCentroids(e, nCentroids = 16)
+    val nCells = cents.length
+    val probes = math.min(6, nCells)
+    def exact(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString
+    val cosl = cents.map { c =>
+      val litArr = c.map(exact).mkString("[", ", ", "]")
+      s"list_cosine_similarity(embedding::DOUBLE[], $litArr::DOUBLE[])"
+    }.mkString("[", ",\n            ", "]")
+    s"""WITH base AS (
+          SELECT vec_id, embedding,
+            $cosl AS cosl
+          FROM embeddings),
+        cb AS (
+          SELECT vec_id AS id, embedding AS vec,
+            list_position(cosl, list_aggregate(cosl, 'max')) AS cell
+          FROM base),
+        qp AS (
+          SELECT vec_id AS qid, embedding AS qvec, gs.i AS cell
+          FROM base, generate_series(1, $nCells) gs(i)
+          WHERE vec_id < 5
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cosl[gs.i] DESC, gs.i ASC) <= $probes),
+        scored AS (
+          SELECT qp.qid, cb.id AS neighbor_id,
+            list_cosine_similarity(cb.vec::DOUBLE[], qp.qvec::DOUBLE[]) AS sim
+          FROM cb JOIN qp ON cb.cell = qp.cell AND cb.id <> qp.qid),
+        ranked AS (
+          SELECT qid, neighbor_id, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT qid, neighbor_id, rank, round(sim, 6) AS sim
+        FROM ranked WHERE rank <= 10"""
+  }
+
+  /** Oracles that depend on the data dir (deterministic-but-data-derived
+    * constants). Evaluated by Verify at dump time against the verify dir.
+    */
+  val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
+    "v04_ann_ivf" -> (v04OracleSql(_, _)))
 
   val oracles: Map[String, String] = Map(
     "v02_ann_lsh" -> v02OracleSql,

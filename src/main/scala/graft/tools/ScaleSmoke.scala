@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine
-import graft.ops.{Dedup, Similarity}
+import graft.kv.Store
+import graft.ops.{Dedup, Similarity, TemporalJoins}
 
 /** Dev tool: scale-up smoke test. Self-unions the sf tables N× (ids
   * offset per replica so keys stay distinct) and runs the heavy operator
@@ -76,6 +77,50 @@ object ScaleSmoke {
           .queryExecution.toRdd.count()
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcBefore)
+
+    // asof join under a manufactured celebrity key: every 4th event is
+    // rewritten onto one user, the straggler shape the skew path exists
+    // for. The plain path serializes the hot key into ONE window task;
+    // the per-(key, day) path must stay near the balanced time.
+    val hotEvents = scaled(spark, dir, "events", Seq("event_id"), factor)
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(4)) === 0, lit(1L))
+          .otherwise(col("user_id")))
+    val hotPurch = hotEvents.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val hotViews = hotEvents.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value"))
+    time(s"asof hot-key plain x$factor") {
+      TemporalJoins.asofJoin(hotPurch, hotViews, "user_id", "ts", "ts",
+        rightCols = Seq("value")).queryExecution.toRdd.count()
+    }
+    time(s"asof hot-key skew-day x$factor") {
+      TemporalJoins.asofJoin(hotPurch, hotViews, "user_id", "ts", "ts",
+        rightCols = Seq("value"), skewBucket = Some("day"))
+        .queryExecution.toRdd.count()
+    }
+
+    // Store cycle at scale: bulk put, then a point get that must prune to
+    // ONE bucket of the gid — the partial-rewrite/partial-read contract
+    // KVSpec gates at unit scale, timed here at volume.
+    val storeRoot = java.nio.file.Files
+      .createTempDirectory("graft-scale-store").toString
+    val store = new Store(spark, storeRoot, defaultBuckets = 32)
+    time(s"store put docs x$factor") {
+      store.put(docs, "docs", keyCol = Some("doc_id"))
+      spark.read.parquet(s"$storeRoot/docs").count()
+    }
+    time(s"store point-get x$factor") {
+      val got = store.get("docs", "42")
+      val n = got.count()
+      val scanned = got.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }
+      println(s"[scale]   point-get files scanned: ${scanned.mkString(",")} (gid holds 32 buckets)")
+      n
+    }
 
     val emb = scaled(spark, dir, "embeddings", Seq("vec_id"), factor)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -8,8 +8,24 @@ class EntrySpec extends SparkSessionSpec {
   }
 
   test("every oracle key has a query") {
-    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    val dangling = (SparkEntry.oracleSql.keySet ++
+      SparkEntry.dynamicOracleSql.keySet) -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
+  test("no query has both a static and a dynamic oracle") {
+    val both = SparkEntry.oracleSql.keySet & SparkEntry.dynamicOracleSql.keySet
+    assert(both.isEmpty, s"conflicting oracle definitions: $both")
+  }
+
+  test("dynamic oracles build against a real dir and embed literal centroids") {
+    val sql = SparkEntry.dynamicOracleSql("v04_ann_ivf")(spark, sfDir)
+    assert(sql.contains("list_cosine_similarity"))
+    // 16 cells × 64 dims of exact-decimal literals: the SQL must be
+    // self-contained (no Scala-side state left behind)
+    assert(sql.length > 10000)
+    // deterministic: same dir ⇒ byte-identical SQL
+    assert(sql === SparkEntry.dynamicOracleSql("v04_ann_ivf")(spark, sfDir))
   }
 
   test("all queries run and are non-empty at sf0.001") {

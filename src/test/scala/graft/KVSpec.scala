@@ -137,6 +137,66 @@ class KVSpec extends SparkSessionSpec {
     keys.foreach(k => assert(s1.get("g", k).count() === 1))
   }
 
+  test("del of the last key leaves a readable empty gid (marker-only dir)") {
+    val store = new Store(spark, freshRoot())
+    store.put(Seq((1L, "only")).toDF("id", "v"), "e", Some("id"))
+    store.del("e", "1")
+    // the gid dir now holds only the marker; reads must short-circuit to
+    // the empty frame, not throw 'Unable to infer schema'
+    assert(store.scan("e").count() === 0)
+    assert(store.get("e", "1").count() === 0)
+    assert(store.keys("e").count() === 0)
+    // and a put resurrects it with the pinned bucket count
+    store.put(Seq((2L, "back")).toDF("id", "v"), "e", Some("id"))
+    assert(store.get("e", "2").select("value").as[String].head()
+      .contains("back"))
+  }
+
+  test("never-written and marker-only gids read as empty") {
+    val store = new Store(spark, freshRoot())
+    assert(store.scan("nope").count() === 0)
+    assert(store.get("nope", "k").count() === 0)
+    store.reconf("pinned", 4) // reconf of an empty gid just pins the count
+    assert(store.scan("pinned").count() === 0)
+    store.put(Seq((1L, "v")).toDF("id", "v"), "pinned", Some("id"))
+    val buckets = new java.io.File(s"${store.rootDir}/pinned").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(buckets.nonEmpty)
+    // bucket ids must come from the PINNED count (4), not defaultBuckets
+    assert(buckets.forall(b => b.stripPrefix("bucket=").toInt < 4))
+  }
+
+  test("legacy unbucketed layout: loud error, reconf migrates in place") {
+    val store = new Store(spark, freshRoot())
+    // simulate a dir written by the previous non-bucketed Store version
+    val legacy = s"${store.rootDir}/old"
+    Seq(("1", "alpha"), ("2", "beta")).toDF("key", "value")
+      .write.parquet(legacy)
+    val e1 = intercept[IllegalStateException](store.get("old", "1").count())
+    assert(e1.getMessage.contains("reconf"))
+    val e2 = intercept[IllegalStateException](
+      store.put(Seq((3L, "c")).toDF("id", "v"), "old", Some("id")))
+    assert(e2.getMessage.contains("reconf"))
+    store.reconf("old", 4)
+    assert(store.scan("old").count() === 2)
+    assert(store.get("old", "1").select("value").as[String].head() === "alpha")
+    store.put(Seq(("3", "gamma")).toDF("key", "v"), "old", Some("key"))
+    assert(store.scan("old").count() === 3)
+  }
+
+  test("bucket data without a marker fails loudly, never a silent wrong read") {
+    val store = new Store(spark, freshRoot())
+    store.put(Seq((1L, "v")).toDF("id", "v"), "torn", Some("id"))
+    // simulate the torn layout: data present, marker gone
+    assert(new java.io.File(s"${store.rootDir}/torn/_graft_buckets").delete())
+    val e = intercept[IllegalStateException](store.get("torn", "1").count())
+    assert(e.getMessage.contains("marker"))
+    // reconf rebuilds the marker (riding the rename) and data survives
+    store.reconf("torn", 8)
+    assert(store.get("torn", "1").count() === 1)
+    assert(new java.io.File(s"${store.rootDir}/torn/_graft_buckets").exists())
+  }
+
   test("mem put/get/del with cache") {
     val mem = new Mem
     mem.put(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "m", Some("id"))

@@ -69,4 +69,12 @@ class PlanSpec extends SparkSessionSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("Window"))
   }
+
+  test("q13: production engages the skew path — windows over (key, bucket)") {
+    val p = plan("q13_asof_view_purchase")
+    // the in-bucket pass partitions by (__k, __b): a hot key's rows spread
+    // across its time buckets instead of serializing into one task
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("__k") && l.contains("__b")))
+  }
 }

@@ -74,6 +74,30 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(full === exact)
   }
 
+  test("IVF HOF centroid path (typedlit+transform) == literal path, plan O(1) in cells") {
+    val (corpus, queries) = corpusAndQueries()
+    val lit = Similarity.ivfTopK(corpus, queries, k = 10,
+      nCentroids = 16, nProbe = 6)
+    // maxLiteralCells = 0 forces the production-cell-count path: one
+    // typedlit array-of-arrays + transform instead of 16×64 literal nodes
+    val hof = Similarity.ivfTopK(corpus, queries, k = 10,
+      nCentroids = 16, nProbe = 6, maxLiteralCells = 0)
+    assert(hof.collect().toSet === lit.collect().toSet)
+    // plan-size gate: the HOF plan carries ONE cosine_sim per cosines()
+    // call site (inside the lambda), not one per cell — the analyzed plan
+    // string must not scale with nCentroids
+    val n = "cosine_sim".r.findAllIn(hof.queryExecution.analyzed.toString).size
+    assert(n <= 4, s"HOF plan should carry O(1) cosine_sim nodes, got $n")
+  }
+
+  test("ivfCentroids is deterministic across invocations") {
+    val (corpus, _) = corpusAndQueries()
+    val a = Similarity.ivfCentroids(corpus, nCentroids = 16)
+    val b = Similarity.ivfCentroids(corpus, nCentroids = 16)
+    assert(a.length === 16)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("near-dup mining finds planted identical vectors") {
     val e = table(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

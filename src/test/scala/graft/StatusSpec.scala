@@ -11,13 +11,36 @@ import graft.ops.Status
 class StatusSpec extends SparkSessionSpec {
   import spark.implicits._
 
-  test("executors reports live node facts") {
+  test("executors reports live node facts; driver heap on its own row only") {
     val st = Status.executors(spark)
     val rows = st.collect()
-    assert(rows.nonEmpty)
-    val r = st.filter(col("heap_total") > 0 && col("heap_used") > 0 &&
-      col("storage_total") > 0).count()
-    assert(r === rows.length.toLong)
+    // at least one executor row + the driver row
+    assert(rows.length >= 2)
+    assert(st.filter(col("host") =!= "driver" && col("storage_total") > 0)
+      .count() === rows.length - 1L)
+    // each process's heap appears exactly once: only the driver row
+    // carries it (executor rows are null) — aggregate() must not
+    // multiple-count one JVM's memory
+    assert(st.filter(col("heap_total").isNotNull).count() === 1L)
+    assert(st.filter(col("host") === "driver" &&
+      col("heap_total") > 0 && col("heap_used") > 0).count() === 1L)
+  }
+
+  test("aggregate counts the driver heap once over a multi-executor group") {
+    val st = Status.executors(spark)
+    val driverHeap = st.filter(col("host") === "driver")
+      .select("heap_total").as[Long].head()
+    val agg = Status.aggregate(st).collect().head
+    // sum over ≥2 rows where only one carries heap: nulls don't inflate it
+    assert(agg.getLong(agg.fieldIndex("heap_total")) === driverHeap)
+  }
+
+  test("counts of zero gids is an empty frame, not empty.reduceLeft") {
+    val root = java.nio.file.Files.createTempDirectory("graft-status0").toString
+    val store = new Store(spark, root)
+    val got = Status.counts(spark, store, Seq.empty)
+    assert(got.columns.toSeq === Seq("gid", "n_keys"))
+    assert(got.count() === 0L)
   }
 
   test("counts reports per-gid key counts of a store") {
