@@ -113,7 +113,9 @@ object ScaleSmoke {
     }
     time(s"store point-get x$factor") {
       val got = store.get("docs", "42")
-      val n = got.count()
+      // collect() executes THIS queryExecution; count() would plan a new
+      // one and leave these metrics at zero
+      val n = got.collect().length.toLong
       val scanned = got.queryExecution.executedPlan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec =>
           s.metrics("numFiles").value
