@@ -43,7 +43,10 @@ object Extended {
       TemporalJoins.bandedRangeJoin(
         li, p, col("l_extendedprice"),
         col("p_retailprice") * 30, col("p_retailprice") * 30 + 60.0,
-        bandWidth = 100.0)
+        // candidate checks per probe row scale with |parts|·(span+W)/domain:
+        // W=20 ≈ half the comparisons of the former W=100 at a 60-unit
+        // span (explode fan-out grows only to span/W+1 = 4 rows/part)
+        bandWidth = 20.0)
         .groupBy(col("p_partkey"))
         .agg(count(lit(1)).as("n_items"),
           // DECIMAL-exact sum, DOUBLE carrier for oracle hash parity
