@@ -129,13 +129,26 @@ object Similarity {
   }
 
   /** Above this cell count, centroid cosines switch from per-cell literal
-    * arrays (fastest: each cosine is a fused codegen'd expression) to ONE
-    * `typedlit` array-of-arrays walked by a higher-order `transform` —
-    * plans stay O(1) in nCentroids instead of carrying nCells × dim
-    * literal nodes, which at production IVF sizes (4k–65k cells) is
-    * plan/codegen bloat.
+    * arrays (fastest: each cosine is a fused codegen'd expression) to a
+    * BROADCAST centroid table walked by a higher-order `transform`: the
+    * plan stays O(1) in nCentroids (no nCells × dim literal nodes — at
+    * production IVF sizes, 4k–65k cells, that is plan/codegen bloat), and
+    * the centroid payload ships once per executor via the broadcast
+    * instead of riding every task's serialized plan (a 65k × 64-dim
+    * float table is ~16 MB — per-task shipping would dwarf the work).
     */
   private[graft] val IvfLiteralCellGate = 64
+
+  /** Attach the centroid matrix as a broadcast single-row column
+    * (`BroadcastNestedLoopJoin` against one row — the canonical
+    * constant-side broadcast), for the above-the-gate path.
+    */
+  private def withCentroidsCol(
+      df: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    import df.sparkSession.implicits._
+    val centDF = Seq(centroids.map(_.toSeq).toSeq).toDF("__cents")
+    df.crossJoin(broadcast(centDF))
+  }
 
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
@@ -155,27 +168,30 @@ object Similarity {
           lit(0).as("rank"), lit(0.0).as("sim")).limit(0)
     val nCells = centroids.length
     val probes = math.min(nProbe, nCells)
+    val useLiterals = nCells <= maxLiteralCells
     def centCol(c: Array[Float]): Column =
       array(c.map(x => lit(x)): _*)
     def cosines(v: Column): Column =
-      if (nCells <= maxLiteralCells)
+      if (useLiterals)
         array(centroids.map(c => cosine(v, centCol(c))): _*)
       else
-        transform(typedlit(centroids.map(_.toSeq).toSeq), c => cosine(v, c))
+        transform(col("__cents"), c => cosine(v, c))
+    def withCents(df: DataFrame): DataFrame =
+      if (useLiterals) df else withCentroidsCol(df, centroids)
     // corpus: argmax cell (1-based via array_position; ties → first)
-    val cb = corpus.withColumn("__cos", cosines(col(vecCol)))
+    val cb = withCents(corpus).withColumn("__cos", cosines(col(vecCol)))
       .withColumn("cell",
         array_position(col("__cos"), array_max(col("__cos"))).cast("int"))
-      .drop("__cos")
+      .drop("__cos", "__cents")
     // queries: nProbe best cells — sort (−cos, idx) structs, take nProbe
-    val qb = queries.withColumn("__cos", cosines(col(qvecCol)))
+    val qb = withCents(queries).withColumn("__cos", cosines(col(qvecCol)))
       .withColumn("__ranked", sort_array(zip_with(
         col("__cos"), sequence(lit(1), lit(nCells)),
         (c, i) => struct((-c).as("negc"), i.as("idx")))))
       .withColumn("cell",
         explode(slice(transform(col("__ranked"), s => s("idx").cast("int")),
           1, probes)))
-      .drop("__cos", "__ranked")
+      .drop("__cos", "__ranked", "__cents")
     val scored = cb.join(qb, Seq("cell"))
       .filter(col(idCol) =!= col(qidCol))
       .dropDuplicates(qidCol, idCol)

@@ -74,20 +74,26 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(full === exact)
   }
 
-  test("IVF HOF centroid path (typedlit+transform) == literal path, plan O(1) in cells") {
+  test("IVF broadcast centroid path == literal path, plan O(1) in cells") {
     val (corpus, queries) = corpusAndQueries()
     val lit = Similarity.ivfTopK(corpus, queries, k = 10,
       nCentroids = 16, nProbe = 6)
-    // maxLiteralCells = 0 forces the production-cell-count path: one
-    // typedlit array-of-arrays + transform instead of 16×64 literal nodes
+    // maxLiteralCells = 0 forces the production-cell-count path: the
+    // centroid matrix rides a 1-row broadcast cross-join walked by
+    // transform(), instead of 16×64 literal nodes in every task's plan
     val hof = Similarity.ivfTopK(corpus, queries, k = 10,
       nCentroids = 16, nProbe = 6, maxLiteralCells = 0)
     assert(hof.collect().toSet === lit.collect().toSet)
-    // plan-size gate: the HOF plan carries ONE cosine_sim per cosines()
-    // call site (inside the lambda), not one per cell — the analyzed plan
-    // string must not scale with nCentroids
-    val n = "cosine_sim".r.findAllIn(hof.queryExecution.analyzed.toString).size
+    // plan-size gate: the broadcast plan carries ONE cosine_sim per
+    // cosines() call site (inside the lambda), not one per cell — the
+    // analyzed plan string must not scale with nCentroids
+    val analyzed = hof.queryExecution.analyzed.toString
+    val n = "cosine_sim".r.findAllIn(analyzed).size
     assert(n <= 4, s"HOF plan should carry O(1) cosine_sim nodes, got $n")
+    // and the centroids genuinely arrive via broadcast, not plan literals
+    val physical = hof.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastNestedLoopJoin"),
+      "centroid table should ship via a 1-row broadcast join")
   }
 
   test("ivfCentroids is deterministic across invocations") {
