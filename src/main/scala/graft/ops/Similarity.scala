@@ -199,6 +199,56 @@ object Similarity {
     rankTopK(scored, k, idCol, qidCol)
   }
 
+  /** SemDeDup-style semantic deduplication: k-means cells (the SAME
+    * deterministic [[ivfCentroids]] training IVF uses) scope the pairwise
+    * cosine test, so the comparison count is Σ|cell|² instead of |corpus|²
+    * — the shape that makes embedding dedup feasible at 100 TB (cluster
+    * first, compare only within clusters).
+    *
+    * A row is dropped when an EARLIER id (the deterministic keeper rule:
+    * min id wins, matching [[Dedup.exactSurvivors]]) in the same cell has
+    * cosine ≥ threshold. Output is the dropped set:
+    * (id, dup_of, sim) with dup_of = the smallest such earlier id and
+    * sim = cosine(id, dup_of), rounded.
+    *
+    * Cross-cell near-dup pairs are invisible by design — that recall
+    * trade-off is the operator's contract (SemDeDup makes the same one);
+    * [[cosineNearDupPairs]] is the blocking-by-bucket alternative.
+    */
+  def semanticDedup(
+      corpus: DataFrame, threshold: Double,
+      nCentroids: Int = 16, sampleSize: Int = 2048, iters: Int = 10,
+      idCol: String = "id", vecCol: String = "vec",
+      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
+    val centroids =
+      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol)
+    if (centroids.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("dup_of"), lit(0.0).as("sim"))
+        .limit(0)
+    val useLiterals = centroids.length <= maxLiteralCells
+    def cosines(v: Column): Column =
+      if (useLiterals)
+        array(centroids.map(c => cosine(v, array(c.map(lit(_)): _*))): _*)
+      else
+        transform(col("__cents"), c => cosine(v, c))
+    val withCents =
+      if (useLiterals) corpus else withCentroidsCol(corpus, centroids)
+    val cb = withCents.withColumn("__cos", cosines(col(vecCol)))
+      .withColumn("cell",
+        array_position(col("__cos"), array_max(col("__cos"))).cast("int"))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
+    val pairs = cb.as("a").join(cb.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+      .filter(col("sim") >= threshold)
+    val w = Window.partitionBy(col("b.id")).orderBy(col("a.id").asc)
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("b.id").as("id"), col("a.id").as("dup_of"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Deterministic Lloyd's k-means over a driver-side sample (cosine
     * geometry: points and centroids L2-normalized each round, so argmax
     * cosine = argmin L2). Seeded by taking every ⌈n/k⌉-th sample point.

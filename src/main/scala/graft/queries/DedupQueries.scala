@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine.table
-import graft.ops.Dedup
+import graft.ops.{CorpusStats, Dedup}
 
 /** Dedup query surface.
   *
@@ -67,7 +67,15 @@ object DedupQueries {
       val p = planted(s, dir)
       val pairs = Dedup.minhashPairs(p, "text", "doc_id", threshold = 1.0)
       Dedup.components(pairs)
-    })
+    }),
+
+    // Cross-document duplicated-span coverage (the exact-substring-dedup
+    // signal): per doc, token positions inside an 8-gram shared with at
+    // least one other document. Natural corpus — the shared spans are
+    // organic, no planting needed (~1000 shared 8-grams at sf0.01).
+    "d07_dup_spans" -> ((s, dir) =>
+      CorpusStats.dupSpanCoverage(
+        table(s, dir, "documents"), "text", "doc_id", k = 8))
   )
 
   private val plantedSql =
@@ -161,5 +169,29 @@ object DedupQueries {
       s"""SELECT min(doc_id) OVER (PARTITION BY fp) AS cluster_id, doc_id AS id
           FROM (SELECT doc_id, $normFp AS fp FROM $plantedSql d)
           QUALIFY count(*) OVER (PARTITION BY fp) > 1"""
+    ,
+    // Mirrors CorpusStats.dupSpanCoverage (k=8): 1-based gram positions,
+    // covered token indices p..p+7 de-duplicated per doc, BIGINT parity.
+    "d07_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+'), x -> x <> '') AS toks
+          FROM documents),
+          g AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 6),
+                    i -> struct_pack(p := i, s := array_to_string(toks[i:i+7], ' ')))) AS gs
+                FROM t WHERE len(toks) >= 8),
+          grams AS (SELECT doc_id, gs.p AS p, gs.s AS s FROM g),
+          shared AS (SELECT s FROM grams GROUP BY s HAVING count(DISTINCT doc_id) > 1),
+          cov AS (SELECT DISTINCT doc_id, ti FROM (
+                    SELECT grams.doc_id, unnest(range(p, p + 8)) AS ti
+                    FROM grams JOIN shared USING (s))),
+          cnt AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id)
+          SELECT t.doc_id,
+            CAST(len(t.toks) AS BIGINT) AS n_tokens,
+            coalesce(cnt.n_dup_tokens, 0) AS n_dup_tokens,
+            round(CASE WHEN len(t.toks) > 0
+              THEN CAST(coalesce(cnt.n_dup_tokens, 0) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE)
+              ELSE 0.0 END, 6) AS dup_tok_frac
+          FROM t LEFT JOIN cnt USING (doc_id)"""
   )
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Engine.table
 import graft.functions.TextFunctions._
+import graft.ops.CorpusStats
 
 /** Text-analysis query surface over `documents` (language-ID, quality
   * scoring, token statistics, fingerprinting). Every query has a DuckDB
@@ -69,7 +70,20 @@ object TextQueries {
       d.select(
         col("doc_id"),
         size(subwordTokens(col("text"))).as("n_subwords"))
-    })
+    }),
+
+    // Gopher-style within-document repetition signals (top-token share,
+    // duplicate-bigram share) — integer-exact counts + rounded ratios.
+    "t07_repetition" -> ((s, dir) =>
+      CorpusStats.repetitionSignals(
+        table(s, dir, "documents"), "text", "doc_id")),
+
+    // Corpus vocabulary (top-100 tokens, count-desc/lexicographic ties)
+    // and per-document out-of-vocabulary rate against it — the build-a-
+    // small-dim-from-the-big-corpus-then-broadcast-it-back pattern.
+    "t08_oov" -> ((s, dir) =>
+      CorpusStats.oovStats(
+        table(s, dir, "documents"), "text", "doc_id", v = 100))
   )
 
   // DuckDB-side mirrors of the heuristics. Kept in exact lockstep with
@@ -100,6 +114,13 @@ object TextQueries {
     """length(regexp_replace(text, '[ \t\n\u000B\f\r]+', '', 'g'))"""
   private val nPunct =
     """len(regexp_extract_all(text, '[.,;:!?]'))"""
+
+  /** The dedup/corpus-stats family tokenizer (lowercased whitespace split,
+    * empties dropped) — keep in lockstep with CorpusStats.lowerTokens and
+    * the d05 oracle (byte-identical regex class).
+    */
+  private val lowToks =
+    """list_filter(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+'), t -> t <> '')"""
 
   val oracles: Map[String, String] = Map(
     "t01_token_stats" ->
@@ -140,6 +161,59 @@ object TextQueries {
     "t06_subword_counts" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\u000B\f\r]')) AS n_subwords
-         FROM documents"""
+         FROM documents""",
+    // Mirrors CorpusStats.repetitionSignals: same lowercased-whitespace
+    // tokenizer as d05, bigrams as 'tok tok' strings, sums cast to BIGINT
+    // for type parity with Spark's LongType aggregates.
+    "t07_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $lowToks AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+          uc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+          uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                    count(*) AS n_uniq_tokens, max(c) AS top_tok_n
+                  FROM uc GROUP BY doc_id),
+          bg AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS g
+                 FROM t WHERE len(toks) >= 2),
+          bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+          bi AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+                   CAST(sum(c) - count(*) AS BIGINT) AS n_dup_2grams
+                 FROM bc GROUP BY doc_id)
+          SELECT d.doc_id,
+            coalesce(uni.n_tokens, 0) AS n_tokens,
+            coalesce(uni.n_uniq_tokens, 0) AS n_uniq_tokens,
+            coalesce(uni.top_tok_n, 0) AS top_tok_n,
+            round(CASE WHEN coalesce(uni.n_tokens, 0) > 0
+              THEN CAST(uni.top_tok_n AS DOUBLE) / CAST(uni.n_tokens AS DOUBLE)
+              ELSE 0.0 END, 6) AS top_tok_frac,
+            coalesce(bi.n_2grams, 0) AS n_2grams,
+            coalesce(bi.n_dup_2grams, 0) AS n_dup_2grams,
+            round(CASE WHEN coalesce(bi.n_2grams, 0) > 0
+              THEN CAST(bi.n_dup_2grams AS DOUBLE) / CAST(bi.n_2grams AS DOUBLE)
+              ELSE 0.0 END, 6) AS dup_2gram_frac
+          FROM documents d
+          LEFT JOIN uni USING (doc_id)
+          LEFT JOIN bi USING (doc_id)""",
+    // Mirrors CorpusStats.oovStats: vocab = top-100 by (count DESC, token
+    // ASC) — the same deterministic tie-break as the Spark orderBy.limit.
+    "t08_oov" ->
+      s"""WITH t AS (SELECT doc_id, $lowToks AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+          vc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+          vocab AS (SELECT w FROM vc
+                    QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 100),
+          st AS (SELECT tok.doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                 FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+                 GROUP BY tok.doc_id)
+          SELECT d.doc_id,
+            coalesce(st.n_tokens, 0) AS n_tokens,
+            coalesce(st.n_oov, 0) AS n_oov,
+            round(CASE WHEN coalesce(st.n_tokens, 0) > 0
+              THEN CAST(st.n_oov AS DOUBLE) / CAST(st.n_tokens AS DOUBLE)
+              ELSE 0.0 END, 6) AS oov_frac
+          FROM documents d LEFT JOIN st USING (doc_id)"""
   )
+
 }

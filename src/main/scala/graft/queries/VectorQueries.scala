@@ -75,7 +75,19 @@ object VectorQueries {
     "v03_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(
         planted(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
-        threshold = 0.99))
+        threshold = 0.99)),
+
+    // SemDeDup-style semantic dedup: the SAME deterministic k-means cells
+    // IVF uses scope the pairwise cosine test (Σ|cell|² comparisons, not
+    // |corpus|²); dropped = rows with an earlier same-cell row at cosine
+    // ≥ 0.35. Natural corpus — within-cell-only recall IS the operator's
+    // contract, and the dynamic oracle (centroid inlining, the v04 trick)
+    // recomputes exactly that contract in SQL.
+    "v05_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(
+        table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.35, nCentroids = 16))
   )
 
   /** The v02 oracle rebuilt from the SAME deterministic constants the
@@ -166,11 +178,45 @@ object VectorQueries {
         FROM ranked WHERE rank <= 10"""
   }
 
+  /** The v05 oracle: same centroid-inlining scheme as [[v04OracleSql]]
+    * (identical cell assignment SQL), then within-cell pairwise cosine ≥
+    * threshold with the min-earlier-id keeper rule. Bit-exactness carries
+    * over unchanged: same centroid decimal expansions, same
+    * `list_cosine_similarity` double path, same first-max tie-break.
+    */
+  private def v05OracleSql(s: SparkSession, dir: String): String = {
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.ivfCentroids(e, nCentroids = 16)
+    def exact(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString
+    val cosl = cents.map { c =>
+      val litArr = c.map(exact).mkString("[", ", ", "]")
+      s"list_cosine_similarity(embedding::DOUBLE[], $litArr::DOUBLE[])"
+    }.mkString("[", ",\n            ", "]")
+    s"""WITH base AS (
+          SELECT vec_id, embedding,
+            $cosl AS cosl
+          FROM embeddings),
+        cb AS (
+          SELECT vec_id AS id, embedding AS vec,
+            list_position(cosl, list_aggregate(cosl, 'max')) AS cell
+          FROM base),
+        pairs AS (
+          SELECT b.id AS id, a.id AS dup_of,
+            list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]) AS sim
+          FROM cb a JOIN cb b ON a.cell = b.cell AND a.id < b.id
+          WHERE list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]) >= 0.35)
+        SELECT id, dup_of, round(sim, 6) AS sim FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dup_of ASC) = 1"""
+  }
+
   /** Oracles that depend on the data dir (deterministic-but-data-derived
     * constants). Evaluated by Verify at dump time against the verify dir.
     */
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
-    "v04_ann_ivf" -> (v04OracleSql(_, _)))
+    "v04_ann_ivf" -> (v04OracleSql(_, _)),
+    "v05_semantic_dedup" -> (v05OracleSql(_, _)))
 
   val oracles: Map[String, String] = Map(
     "v02_ann_lsh" -> v02OracleSql,

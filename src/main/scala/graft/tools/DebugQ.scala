@@ -8,12 +8,14 @@ import graft.Engine
   * counts / durations / record counts — for diagnosing parallelism
   * collapse and skew without the Spark UI.
   *
-  * Usage: runMain graft.tools.DebugQ <queryName> <sfDir>
+  * Usage: runMain graft.tools.DebugQ <queryName> <sfDir> [nRuns]
+  * (nRuns > 1 re-times warm runs — codegen/JIT excluded, like Bench.)
   */
 object DebugQ {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val nRuns = if (args.length > 2) args(2).toInt else 1
     val spark = Engine.session()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -37,6 +39,12 @@ object DebugQ {
       println(df.queryExecution.executedPlan.toString)
     val n = df.count()
     println(f"[debugq] $name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    for (r <- 2 to nRuns) {
+      val t = System.nanoTime()
+      val df2 = graft.SparkEntry.queries(name)(spark, dir)
+      df2.queryExecution.toRdd.count()
+      println(f"[debugq] $name run#$r wall=${(System.nanoTime() - t) / 1e9}%.1fs")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.ops.CorpusStats
+
+/** Hand-computed ground truth for the corpus-stats operators
+  * (repetition signals, duplicated-span coverage, vocab/OOV).
+  */
+class CorpusStatsSpec extends SparkSessionSpec {
+  import spark.implicits._
+
+  test("repetitionSignals: hand-computed counts, ratios, and edge docs") {
+    val df = Seq(
+      (1L, "a b a b a"),         // 5 toks, 2 uniq, top a=3; bigrams: ab,ba,ab,ba → 4 total, 2 dup
+      (2L, "x"),                 // 1 tok: no bigrams
+      (3L, "  "),                // whitespace-only: zero everything
+      (4L, "T t T")              // lowercased: t=3
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.repetitionSignals(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got(0) === Row(1L, 5L, 2L, 3L, 0.6, 4L, 2L, 0.5))
+    assert(got(1) === Row(2L, 1L, 1L, 1L, 1.0, 0L, 0L, 0.0))
+    assert(got(2) === Row(3L, 0L, 0L, 0L, 0.0, 0L, 0L, 0.0))
+    assert(got(3) === Row(4L, 3L, 1L, 3L, 1.0, 2L, 1L, 0.5))
+  }
+
+  test("dupSpanCoverage: shared k-grams cover merged positions, once") {
+    // docs 1 and 2 share the 3-gram "p q r" twice over (positions overlap
+    // in doc 1: "p q r q r" has grams [p q r, q r q, r q r] — only
+    // "p q r" is shared); doc 3 is disjoint.
+    val df = Seq(
+      (1L, "p q r q r"),
+      (2L, "z p q r z"),
+      (3L, "m n o m n")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.dupSpanCoverage(df, "text", "doc_id", k = 3)
+      .orderBy("doc_id").collect()
+    // doc 1: "p q r" at pos 1 covers tokens 1..3 of 5
+    assert(got(0) === Row(1L, 5L, 3L, 0.6))
+    // doc 2: "p q r" at pos 2 covers tokens 2..4 of 5
+    assert(got(1) === Row(2L, 5L, 3L, 0.6))
+    // doc 3: nothing shared
+    assert(got(2) === Row(3L, 5L, 0L, 0.0))
+  }
+
+  test("dupSpanCoverage: overlapping shared grams merge their coverage") {
+    // both docs contain "a b c d" AND "b c d e": spans [1..4] and [2..5]
+    // merge to 5 covered tokens, not 8
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e x")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.dupSpanCoverage(df, "text", "doc_id", k = 4)
+      .orderBy("doc_id").collect()
+    assert(got(0) === Row(1L, 5L, 5L, 1.0))
+    assert(got(1) === Row(2L, 6L, 5L, round6(5.0 / 6.0)))
+  }
+
+  test("topVocab: count-desc with lexicographic tie-break, exact cut") {
+    val df = Seq((1L, "b b b a a c c d")).toDF("doc_id", "text")
+    val vocab = CorpusStats.topVocab(df, "text", v = 3).collect()
+    // b=3, then a=2 and c=2 tie → 'a' before 'c'; d cut
+    assert(vocab.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("b", 3L), ("a", 2L), ("c", 2L)))
+  }
+
+  test("oovStats: membership against the top-v vocab, empty doc kept") {
+    val df = Seq(
+      (1L, "b b b a a c"),   // corpus: b=3, c=3, a=2 → vocab v=2 = {b, c}
+      (2L, "c c"),           // all in-vocab
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.oovStats(df, "text", "doc_id", v = 2)
+      .orderBy("doc_id").collect()
+    assert(got(0) === Row(1L, 6L, 2L, round6(2.0 / 6.0)))
+    assert(got(1) === Row(2L, 2L, 0L, 0.0))
+    assert(got(2) === Row(3L, 0L, 0L, 0.0))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}

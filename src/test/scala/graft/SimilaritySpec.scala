@@ -114,4 +114,47 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(pairs.length === 500)
     assert(pairs.forall { case (a, b) => b === a + 10000 })
   }
+
+  test("semanticDedup drops every planted twin onto its original") {
+    // identical vectors always land in the same k-means cell (argmax of
+    // identical cosine arrays), so τ=0.99 must drop exactly the planted
+    // copies, each attributed to its original
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planted = e.unionAll(
+      e.select((col("id") + 10000).as("id"), col("vec")))
+    val n = e.count()
+    val dropped = Similarity.semanticDedup(planted, threshold = 0.99)
+      .select("id", "dup_of").as[(Long, Long)].collect()
+    assert(dropped.length === n)
+    assert(dropped.forall { case (id, of) => id === of + 10000 })
+  }
+
+  test("semanticDedup keeper rule: dup_of is the MINIMUM earlier cell-mate") {
+    // three identical vectors: 2 and 3 both dup onto 1, never onto each
+    // other's larger id
+    val v = Array.fill(64)(0.5f)
+    val other = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, v), (2L, v), (3L, v), (4L, other))
+      .toDF("id", "vec")
+    val dropped = Similarity.semanticDedup(df, threshold = 0.99, nCentroids = 2)
+      .select("id", "dup_of").as[(Long, Long)].collect().sortBy(_._1)
+    assert(dropped.toSeq === Seq((2L, 1L), (3L, 1L)))
+  }
+
+  test("semanticDedup is a subset of global near-dup pairs at the same τ") {
+    // cells only ever REMOVE candidate pairs vs the all-pairs test
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val dropped = Similarity.semanticDedup(e, threshold = 0.3)
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    val global = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("sim", VectorFunctions.cosine(col("a.vec"), col("b.vec")))
+      .filter(col("sim") >= 0.3)
+      .select(col("b.id"), col("a.id")).as[(Long, Long)].collect().toSet
+    assert(dropped.nonEmpty)
+    dropped.foreach { case (id, of) =>
+      assert(global.contains((id, of)), s"($id, $of) not a global pair")
+    }
+  }
 }
