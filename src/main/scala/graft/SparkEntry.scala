@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.VectorQueries.queries ++
       graft.queries.StreamQueries.queries ++
-      graft.queries.MMQueries.queries
+      graft.queries.MMQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -32,7 +33,8 @@ object SparkEntry {
       graft.queries.DedupQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
       graft.queries.StreamQueries.oracles ++
-      graft.queries.MMQueries.oracles
+      graft.queries.MMQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 
   /** Oracles whose SQL embeds deterministic-but-DATA-DERIVED constants
     * (e.g. v04's k-means centroids), so the string can only be produced

@@ -150,6 +150,45 @@ object CorpusStats {
           .otherwise(lit(0.0)), 6).as("dup_tok_frac"))
   }
 
+  /** Benchmark-decontamination check: for each eval document, how many of
+    * its DISTINCT k-grams appear anywhere in the train corpus — the
+    * train/test-overlap signal run before an eval set is trusted.
+    *
+    * Output: (id, n_grams, n_contaminated, contamination_frac), one row
+    * per eval document (including gram-less ones).
+    *
+    * Shape: the train side collapses to a distinct gram set (one
+    * shuffle, map-side partial), then the eval grams — the SMALL side by
+    * construction (eval sets are thousands of docs, train is the 100 TB
+    * corpus) — join it on the gram key. Spark plans the gram-key
+    * equi-join co-partitioned with the distinct, so the train stream is
+    * shuffled once total.
+    */
+  def contamination(
+      train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, k: Int): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+
+        explode(array_distinct(kgrams(lowerTokens(col(textCol)), k))).as("g"): _*)
+    val evalG = grams(eval, col(idCol))
+    val trainG = grams(train).select("g").distinct()
+      .withColumn("__hit", lit(1))
+    val stats = evalG.join(trainG, Seq("g"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"))
+    eval.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)), 6).as("contamination_frac"))
+  }
+
   /** Top-`v` corpus vocabulary by occurrence count, ties broken
     * lexicographically — the deterministic vocab-building pass. The
     * result is tiny by construction (v rows), so downstream joins against

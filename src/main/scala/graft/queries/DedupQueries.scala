@@ -75,7 +75,18 @@ object DedupQueries {
     // organic, no planting needed (~1000 shared 8-grams at sf0.01).
     "d07_dup_spans" -> ((s, dir) =>
       CorpusStats.dupSpanCoverage(
-        table(s, dir, "documents"), "text", "doc_id", k = 8))
+        table(s, dir, "documents"), "text", "doc_id", k = 8)),
+
+    // Benchmark decontamination: eval = doc_id < 50, train = the rest;
+    // per eval doc, the fraction of its distinct 8-grams found anywhere
+    // in the train corpus.
+    "d08_contamination" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      CorpusStats.contamination(
+        train = d.filter(col("doc_id") >= 50),
+        eval = d.filter(col("doc_id") < 50),
+        "text", "doc_id", k = 8)
+    })
   )
 
   private val plantedSql =
@@ -192,6 +203,32 @@ object DedupQueries {
             round(CASE WHEN len(t.toks) > 0
               THEN CAST(coalesce(cnt.n_dup_tokens, 0) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE)
               ELSE 0.0 END, 6) AS dup_tok_frac
-          FROM t LEFT JOIN cnt USING (doc_id)"""
+          FROM t LEFT JOIN cnt USING (doc_id)""",
+    // Mirrors CorpusStats.contamination (k=8): distinct grams per eval
+    // doc, train side collapsed to a distinct gram set, BIGINT parity.
+    "d08_contamination" ->
+      """WITH t AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+'), x -> x <> '') AS toks
+          FROM documents),
+          eg AS (SELECT doc_id, unnest(list_distinct(
+                   list_transform(range(1, len(toks) - 6),
+                     i -> array_to_string(toks[i:i+7], ' ')))) AS g
+                 FROM t WHERE doc_id < 50 AND len(toks) >= 8),
+          tg AS (SELECT DISTINCT unnest(list_distinct(
+                   list_transform(range(1, len(toks) - 6),
+                     i -> array_to_string(toks[i:i+7], ' ')))) AS g
+                 FROM t WHERE doc_id >= 50 AND len(toks) >= 8),
+          hit AS (SELECT eg.doc_id, count(*) AS n_grams,
+                    CAST(sum(CASE WHEN tg.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated
+                  FROM eg LEFT JOIN tg USING (g)
+                  GROUP BY eg.doc_id)
+          SELECT d.doc_id,
+            coalesce(hit.n_grams, 0) AS n_grams,
+            coalesce(hit.n_contaminated, 0) AS n_contaminated,
+            round(CASE WHEN coalesce(hit.n_grams, 0) > 0
+              THEN CAST(hit.n_contaminated AS DOUBLE) / CAST(hit.n_grams AS DOUBLE)
+              ELSE 0.0 END, 6) AS contamination_frac
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+          LEFT JOIN hit USING (doc_id)"""
   )
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.functions.TextFunctions.{langId, qualityScore, tokenCount}
+import graft.ops.{Dedup, Sampling}
+
+/** The flagship COMPOSITION query: a whole curation pipeline — quality
+  * filter → language filter → exact-dedup survivors → deterministic
+  * split — in one declarative plan, the way the engine's operators are
+  * meant to be used together. Every stage is individually oracled
+  * (t02, t03, d02, q21); p01 proves they compose without seams: one
+  * Catalyst plan, filters before the dedup shuffle, split as a pure
+  * projection, single final aggregate.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_curation_pipeline" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      // planted corpus (the dedup family's ground truth: one exact dup
+      // per doc) so the dedup stage has real work to do
+      val planted = d.unionAll(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val filtered = planted
+        .filter(qualityScore(col("text")) >= 0.7)
+        .filter(langId(col("text")) === "en")
+      val survivors = Dedup.exactSurvivors(filtered, "text", "doc_id")
+      Sampling.split(survivors, "doc_id")
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          min(qualityScore(col("text"))).as("min_quality"),
+          max(qualityScore(col("text"))).as("max_quality"))
+    })
+  )
+
+  // Stage mirrors come from the same shared snippets the per-stage
+  // oracles use (TextQueries.qualitySql/langCase/nTokens), so the
+  // pipeline oracle cannot drift from the stage oracles.
+  val oracles: Map[String, String] = Map(
+    "p01_curation_pipeline" -> {
+      import TextQueries.{langCase, nTokens, qualitySql}
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+          q AS (SELECT doc_id, text, $qualitySql AS quality,
+                  CAST($nTokens AS BIGINT) AS n_toks,
+                  $langCase AS pred_lang
+                FROM u),
+          f AS (SELECT * FROM q WHERE quality >= 0.7 AND pred_lang = 'en'),
+          s AS (SELECT min(doc_id) AS doc_id FROM f
+                GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g')))),
+          j AS (SELECT f.* FROM f JOIN s USING (doc_id)),
+          b AS (SELECT *, CAST(CAST(concat('0x',
+                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 AS INT) AS bucket FROM j)
+          SELECT CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+            count(*) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+            min(quality) AS min_quality,
+            max(quality) AS max_quality
+          FROM b GROUP BY 1"""
+    }
+  )
+}

@@ -99,7 +99,7 @@ object TextQueries {
   private val zhHits =
     """len(regexp_extract_all(lower(text), '(的|是|了|在|我)'))"""
 
-  private val langCase =
+  private[queries] val langCase =
     s"""CASE
         WHEN $enHits > 0 AND $enHits >= greatest($enHits,$deHits,$frHits,$esHits,$zhHits) THEN 'en'
         WHEN $deHits > 0 AND $deHits >= greatest($enHits,$deHits,$frHits,$esHits,$zhHits) THEN 'de'
@@ -108,7 +108,7 @@ object TextQueries {
         WHEN $zhHits > 0 AND $zhHits >= greatest($enHits,$deHits,$frHits,$esHits,$zhHits) THEN 'zh'
         ELSE 'unknown' END"""
 
-  private val nTokens =
+  private[queries] val nTokens =
     """len(list_filter(string_split_regex(text, '[ \t\n\u000B\f\r]+'), t -> t <> ''))"""
   private val tokenChars =
     """length(regexp_replace(text, '[ \t\n\u000B\f\r]+', '', 'g'))"""
@@ -121,6 +121,18 @@ object TextQueries {
     */
   private val lowToks =
     """list_filter(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+'), t -> t <> '')"""
+
+  /** TextFunctions.qualityScore mirrored in SQL — shared by t02 and the
+    * p01 pipeline oracle (PipelineQueries).
+    */
+  private[queries] val qualitySql = s"""round(
+            least(CAST($nTokens AS DOUBLE) / 50.0, 1.0) * 0.4
+            + least((CASE WHEN $nTokens > 0
+                     THEN CAST($enHits AS DOUBLE) / CAST($nTokens AS DOUBLE)
+                     ELSE 0.0 END) * 4.0, 1.0) * 0.3
+            + (1.0 - least((CASE WHEN length(text) > 0
+                            THEN CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                            ELSE 0.0 END) * 10.0, 1.0)) * 0.3, 6)"""
 
   val oracles: Map[String, String] = Map(
     "t01_token_stats" ->
@@ -139,14 +151,7 @@ object TextQueries {
           round(CASE WHEN $nTokens > 0
                 THEN CAST($enHits AS DOUBLE) / CAST($nTokens AS DOUBLE)
                 ELSE 0.0 END, 6) AS stopword_ratio,
-          round(
-            least(CAST($nTokens AS DOUBLE) / 50.0, 1.0) * 0.4
-            + least((CASE WHEN $nTokens > 0
-                     THEN CAST($enHits AS DOUBLE) / CAST($nTokens AS DOUBLE)
-                     ELSE 0.0 END) * 4.0, 1.0) * 0.3
-            + (1.0 - least((CASE WHEN length(text) > 0
-                            THEN CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE)
-                            ELSE 0.0 END) * 10.0, 1.0)) * 0.3, 6) AS quality
+          $qualitySql AS quality
           FROM documents""",
     "t03_langid" ->
       s"""SELECT doc_id, lang AS declared_lang, $langCase AS pred_lang

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import graft.ops.CorpusStats
 
 /** Hand-computed ground truth for the corpus-stats operators
@@ -75,6 +76,40 @@ class CorpusStatsSpec extends SparkSessionSpec {
     assert(got(0) === Row(1L, 6L, 2L, round6(2.0 / 6.0)))
     assert(got(1) === Row(2L, 2L, 0L, 0.0))
     assert(got(2) === Row(3L, 0L, 0L, 0.0))
+  }
+
+  test("contamination: distinct eval grams vs train gram set") {
+    val train = Seq(
+      (100L, "a b c x y z"),
+      (101L, "q r s t u v")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "a b c a b c"),  // distinct 3-grams: "a b c","b c a","c a b" — 1 of 3 in train
+      (2L, "m n o p q r"),  // none of its grams in train
+      (3L, "x y")           // < k tokens: zero grams
+    ).toDF("doc_id", "text")
+    val got = graft.ops.CorpusStats
+      .contamination(train, eval, "text", "doc_id", k = 3)
+      .orderBy("doc_id").collect()
+    assert(got(0) === Row(1L, 3L, 1L, round6(1.0 / 3.0)))
+    assert(got(1) === Row(2L, 4L, 0L, 0.0))
+    assert(got(2) === Row(3L, 0L, 0L, 0.0))
+  }
+
+  test("p01 pipeline: splits partition the filtered survivor set exactly") {
+    import graft.functions.TextFunctions.{langId, qualityScore}
+    val d = graft.Engine.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // survivors of the planted corpus == originals passing the filters
+    // (each planted copy has identical text → identical filter verdicts
+    // → always loses to its original under the min-id keeper)
+    val expected = d
+      .filter(qualityScore(col("text")) >= 0.7 && langId(col("text")) === "en")
+      .count()
+    val splits = graft.SparkEntry.queries("p01_curation_pipeline")(spark, sfDir)
+      .select(col("split"), col("n_docs")).as[(String, Long)].collect().toMap
+    assert(splits.values.sum === expected)
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
   }
 
   private def round6(d: Double): Double =
