@@ -133,6 +133,42 @@ object SigOps {
     r
   }
 
+  /** All per-document repetition signals in one pass over the token
+    * array: [n_tokens, n_uniq_tokens, top_tok_n, n_2grams, n_dup_2grams].
+    * Token counts via an exact hash map on the token bytes; bigram
+    * distinctness via the space-joined pair string (tokens are
+    * whitespace-split, so the join is unambiguous — identical to the
+    * `concat_ws(' ', slice(toks, i, 2))` composed form and the SQL
+    * oracle's `toks[i] || ' ' || toks[i+1]`). Replaces a pile of
+    * interpreted higher-order functions whose projection fell out of
+    * codegen (and intermittently deopt-stormed 10-70x).
+    */
+  def repetitionStats(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val counts = new java.util.HashMap[UTF8String, Integer](math.max(16, n * 2))
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val prev = counts.get(t)
+      val c = if (prev == null) 1 else prev + 1
+      counts.put(t, c)
+      if (c > top) top = c
+      i += 1
+    }
+    val space = UTF8String.fromString(" ")
+    val bigrams = new java.util.HashSet[UTF8String](math.max(16, n * 2))
+    i = 1
+    while (i < n) {
+      bigrams.add(UTF8String.concat(
+        toks.getUTF8String(i - 1), space, toks.getUTF8String(i)))
+      i += 1
+    }
+    val n2 = if (n >= 2) n - 1 else 0
+    UnsafeArrayData.fromPrimitiveArray(Array[Long](
+      n, counts.size(), top, n2, n2 - bigrams.size()))
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -232,6 +268,18 @@ object SignatureExpressions {
       SigOps.simhashMd5(in.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c => s"graft.expr.SigOps.simhashMd5($c)")
+  }
+
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "repetition_stats"
+    override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+      copy(child = newChild)
+    override def nullSafeEval(in: Any): Any =
+      SigOps.repetitionStats(in.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expr.SigOps.repetitionStats($c)")
   }
 
   case class SimHash64(child: Expression) extends UnaryExpression {

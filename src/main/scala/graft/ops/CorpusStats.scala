@@ -62,50 +62,40 @@ object CorpusStats {
     * n_2grams, n_dup_2grams, dup_2gram_frac).
     *
     * Shape: the signals are intrinsically per-document, so this is ONE
-    * narrow projection — no explode, no shuffle, no join. The
-    * most-frequent-token count is the longest equal-run in the SORTED
-    * token array (per-row O(n log n)); duplicate bigrams are
-    * `size − size(array_distinct)`. An earlier explode→groupBy draft
-    * shuffled the whole token stream to compute per-doc facts — 3.8s at
-    * sf0.1 vs ~0.3s for this form, and strictly worse at 100 TB.
+    * narrow projection — no explode, no shuffle, no join. All five
+    * counters come from a single pass of the native
+    * `repetition_stats` kernel (`graft.expr.SigOps.repetitionStats`):
+    * exact token counts via a hash map, bigram distinctness via the
+    * space-joined pair string — O(n) per row inside whole-stage codegen.
+    * (History: an explode→groupBy draft shuffled the whole token stream
+    * — 3.8s at sf0.1; a composed higher-order-function draft was
+    * shuffle-free but its interpreted-lambda projection intermittently
+    * deopt-stormed 10-70x. The kernel is both narrow AND JIT-stable;
+    * ExpressionsSpec pins it against the composed form differentially.)
     */
   def repetitionSignals(
       df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = lowerTokens(col(textCol))
-    // longest run of an equal token in sort order == max per-token count
-    def topRun(sorted: Column): Column = aggregate(
-      sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc("prev"), acc("run") + lit(1L))
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
-    // widen BEFORE the heavy per-row exprs so they run post-exchange
+    val stats = graft.expr.nat(graft.expr.SignatureExpressions
+      .RepetitionStats(graft.expr.toExpr(lowerTokens(col(textCol)))))
+    // widen BEFORE the per-row kernel so it runs post-exchange; the
+    // stats array materializes once (multi-referenced non-cheap alias —
+    // CollapseProject keeps the projections separate)
     widen(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), toks.as("__t"), kgrams(toks, 2).as("__b"))
+      .select(col(idCol), stats.as("__s"))
       .select(
         col(idCol),
-        size(col("__t")).cast("long").as("n_tokens"),
-        size(array_distinct(col("__t"))).cast("long").as("n_uniq_tokens"),
-        topRun(array_sort(col("__t"))).as("top_tok_n"),
-        col("__b"))
-      .select(
-        col(idCol),
-        col("n_tokens"),
-        col("n_uniq_tokens"),
-        col("top_tok_n"),
-        round(when(col("n_tokens") > 0,
-          col("top_tok_n").cast("double") / col("n_tokens").cast("double"))
+        col("__s").getItem(0).as("n_tokens"),
+        col("__s").getItem(1).as("n_uniq_tokens"),
+        col("__s").getItem(2).as("top_tok_n"),
+        round(when(col("__s").getItem(0) > 0,
+          col("__s").getItem(2).cast("double")
+            / col("__s").getItem(0).cast("double"))
           .otherwise(lit(0.0)), 6).as("top_tok_frac"),
-        size(col("__b")).cast("long").as("n_2grams"),
-        (size(col("__b")) - size(array_distinct(col("__b"))))
-          .cast("long").as("n_dup_2grams"),
-        round(when(size(col("__b")) > 0,
-          (size(col("__b")) - size(array_distinct(col("__b")))).cast("double")
-            / size(col("__b")).cast("double"))
+        col("__s").getItem(3).as("n_2grams"),
+        col("__s").getItem(4).as("n_dup_2grams"),
+        round(when(col("__s").getItem(3) > 0,
+          col("__s").getItem(4).cast("double")
+            / col("__s").getItem(3).cast("double"))
           .otherwise(lit(0.0)), 6).as("dup_2gram_frac"))
   }
 

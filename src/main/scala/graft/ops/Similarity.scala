@@ -238,6 +238,13 @@ object Similarity {
       .withColumn("cell",
         array_position(col("__cos"), array_max(col("__cos"))).cast("int"))
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
+      // explicit AQE-exempt width for the quadratic in-cell expansion:
+      // AQE sizes the post-join stage from the PRE-join input, which
+      // wildly underestimates Σ|cell|² output (same guard as Dedup's
+      // pair-expansion joins)
+      .repartition(
+        math.max(corpus.sparkSession.sparkContext.defaultParallelism * 2, 16),
+        col("cell"))
     val pairs = cb.as("a").join(cb.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("sim", cosine(col("a.vec"), col("b.vec")))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Engine
 import graft.kv.Store
-import graft.ops.{Dedup, Similarity, TemporalJoins}
+import graft.ops.{CorpusStats, Dedup, Similarity, TemporalJoins}
 
 /** Dev tool: scale-up smoke test. Self-unions the sf tables N× (ids
   * offset per replica so keys stay distinct) and runs the heavy operator
@@ -132,6 +132,30 @@ object ScaleSmoke {
     time(s"ivf ann corpus x$factor") {
       Similarity.ivfTopK(emb, q, k = 10, nCentroids = 16, nProbe = 6)
         .queryExecution.toRdd.count()
+    }
+    // semantic dedup: in-cell quadratic expansion must grow with corpus,
+    // not blow up — cells multiply, pairs per cell stay bounded by the
+    // cell-size distribution (more cells at larger corpora in production;
+    // here the check is the explicit expansion width holding up)
+    time(s"semantic dedup x$factor") {
+      Similarity.semanticDedup(emb, threshold = 0.35,
+        nCentroids = 16 * factor).queryExecution.toRdd.count()
+    }
+    // corpus stats: repetition is per-row narrow (should be ~linear);
+    // dup-span coverage and contamination shuffle the gram stream once
+    time(s"repetition signals x$factor") {
+      CorpusStats.repetitionSignals(docs, "text", "doc_id")
+        .queryExecution.toRdd.count()
+    }
+    time(s"dup-span coverage x$factor") {
+      CorpusStats.dupSpanCoverage(docs, "text", "doc_id", k = 8)
+        .queryExecution.toRdd.count()
+    }
+    time(s"contamination x$factor") {
+      CorpusStats.contamination(
+        train = docs.filter(col("doc_id") % 100 =!= 0),
+        eval = docs.filter(col("doc_id") % 100 === 0),
+        "text", "doc_id", k = 8).queryExecution.toRdd.count()
     }
     spark.stop()
   }

@@ -52,6 +52,48 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(n === 1L)
   }
 
+  test("native repetition_stats matches composed explode/HOF formulation") {
+    val rnd = new scala.util.Random(17)
+    val words = Seq("a", "bb", "ccc", "dd", "e")
+    val rows = (1L to 200L).map { id =>
+      (id, Seq.fill(rnd.nextInt(30))(words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    } :+ (900L, "") :+ (901L, "solo") :+ (902L, "x x x x")
+    val df = rows.toDF("id", "text")
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\u000B\\f\\r]+"),
+      t => t =!= "")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - lit(1)),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    // composed: longest equal-run in the sorted token array == top count
+    val topRun = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    val stats = graft.expr.nat(graft.expr.SignatureExpressions
+      .RepetitionStats(graft.expr.toExpr(toks)))
+    val got = df.select(
+      stats.as("fast"),
+      array(
+        size(toks).cast("long"),
+        size(array_distinct(toks)).cast("long"),
+        topRun,
+        size(bigrams).cast("long"),
+        (size(bigrams) - size(array_distinct(bigrams))).cast("long"))
+        .as("slow"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
   test("native minhash matches composed xxhash64 chain bit-for-bit") {
     val rnd = new scala.util.Random(13)
     val rows = Seq.fill(100)(
