@@ -169,6 +169,39 @@ object SigOps {
       n, counts.size(), top, n2, n2 - bigrams.size()))
   }
 
+  /** Ordered 64-bit hashes of the consecutive k-grams of `toks` — one
+    * hash per gram position, NOT deduped (positional consumers like
+    * dup-span coverage need position i ↔ hash i), empty when the
+    * document has fewer than k tokens (no partial grams — mirrors the
+    * composed `kgrams` Column form). Gram identity is the XXH64 fold of
+    * the per-token hashes, so two grams collide only on hash collision:
+    * downstream gram JOINS/COUNTS key on 8-byte longs instead of
+    * k-token strings — no gram-string allocation on the hot path and a
+    * fraction of the shuffle width.
+    */
+  def kgramHashes(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+      i += 1
+    }
+    val m = n - k + 1
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = Seed
+      var j = 0
+      while (j < k) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -256,6 +289,18 @@ object SignatureExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
         c => s"graft.expr.SigOps.bandKeys($c, $bands, $rowsPerBand)")
+  }
+
+  case class KGramHashes(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "kgram_hashes"
+    override protected def withNewChildInternal(newChild: Expression): KGramHashes =
+      copy(child = newChild)
+    override def nullSafeEval(in: Any): Any =
+      SigOps.kgramHashes(in.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expr.SigOps.kgramHashes($c, $k)")
   }
 
   case class SimHashMd5(child: Expression) extends UnaryExpression {

@@ -54,6 +54,16 @@ object CorpusStats {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Hashed form of [[kgrams]] (same positions, same empty-under-k rule)
+    * via the native `kgram_hashes` kernel: downstream shuffles/joins key
+    * on 8-byte longs, and no gram string is ever materialized. Gram
+    * equality is exact up to xxhash64 collision — the standard
+    * fingerprint-dedup trade every hash-keyed gram pipeline makes.
+    */
+  private def kgramHashes(toks: Column, k: Int): Column =
+    graft.expr.nat(graft.expr.SignatureExpressions
+      .KGramHashes(graft.expr.toExpr(toks), k))
+
   /** Within-document repetition signals (the Gopher-rules shape):
     * most-frequent-token share and duplicate-bigram share, exact integers
     * plus rounded ratios.
@@ -115,9 +125,13 @@ object CorpusStats {
   def dupSpanCoverage(
       df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val toks = lowerTokens(col(textCol))
-    val base = df.select(col(idCol), toks.as("__toks"))
+    // widen BEFORE tokenize+explode: both consumers below (gram counting
+    // and the join-back) explode the gram stream map-side, and a
+    // single-row-group scan would serialize that CPU onto one task
+    val base = widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), toks.as("__toks"))
     val grams = base.select(col(idCol), size(col("__toks")).as("n_tokens"),
-        posexplode(kgrams(col("__toks"), k)).as(Seq("p0", "g")))
+        posexplode(kgramHashes(col("__toks"), k)).as(Seq("p0", "g")))
       .select(col(idCol), (col("p0") + 1).as("p"), col("g"))
     val shared = grams.groupBy("g")
       .agg(count_distinct(col(idCol)).as("n_docs"))
@@ -147,23 +161,29 @@ object CorpusStats {
     * Output: (id, n_grams, n_contaminated, contamination_frac), one row
     * per eval document (including gram-less ones).
     *
-    * Shape: the train side collapses to a distinct gram set (one
-    * shuffle, map-side partial), then the eval grams — the SMALL side by
-    * construction (eval sets are thousands of docs, train is the 100 TB
-    * corpus) — join it on the gram key. Spark plans the gram-key
-    * equi-join co-partitioned with the distinct, so the train stream is
-    * shuffled once total.
+    * Shape: the eval side is the SMALL side by construction (eval sets
+    * are thousands of docs; train is the 100 TB corpus), so its distinct
+    * gram set BROADCASTS, and the train gram stream is filtered by a
+    * broadcast semi-join BEFORE any wide operator: grams that cannot
+    * contaminate anything never reach an exchange. The only train-side
+    * shuffle is the distinct over surviving grams — bounded by
+    * |eval gram set|, not by the corpus. (An earlier draft collapsed the
+    * FULL train gram stream to a distinct set first: one giant shuffle
+    * whose volume scales with the corpus — exactly backwards.)
     */
   def contamination(
       train: DataFrame, eval: DataFrame,
       textCol: String, idCol: String, k: Int): DataFrame = {
     def grams(df: DataFrame, cols: Column*): DataFrame =
       df.select(cols :+
-        explode(array_distinct(kgrams(lowerTokens(col(textCol)), k))).as("g"): _*)
+        explode(array_distinct(kgramHashes(lowerTokens(col(textCol)), k))).as("g"): _*)
     val evalG = grams(eval, col(idCol))
-    val trainG = grams(train).select("g").distinct()
+    val evalGrams = evalG.select("g").distinct()
+    val hits = grams(widen(train))
+      .join(broadcast(evalGrams), Seq("g"), "leftsemi")
+      .distinct()
       .withColumn("__hit", lit(1))
-    val stats = evalG.join(trainG, Seq("g"), "left")
+    val stats = evalG.join(broadcast(hits), Seq("g"), "left")
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_grams"),
         sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
@@ -185,7 +205,8 @@ object CorpusStats {
     * it broadcast.
     */
   def topVocab(df: DataFrame, textCol: String, v: Int): DataFrame =
-    df.select(explode(lowerTokens(col(textCol))).as("w"))
+    widen(df.select(col(textCol)))
+      .select(explode(lowerTokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc)
       .limit(v)
@@ -200,7 +221,8 @@ object CorpusStats {
   def oovStats(
       df: DataFrame, textCol: String, idCol: String, v: Int): DataFrame = {
     val vocab = topVocab(df, textCol, v).select(col("w"), lit(1).as("__iv"))
-    val tok = df.select(col(idCol), explode(lowerTokens(col(textCol))).as("w"))
+    val tok = widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(lowerTokens(col(textCol))).as("w"))
     val flagged = tok.join(broadcast(vocab), Seq("w"), "left")
     val stats = flagged.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_tokens"),

@@ -45,6 +45,7 @@ object DebugQ {
       df2.queryExecution.toRdd.count()
       println(f"[debugq] $name run#$r wall=${(System.nanoTime() - t) / 1e9}%.1fs")
     }
+    Thread.sleep(1500) // let async stage-completed events drain before stop
     spark.stop()
   }
 }
