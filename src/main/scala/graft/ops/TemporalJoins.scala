@@ -114,7 +114,10 @@ object TemporalJoins {
       left: DataFrame, right: DataFrame,
       leftVal: Column, lo: Column, hi: Column,
       bandWidth: Double): DataFrame = {
-    val lb = left.withColumn("__band",
+    // candidate checks per probe row scale with the in-band right count —
+    // the probe side must not be parallelism-collapsed by a small
+    // single-row-group scan (identity at production split counts)
+    val lb = widen(left).withColumn("__band",
       floor(leftVal / lit(bandWidth)).cast("long"))
     val rb = right
       .withColumn("__lo", lo).withColumn("__hi", hi)
