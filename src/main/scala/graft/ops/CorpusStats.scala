@@ -32,19 +32,6 @@ object CorpusStats {
   private def lowerTokens(text: Column): Column =
     filter(split(lower(text), WhitespaceRegex), t => t =!= "")
 
-  /** Spread a compute-heavy narrow pass across the cluster when the scan
-    * produced far fewer partitions than cores (small single-row-group
-    * files — Spark cannot split below a row group, so per-row-heavy
-    * operators would otherwise run single-task). The gate only fires in
-    * that small-scan regime, where the repartition payload is trivially
-    * cheap by construction; at 100 TB split count dwarfs core count and
-    * this is the identity.
-    */
-  private def widen(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 <= p) df.repartition(p) else df
-  }
-
   /** Consecutive k-grams of `toks` joined by single spaces; empty array
     * when the document has fewer than k tokens (no partial grams).
     */
@@ -199,6 +186,39 @@ object CorpusStats {
           .otherwise(lit(0.0)), 6).as("contamination_frac"))
   }
 
+  /** Fixed-size token-window chunking — the context-window packing pass
+    * that turns variable-length documents into training-sized pieces.
+    * Each document's token stream is cut into consecutive windows of
+    * `chunkSize` tokens (last window ragged); empty documents produce no
+    * chunks.
+    *
+    * Output: (id, chunk_idx 1-based, n_tokens, fp) where fp = md5 of the
+    * space-rejoined chunk — the chunk's content address (same fingerprint
+    * family as [[graft.functions.TextFunctions.fingerprint]]), which is
+    * what a downstream pack/shuffle stage keys on.
+    *
+    * Shape: one narrow projection + explode per document — no shuffle at
+    * all; chunk count per doc is ⌈n/chunkSize⌉ so output volume ≈ input
+    * token volume. Embarrassingly parallel at any scale.
+    */
+  def chunkByTokens(
+      df: DataFrame, textCol: String, idCol: String, chunkSize: Int): DataFrame = {
+    val toks = lowerTokens(col(textCol))
+    val nChunks = floor((size(col("__toks")) + lit(chunkSize - 1))
+      / lit(chunkSize)).cast("int")
+    // sequence(1, 0) would count DOWN — guard the empty-document case
+    val chunks = when(size(col("__toks")) > 0,
+      transform(sequence(lit(1), nChunks),
+        i => slice(col("__toks"), (i - 1) * chunkSize + 1, lit(chunkSize))))
+      .otherwise(array().cast("array<array<string>>"))
+    widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), posexplode(chunks).as(Seq("__p", "__chunk")))
+      .select(col(idCol), (col("__p") + 1).as("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__chunk")).cast("binary")).as("fp"))
+  }
+
   /** Top-`v` corpus vocabulary by occurrence count, ties broken
     * lexicographically — the deterministic vocab-building pass. The
     * result is tiny by construction (v rows), so downstream joins against
@@ -236,5 +256,40 @@ object CorpusStats {
         round(when(coalesce(col("n_tokens"), lit(0L)) > 0,
           col("n_oov").cast("double") / col("n_tokens").cast("double"))
           .otherwise(lit(0.0)), 6).as("oov_frac"))
+  }
+
+  /** Top-`m` TF-IDF terms per document (score DESC, term ASC tie-break) —
+    * the per-document salient-term extraction used for topic tagging and
+    * domain labeling of a corpus. idf = ln(N / df) with N = total corpus
+    * document count and df = documents containing the term; score =
+    * tf · idf rounded to 6 (rank and display use the SAME rounded value,
+    * so engine-to-engine ulp drift in ln cannot reorder ties).
+    *
+    * Output: (id, term, score, rank), rank ≤ m.
+    *
+    * Shape: two shuffles (per-(doc, term) tf, then per-term df), one
+    * co-partitioned term join (both sides already hashed by term — no
+    * extra exchange), and the corpus count rides a 1-row broadcast. The
+    * per-doc top-m window shuffles by doc id. Nothing is quadratic;
+    * vocabulary-sized frames never collect to the driver.
+    */
+  def tfidfTopTerms(
+      df: DataFrame, textCol: String, idCol: String, m: Int): DataFrame = {
+    val tok = widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(lowerTokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("__tf") * log(col("__n").cast("double") / col("__df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col(idCol), col("term"), col("score"), col("rank"))
   }
 }

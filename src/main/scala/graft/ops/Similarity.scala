@@ -256,6 +256,52 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Per-cluster corpus profile over the SAME deterministic k-means cells
+    * IVF and SemDeDup use: for each cell, member count, the id of its
+    * first member, and the min/max cosine of members to their centroid —
+    * the cluster-balance / cluster-tightness readout a domain-mixing or
+    * curation pipeline consults before sampling from clusters.
+    *
+    * All aggregates are picked (count / min / max), never accumulated
+    * (no mean), so the result is invariant to row order and bit-exact
+    * against any engine computing the same cosines — the property the
+    * dynamic SQL oracle relies on.
+    *
+    * Output: (cell, n_vecs, min_id, min_sim, max_sim). One narrow
+    * assignment pass + one groupBy shuffle of nCentroids groups.
+    */
+  def clusterProfile(
+      corpus: DataFrame,
+      nCentroids: Int = 16, sampleSize: Int = 2048, iters: Int = 10,
+      idCol: String = "id", vecCol: String = "vec",
+      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
+    val centroids =
+      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol)
+    if (centroids.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0).as("cell"), lit(0L).as("n_vecs"), lit(0L).as("min_id"),
+          lit(0.0).as("min_sim"), lit(0.0).as("max_sim")).limit(0)
+    val useLiterals = centroids.length <= maxLiteralCells
+    def cosines(v: Column): Column =
+      if (useLiterals)
+        array(centroids.map(c => cosine(v, array(c.map(lit(_)): _*))): _*)
+      else
+        transform(col("__cents"), c => cosine(v, c))
+    val withCents =
+      if (useLiterals) corpus else withCentroidsCol(corpus, centroids)
+    withCents.withColumn("__cos", cosines(col(vecCol)))
+      .withColumn("cell",
+        array_position(col("__cos"), array_max(col("__cos"))).cast("int"))
+      // cosine to the OWN centroid IS the argmax value — no re-compute
+      .withColumn("__sim", array_max(col("__cos")))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col(idCol)).as("min_id"),
+        round(min(col("__sim")), 6).as("min_sim"),
+        round(max(col("__sim")), 6).as("max_sim"))
+  }
+
   /** Deterministic Lloyd's k-means over a driver-side sample (cosine
     * geometry: points and centroids L2-normalized each round, so argmax
     * cosine = argmin L2). Seeded by taking every ⌈n/k⌉-th sample point.

@@ -171,7 +171,22 @@ object Extended {
     "q22_stratified_sample" -> ((s, dir) =>
       graft.ops.Sampling.stratifiedSample(
         table(s, dir, "documents").select(col("doc_id"), col("lang")),
-        stratumCol = "lang", keyCol = "doc_id", num = 1, den = 10))
+        stratumCol = "lang", keyCol = "doc_id", num = 1, den = 10)),
+
+    // Semi-structured extraction: JSON path into a string column
+    // (schema-on-read), then relational aggregation over the extracted
+    // field — the log-analytics shape. All aggregates integer-exact
+    // (count/min/max/sum over BIGINT), so parity is exact.
+    "q23_json_extract" -> ((s, dir) =>
+      table(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,6 +254,14 @@ object Extended {
                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn,
              count(*) OVER (PARTITION BY lang) AS n
            FROM documents)
-         WHERE (rn - 1) * 10 < n * 1"""
+         WHERE (rn - 1) * 10 < n * 1""",
+    "q23_json_extract" ->
+      """WITH e AS (SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events)
+         SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+                min(k) AS min_k, max(k) AS max_k,
+                CAST(sum(k) AS BIGINT) AS sum_k
+         FROM e GROUP BY event_type"""
   )
 }

@@ -83,7 +83,20 @@ object TextQueries {
     // small-dim-from-the-big-corpus-then-broadcast-it-back pattern.
     "t08_oov" -> ((s, dir) =>
       CorpusStats.oovStats(
-        table(s, dir, "documents"), "text", "doc_id", v = 100))
+        table(s, dir, "documents"), "text", "doc_id", v = 100)),
+
+    // Context-window chunking: each document cut into 32-token windows
+    // (last ragged), chunk identity as an md5 content address — the
+    // narrow, shuffle-free pass that feeds sequence packing.
+    "t09_chunks" -> ((s, dir) =>
+      CorpusStats.chunkByTokens(
+        table(s, dir, "documents"), "text", "doc_id", chunkSize = 32)),
+
+    // Per-document top-3 TF-IDF terms — salient-term extraction for
+    // topic/domain labeling (rank and score use the same rounded value).
+    "t10_tfidf" -> ((s, dir) =>
+      CorpusStats.tfidfTopTerms(
+        table(s, dir, "documents"), "text", "doc_id", m = 3))
   )
 
   // DuckDB-side mirrors of the heuristics. Kept in exact lockstep with
@@ -218,7 +231,38 @@ object TextQueries {
             round(CASE WHEN coalesce(st.n_tokens, 0) > 0
               THEN CAST(st.n_oov AS DOUBLE) / CAST(st.n_tokens AS DOUBLE)
               ELSE 0.0 END, 6) AS oov_frac
-          FROM documents d LEFT JOIN st USING (doc_id)"""
+          FROM documents d LEFT JOIN st USING (doc_id)""",
+    // Mirrors CorpusStats.chunkByTokens: DuckDB list slicing clamps the
+    // upper bound exactly like Spark's slice(start, length), and md5 of
+    // the space-rejoined chunk matches Spark's md5(cast binary).
+    "t09_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $lowToks AS toks FROM documents),
+          c AS (SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, CAST(ceil(len(toks) / 32.0) AS BIGINT) + 1),
+                    i -> struct_pack(idx := i,
+                           chunk := toks[(i - 1) * 32 + 1 : i * 32]))) AS s
+                FROM t WHERE len(toks) > 0)
+          SELECT doc_id, CAST(s.idx AS INTEGER) AS chunk_idx,
+            len(s.chunk) AS n_tokens,
+            md5(array_to_string(s.chunk, ' ')) AS fp
+          FROM c""",
+    // Mirrors CorpusStats.tfidfTopTerms: integer tf/df/N on both sides;
+    // score = round(tf * ln(N/df), 6) and the rank window orders by the
+    // SAME rounded score, so ulp drift in ln cannot flip ranks.
+    "t10_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $lowToks AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents),
+          s AS (SELECT doc_id, tf.term AS term,
+                  round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS score
+                FROM tf JOIN dfq ON tf.term = dfq.term, n)
+          SELECT doc_id, term, score, CAST(rank AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term ASC) AS rank FROM s)
+          WHERE rank <= 3"""
   )
 
 }

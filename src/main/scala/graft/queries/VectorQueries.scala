@@ -87,7 +87,18 @@ object VectorQueries {
       Similarity.semanticDedup(
         table(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        threshold = 0.35, nCentroids = 16))
+        threshold = 0.35, nCentroids = 16)),
+
+    // Cluster profile over the same deterministic k-means cells: member
+    // count / first member / centroid-cosine extrema per cell — the
+    // cluster-balance readout a domain-mixing pass samples from. All
+    // aggregates are picked, never accumulated, so the dynamic oracle is
+    // exact (same centroid-inlining as v04/v05).
+    "v06_cluster_profile" -> ((s, dir) =>
+      Similarity.clusterProfile(
+        table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        nCentroids = 16))
   )
 
   /** The v02 oracle rebuilt from the SAME deterministic constants the
@@ -211,12 +222,41 @@ object VectorQueries {
         QUALIFY row_number() OVER (PARTITION BY id ORDER BY dup_of ASC) = 1"""
   }
 
+  /** The v06 oracle: the v04/v05 cell-assignment CTE, then per-cell
+    * picked aggregates. min/max over the same bit-exact cosine doubles
+    * are order-insensitive picks, so no accumulation drift is possible.
+    */
+  private def v06OracleSql(s: SparkSession, dir: String): String = {
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.ivfCentroids(e, nCentroids = 16)
+    def exact(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString
+    val cosl = cents.map { c =>
+      val litArr = c.map(exact).mkString("[", ", ", "]")
+      s"list_cosine_similarity(embedding::DOUBLE[], $litArr::DOUBLE[])"
+    }.mkString("[", ",\n            ", "]")
+    s"""WITH base AS (
+          SELECT vec_id, embedding,
+            $cosl AS cosl
+          FROM embeddings),
+        cb AS (
+          SELECT vec_id AS id,
+            CAST(list_position(cosl, list_aggregate(cosl, 'max')) AS INTEGER) AS cell,
+            list_aggregate(cosl, 'max') AS sim
+          FROM base)
+        SELECT cell, count(*) AS n_vecs, min(id) AS min_id,
+          round(min(sim), 6) AS min_sim, round(max(sim), 6) AS max_sim
+        FROM cb GROUP BY cell"""
+  }
+
   /** Oracles that depend on the data dir (deterministic-but-data-derived
     * constants). Evaluated by Verify at dump time against the verify dir.
     */
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
     "v04_ann_ivf" -> (v04OracleSql(_, _)),
-    "v05_semantic_dedup" -> (v05OracleSql(_, _)))
+    "v05_semantic_dedup" -> (v05OracleSql(_, _)),
+    "v06_cluster_profile" -> (v06OracleSql(_, _)))
 
   val oracles: Map[String, String] = Map(
     "v02_ann_lsh" -> v02OracleSql,

@@ -112,6 +112,52 @@ class CorpusStatsSpec extends SparkSessionSpec {
     assert(splits.keySet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("chunkByTokens: ragged tail, empty doc dropped, md5 content address") {
+    val df = Seq(
+      (1L, "a b c d e"), // chunkSize 2 → [a b][c d][e]
+      (2L, "x y"),       // exactly one full chunk
+      (3L, " ")          // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.chunkByTokens(df, "text", "doc_id", chunkSize = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ===
+      Seq((1L, 1, 2L), (1L, 2, 2L), (1L, 3, 1L), (2L, 1, 2L)))
+    // fingerprint is the md5 of the space-rejoined chunk
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0).getString(3) === md5("a b"))
+    assert(got(2).getString(3) === md5("e"))
+  }
+
+  test("chunkByTokens: chunks reassemble the document exactly") {
+    val d = graft.Engine.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val total = CorpusStats.chunkByTokens(d, "text", "doc_id", chunkSize = 32)
+      .groupBy("doc_id").sum("n_tokens")
+      .withColumnRenamed("sum(n_tokens)", "n")
+    val direct = d.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n0"))
+    val joined = total.join(direct, "doc_id")
+      .filter(col("n") =!= col("n0"))
+    assert(joined.count() === 0)
+  }
+
+  test("tfidfTopTerms: rare term outranks common term; tie-break lexicographic") {
+    val df = Seq(
+      (1L, "rare common common"),  // rare: tf=1 df=1; common: tf=2 df=3
+      (2L, "common only here"),
+      (3L, "common again")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.tfidfTopTerms(df, "text", "doc_id", m = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank").collect()
+    // idf(common) = ln(3/3) = 0 → score 0; idf(rare) = ln 3 → top
+    assert(got(0).getString(1) === "rare")
+    assert(got(0).getDouble(2) === round6(math.log(3.0)))
+    assert(got(1).getString(1) === "common")
+    assert(got(1).getDouble(2) === 0.0)
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -104,6 +104,21 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("clusterProfile partitions the corpus across cells, sims bounded") {
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val prof = Similarity.clusterProfile(e, nCentroids = 16).collect()
+    assert(prof.map(_.getAs[Long]("n_vecs")).sum === e.count())
+    assert(prof.length <= 16 && prof.nonEmpty)
+    prof.foreach { r =>
+      val lo = r.getAs[Double]("min_sim"); val hi = r.getAs[Double]("max_sim")
+      assert(lo <= hi && hi <= 1.000001 && lo >= -1.000001)
+    }
+    // cells and first members agree with the raw assignment pass
+    val cells = prof.map(_.getAs[Int]("cell")).toSet
+    assert(cells.subsetOf((1 to 16).toSet))
+  }
+
   test("near-dup mining finds planted identical vectors") {
     val e = table(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
