@@ -157,6 +157,20 @@ object ScaleSmoke {
         eval = docs.filter(col("doc_id") % 100 === 0),
         "text", "doc_id", k = 8).queryExecution.toRdd.count()
     }
+    // chunking is narrow+explode (must be flat-linear); tfidf carries the
+    // two term-key shuffles and the co-partitioned tf⋈df join
+    time(s"chunk by tokens x$factor") {
+      CorpusStats.chunkByTokens(docs, "text", "doc_id", chunkSize = 32)
+        .queryExecution.toRdd.count()
+    }
+    time(s"tfidf top terms x$factor") {
+      CorpusStats.tfidfTopTerms(docs, "text", "doc_id", m = 3)
+        .queryExecution.toRdd.count()
+    }
+    time(s"cluster profile x$factor") {
+      Similarity.clusterProfile(emb, nCentroids = 16)
+        .queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 }
