@@ -62,4 +62,41 @@ object Sampling {
       .filter((col("__rn") - 1) * den < col("__n") * num)
       .drop("__rn", "__n")
   }
+
+  /** Temperature-flavored domain-mixture sample (the DoReMi/multilingual
+    * upsampling shape at τ = 0.5): domain quotas proportional to √n
+    * instead of n, so small domains are over-represented relative to
+    * their raw share; rows within a domain are picked in md5 order (the
+    * same deterministic coordinate every sampler here uses).
+    *
+    * quota(d) = target · isqrt(n_d) ÷ Σ isqrt(n_d), computed ENTIRELY in
+    * integer arithmetic (isqrt = ⌊√n⌋ of the correctly-rounded IEEE
+    * sqrt, integer sum, integer division) — bit-exact in any engine, no
+    * float accumulation whose ulp drift could flip a quota by one.
+    *
+    * Shape: one tiny domain aggregate (|domains| rows, windowed total),
+    * broadcast back onto the corpus, one per-domain rank window — the
+    * stratifiedSample plan with a data-derived rate. Scales like q22.
+    */
+  def temperatureSample(
+      df: DataFrame, stratumCol: String, keyCol: String,
+      target: Int): DataFrame = {
+    val s = floor(sqrt(count(lit(1)))).cast("long")
+    val quotas = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"), s.as("__s"))
+      // unordered whole-frame window: sum over ALL domain rows (the
+      // domain table is |domains|-sized, so the single-partition window
+      // is a non-issue)
+      .withColumn("__ss", sum(col("__s")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(stratumCol),
+        expr(s"$target * __s div __ss").as("__quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.join(broadcast(quotas), Seq(stratumCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
 }

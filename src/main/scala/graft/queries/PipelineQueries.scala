@@ -35,7 +35,17 @@ object PipelineQueries {
           sum(tokenCount(col("text")).cast("long")).as("sum_tokens"),
           min(qualityScore(col("text"))).as("min_quality"),
           max(qualityScore(col("text"))).as("max_quality"))
-    })
+    }),
+
+    // Domain-mixture (temperature) sampling at τ = 0.5: per-language
+    // quotas ∝ √n — the multilingual-upsampling pass that rebalances a
+    // skewed corpus before training. Integer-exact quota arithmetic
+    // (isqrt + integer division), md5-ordered membership — the whole
+    // sampled set hash-matches the oracle row for row.
+    "p02_domain_mixture" -> ((s, dir) =>
+      Sampling.temperatureSample(
+        table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        stratumCol = "lang", keyCol = "doc_id", target = 200))
   )
 
   // Stage mirrors come from the same shared snippets the per-stage
@@ -65,6 +75,23 @@ object PipelineQueries {
             min(quality) AS min_quality,
             max(quality) AS max_quality
           FROM b GROUP BY 1"""
-    }
+    },
+    // Mirrors Sampling.temperatureSample: isqrt = floor(sqrt(n)) — IEEE
+    // sqrt is correctly rounded in every engine, so the integer quota
+    // arithmetic ((200 * s) // ss) is bit-exact; membership is the q22
+    // md5-order rank.
+    "p02_domain_mixture" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+          g AS (SELECT lang, count(*) AS n,
+                  CAST(floor(sqrt(count(*))) AS BIGINT) AS s
+                FROM d GROUP BY lang),
+          q AS (SELECT lang, (200 * s) // (SELECT sum(s) FROM g) AS quota
+                FROM g),
+          r AS (SELECT d.doc_id, d.lang, q.quota,
+                  row_number() OVER (PARTITION BY d.lang
+                    ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC,
+                             d.doc_id ASC) AS rn
+                FROM d JOIN q USING (lang))
+          SELECT doc_id, lang FROM r WHERE rn <= quota"""
   )
 }

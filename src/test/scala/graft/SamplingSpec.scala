@@ -43,4 +43,40 @@ class SamplingSpec extends SparkSessionSpec {
       assert(sampled.getOrElse(lang, 0L) === expected, s"stratum $lang")
     }
   }
+
+  test("temperature sample: sqrt-proportional quotas upweight small domains") {
+    val docs = table(spark, sfDir, "documents").select("doc_id", "lang")
+    val perLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val isqrt = perLang.map { case (l, n) => l -> math.sqrt(n.toDouble).toLong }
+    val ss = isqrt.values.sum
+    val sampled = Sampling.temperatureSample(docs, "lang", "doc_id", target = 200)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // exact integer quota per domain, capped by domain size
+    perLang.foreach { case (lang, n) =>
+      val quota = math.min(200L * isqrt(lang) / ss, n)
+      assert(sampled.getOrElse(lang, 0L) === quota, s"domain $lang")
+    }
+    // τ = 0.5 property: sampled share of a SMALL domain exceeds its raw
+    // share (upweighting), for the smallest vs largest observed domain
+    val (small, nSmall) = perLang.minBy(_._2)
+    val (big, nBig) = perLang.maxBy(_._2)
+    if (nSmall < nBig) {
+      val tot = sampled.values.sum.toDouble
+      val n = perLang.values.sum.toDouble
+      assert(sampled(small) / tot >= nSmall / n,
+        "small domain not upweighted")
+      assert(sampled(big) / tot <= nBig / n,
+        "big domain not downweighted")
+    }
+  }
+
+  test("temperature sample membership is stable under repartitioning") {
+    val docs = table(spark, sfDir, "documents").select("doc_id", "lang")
+    val a = Sampling.temperatureSample(docs, "lang", "doc_id", target = 200)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(docs.repartition(7), "lang", "doc_id",
+        target = 200)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+  }
 }
