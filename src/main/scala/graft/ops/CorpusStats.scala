@@ -258,6 +258,42 @@ object CorpusStats {
           .otherwise(lit(0.0)), 6).as("oov_frac"))
   }
 
+  /** Per-document unigram language-model score — the CCNet-style "does
+    * this look like the corpus" quality signal: each token costs
+    * nll(w) = ln(T / c_w) (corpus-total tokens over the token's corpus
+    * count — the unigram MLE, no smoothing needed since every scored
+    * token exists in the corpus it was counted from), and a document's
+    * score is its mean token cost. Low = stereotypical corpus text;
+    * high = rare-token-heavy (or junk) text.
+    *
+    * Output: (id, n_tokens, round(avg_nll, 6)); token-less documents
+    * score 0.
+    *
+    * Shape: identical to [[tfidfTopTerms]] — the token stream shuffles
+    * once to count, once to join the counts back (co-partitioned on the
+    * token), once per doc to aggregate; the corpus total rides a 1-row
+    * broadcast. Nothing collects to the driver.
+    */
+  def unigramNll(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(lowerTokens(col(textCol))).as("w"))
+    val counts = tok.groupBy(col("w")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__t"))
+    val scored = tok.join(counts, Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("__nll", log(col("__t").cast("double") / col("__c")))
+    val stats = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      avg(col("__nll")).as("__avg"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("__avg"), lit(0.0)), 6).as("avg_nll"))
+  }
+
   /** Top-`m` TF-IDF terms per document (score DESC, term ASC tie-break) —
     * the per-document salient-term extraction used for topic tagging and
     * domain labeling of a corpus. idf = ln(N / df) with N = total corpus

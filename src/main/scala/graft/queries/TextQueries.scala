@@ -96,7 +96,13 @@ object TextQueries {
     // topic/domain labeling (rank and score use the same rounded value).
     "t10_tfidf" -> ((s, dir) =>
       CorpusStats.tfidfTopTerms(
-        table(s, dir, "documents"), "text", "doc_id", m = 3))
+        table(s, dir, "documents"), "text", "doc_id", m = 3)),
+
+    // Unigram LM score (mean token nll vs the corpus unigram model) —
+    // the CCNet-style statistical quality signal.
+    "t11_unigram_nll" -> ((s, dir) =>
+      CorpusStats.unigramNll(
+        table(s, dir, "documents"), "text", "doc_id"))
   )
 
   // DuckDB-side mirrors of the heuristics. Kept in exact lockstep with
@@ -262,7 +268,24 @@ object TextQueries {
           SELECT doc_id, term, score, CAST(rank AS INTEGER) AS rank
           FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                   ORDER BY score DESC, term ASC) AS rank FROM s)
-          WHERE rank <= 3"""
+          WHERE rank <= 3""",
+    // Mirrors CorpusStats.unigramNll: same single ln form
+    // ln(T/c) on both sides; avg-of-doubles summation order may drift
+    // ulps between engines, absorbed by round 6 (same accepted class as
+    // every rounded-double column in this suite).
+    "t11_unigram_nll" ->
+      s"""WITH t AS (SELECT doc_id, $lowToks AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+          c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+          tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+          sc AS (SELECT doc_id, ln(CAST(tt.t AS DOUBLE) / c.c) AS nll
+                 FROM tok JOIN c USING (w), tt),
+          st AS (SELECT doc_id, count(*) AS n_tokens, avg(nll) AS a
+                 FROM sc GROUP BY doc_id)
+          SELECT d.doc_id,
+            coalesce(st.n_tokens, 0) AS n_tokens,
+            round(coalesce(st.a, 0.0), 6) AS avg_nll
+          FROM documents d LEFT JOIN st USING (doc_id)"""
   )
 
 }

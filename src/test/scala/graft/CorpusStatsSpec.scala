@@ -158,6 +158,20 @@ class CorpusStatsSpec extends SparkSessionSpec {
     assert(got(1).getDouble(2) === 0.0)
   }
 
+  test("unigramNll: hand-computed corpus model, rare tokens cost more") {
+    // corpus: a a a b  → T=4, c(a)=3, c(b)=1
+    val df = Seq(
+      (1L, "a a"),   // nll = ln(4/3) each → avg = ln(4/3)
+      (2L, "a b"),   // avg = (ln(4/3) + ln(4)) / 2
+      (3L, " ")      // token-less → 0
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.unigramNll(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got(0) === Row(1L, 2L, round6(math.log(4.0 / 3.0))))
+    assert(got(1) === Row(2L, 2L, round6((math.log(4.0 / 3.0) + math.log(4.0)) / 2.0)))
+    assert(got(2) === Row(3L, 0L, 0.0))
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
