@@ -256,6 +256,37 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Per-row cluster assignment over the deterministic k-means cells —
+    * the reusable primitive behind IVF probing, SemDeDup scoping, and the
+    * cluster profile, exposed as an operator so OTHER columns/tables can
+    * be analyzed cluster-conditionally (join on the id).
+    *
+    * Output: (id, cell). One narrow pass; no shuffle.
+    */
+  def assignCells(
+      corpus: DataFrame,
+      nCentroids: Int = 16, sampleSize: Int = 2048, iters: Int = 10,
+      idCol: String = "id", vecCol: String = "vec",
+      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
+    val centroids =
+      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol)
+    if (centroids.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0).as("cell")).limit(0)
+    val useLiterals = centroids.length <= maxLiteralCells
+    def cosines(v: Column): Column =
+      if (useLiterals)
+        array(centroids.map(c => cosine(v, array(c.map(lit(_)): _*))): _*)
+      else
+        transform(col("__cents"), c => cosine(v, c))
+    val withCents =
+      if (useLiterals) corpus else withCentroidsCol(corpus, centroids)
+    withCents.withColumn("__cos", cosines(col(vecCol)))
+      .select(col(idCol).as("id"),
+        array_position(col("__cos"), array_max(col("__cos")))
+          .cast("int").as("cell"))
+  }
+
   /** Per-cluster corpus profile over the SAME deterministic k-means cells
     * IVF and SemDeDup use: for each cell, member count, the id of its
     * first member, and the min/max cosine of members to their centroid —

@@ -98,7 +98,25 @@ object VectorQueries {
       Similarity.clusterProfile(
         table(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        nCentroids = 16))
+        nCentroids = 16)),
+
+    // CROSS-MODAL composition: embedding-space clusters joined back to
+    // the text table (vec_id ↔ doc_id) for a cluster-conditioned language
+    // histogram — "what does each semantic cluster contain", the readout
+    // that drives cluster-aware curation decisions. Assignment is the
+    // shared deterministic cell primitive; the join is a plain id
+    // equi-join; counts are integer-exact.
+    "p03_cluster_language_mix" -> ((s, dir) => {
+      val cells = Similarity.assignCells(
+        table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        nCentroids = 16)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("lang"))
+      cells.join(docs, Seq("id"))
+        .groupBy(col("cell"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    })
   )
 
   /** The v02 oracle rebuilt from the SAME deterministic constants the
@@ -250,13 +268,40 @@ object VectorQueries {
         FROM cb GROUP BY cell"""
   }
 
+  /** The p03 oracle: the shared cell-assignment CTE joined to documents
+    * on the aligned id, then integer-exact counts.
+    */
+  private def p03OracleSql(s: SparkSession, dir: String): String = {
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.ivfCentroids(e, nCentroids = 16)
+    def exact(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString
+    val cosl = cents.map { c =>
+      val litArr = c.map(exact).mkString("[", ", ", "]")
+      s"list_cosine_similarity(embedding::DOUBLE[], $litArr::DOUBLE[])"
+    }.mkString("[", ",\n            ", "]")
+    s"""WITH base AS (
+          SELECT vec_id, embedding,
+            $cosl AS cosl
+          FROM embeddings),
+        cb AS (
+          SELECT vec_id AS id,
+            CAST(list_position(cosl, list_aggregate(cosl, 'max')) AS INTEGER) AS cell
+          FROM base)
+        SELECT cb.cell, d.lang, count(*) AS n_docs
+        FROM cb JOIN documents d ON d.doc_id = cb.id
+        GROUP BY cb.cell, d.lang"""
+  }
+
   /** Oracles that depend on the data dir (deterministic-but-data-derived
     * constants). Evaluated by Verify at dump time against the verify dir.
     */
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
     "v04_ann_ivf" -> (v04OracleSql(_, _)),
     "v05_semantic_dedup" -> (v05OracleSql(_, _)),
-    "v06_cluster_profile" -> (v06OracleSql(_, _)))
+    "v06_cluster_profile" -> (v06OracleSql(_, _)),
+    "p03_cluster_language_mix" -> (p03OracleSql(_, _)))
 
   val oracles: Map[String, String] = Map(
     "v02_ann_lsh" -> v02OracleSql,

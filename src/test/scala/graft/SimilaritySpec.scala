@@ -119,6 +119,16 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(cells.subsetOf((1 to 16).toSet))
   }
 
+  test("assignCells agrees with clusterProfile's per-cell population") {
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val byCell = Similarity.assignCells(e, nCentroids = 16)
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    val prof = Similarity.clusterProfile(e, nCentroids = 16).collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n_vecs")).toMap
+    assert(byCell === prof)
+  }
+
   test("near-dup mining finds planted identical vectors") {
     val e = table(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
