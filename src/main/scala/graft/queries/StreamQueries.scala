@@ -22,7 +22,14 @@ object StreamQueries {
       EventStream.hourlyTopValues(table(s, dir, "events"), k = 3)),
 
     "s04_view_purchase_counts" -> ((s, dir) =>
-      EventStream.viewPurchaseCounts(table(s, dir, "events"), windowMinutes = 60))
+      EventStream.viewPurchaseCounts(table(s, dir, "events"), windowMinutes = 60)),
+
+    // Stream-static enrichment: events joined to the customer dimension
+    // (broadcast — stateless in the streaming form), hourly per-segment
+    // rollup. StreamingSpec proves the readStream form matches.
+    "s05_segment_hourly" -> ((s, dir) =>
+      EventStream.segmentHourly(
+        table(s, dir, "events"), table(s, dir, "customer")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -56,6 +63,12 @@ object StreamQueries {
           AND v.ts <= p.ts
           AND v.ts >= p.ts - INTERVAL 60 MINUTES
          WHERE p.event_type = 'purchase' AND v.event_type = 'view'
-         GROUP BY 1, 2, 3"""
+         GROUP BY 1, 2, 3""",
+    "s05_segment_hourly" ->
+      """SELECT date_trunc('hour', e.ts) AS hour, c.c_mktsegment,
+         count(*) AS n_events,
+         CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2"""
   )
 }

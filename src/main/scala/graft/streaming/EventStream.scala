@@ -60,6 +60,42 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment (batch form): events joined to a STATIC
+    * dimension (customer → market segment) and aggregated per
+    * (hour, segment). The third join family next to stream-stream
+    * ([[viewPurchaseJoinStream]]) and self-windowed aggregation: in the
+    * streaming form the static side is broadcast into every micro-batch
+    * — no state store, no watermark needed on the dimension.
+    */
+  def segmentHourly(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(
+        col("c_custkey").as("user_id"), col("c_mktsegment"))), Seq("user_id"))
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast(DecimalType(38, 6)).cast("double").as("sum_value"))
+
+  /** Streaming form of [[segmentHourly]]: watermarked tumbling window
+    * over the stream side; the dimension joins as a plain broadcast
+    * (stream-static joins are stateless by construction).
+    */
+  def segmentHourlyStream(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(customers.select(
+        col("c_custkey").as("user_id"), col("c_mktsegment"))), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast(DecimalType(38, 6)).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("c_mktsegment"),
+        col("n_events"), col("sum_value"))
+
   /** Sessionization (batch form): a session breaks after `gapMinutes` of
     * user inactivity. Window-function formulation — no state, two
     * shuffles max (both on user_id), SQL-oracle-expressible.

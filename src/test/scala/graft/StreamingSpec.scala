@@ -33,6 +33,29 @@ class StreamingSpec extends SparkSessionSpec {
     assert(streamed === batch)
   }
 
+  test("stream-static enrichment == batch join (broadcast dim, complete mode)") {
+    val events = table(spark, sfDir, "events")
+    val customers = table(spark, sfDir, "customer")
+    val batch = EventStream.segmentHourly(events, customers)
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+    mem.addData(rows.toSeq)
+
+    val agg = EventStream.segmentHourly(streamDf, customers)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("seg_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("seg_out").collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("watermarked append-mode windows emit once closed") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     def t(min: Int) = new Timestamp(3600L * 1000 * 24 + min * 60000L)
