@@ -56,6 +56,41 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** INCREMENTAL exact dedup against a persistent fingerprint index — the
+    * crawl-pipeline shape: each arriving batch is deduped within itself
+    * AND against every previously ingested batch, then the index absorbs
+    * the batch's new fingerprints. The index lives in a [[graft.kv.Store]]
+    * gid (content fingerprint as the KV key, keeper id as the value), so
+    * it survives process restarts and re-shards with `reconf` like any
+    * other stored dataset.
+    *
+    * Returns the batch's surviving rows. Processing batches in id order
+    * yields exactly the global [[exactSurvivors]] result (DedupSpec
+    * proves batch1-then-batch2 == all-at-once).
+    *
+    * Shape: one fingerprint groupBy within the batch, one anti-join
+    * against the index scan (both sides keyed by fingerprint), one
+    * bucketed Store append of the new fingerprints. The index is read
+    * via the Store's hash-bucketed layout, so at production scale the
+    * anti-join co-partitions with the bucket scheme rather than
+    * re-shuffling the full index.
+    */
+  def incrementalSurvivors(
+      store: graft.kv.Store, gid: String,
+      batch: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val inBatch = exactGroups(batch, textCol, idCol)
+      .select(col("fp"), col("keeper_id"))
+    val known = store.scan(gid).select(col("key").as("fp"))
+    val fresh = inBatch.join(known, Seq("fp"), "left_anti")
+    // register the new fingerprints BEFORE returning: the returned frame
+    // re-reads the index only through the keeper ids already resolved
+    val keepers = fresh.select(col("fp").as("key"),
+      col("keeper_id").cast("string").as("value"))
+    store.put(keepers, gid, keyCol = Some("key"))
+    batch.join(
+      fresh.select(col("keeper_id").as(idCol)), Seq(idCol), "left_semi")
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** MinHash signature as `numHashes` columns folded into one array:

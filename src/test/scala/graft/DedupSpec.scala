@@ -102,4 +102,30 @@ class DedupSpec extends SparkSessionSpec {
       assert(viaSalted.nonEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
+
+  test("incremental survivors across batches == global exact survivors") {
+    val root = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val store = new graft.kv.Store(spark, root)
+    // batch 2 re-sends doc 1's content (id 7) and its own dup (8, 9)
+    val batch1 = docs
+    val batch2 = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (8L, "brand new content that only appears in the second batch"),
+      (9L, "brand new content that only appears in the second batch"),
+      (10L, "entirely novel second-batch document")
+    ).toDF("doc_id", "text")
+    val s1 = Dedup.incrementalSurvivors(store, "fps", batch1, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Dedup.incrementalSurvivors(store, "fps", batch2, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val global = Dedup.exactSurvivors(
+        batch1.unionAll(batch2), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 ++ s2 === global)
+    assert(s2 === Set(8L, 10L)) // 7 is a cross-batch dup; 9 an in-batch dup
+    // an identical re-send survives nothing and leaves the index intact
+    val s3 = Dedup.incrementalSurvivors(store, "fps", batch2, "text", "doc_id")
+      .collect()
+    assert(s3.isEmpty)
+  }
 }
