@@ -269,9 +269,9 @@ object CorpusStats {
     * Output: (id, n_tokens, round(avg_nll, 6)); token-less documents
     * score 0.
     *
-    * Shape: identical to [[tfidfTopTerms]] — the token stream shuffles
-    * once to count, once to join the counts back (co-partitioned on the
-    * token), once per doc to aggregate; the corpus total rides a 1-row
+    * Shape: identical to [[tfidfTopTerms]] — token-count aggregation,
+    * count join-back (broadcast under the threshold, term-hash join
+    * beyond it), per-doc aggregate; the corpus total rides a 1-row
     * broadcast. Nothing collects to the driver.
     */
   def unigramNll(
@@ -303,11 +303,13 @@ object CorpusStats {
     *
     * Output: (id, term, score, rank), rank ≤ m.
     *
-    * Shape: two shuffles (per-(doc, term) tf, then per-term df), one
-    * co-partitioned term join (both sides already hashed by term — no
-    * extra exchange), and the corpus count rides a 1-row broadcast. The
-    * per-doc top-m window shuffles by doc id. Nothing is quadratic;
-    * vocabulary-sized frames never collect to the driver.
+    * Shape: per-(doc, term) tf and per-term df aggregations, then a term
+    * equi-join — Catalyst broadcasts the df side while the vocabulary
+    * fits the threshold (the dev-scale plan, zero extra exchange) and
+    * falls back to a term-hash join co-partitioned with the df aggregate
+    * beyond it. The corpus count rides a 1-row broadcast; the per-doc
+    * top-m window shuffles by doc id. Nothing is quadratic; vocabulary-
+    * sized frames never collect to the driver.
     */
   def tfidfTopTerms(
       df: DataFrame, textCol: String, idCol: String, m: Int): DataFrame = {
