@@ -72,6 +72,18 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
       col("text").cast("binary").as("media"))
 
+  /** Exact media dedup groups by byte-content fingerprint — the
+    * [[graft.ops.Dedup.exactGroups]] shape lifted to the BINARY payload,
+    * run BEFORE any decode so duplicate media never reach the expensive
+    * codec stage. One fingerprint groupBy; keeper = min id.
+    * Output: (fp, keeper_id, n_copies).
+    */
+  def mediaDedupGroups(media: DataFrame): DataFrame =
+    media.select(md5(col("media")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Batched decode via mapPartitions — the Scala analog of mapInPandas:
     * one decoder instance per partition, rows streamed through it, output
     * a typed Dataset. No shuffle; runs inside the scan stage.

@@ -312,8 +312,13 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+    // seed with the FIRST neighbor-min pass fused into initialization:
+    // label₀(v) = min(v, min over neighbors u of u) — exactly what round
+    // one of the loop would produce from identity labels, for one groupBy
+    // instead of a join+groupBy round (stars converge immediately)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+      .select(col("src").as("id"), col("cluster_id"))
       .localCheckpoint()
     // decimal sum: exact at any scale (a long sum could overflow on
     // trillions of rows with large ids)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Engine.table
 import graft.mm.Multimodal
@@ -30,7 +31,18 @@ object MMQueries {
     // Resize planning (fit-within 224, aspect-preserving, no upscale).
     "m03_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(
-        Multimodal.asMediaTable(table(s, dir, "documents")), maxDim = 224))
+        Multimodal.asMediaTable(table(s, dir, "documents")), maxDim = 224)),
+
+    // Exact media dedup: byte-content fingerprint over the BINARY payload
+    // (the d01 shape lifted to the media table — dedup before any decode
+    // spends compute on a duplicate). Planted corpus gives real groups.
+    "m04_media_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val planted = d.unionAll(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+      Multimodal.mediaDedupGroups(Multimodal.asMediaTable(planted))
+    })
   )
 
   private val nBytes = "octet_length(encode(text))"
@@ -59,6 +71,14 @@ object MMQueries {
           SELECT doc_id, media_type, width, height,
             CAST(floor(width * least(1.0, 224.0 / greatest(width, height))) AS INT) AS target_w,
             CAST(floor(height * least(1.0, 224.0 / greatest(width, height))) AS INT) AS target_h
-          FROM m WHERE media_type IN ('image', 'video')"""
+          FROM m WHERE media_type IN ('image', 'video')""",
+    // The media payload is the UTF-8 text bytes (asMediaTable), so
+    // md5(BINARY) on the Spark side == md5(text VARCHAR) here.
+    "m04_media_dedup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents)
+         SELECT md5(text) AS fp, min(doc_id) AS keeper_id,
+                count(*) AS n_copies
+         FROM u GROUP BY 1"""
   )
 }

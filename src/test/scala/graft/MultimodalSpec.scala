@@ -39,4 +39,17 @@ class MultimodalSpec extends SparkSessionSpec {
       assert(n === (nf + 3) / 4) // ceil(nf / stride)
     }
   }
+
+  test("media dedup groups identical payloads, keeper = min id") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Engine.table(spark, sfDir, "documents")
+    val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + 10000))
+    val groups = Multimodal.mediaDedupGroups(Multimodal.asMediaTable(planted))
+    val n = d.count()
+    // every original has exactly one planted copy; keeper is the original
+    assert(groups.count() <= n)
+    val twoPlus = groups.filter(col("n_copies") >= 2)
+    assert(twoPlus.count() === groups.count()) // all groups have the copy
+    assert(groups.filter(col("keeper_id") >= 10000).count() === 0)
+  }
 }
