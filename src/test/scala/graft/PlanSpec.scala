@@ -77,4 +77,32 @@ class PlanSpec extends SparkSessionSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("Window") && l.contains("__k") && l.contains("__b")))
   }
+
+  test("d08: train gram stream is filtered by a BROADCAST semi-join") {
+    // the eval gram set must broadcast and prune the train stream BEFORE
+    // any exchange: a regression to shuffling the full train gram
+    // distinct scales with the corpus instead of the eval set
+    val p = plan("d08_contamination")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      "eval-gram broadcast semi-join missing from the contamination plan")
+  }
+
+  test("d07/d08: gram keys are 8-byte hashes, not gram strings") {
+    Seq("d07_dup_spans", "d08_contamination").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("kgram_hashes"), s"$q lost the native gram-hash kernel")
+      assert(!p.contains("concat_ws"), s"$q re-materializes gram strings")
+    }
+  }
+
+  test("q14/t07: probe/kernel side widens past a parallelism-collapsed scan") {
+    // single-row-group dev files scan as ~1 task; the CPU-heavy stage
+    // must run post-repartition (identity at production split counts)
+    Seq("q14_price_band_join", "t07_repetition").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("RoundRobinPartitioning"),
+        s"$q runs its hot pass at scan parallelism")
+    }
+  }
 }
