@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -173,6 +174,35 @@ object Extended {
         table(s, dir, "documents").select(col("doc_id"), col("lang")),
         stratumCol = "lang", keyCol = "doc_id", num = 1, den = 10)),
 
+    // FULL OUTER join — the one join type the q06/q11/q17 family does
+    // not exercise: big-spender order counts ⟗ rich customers, where
+    // BOTH sides contribute unmatched rows (flags are null-safe counts).
+    "q24_full_outer" -> ((s, dir) => {
+      val big = table(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000.0)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n_big_orders"))
+      val rich = table(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey").as("k"), col("c_acctbal"))
+      big.join(rich, Seq("k"), "full_outer")
+        .select(col("k"), col("n_big_orders"), col("c_acctbal"))
+    }),
+
+    // Explicit-frame running aggregate: per-customer cumulative spend in
+    // (date, key) order, rows UNBOUNDED PRECEDING..CURRENT. The running
+    // sum accumulates DECIMAL in a deterministic order, so even the
+    // double carrier is bit-identical across engines.
+    "q25_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dec38(sum(dec(col("o_totalprice"))).over(w))
+            .cast("double").as("running_spend"))
+    }),
+
     // Semi-structured extraction: JSON path into a string column
     // (schema-on-read), then relational aggregation over the extracted
     // field — the log-analytics shape. All aggregates integer-exact
@@ -255,6 +285,21 @@ object Extended {
              count(*) OVER (PARTITION BY lang) AS n
            FROM documents)
          WHERE (rn - 1) * 10 < n * 1""",
+    "q24_full_outer" ->
+      """WITH big AS (SELECT o_custkey AS k, count(*) AS n_big_orders
+                      FROM orders WHERE o_totalprice > 300000.0 GROUP BY 1),
+            rich AS (SELECT c_custkey AS k, c_acctbal
+                     FROM customer WHERE c_acctbal > 5000.0)
+         SELECT coalesce(big.k, rich.k) AS k, big.n_big_orders, rich.c_acctbal
+         FROM big FULL OUTER JOIN rich ON big.k = rich.k""",
+    "q25_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,6)) AS DOUBLE) AS running_spend
+         FROM orders""",
     "q23_json_extract" ->
       """WITH e AS (SELECT event_type,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
