@@ -127,16 +127,44 @@ object GraftExpressions {
       })
   }
 
-  /** (name, info, builder) descriptors for [[SparkSessionExtensions]]. */
+  /** Extract a required foldable int argument (the kernel shape
+    * parameters — k, band counts — are plan constants by design).
+    */
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) descriptors for [[SparkSessionExtensions]] —
+    * the full native-kernel surface, so `spark.sql` users reach every
+    * expression the Column API uses.
+    */
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression)] = Seq(
-    (FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSim].getCanonicalName, "cosine_sim"),
-      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
-    (FunctionIdentifier("intersect_card_sorted"),
-      new ExpressionInfo(classOf[IntersectCardSorted].getCanonicalName,
-        "intersect_card_sorted"),
-      (es: Seq[Expression]) => IntersectCardSorted(es(0), es(1))))
+      Seq[Expression] => Expression)] = {
+    import SignatureExpressions._
+    def d(name: String, cls: Class[_], b: Seq[Expression] => Expression) =
+      (FunctionIdentifier(name), new ExpressionInfo(cls.getCanonicalName, name), b)
+    Seq(
+      d("cosine_sim", classOf[CosineSim],
+        es => CosineSim(es(0), es(1))),
+      d("intersect_card_sorted", classOf[IntersectCardSorted],
+        es => IntersectCardSorted(es(0), es(1))),
+      d("hashed_shingle_set", classOf[HashedShingleSet],
+        es => HashedShingleSet(es(0), intArg(es(1), "hashed_shingle_set", 2))),
+      d("minhash_sig", classOf[MinHashSig],
+        es => MinHashSig(es(0), intArg(es(1), "minhash_sig", 2))),
+      d("band_keys", classOf[BandKeys],
+        es => BandKeys(es(0), intArg(es(1), "band_keys", 2),
+          intArg(es(2), "band_keys", 3))),
+      d("kgram_hashes", classOf[KGramHashes],
+        es => KGramHashes(es(0), intArg(es(1), "kgram_hashes", 2))),
+      d("simhash64", classOf[SimHash64], es => SimHash64(es(0))),
+      d("simhash_md5", classOf[SimHashMd5], es => SimHashMd5(es(0))),
+      d("repetition_stats", classOf[RepetitionStats],
+        es => RepetitionStats(es(0))))
+  }
 }
 
 /** Session extension installing graft's native functions — usable either

@@ -152,4 +152,34 @@ class ExpressionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(one === 1L)
   }
+
+  test("the full kernel family is SQL-visible, matching the Column forms") {
+    import graft.expr.SignatureExpressions._
+    val toks = array(lit("a"), lit("b"), lit("c"))
+    val viaSql = spark.sql(
+      """SELECT kgram_hashes(array('a','b','c'), 2) AS kg,
+                simhash64(array('a','b','c')) AS sh,
+                simhash_md5(array('a','b','c')) AS shm,
+                repetition_stats(array('a','b','c')) AS rs,
+                minhash_sig(hashed_shingle_set(array('a','b','c'), 2), 4) AS mh,
+                band_keys(minhash_sig(hashed_shingle_set(array('a','b','c'), 2), 4), 2, 2) AS bk
+      """).head()
+    val viaCol = spark.range(1).select(
+      graft.expr.nat(KGramHashes(graft.expr.toExpr(toks), 2)).as("kg"),
+      graft.expr.nat(SimHash64(graft.expr.toExpr(toks))).as("sh"),
+      graft.expr.nat(SimHashMd5(graft.expr.toExpr(toks))).as("shm"),
+      graft.expr.nat(RepetitionStats(graft.expr.toExpr(toks))).as("rs"),
+      graft.expr.nat(MinHashSig(graft.expr.toExpr(graft.expr.nat(
+        HashedShingleSet(graft.expr.toExpr(toks), 2))), 4)).as("mh"),
+      graft.expr.nat(BandKeys(graft.expr.toExpr(graft.expr.nat(
+        MinHashSig(graft.expr.toExpr(graft.expr.nat(
+          HashedShingleSet(graft.expr.toExpr(toks), 2))), 4))), 2, 2)).as("bk")
+    ).head()
+    assert(viaSql.toSeq === viaCol.toSeq)
+    // non-literal shape parameter fails loudly, not silently
+    val err = intercept[Exception] {
+      spark.sql("SELECT kgram_hashes(array('a'), id + 1) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
 }
