@@ -119,6 +119,30 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  // ------------------------------------------------------------- PII
+  // Patterns restricted to the Java-regex ∩ RE2 common subset (no
+  // backreferences, no lookaround), so SQL oracles match byte-for-byte.
+
+  /** Email address shape. */
+  val EmailRegex: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 shape (word-bounded). */
+  val Ipv4Regex: String = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  /** Occurrence count of a PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Text with emails then IPv4s replaced by typed placeholder tags —
+    * the redaction pass a curation pipeline runs before publishing.
+    * Replacement order is fixed (emails first) so engines agree even on
+    * pathological overlaps.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRegex, "<EMAIL>"),
+      Ipv4Regex, "<IP>")
+
   /** k-token shingles ("n-gram documents") as an array<string>; documents
     * shorter than k shingle to their whole normalized text.
     */

@@ -102,7 +102,26 @@ object TextQueries {
     // the CCNet-style statistical quality signal.
     "t11_unigram_nll" -> ((s, dir) =>
       CorpusStats.unigramNll(
-        table(s, dir, "documents"), "text", "doc_id"))
+        table(s, dir, "documents"), "text", "doc_id")),
+
+    // PII detection + redaction. The synthetic corpus carries no natural
+    // PII, so the query PLANTS deterministic PII per document (the oracle
+    // constructs the identical text), then counts and redacts it —
+    // non-trivial output, exact parity, and the redacted text rides as a
+    // fingerprint so row width stays bounded.
+    "t12_pii" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val plantedText = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" or admin@test.org from 10.0.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"))
+      d.select(
+        col("doc_id"),
+        piiCount(plantedText, EmailRegex).as("n_emails"),
+        piiCount(plantedText, Ipv4Regex).as("n_ips"),
+        md5(redactPii(plantedText).cast("binary")).as("redacted_fp"))
+    })
   )
 
   // DuckDB-side mirrors of the heuristics. Kept in exact lockstep with
@@ -285,7 +304,22 @@ object TextQueries {
           SELECT d.doc_id,
             coalesce(st.n_tokens, 0) AS n_tokens,
             round(coalesce(st.a, 0.0), 6) AS avg_nll
-          FROM documents d LEFT JOIN st USING (doc_id)"""
+          FROM documents d LEFT JOIN st USING (doc_id)""",
+    // Mirrors t12: identical planted construction, Java-regex ∩ RE2
+    // patterns, same replacement order (emails before IPs).
+    "t12_pii" ->
+      """WITH p AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                || ' or admin@test.org from 10.0.0.'
+                || CAST(doc_id % 256 AS VARCHAR) AS t
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')) AS redacted_fp
+         FROM p"""
   )
 
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.functions.TextFunctions._
+
+/** Hand-planted ground truth for the PII family (the oracled t-queries
+  * cover the rest of TextFunctions).
+  */
+class TextFunctionsSpec extends SparkSessionSpec {
+  import spark.implicits._
+
+  test("piiCount finds emails and IPv4s; redactPii replaces all of them") {
+    val df = Seq(
+      (1L, "write to alice.smith+x@corp.example.com or bob@x.io today"),
+      (2L, "servers 10.0.0.1 and 192.168.1.255 are up; 999.1.2.3 is odd too"),
+      (3L, "no pii here at all"),
+      (4L, "mixed: carol@a.bc from 172.16.0.9")
+    ).toDF("id", "text")
+    val got = df.select(
+      col("id"),
+      piiCount(col("text"), EmailRegex).as("e"),
+      piiCount(col("text"), Ipv4Regex).as("i"),
+      redactPii(col("text")).as("r"))
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) === 2 && got(0).getLong(2) === 0)
+    // the \d{1,3} shape intentionally matches 999.1.2.3 — PII detection
+    // over-matches rather than leaks
+    assert(got(1).getLong(1) === 0 && got(1).getLong(2) === 3)
+    assert(got(2).getLong(1) === 0 && got(2).getLong(2) === 0)
+    assert(got(3).getString(3) === "mixed: <EMAIL> from <IP>")
+    assert(!got.exists(r => r.getString(3).contains("@")
+      && r.getLong(1) > 0))
+  }
+
+  test("redaction is idempotent and leaves clean text untouched") {
+    val df = Seq((1L, "clean text"), (2L, "x@y.zz")).toDF("id", "text")
+    val once = df.select(redactPii(col("text")).as("r"))
+    val twice = once.select(redactPii(col("r")).as("r"))
+    assert(once.collect().map(_.getString(0)).toSeq ===
+      twice.collect().map(_.getString(0)).toSeq)
+    assert(once.collect()(0).getString(0) === "clean text")
+  }
+}
