@@ -105,4 +105,24 @@ class PlanSpec extends SparkSessionSpec {
         s"$q runs its hot pass at scan parallelism")
     }
   }
+
+  /** Queries where a BroadcastNestedLoopJoin is the DESIGNED plan: a
+    * deliberately tiny broadcast side (the ANN query set, the 1-row
+    * corpus-total frame), where nested-loop over a handful of rows is
+    * the cheapest physical form. Everything else must never NLJ.
+    */
+  private val intendedNlj = Set(
+    "v01_ann_bruteforce", // query set broadcast against the corpus
+    "t10_tfidf", "t11_unigram_nll") // 1-row corpus-count cross join
+
+  test("no query plans a CartesianProduct; NLJ only where designed") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a CartesianProduct")
+      if (!intendedNlj(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans an unintended BroadcastNestedLoopJoin")
+    }
+  }
 }
