@@ -141,6 +141,55 @@ object CorpusStats {
           .otherwise(lit(0.0)), 6).as("dup_tok_frac"))
   }
 
+  /** Duplicated-span REMOVAL — the cleaning counterpart of
+    * [[dupSpanCoverage]]: tokens inside any k-gram that also occurs in
+    * another document are dropped, and the remainder re-joins in original
+    * order — the exact-substring-dedup transform itself, not just its
+    * statistic.
+    *
+    * Output: (id, n_tokens, n_kept, clean_text) — every input doc
+    * appears; fully-duplicated docs keep an empty string.
+    *
+    * Shape: the [[dupSpanCoverage]] gram pipeline (hash keys, one gram
+    * shuffle + join-back) plus a per-doc ordered reassembly: kept
+    * (position, token) pairs collect per doc and sort INSIDE the row
+    * (array_sort on position-first structs), so the only added wide op
+    * is the per-doc groupBy.
+    */
+  def removeDupSpans(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val toks = lowerTokens(col(textCol))
+    val base = widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), toks.as("__toks"))
+    val grams = base.select(col(idCol),
+        posexplode(kgramHashes(col("__toks"), k)).as(Seq("p0", "g")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("g"))
+    val shared = grams.groupBy("g")
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select("g")
+    val covered = grams.join(shared, Seq("g"))
+      .select(col(idCol),
+        explode(sequence(col("p"), col("p") + lit(k - 1))).as("ti"))
+      .distinct()
+    val tokPos = base.select(col(idCol),
+        posexplode(col("__toks")).as(Seq("p0", "tk")))
+      .select(col(idCol), (col("p0") + 1).as("ti"), col("tk"))
+    val kept = tokPos.join(covered, Seq(idCol, "ti"), "left_anti")
+    val clean = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("ti"), col("tk")))),
+          s => s("tk")), " ").as("clean_text"))
+    base.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(clean, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Benchmark-decontamination check: for each eval document, how many of
     * its DISTINCT k-grams appear anywhere in the train corpus — the
     * train/test-overlap signal run before an eval set is trusted.

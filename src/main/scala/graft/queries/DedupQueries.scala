@@ -77,6 +77,13 @@ object DedupQueries {
       CorpusStats.dupSpanCoverage(
         table(s, dir, "documents"), "text", "doc_id", k = 8)),
 
+    // Duplicated-span REMOVAL (the cleaning transform d07 only measures):
+    // tokens inside any cross-document-shared 8-gram are dropped and the
+    // remainder reassembles in order.
+    "d09_despan" -> ((s, dir) =>
+      CorpusStats.removeDupSpans(
+        table(s, dir, "documents"), "text", "doc_id", k = 8)),
+
     // Benchmark decontamination: eval = doc_id < 50, train = the rest;
     // per eval doc, the fraction of its distinct 8-grams found anywhere
     // in the train corpus.
@@ -204,6 +211,38 @@ object DedupQueries {
               THEN CAST(coalesce(cnt.n_dup_tokens, 0) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE)
               ELSE 0.0 END, 6) AS dup_tok_frac
           FROM t LEFT JOIN cnt USING (doc_id)""",
+    // Mirrors CorpusStats.removeDupSpans: the d07 covered-position CTEs,
+    // then ordered reassembly of the uncovered tokens (list ORDER BY ti).
+    "d09_despan" ->
+      """WITH t AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS toks
+          FROM documents),
+          g AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 6),
+                    i -> struct_pack(p := i, s := array_to_string(toks[i:i+7], ' ')))) AS gs
+                FROM t WHERE len(toks) >= 8),
+          grams AS (SELECT doc_id, gs.p AS p, gs.s AS s FROM g),
+          shared AS (SELECT s FROM grams GROUP BY s HAVING count(DISTINCT doc_id) > 1),
+          cov AS (SELECT DISTINCT doc_id, ti FROM (
+                    SELECT grams.doc_id, unnest(range(p, p + 8)) AS ti
+                    FROM grams JOIN shared USING (s))),
+          tokpos AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks) + 1),
+                    i -> struct_pack(ti := i, tk := toks[i]))) AS s
+                FROM t),
+          tp AS (SELECT doc_id, s.ti AS ti, s.tk AS tk FROM tokpos),
+          kept AS (SELECT tp.doc_id, tp.ti, tp.tk
+                   FROM tp LEFT JOIN cov
+                     ON tp.doc_id = cov.doc_id AND tp.ti = cov.ti
+                   WHERE cov.ti IS NULL),
+          cl AS (SELECT doc_id, count(*) AS n_kept,
+                   array_to_string(list(tk ORDER BY ti), ' ') AS clean_text
+                 FROM kept GROUP BY doc_id)
+          SELECT t.doc_id,
+            CAST(len(t.toks) AS BIGINT) AS n_tokens,
+            coalesce(cl.n_kept, 0) AS n_kept,
+            coalesce(cl.clean_text, '') AS clean_text
+          FROM t LEFT JOIN cl USING (doc_id)""",
     // Mirrors CorpusStats.contamination (k=8): distinct grams per eval
     // doc, train side collapsed to a distinct gram set, BIGINT parity.
     "d08_contamination" ->

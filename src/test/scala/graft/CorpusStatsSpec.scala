@@ -158,6 +158,43 @@ class CorpusStatsSpec extends SparkSessionSpec {
     assert(got(1).getDouble(2) === 0.0)
   }
 
+  test("removeDupSpans: shared spans drop, order survives, disjoint docs intact") {
+    // docs 1 and 2 share the 3-gram "p q r"; doc 3 shares nothing
+    val df = Seq(
+      (1L, "a p q r b"),
+      (2L, "z p q r z"),
+      (3L, "m n o m n")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.removeDupSpans(df, "text", "doc_id", k = 3)
+      .orderBy("doc_id").collect()
+    assert(got(0) === Row(1L, 5L, 2L, "a b"))
+    assert(got(1) === Row(2L, 5L, 2L, "z z"))
+    assert(got(2) === Row(3L, 5L, 5L, "m n o m n"))
+  }
+
+  test("removeDupSpans: fully-duplicated doc keeps an empty string") {
+    val df = Seq(
+      (1L, "x y z w"),
+      (2L, "x y z w")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.removeDupSpans(df, "text", "doc_id", k = 4)
+      .orderBy("doc_id").collect()
+    assert(got(0) === Row(1L, 4L, 0L, ""))
+    assert(got(1) === Row(2L, 4L, 0L, ""))
+  }
+
+  test("removeDupSpans is consistent with dupSpanCoverage counts") {
+    val d = graft.Engine.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val cov = CorpusStats.dupSpanCoverage(d, "text", "doc_id", k = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"))
+    val cln = CorpusStats.removeDupSpans(d, "text", "doc_id", k = 8)
+      .select(col("doc_id"), col("n_kept"))
+    val bad = cov.join(cln, "doc_id")
+      .filter(col("n_kept") =!= col("n_tokens") - col("n_dup_tokens"))
+    assert(bad.count() === 0)
+  }
+
   test("unigramNll: hand-computed corpus model, rare tokens cost more") {
     // corpus: a a a b  → T=4, c(a)=3, c(b)=1
     val df = Seq(
