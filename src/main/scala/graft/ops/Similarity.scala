@@ -156,12 +156,13 @@ object Similarity {
       sampleSize: Int = 2048, iters: Int = 10,
       idCol: String = "id", vecCol: String = "vec",
       qidCol: String = "qid", qvecCol: String = "qvec",
-      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
+      maxLiteralCells: Int = IvfLiteralCellGate,
+      trained: Option[Array[Array[Float]]] = None): DataFrame = {
     // an underfull corpus yields fewer centroids than requested: all cell
     // arithmetic below must use the ACTUAL count, or queries would probe
     // null-padded phantom cells and match nothing
-    val centroids =
-      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol)
+    val centroids = trained.getOrElse(
+      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol))
     if (centroids.isEmpty)
       return corpus.sparkSession.emptyDataFrame
         .select(lit(0L).as(qidCol), lit(0L).as("neighbor_id"),
@@ -219,9 +220,10 @@ object Similarity {
       corpus: DataFrame, threshold: Double,
       nCentroids: Int = 16, sampleSize: Int = 2048, iters: Int = 10,
       idCol: String = "id", vecCol: String = "vec",
-      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
-    val centroids =
-      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol)
+      maxLiteralCells: Int = IvfLiteralCellGate,
+      trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(
+      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol))
     if (centroids.isEmpty)
       return corpus.sparkSession.emptyDataFrame
         .select(lit(0L).as("id"), lit(0L).as("dup_of"), lit(0.0).as("sim"))
@@ -267,9 +269,10 @@ object Similarity {
       corpus: DataFrame,
       nCentroids: Int = 16, sampleSize: Int = 2048, iters: Int = 10,
       idCol: String = "id", vecCol: String = "vec",
-      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
-    val centroids =
-      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol)
+      maxLiteralCells: Int = IvfLiteralCellGate,
+      trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(
+      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol))
     if (centroids.isEmpty)
       return corpus.sparkSession.emptyDataFrame
         .select(lit(0L).as("id"), lit(0).as("cell")).limit(0)
@@ -305,9 +308,10 @@ object Similarity {
       corpus: DataFrame,
       nCentroids: Int = 16, sampleSize: Int = 2048, iters: Int = 10,
       idCol: String = "id", vecCol: String = "vec",
-      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
-    val centroids =
-      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol)
+      maxLiteralCells: Int = IvfLiteralCellGate,
+      trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(
+      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol))
     if (centroids.isEmpty)
       return corpus.sparkSession.emptyDataFrame
         .select(lit(0).as("cell"), lit(0L).as("n_vecs"), lit(0L).as("min_id"),

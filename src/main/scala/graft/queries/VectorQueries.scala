@@ -18,6 +18,24 @@ import graft.ops.Similarity
   */
 object VectorQueries {
 
+
+  /** Trained-index memo: the IVF centroids are a pure deterministic
+    * function of (data dir, nCentroids) — the test dirs are immutable —
+    * so queries AND their dynamic oracles share one training run instead
+    * of re-sampling + re-running k-means per construction. This is the
+    * FAISS usage pattern (train once, serve many); the operators accept
+    * the pre-trained index via their `trained` parameter.
+    */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Float]]]()
+  private def centroids(
+      s: SparkSession, dir: String, n: Int): Array[Array[Float]] =
+    centroidMemo.computeIfAbsent((dir, n), _ =>
+      Similarity.ivfCentroids(
+        table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        nCentroids = n))
+
   /** embeddings ∪ (embeddings ⊕ id+10000): plants one exact duplicate per
     * vector (natural max pairwise cosine in the corpus is 0.51, so dup
     * queries need ground truth).
@@ -65,7 +83,8 @@ object VectorQueries {
       val q = table(s, dir, "embeddings")
         .filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(e, q, k = 10, nCentroids = 16, nProbe = 6)
+      Similarity.ivfTopK(e, q, k = 10, nCentroids = 16, nProbe = 6,
+        trained = Some(centroids(s, dir, 16)))
     }),
 
     // Embedding-cosine near-dup pairs at ≥ 0.99 over the planted corpus:
@@ -87,7 +106,8 @@ object VectorQueries {
       Similarity.semanticDedup(
         table(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        threshold = 0.35, nCentroids = 16)),
+        threshold = 0.35, nCentroids = 16,
+        trained = Some(centroids(s, dir, 16)))),
 
     // Cluster profile over the same deterministic k-means cells: member
     // count / first member / centroid-cosine extrema per cell — the
@@ -98,7 +118,7 @@ object VectorQueries {
       Similarity.clusterProfile(
         table(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        nCentroids = 16)),
+        nCentroids = 16, trained = Some(centroids(s, dir, 16)))),
 
     // CROSS-MODAL composition: embedding-space clusters joined back to
     // the text table (vec_id ↔ doc_id) for a cluster-conditioned language
@@ -110,7 +130,7 @@ object VectorQueries {
       val cells = Similarity.assignCells(
         table(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        nCentroids = 16)
+        nCentroids = 16, trained = Some(centroids(s, dir, 16)))
       val docs = table(s, dir, "documents")
         .select(col("doc_id").as("id"), col("lang"))
       cells.join(docs, Seq("id"))
@@ -170,9 +190,7 @@ object VectorQueries {
     * ranking orders by (cos DESC, idx ASC) on both sides.
     */
   private def v04OracleSql(s: SparkSession, dir: String): String = {
-    val e = table(s, dir, "embeddings")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = Similarity.ivfCentroids(e, nCentroids = 16)
+    val cents = centroids(s, dir, 16)
     val nCells = cents.length
     val probes = math.min(6, nCells)
     def exact(f: Float): String =
@@ -214,9 +232,7 @@ object VectorQueries {
     * `list_cosine_similarity` double path, same first-max tie-break.
     */
   private def v05OracleSql(s: SparkSession, dir: String): String = {
-    val e = table(s, dir, "embeddings")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = Similarity.ivfCentroids(e, nCentroids = 16)
+    val cents = centroids(s, dir, 16)
     def exact(f: Float): String =
       new java.math.BigDecimal(f.toDouble).toPlainString
     val cosl = cents.map { c =>
@@ -245,9 +261,7 @@ object VectorQueries {
     * are order-insensitive picks, so no accumulation drift is possible.
     */
   private def v06OracleSql(s: SparkSession, dir: String): String = {
-    val e = table(s, dir, "embeddings")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = Similarity.ivfCentroids(e, nCentroids = 16)
+    val cents = centroids(s, dir, 16)
     def exact(f: Float): String =
       new java.math.BigDecimal(f.toDouble).toPlainString
     val cosl = cents.map { c =>
@@ -272,9 +286,7 @@ object VectorQueries {
     * on the aligned id, then integer-exact counts.
     */
   private def p03OracleSql(s: SparkSession, dir: String): String = {
-    val e = table(s, dir, "embeddings")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = Similarity.ivfCentroids(e, nCentroids = 16)
+    val cents = centroids(s, dir, 16)
     def exact(f: Float): String =
       new java.math.BigDecimal(f.toDouble).toPlainString
     val cosl = cents.map { c =>
