@@ -17,8 +17,9 @@ package graft
   *  - contention guard: two rounds of driver benches carried phantom
   *    numbers from whole-window environment contention (r1 q14 "44s",
   *    r2 text queries at 4–6× — both adjudicated noise; see BASELINE.md).
-  *    If the median still sits > 3× the fastest run, the query is
-  *    re-measured once with fresh runs and the better median wins;
+  *    If the median sits > 3× the fastest run, the query is re-measured
+  *    once and the median of the POOLED (first + fresh) runs is
+  *    reported — the wider sample dilutes a contended window;
   *  - per-query MIN is emitted alongside the median ("queries_min"), so a
   *    contended window is visible IN the record: median >> min flags
   *    noise without a rerun.

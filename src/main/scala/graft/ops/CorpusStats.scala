@@ -109,15 +109,18 @@ object CorpusStats {
     * would be `xxhash64(gram)` (collision odds are what they are for any
     * fingerprint dedup) — same plan, narrower shuffle.
     */
-  def dupSpanCoverage(
-      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    val toks = lowerTokens(col(textCol))
-    // widen BEFORE tokenize+explode: both consumers below (gram counting
-    // and the join-back) explode the gram stream map-side, and a
-    // single-row-group scan would serialize that CPU onto one task
+  /** The shared heart of the exact-substring-dedup family: tokenized docs
+    * (`__toks`, widened past single-row-group scans — both consumers
+    * explode the gram stream map-side) and the DISTINCT (id, ti) token
+    * positions covered by a k-gram shared with at least one OTHER doc.
+    * [[dupSpanCoverage]] counts these positions; [[removeDupSpans]] drops
+    * them — one definition, so the two can never disagree on coverage.
+    */
+  private def coveredPositions(
+      df: DataFrame, textCol: String, idCol: String, k: Int): (DataFrame, DataFrame) = {
     val base = widen(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), toks.as("__toks"))
-    val grams = base.select(col(idCol), size(col("__toks")).as("n_tokens"),
+      .select(col(idCol), lowerTokens(col(textCol)).as("__toks"))
+    val grams = base.select(col(idCol),
         posexplode(kgramHashes(col("__toks"), k)).as(Seq("p0", "g")))
       .select(col(idCol), (col("p0") + 1).as("p"), col("g"))
     val shared = grams.groupBy("g")
@@ -128,6 +131,13 @@ object CorpusStats {
       .select(col(idCol),
         explode(sequence(col("p"), col("p") + lit(k - 1))).as("ti"))
       .distinct()
+    (base, covered)
+  }
+
+  def dupSpanCoverage(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val (base, coveredPos) = coveredPositions(df, textCol, idCol, k)
+    val covered = coveredPos
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_tokens"))
     base.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
       .join(covered, Seq(idCol), "left")
@@ -158,20 +168,7 @@ object CorpusStats {
     */
   def removeDupSpans(
       df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    val toks = lowerTokens(col(textCol))
-    val base = widen(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), toks.as("__toks"))
-    val grams = base.select(col(idCol),
-        posexplode(kgramHashes(col("__toks"), k)).as(Seq("p0", "g")))
-      .select(col(idCol), (col("p0") + 1).as("p"), col("g"))
-    val shared = grams.groupBy("g")
-      .agg(count_distinct(col(idCol)).as("n_docs"))
-      .filter(col("n_docs") > 1)
-      .select("g")
-    val covered = grams.join(shared, Seq("g"))
-      .select(col(idCol),
-        explode(sequence(col("p"), col("p") + lit(k - 1))).as("ti"))
-      .distinct()
+    val (base, covered) = coveredPositions(df, textCol, idCol, k)
     val tokPos = base.select(col(idCol),
         posexplode(col("__toks")).as(Seq("p0", "tk")))
       .select(col(idCol), (col("p0") + 1).as("ti"), col("tk"))

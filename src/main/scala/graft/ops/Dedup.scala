@@ -81,9 +81,11 @@ object Dedup {
     val inBatch = exactGroups(batch, textCol, idCol)
       .select(col("fp"), col("keeper_id"))
     val known = store.scan(gid).select(col("key").as("fp"))
-    val fresh = inBatch.join(known, Seq("fp"), "left_anti")
-    // register the new fingerprints BEFORE returning: the returned frame
-    // re-reads the index only through the keeper ids already resolved
+    // MATERIALIZE the anti-join before put(): the index update below
+    // rewrites (swaps) the very bucket files `known` reads, so a lazy
+    // `fresh` evaluated after put() would hit deleted part files (or,
+    // with ignoreMissingFiles, silently drop survivors)
+    val fresh = inBatch.join(known, Seq("fp"), "left_anti").localCheckpoint()
     val keepers = fresh.select(col("fp").as("key"),
       col("keeper_id").cast("string").as("value"))
     store.put(keepers, gid, keyCol = Some("key"))

@@ -150,6 +150,30 @@ object Similarity {
     df.crossJoin(broadcast(centDF))
   }
 
+  /** Shared dispatch of the literal-vs-broadcast centroid path: attaches
+    * a `__cos` column of per-centroid cosines (plus `__cents` on the
+    * broadcast path — callers drop both). ONE definition of the gate so
+    * the four cell-based operators cannot drift.
+    */
+  private def withCellCosines(
+      df: DataFrame, centroids: Array[Array[Float]],
+      vecCol: String, maxLiteralCells: Int): DataFrame = {
+    val useLiterals = centroids.length <= maxLiteralCells
+    val base = if (useLiterals) df else withCentroidsCol(df, centroids)
+    val cosines =
+      if (useLiterals)
+        array(centroids.map(c => cosine(col(vecCol), array(c.map(lit(_)): _*))): _*)
+      else
+        transform(col("__cents"), c => cosine(col(vecCol), c))
+    base.withColumn("__cos", cosines)
+  }
+
+  /** 1-based argmax cell over `__cos` (ties -> first, matching
+    * list_position(list_aggregate 'max') in the SQL oracles).
+    */
+  private def argmaxCell: Column =
+    array_position(col("__cos"), array_max(col("__cos"))).cast("int")
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
@@ -169,23 +193,12 @@ object Similarity {
           lit(0).as("rank"), lit(0.0).as("sim")).limit(0)
     val nCells = centroids.length
     val probes = math.min(nProbe, nCells)
-    val useLiterals = nCells <= maxLiteralCells
-    def centCol(c: Array[Float]): Column =
-      array(c.map(x => lit(x)): _*)
-    def cosines(v: Column): Column =
-      if (useLiterals)
-        array(centroids.map(c => cosine(v, centCol(c))): _*)
-      else
-        transform(col("__cents"), c => cosine(v, c))
-    def withCents(df: DataFrame): DataFrame =
-      if (useLiterals) df else withCentroidsCol(df, centroids)
     // corpus: argmax cell (1-based via array_position; ties → first)
-    val cb = withCents(corpus).withColumn("__cos", cosines(col(vecCol)))
-      .withColumn("cell",
-        array_position(col("__cos"), array_max(col("__cos"))).cast("int"))
+    val cb = withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
+      .withColumn("cell", argmaxCell)
       .drop("__cos", "__cents")
     // queries: nProbe best cells — sort (−cos, idx) structs, take nProbe
-    val qb = withCents(queries).withColumn("__cos", cosines(col(qvecCol)))
+    val qb = withCellCosines(queries, centroids, qvecCol, maxLiteralCells)
       .withColumn("__ranked", sort_array(zip_with(
         col("__cos"), sequence(lit(1), lit(nCells)),
         (c, i) => struct((-c).as("negc"), i.as("idx")))))
@@ -228,17 +241,8 @@ object Similarity {
       return corpus.sparkSession.emptyDataFrame
         .select(lit(0L).as("id"), lit(0L).as("dup_of"), lit(0.0).as("sim"))
         .limit(0)
-    val useLiterals = centroids.length <= maxLiteralCells
-    def cosines(v: Column): Column =
-      if (useLiterals)
-        array(centroids.map(c => cosine(v, array(c.map(lit(_)): _*))): _*)
-      else
-        transform(col("__cents"), c => cosine(v, c))
-    val withCents =
-      if (useLiterals) corpus else withCentroidsCol(corpus, centroids)
-    val cb = withCents.withColumn("__cos", cosines(col(vecCol)))
-      .withColumn("cell",
-        array_position(col("__cos"), array_max(col("__cos"))).cast("int"))
+    val cb = withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
+      .withColumn("cell", argmaxCell)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
       // explicit AQE-exempt width for the quadratic in-cell expansion:
       // AQE sizes the post-join stage from the PRE-join input, which
@@ -276,18 +280,8 @@ object Similarity {
     if (centroids.isEmpty)
       return corpus.sparkSession.emptyDataFrame
         .select(lit(0L).as("id"), lit(0).as("cell")).limit(0)
-    val useLiterals = centroids.length <= maxLiteralCells
-    def cosines(v: Column): Column =
-      if (useLiterals)
-        array(centroids.map(c => cosine(v, array(c.map(lit(_)): _*))): _*)
-      else
-        transform(col("__cents"), c => cosine(v, c))
-    val withCents =
-      if (useLiterals) corpus else withCentroidsCol(corpus, centroids)
-    withCents.withColumn("__cos", cosines(col(vecCol)))
-      .select(col(idCol).as("id"),
-        array_position(col("__cos"), array_max(col("__cos")))
-          .cast("int").as("cell"))
+    withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
+      .select(col(idCol).as("id"), argmaxCell.as("cell"))
   }
 
   /** Per-cluster corpus profile over the SAME deterministic k-means cells
@@ -316,17 +310,8 @@ object Similarity {
       return corpus.sparkSession.emptyDataFrame
         .select(lit(0).as("cell"), lit(0L).as("n_vecs"), lit(0L).as("min_id"),
           lit(0.0).as("min_sim"), lit(0.0).as("max_sim")).limit(0)
-    val useLiterals = centroids.length <= maxLiteralCells
-    def cosines(v: Column): Column =
-      if (useLiterals)
-        array(centroids.map(c => cosine(v, array(c.map(lit(_)): _*))): _*)
-      else
-        transform(col("__cents"), c => cosine(v, c))
-    val withCents =
-      if (useLiterals) corpus else withCentroidsCol(corpus, centroids)
-    withCents.withColumn("__cos", cosines(col(vecCol)))
-      .withColumn("cell",
-        array_position(col("__cos"), array_max(col("__cos"))).cast("int"))
+    withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
+      .withColumn("cell", argmaxCell)
       // cosine to the OWN centroid IS the argmax value — no re-compute
       .withColumn("__sim", array_max(col("__cos")))
       .groupBy(col("cell"))

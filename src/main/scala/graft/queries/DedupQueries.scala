@@ -110,7 +110,7 @@ object DedupQueries {
     "d03_minhash_pairs" ->
       s"""WITH t AS (
             SELECT doc_id AS id,
-              trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS norm
+              trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g')) AS norm
             FROM $plantedSql d),
           tk AS (
             SELECT id, norm,
@@ -215,7 +215,7 @@ object DedupQueries {
     // then ordered reassembly of the uncovered tokens (list ORDER BY ti).
     "d09_despan" ->
       """WITH t AS (SELECT doc_id,
-            list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS toks
+            list_filter(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+'), x -> x <> '') AS toks
           FROM documents),
           g AS (SELECT doc_id,
                   unnest(list_transform(range(1, len(toks) - 6),

@@ -174,6 +174,32 @@ object VectorQueries {
         FROM ranked WHERE rank <= 10"""
   }
 
+  /** Shared dynamic-oracle preamble: the `base`/`cb` CTEs with the
+    * centroid cosines inlined as EXACT decimal literals (every binary
+    * float has one; `BigDecimal(f.toDouble)` is the exact widening, so
+    * DuckDB's `::DOUBLE[]` parse yields bit-identical doubles) and the
+    * first-max cell assignment + own-centroid cosine. One definition —
+    * the four centroid oracles (v04/v05/v06/p03) cannot drift on the
+    * byte-exactness contract.
+    */
+  private def centroidCellCte(cents: Array[Array[Float]]): String = {
+    def exact(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString
+    val cosl = cents.map { c =>
+      val litArr = c.map(exact).mkString("[", ", ", "]")
+      s"list_cosine_similarity(embedding::DOUBLE[], $litArr::DOUBLE[])"
+    }.mkString("[", ",\n            ", "]")
+    s"""WITH base AS (
+          SELECT vec_id, embedding,
+            $cosl AS cosl
+          FROM embeddings),
+        cb AS (
+          SELECT vec_id AS id, embedding AS vec,
+            CAST(list_position(cosl, list_aggregate(cosl, 'max')) AS INTEGER) AS cell,
+            list_aggregate(cosl, 'max') AS sim
+          FROM base)"""
+  }
+
   /** The v04 oracle rebuilt from the SAME deterministic constants the
     * query uses — v02's plane-inlining trick, extended to DATA-DEPENDENT
     * constants: the IVF centroids are a deterministic function of the
@@ -193,20 +219,7 @@ object VectorQueries {
     val cents = centroids(s, dir, 16)
     val nCells = cents.length
     val probes = math.min(6, nCells)
-    def exact(f: Float): String =
-      new java.math.BigDecimal(f.toDouble).toPlainString
-    val cosl = cents.map { c =>
-      val litArr = c.map(exact).mkString("[", ", ", "]")
-      s"list_cosine_similarity(embedding::DOUBLE[], $litArr::DOUBLE[])"
-    }.mkString("[", ",\n            ", "]")
-    s"""WITH base AS (
-          SELECT vec_id, embedding,
-            $cosl AS cosl
-          FROM embeddings),
-        cb AS (
-          SELECT vec_id AS id, embedding AS vec,
-            list_position(cosl, list_aggregate(cosl, 'max')) AS cell
-          FROM base),
+    s"""${centroidCellCte(cents)},
         qp AS (
           SELECT vec_id AS qid, embedding AS qvec, gs.i AS cell
           FROM base, generate_series(1, $nCells) gs(i)
@@ -233,20 +246,7 @@ object VectorQueries {
     */
   private def v05OracleSql(s: SparkSession, dir: String): String = {
     val cents = centroids(s, dir, 16)
-    def exact(f: Float): String =
-      new java.math.BigDecimal(f.toDouble).toPlainString
-    val cosl = cents.map { c =>
-      val litArr = c.map(exact).mkString("[", ", ", "]")
-      s"list_cosine_similarity(embedding::DOUBLE[], $litArr::DOUBLE[])"
-    }.mkString("[", ",\n            ", "]")
-    s"""WITH base AS (
-          SELECT vec_id, embedding,
-            $cosl AS cosl
-          FROM embeddings),
-        cb AS (
-          SELECT vec_id AS id, embedding AS vec,
-            list_position(cosl, list_aggregate(cosl, 'max')) AS cell
-          FROM base),
+    s"""${centroidCellCte(cents)},
         pairs AS (
           SELECT b.id AS id, a.id AS dup_of,
             list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]) AS sim
@@ -262,21 +262,7 @@ object VectorQueries {
     */
   private def v06OracleSql(s: SparkSession, dir: String): String = {
     val cents = centroids(s, dir, 16)
-    def exact(f: Float): String =
-      new java.math.BigDecimal(f.toDouble).toPlainString
-    val cosl = cents.map { c =>
-      val litArr = c.map(exact).mkString("[", ", ", "]")
-      s"list_cosine_similarity(embedding::DOUBLE[], $litArr::DOUBLE[])"
-    }.mkString("[", ",\n            ", "]")
-    s"""WITH base AS (
-          SELECT vec_id, embedding,
-            $cosl AS cosl
-          FROM embeddings),
-        cb AS (
-          SELECT vec_id AS id,
-            CAST(list_position(cosl, list_aggregate(cosl, 'max')) AS INTEGER) AS cell,
-            list_aggregate(cosl, 'max') AS sim
-          FROM base)
+    s"""${centroidCellCte(cents)}
         SELECT cell, count(*) AS n_vecs, min(id) AS min_id,
           round(min(sim), 6) AS min_sim, round(max(sim), 6) AS max_sim
         FROM cb GROUP BY cell"""
@@ -287,20 +273,7 @@ object VectorQueries {
     */
   private def p03OracleSql(s: SparkSession, dir: String): String = {
     val cents = centroids(s, dir, 16)
-    def exact(f: Float): String =
-      new java.math.BigDecimal(f.toDouble).toPlainString
-    val cosl = cents.map { c =>
-      val litArr = c.map(exact).mkString("[", ", ", "]")
-      s"list_cosine_similarity(embedding::DOUBLE[], $litArr::DOUBLE[])"
-    }.mkString("[", ",\n            ", "]")
-    s"""WITH base AS (
-          SELECT vec_id, embedding,
-            $cosl AS cosl
-          FROM embeddings),
-        cb AS (
-          SELECT vec_id AS id,
-            CAST(list_position(cosl, list_aggregate(cosl, 'max')) AS INTEGER) AS cell
-          FROM base)
+    s"""${centroidCellCte(cents)}
         SELECT cb.cell, d.lang, count(*) AS n_docs
         FROM cb JOIN documents d ON d.doc_id = cb.id
         GROUP BY cb.cell, d.lang"""

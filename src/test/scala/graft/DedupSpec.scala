@@ -128,4 +128,25 @@ class DedupSpec extends SparkSessionSpec {
       .collect()
     assert(s3.isEmpty)
   }
+
+  test("incremental survivors: batch whose new fps land in OCCUPIED buckets") {
+    // enough keys that batch 2's fingerprints collide with batch 1's
+    // buckets — the index put() then REWRITES files the survivors frame
+    // was derived from; a lazy read-after-swap crashed here before the
+    // materialization fix
+    val root = java.nio.file.Files.createTempDirectory("graft-inc2").toString
+    val store = new graft.kv.Store(spark, root)
+    def mk(lo: Long, n: Long) =
+      spark.range(lo, lo + n)
+        .selectExpr("id AS doc_id", "concat('unique doc number ', id) AS text")
+    val s1 = Dedup.incrementalSurvivors(store, "fps", mk(0, 200), "text", "doc_id")
+      .count()
+    assert(s1 === 200)
+    // batch 2 overlaps 0-99 (cross-batch dups) and adds 100 new docs —
+    // whose fps necessarily hit already-populated buckets (200 keys over
+    // 32 buckets leaves none empty with overwhelming probability)
+    val s2 = Dedup.incrementalSurvivors(store, "fps", mk(100, 200), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 === (200L until 300L).toSet)
+  }
 }
