@@ -20,7 +20,7 @@ import graft.functions.TextFunctions.WhitespaceRegex
   * All are two-level aggregations (per-(doc, term) partial then per-doc),
   * so map-side combine keeps the shuffle narrow; nothing here is
   * per-document quadratic. The reference's wordcount family
-  * (/root/reference/non_distribution/apps/wordCount.js:1-40 and its
+  * (/root/reference/test/mr.test.js:165-204 and its
   * distributed analog) is the degenerate single-level case of the same
   * shape.
   */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Recurring tasks — the engine analog of the reference's `gossip.at`
-  * (distribution/local/gossip.js:168-171, its only recurring-execution
+  * (distribution/all/gossip.js:168-175, its only recurring-execution
   * construct; `gossip.del` clears the interval).
   *
   * The reference schedules with a node-local `setInterval`; a raw timer

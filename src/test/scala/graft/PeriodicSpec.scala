@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import graft.streaming.Periodic
 
-/** gossip.at / gossip.del parity (reference local/gossip.js:168-171 +
+/** gossip.at / gossip.del parity (reference all/gossip.js:168-175 +
   * test usage): a registered task fires repeatedly until cleared.
   */
 class PeriodicSpec extends SparkSessionSpec {
