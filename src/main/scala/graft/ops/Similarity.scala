@@ -227,39 +227,123 @@ object Similarity {
     *
     * Cross-cell near-dup pairs are invisible by design — that recall
     * trade-off is the operator's contract (SemDeDup makes the same one);
-    * [[cosineNearDupPairs]] is the blocking-by-bucket alternative.
+    * [[cosineNearDupPairs]] is the blocking-by-bucket alternative, and
+    * [[semanticDedupExhaustive]] layers it back on as a recall backstop.
+    *
+    * '''Skew bound (`maxCellRows`).''' A cell is still all-pairs inside,
+    * and `repartition(cell)` alone leaves one mega-cluster as ONE task
+    * doing |cell|² work. Cells larger than `maxCellRows` are therefore
+    * salted into `s = ⌈|cell|/maxCellRows⌉` deterministic groups
+    * (`xxhash64(id) mod s`) and the all-pairs test is decomposed into the
+    * s(s+1)/2 triangular tiles (gᵢ ≤ gⱼ): a row with salt g enters tiles
+    * (g, g..s−1) on the build side and (0..g, g) on the probe side, so an
+    * unordered pair with salts (gₐ, g_b) meets in EXACTLY the tile
+    * (min, max) — coverage is preserved, nothing is compared twice (the
+    * same-tile orientation dup is removed by the salt/id filter below),
+    * and the per-task comparison count is bounded by ~maxCellRows²
+    * regardless of skew. Total comparison work is unchanged (the
+    * operator's contract IS exact within-cell all-pairs); what the cap
+    * buys is that the work spreads across tiles instead of serializing.
+    * Row replication is s+1 copies per row ≈ |cell|/maxCellRows — always
+    * ≪ the |cell|²/2 comparisons the tiles carry, so shuffle volume never
+    * dominates. Output is bit-identical to the unsalted plan (cosine is
+    * exactly commutative), which SimilaritySpec asserts.
+    *
+    * Cell sizes come from a `groupBy(cell).count()` — a second linear
+    * assignment pass, deliberately: map-side combine keeps it fully
+    * parallel, where a window-count would gather the mega cell into the
+    * very straggler task the cap exists to prevent.
     */
   def semanticDedup(
       corpus: DataFrame, threshold: Double,
       nCentroids: Int = 16, sampleSize: Int = 2048, iters: Int = 10,
       idCol: String = "id", vecCol: String = "vec",
       maxLiteralCells: Int = IvfLiteralCellGate,
-      trained: Option[Array[Array[Float]]] = None): DataFrame = {
+      trained: Option[Array[Array[Float]]] = None,
+      maxCellRows: Int = 4096): DataFrame = {
+    require(maxCellRows >= 1, s"maxCellRows must be >= 1, got $maxCellRows")
     val centroids = trained.getOrElse(
       ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol))
     if (centroids.isEmpty)
       return corpus.sparkSession.emptyDataFrame
         .select(lit(0L).as("id"), lit(0L).as("dup_of"), lit(0.0).as("sim"))
         .limit(0)
-    val cb = withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
+    val assigned = withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
       .withColumn("cell", argmaxCell)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
-      // explicit AQE-exempt width for the quadratic in-cell expansion:
-      // AQE sizes the post-join stage from the PRE-join input, which
-      // wildly underestimates Σ|cell|² output (same guard as Dedup's
-      // pair-expansion joins)
-      .repartition(
-        math.max(corpus.sparkSession.sparkContext.defaultParallelism * 2, 16),
-        col("cell"))
-    val pairs = cb.as("a").join(cb.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    val salted = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("__s", greatest(lit(1),
+        ceil(col("__n").cast("double") / lit(maxCellRows))).cast("int"))
+      .withColumn("__g", pmod(xxhash64(col("id")), col("__s")).cast("int"))
+      .drop("__n")
+    val left = salted
+      .withColumn("__tj", explode(sequence(col("__g"), col("__s") - lit(1))))
+      .select(col("cell"), col("__g").as("__ti"), col("__tj"),
+        col("id").as("a_id"), col("vec").as("a_vec"), col("__g").as("__ga"))
+    val right = salted
+      .withColumn("__ti", explode(sequence(lit(0), col("__g"))))
+      .select(col("cell"), col("__ti"), col("__g").as("__tj"),
+        col("id").as("b_id"), col("vec").as("b_vec"), col("__g").as("__gb"))
+    // explicit AQE-exempt width for the quadratic in-tile expansion:
+    // AQE sizes the post-join stage from the PRE-join input, which
+    // wildly underestimates Σ|cell|² output (same guard as Dedup's
+    // pair-expansion joins); the tile key spreads a salted cell's tiles
+    // across these partitions
+    val width = math.max(
+      corpus.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    val tileKey = Seq(col("cell"), col("__ti"), col("__tj"))
+    val pairs = left.repartition(width, tileKey: _*)
+      .join(right.repartition(width, tileKey: _*),
+        Seq("cell", "__ti", "__tj"))
+      // each unordered pair exactly once: cross-salt pairs meet only in
+      // their (min, max) tile with the smaller salt on the left; same-salt
+      // pairs meet twice in tile (g, g) — keep the id-ordered orientation
+      .filter(col("__ga") < col("__gb") ||
+        (col("__ga") === col("__gb") && col("a_id") < col("b_id")))
+      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
       .filter(col("sim") >= threshold)
-    val w = Window.partitionBy(col("b.id")).orderBy(col("a.id").asc)
+      .withColumn("__lo", least(col("a_id"), col("b_id")))
+      .withColumn("__hi", greatest(col("a_id"), col("b_id")))
+    val w = Window.partitionBy(col("__hi")).orderBy(col("__lo").asc)
     pairs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("b.id").as("id"), col("a.id").as("dup_of"),
+      .select(col("__hi").as("id"), col("__lo").as("dup_of"),
         round(col("sim"), 6).as("sim"))
+  }
+
+  /** [[semanticDedup]] with a cross-cell recall backstop: the union of
+    * the within-cell pair set and the hyperplane-bucket blocked pair set
+    * ([[cosineNearDupPairs]]), re-resolved under the same min-earlier-id
+    * keeper rule. Near-identical twins that straddle a k-means cell
+    * boundary — invisible to SemDeDup's contract — still collide in their
+    * exact hyperplane bucket with probability → 1 as cosine → 1, so at
+    * the high thresholds where a user means "drop the twins" the union
+    * restores the recall the cell scoping gives up. Both legs are
+    * bucketed one-shuffle plans; the union adds no new scale hazard.
+    *
+    * Output contract matches [[semanticDedup]]: (id, dup_of, sim) with
+    * dup_of = the minimum earlier id related by EITHER leg and sim =
+    * cosine(id, dup_of).
+    */
+  def semanticDedupExhaustive(
+      corpus: DataFrame, threshold: Double,
+      nCentroids: Int = 16, sampleSize: Int = 2048, iters: Int = 10,
+      nPlanes: Int = 8, dim: Int = 64,
+      idCol: String = "id", vecCol: String = "vec",
+      maxLiteralCells: Int = IvfLiteralCellGate,
+      trained: Option[Array[Array[Float]]] = None,
+      maxCellRows: Int = 4096): DataFrame = {
+    val inCell = semanticDedup(corpus, threshold, nCentroids, sampleSize,
+      iters, idCol, vecCol, maxLiteralCells, trained, maxCellRows)
+    val blocked = cosineNearDupPairs(corpus, threshold, nPlanes, dim,
+      idCol, vecCol)
+      .select(col("id_b").as("id"), col("id_a").as("dup_of"), col("sim"))
+    val w = Window.partitionBy(col("id")).orderBy(col("dup_of").asc)
+    inCell.unionAll(blocked)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("dup_of"), col("sim"))
   }
 
   /** Per-row cluster assignment over the deterministic k-means cells —

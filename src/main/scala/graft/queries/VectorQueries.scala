@@ -109,6 +109,18 @@ object VectorQueries {
         threshold = 0.35, nCentroids = 16,
         trained = Some(centroids(s, dir, 16)))),
 
+    // v05 with the cross-cell recall backstop: within-cell pairs ∪
+    // hyperplane-bucket blocked pairs, re-resolved under the same
+    // min-earlier-id keeper rule. The dynamic oracle unions the v05
+    // cell-pair SQL with the v03-style bucket-pair SQL (8 inlined planes)
+    // — both legs bit-exact, so the union is too.
+    "v07_semdedup_exhaustive" -> ((s, dir) =>
+      Similarity.semanticDedupExhaustive(
+        table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.35, nCentroids = 16,
+        trained = Some(centroids(s, dir, 16)))),
+
     // Cluster profile over the same deterministic k-means cells: member
     // count / first member / centroid-cosine extrema per cell — the
     // cluster-balance readout a domain-mixing pass samples from. All
@@ -256,6 +268,37 @@ object VectorQueries {
         QUALIFY row_number() OVER (PARTITION BY id ORDER BY dup_of ASC) = 1"""
   }
 
+  /** The v07 oracle: the v05 within-cell pair SQL unioned with the
+    * v03-style hyperplane-bucket pair SQL (8 planes, same splitmix64
+    * constants inlined), then the min-dup_of keeper over the union. Both
+    * legs reuse the bit-exactness arguments of their standalone oracles.
+    */
+  private def v07OracleSql(s: SparkSession, dir: String): String = {
+    val cents = centroids(s, dir, 16)
+    val planes = graft.functions.VectorFunctions.randomPlanes(8, 64)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""${centroidCellCte(cents)},
+        bk AS (
+          SELECT vec_id AS id, embedding AS vec,
+            $bucket AS bucket
+          FROM embeddings),
+        allp AS (
+          SELECT b.id AS id, a.id AS dup_of,
+            list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]) AS sim
+          FROM cb a JOIN cb b ON a.cell = b.cell AND a.id < b.id
+          WHERE list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]) >= 0.35
+          UNION ALL
+          SELECT b.id AS id, a.id AS dup_of,
+            list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]) AS sim
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+          WHERE list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]) >= 0.35)
+        SELECT id, dup_of, round(sim, 6) AS sim FROM allp
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dup_of ASC) = 1"""
+  }
+
   /** The v06 oracle: the v04/v05 cell-assignment CTE, then per-cell
     * picked aggregates. min/max over the same bit-exact cosine doubles
     * are order-insensitive picks, so no accumulation drift is possible.
@@ -285,6 +328,7 @@ object VectorQueries {
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
     "v04_ann_ivf" -> (v04OracleSql(_, _)),
     "v05_semantic_dedup" -> (v05OracleSql(_, _)),
+    "v07_semdedup_exhaustive" -> (v07OracleSql(_, _)),
     "v06_cluster_profile" -> (v06OracleSql(_, _)),
     "p03_cluster_language_mix" -> (p03OracleSql(_, _)))
 

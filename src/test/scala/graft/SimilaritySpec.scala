@@ -167,6 +167,78 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(dropped.toSeq === Seq((2L, 1L), (3L, 1L)))
   }
 
+  test("semanticDedup cell cap: sub-split output == unsplit output") {
+    // forcing maxCellRows far below the ~31-row cells makes every cell
+    // salt into multiple tile groups; the triangular decomposition must
+    // reproduce the unsalted result EXACTLY (same ids, same rounded sims)
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val unsplit = Similarity.semanticDedup(e, threshold = 0.3,
+        maxCellRows = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val split = Similarity.semanticDedup(e, threshold = 0.3, maxCellRows = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(unsplit.nonEmpty)
+    assert(split === unsplit)
+  }
+
+  test("semanticDedup cell cap: degenerate one-cell corpus still exact") {
+    // nCentroids=1 is the mega-cluster shape the cap exists for: every
+    // row in one cell, so the all-pairs test runs entirely through the
+    // salted tiles — output must still match the unsalted plan
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val unsplit = Similarity.semanticDedup(e, threshold = 0.3,
+        nCentroids = 1, maxCellRows = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val split = Similarity.semanticDedup(e, threshold = 0.3,
+        nCentroids = 1, maxCellRows = 50)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(unsplit.nonEmpty)
+    assert(split === unsplit)
+  }
+
+  test("semanticDedupExhaustive catches planted cross-cell twins") {
+    // two near-identical vectors straddling the bisector of two trained
+    // centroids: argmax assigns them to DIFFERENT cells, so semanticDedup
+    // cannot see the pair (its documented contract); the hyperplane-
+    // bucket backstop must restore it. Deterministic end to end: trained
+    // centroids are passed explicitly, planes are seeded.
+    val dim = 64
+    def axis(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+    val trained = Array(axis(0), axis(1))
+    // u leans to centroid 1 (cell 2... argmax idx), v leans to centroid 0
+    val u = Array.tabulate(dim)(j =>
+      if (j == 0) 1.0f else if (j == 1) 1.001f else 0.0f)
+    val v = Array.tabulate(dim)(j =>
+      if (j == 0) 1.001f else if (j == 1) 1.0f else 0.0f)
+    val far = Array.tabulate(dim)(j => if (j == 5) 1.0f else 0.0f)
+    val df = Seq((1L, v), (2L, u), (3L, far)).toDF("id", "vec")
+    val cells = Similarity.assignCells(df, trained = Some(trained))
+      .as[(Long, Int)].collect().toMap
+    assert(cells(1L) !== cells(2L), "twins must straddle the cell boundary")
+    val plain = Similarity.semanticDedup(df, threshold = 0.99,
+        trained = Some(trained))
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(!plain.contains((2L, 1L)), "cross-cell pair is invisible to v05")
+    val exhaustive = Similarity.semanticDedupExhaustive(df, threshold = 0.99,
+        trained = Some(trained))
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(exhaustive.contains((2L, 1L)))
+  }
+
+  test("semanticDedupExhaustive drop set ⊇ semanticDedup drop set") {
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val plain = Similarity.semanticDedup(e, threshold = 0.3)
+      .select("id").as[Long].collect().toSet
+    val exhaustive = Similarity.semanticDedupExhaustive(e, threshold = 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(plain.nonEmpty)
+    assert(plain.subsetOf(exhaustive))
+  }
+
   test("semanticDedup is a subset of global near-dup pairs at the same τ") {
     // cells only ever REMOVE candidate pairs vs the all-pairs test
     val e = table(spark, sfDir, "embeddings")
