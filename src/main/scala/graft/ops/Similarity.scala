@@ -18,7 +18,8 @@ import graft.functions.VectorFunctions._
   *    |Q|·bucket-size. Recall is tunable via planes/probes.
   *
   * Embedding near-dups ([[cosineNearDupPairs]]) reuse the bucket join —
-  * the same one-shuffle shape as MinHash dedup (see [[Dedup]]).
+  * the same blocked-pair shape as MinHash dedup (see [[Dedup]]) — with
+  * the [[saltedBlockPairs]] triangular-tile skew bound on each bucket.
   */
 object Similarity {
 
@@ -213,6 +214,74 @@ object Similarity {
     rankTopK(scored, k, idCol, qidCol)
   }
 
+  /** Salted triangular-tile all-pairs within equal-key blocks — the
+    * shared skew bound under [[semanticDedup]] (blocks = k-means cells)
+    * and [[cosineNearDupPairs]] (blocks = hyperplane buckets).
+    *
+    * Input: (`blockCol`, id, vec). Output: one row per unordered pair of
+    * distinct ids sharing a block — (a_id, a_vec, b_id, b_vec), each pair
+    * EXACTLY once (orientation unspecified across salt groups; callers
+    * normalize with least/greatest).
+    *
+    * Mechanics: blocks larger than `maxBlockRows` are salted into
+    * `s = ⌈|block|/maxBlockRows⌉` deterministic groups (`xxhash64(id) mod
+    * s`) and the all-pairs test is decomposed into the s(s+1)/2
+    * triangular tiles (gᵢ ≤ gⱼ): a row with salt g enters tiles
+    * (g, g..s−1) on the build side and (0..g, g) on the probe side, so an
+    * unordered pair with salts (gₐ, g_b) meets in EXACTLY the tile
+    * (min, max) — coverage is preserved, nothing is compared twice (the
+    * same-tile orientation dup is removed by the salt/id filter below),
+    * and the per-task comparison count is bounded by ~maxBlockRows²
+    * regardless of skew. Total comparison work is unchanged (the callers'
+    * contract IS exact within-block all-pairs); what the cap buys is that
+    * the work spreads across tiles instead of serializing in one task.
+    * Row replication is s+1 copies per row ≈ |block|/maxBlockRows —
+    * always ≪ the |block|²/2 comparisons the tiles carry, so shuffle
+    * volume never dominates.
+    *
+    * Block sizes come from a `groupBy(blockCol).count()` — a second
+    * linear pass, deliberately: map-side combine keeps it fully parallel,
+    * where a window-count would gather the mega block into the very
+    * straggler task the cap exists to prevent. The size table is one row
+    * per DISTINCT block (≤ nCentroids cells / 2^nPlanes buckets), so the
+    * broadcast is always small.
+    */
+  private[graft] def saltedBlockPairs(
+      rows: DataFrame, blockCol: String, maxBlockRows: Int): DataFrame = {
+    require(maxBlockRows >= 1, s"maxBlockRows must be >= 1, got $maxBlockRows")
+    val sizes = rows.groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
+    val salted = rows.join(broadcast(sizes), Seq(blockCol))
+      .withColumn("__s", greatest(lit(1),
+        ceil(col("__n").cast("double") / lit(maxBlockRows))).cast("int"))
+      .withColumn("__g", pmod(xxhash64(col("id")), col("__s")).cast("int"))
+      .drop("__n")
+    val left = salted
+      .withColumn("__tj", explode(sequence(col("__g"), col("__s") - lit(1))))
+      .select(col(blockCol), col("__g").as("__ti"), col("__tj"),
+        col("id").as("a_id"), col("vec").as("a_vec"), col("__g").as("__ga"))
+    val right = salted
+      .withColumn("__ti", explode(sequence(lit(0), col("__g"))))
+      .select(col(blockCol), col("__ti"), col("__g").as("__tj"),
+        col("id").as("b_id"), col("vec").as("b_vec"), col("__g").as("__gb"))
+    // explicit AQE-exempt width for the quadratic in-tile expansion:
+    // AQE sizes the post-join stage from the PRE-join input, which
+    // wildly underestimates Σ|block|² output (same guard as Dedup's
+    // pair-expansion joins); the tile key spreads a salted block's tiles
+    // across these partitions
+    val width = math.max(
+      rows.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    val tileKey = Seq(col(blockCol), col("__ti"), col("__tj"))
+    left.repartition(width, tileKey: _*)
+      .join(right.repartition(width, tileKey: _*),
+        Seq(blockCol, "__ti", "__tj"))
+      // each unordered pair exactly once: cross-salt pairs meet only in
+      // their (min, max) tile with the smaller salt on the left; same-salt
+      // pairs meet twice in tile (g, g) — keep the id-ordered orientation
+      .filter(col("__ga") < col("__gb") ||
+        (col("__ga") === col("__gb") && col("a_id") < col("b_id")))
+      .select(col("a_id"), col("a_vec"), col("b_id"), col("b_vec"))
+  }
+
   /** SemDeDup-style semantic deduplication: k-means cells (the SAME
     * deterministic [[ivfCentroids]] training IVF uses) scope the pairwise
     * cosine test, so the comparison count is Σ|cell|² instead of |corpus|²
@@ -232,27 +301,11 @@ object Similarity {
     *
     * '''Skew bound (`maxCellRows`).''' A cell is still all-pairs inside,
     * and `repartition(cell)` alone leaves one mega-cluster as ONE task
-    * doing |cell|² work. Cells larger than `maxCellRows` are therefore
-    * salted into `s = ⌈|cell|/maxCellRows⌉` deterministic groups
-    * (`xxhash64(id) mod s`) and the all-pairs test is decomposed into the
-    * s(s+1)/2 triangular tiles (gᵢ ≤ gⱼ): a row with salt g enters tiles
-    * (g, g..s−1) on the build side and (0..g, g) on the probe side, so an
-    * unordered pair with salts (gₐ, g_b) meets in EXACTLY the tile
-    * (min, max) — coverage is preserved, nothing is compared twice (the
-    * same-tile orientation dup is removed by the salt/id filter below),
-    * and the per-task comparison count is bounded by ~maxCellRows²
-    * regardless of skew. Total comparison work is unchanged (the
-    * operator's contract IS exact within-cell all-pairs); what the cap
-    * buys is that the work spreads across tiles instead of serializing.
-    * Row replication is s+1 copies per row ≈ |cell|/maxCellRows — always
-    * ≪ the |cell|²/2 comparisons the tiles carry, so shuffle volume never
-    * dominates. Output is bit-identical to the unsalted plan (cosine is
-    * exactly commutative), which SimilaritySpec asserts.
-    *
-    * Cell sizes come from a `groupBy(cell).count()` — a second linear
-    * assignment pass, deliberately: map-side combine keeps it fully
-    * parallel, where a window-count would gather the mega cell into the
-    * very straggler task the cap exists to prevent.
+    * doing |cell|² work — so the pair generation runs through the shared
+    * [[saltedBlockPairs]] triangular-tile decomposition, bounding each
+    * task at ~maxCellRows² comparisons regardless of skew while keeping
+    * the output bit-identical to the unsalted plan (SimilaritySpec
+    * asserts both the sub-split and the degenerate one-cell case).
     */
   def semanticDedup(
       corpus: DataFrame, threshold: Double,
@@ -271,36 +324,7 @@ object Similarity {
     val assigned = withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
       .withColumn("cell", argmaxCell)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
-    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
-    val salted = assigned.join(broadcast(sizes), Seq("cell"))
-      .withColumn("__s", greatest(lit(1),
-        ceil(col("__n").cast("double") / lit(maxCellRows))).cast("int"))
-      .withColumn("__g", pmod(xxhash64(col("id")), col("__s")).cast("int"))
-      .drop("__n")
-    val left = salted
-      .withColumn("__tj", explode(sequence(col("__g"), col("__s") - lit(1))))
-      .select(col("cell"), col("__g").as("__ti"), col("__tj"),
-        col("id").as("a_id"), col("vec").as("a_vec"), col("__g").as("__ga"))
-    val right = salted
-      .withColumn("__ti", explode(sequence(lit(0), col("__g"))))
-      .select(col("cell"), col("__ti"), col("__g").as("__tj"),
-        col("id").as("b_id"), col("vec").as("b_vec"), col("__g").as("__gb"))
-    // explicit AQE-exempt width for the quadratic in-tile expansion:
-    // AQE sizes the post-join stage from the PRE-join input, which
-    // wildly underestimates Σ|cell|² output (same guard as Dedup's
-    // pair-expansion joins); the tile key spreads a salted cell's tiles
-    // across these partitions
-    val width = math.max(
-      corpus.sparkSession.sparkContext.defaultParallelism * 2, 16)
-    val tileKey = Seq(col("cell"), col("__ti"), col("__tj"))
-    val pairs = left.repartition(width, tileKey: _*)
-      .join(right.repartition(width, tileKey: _*),
-        Seq("cell", "__ti", "__tj"))
-      // each unordered pair exactly once: cross-salt pairs meet only in
-      // their (min, max) tile with the smaller salt on the left; same-salt
-      // pairs meet twice in tile (g, g) — keep the id-ordered orientation
-      .filter(col("__ga") < col("__gb") ||
-        (col("__ga") === col("__gb") && col("a_id") < col("b_id")))
+    val pairs = saltedBlockPairs(assigned, "cell", maxCellRows)
       .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
       .filter(col("sim") >= threshold)
       .withColumn("__lo", least(col("a_id"), col("b_id")))
@@ -319,8 +343,11 @@ object Similarity {
     * boundary — invisible to SemDeDup's contract — still collide in their
     * exact hyperplane bucket with probability → 1 as cosine → 1, so at
     * the high thresholds where a user means "drop the twins" the union
-    * restores the recall the cell scoping gives up. Both legs are
-    * bucketed one-shuffle plans; the union adds no new scale hazard.
+    * restores the recall the cell scoping gives up. Both legs run their
+    * pair generation through the same [[saltedBlockPairs]] skew bound
+    * (cells capped at `maxCellRows`, buckets at `maxBucketRows`), so the
+    * union adds no new scale hazard: no block — however mass-duplicated —
+    * can collapse into a single quadratic task.
     *
     * Output contract matches [[semanticDedup]]: (id, dup_of, sim) with
     * dup_of = the minimum earlier id related by EITHER leg and sim =
@@ -333,11 +360,12 @@ object Similarity {
       idCol: String = "id", vecCol: String = "vec",
       maxLiteralCells: Int = IvfLiteralCellGate,
       trained: Option[Array[Array[Float]]] = None,
-      maxCellRows: Int = 4096): DataFrame = {
+      maxCellRows: Int = 4096,
+      maxBucketRows: Int = 4096): DataFrame = {
     val inCell = semanticDedup(corpus, threshold, nCentroids, sampleSize,
       iters, idCol, vecCol, maxLiteralCells, trained, maxCellRows)
     val blocked = cosineNearDupPairs(corpus, threshold, nPlanes, dim,
-      idCol, vecCol)
+      idCol, vecCol, maxBucketRows)
       .select(col("id_b").as("id"), col("id_a").as("dup_of"), col("sim"))
     val w = Window.partitionBy(col("id")).orderBy(col("dup_of").asc)
     inCell.unionAll(blocked)
@@ -449,20 +477,32 @@ object Similarity {
     * threshold) via hyperplane-bucket blocking + exact verification.
     * Identical/near-identical vectors always share their exact bucket, so
     * true dups are never missed by the blocking for thresholds near 1.
+    *
+    * '''Skew bound (`maxBucketRows`).''' The operator's own target
+    * workload — a mass-duplicated corpus — concentrates the duplicated
+    * vectors into ONE exact bucket by construction, so a plain per-bucket
+    * self-join would serialize a 10M-copy cluster into a single task
+    * doing ~5·10¹³ comparisons. The pair generation therefore runs
+    * through the same [[saltedBlockPairs]] triangular-tile decomposition
+    * [[semanticDedup]] uses for cells: per-task comparisons are bounded
+    * ~maxBucketRows² regardless of bucket skew, and the output is
+    * bit-identical to the unsalted join (SimilaritySpec asserts both the
+    * sub-split and the degenerate all-one-bucket case).
     */
   def cosineNearDupPairs(
       corpus: DataFrame, threshold: Double,
       nPlanes: Int = 8, dim: Int = 64,
-      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+      idCol: String = "id", vecCol: String = "vec",
+      maxBucketRows: Int = 4096): DataFrame = {
     val planes = randomPlanes(nPlanes, dim)
     val b = corpus
       .withColumn("bucket", hyperplaneBucket(col(vecCol), planes))
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("bucket"))
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+    saltedBlockPairs(b, "bucket", maxBucketRows)
+      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
       .filter(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(least(col("a_id"), col("b_id")).as("id_a"),
+        greatest(col("a_id"), col("b_id")).as("id_b"),
         round(col("sim"), 6).as("sim"))
   }
 }

@@ -198,6 +198,42 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(split === unsplit)
   }
 
+  test("cosineNearDupPairs bucket cap: sub-split output == unsplit output") {
+    // forcing maxBucketRows far below the bucket sizes makes every bucket
+    // salt into multiple tile groups; the triangular decomposition must
+    // reproduce the unsalted result EXACTLY (same ids, same rounded sims)
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planted = e.unionAll(
+      e.select((col("id") + 10000).as("id"), col("vec")))
+    val unsplit = Similarity.cosineNearDupPairs(planted, threshold = 0.99,
+        maxBucketRows = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val split = Similarity.cosineNearDupPairs(planted, threshold = 0.99,
+        maxBucketRows = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(unsplit.nonEmpty)
+    assert(split === unsplit)
+  }
+
+  test("cosineNearDupPairs bucket cap: mass-duplicated one-bucket corpus") {
+    // the operator's own target workload: many copies of ONE vector all
+    // land in the SAME exact hyperplane bucket by construction — the
+    // shape that used to serialize into a single |bucket|² task. With the
+    // cap the all-pairs test runs entirely through salted tiles and must
+    // still emit every one of the n(n-1)/2 pairs.
+    val v = Array.tabulate(64)(i => (i + 1).toFloat)
+    val n = 60
+    val df = (1 to n).map(i => (i.toLong, v)).toDF("id", "vec")
+    val pairs = Similarity.cosineNearDupPairs(df, threshold = 0.99,
+        maxBucketRows = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      a <- 1 to n; b <- (a + 1) to n
+    } yield (a.toLong, b.toLong)).toSet
+    assert(pairs === expected)
+  }
+
   test("semanticDedupExhaustive catches planted cross-cell twins") {
     // two near-identical vectors straddling the bisector of two trained
     // centroids: argmax assigns them to DIFFERENT cells, so semanticDedup
