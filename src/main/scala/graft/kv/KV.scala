@@ -175,6 +175,26 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
     else spark.read.parquet(path(gid)).select(col("key"), col("value"))
   }
 
+  /** Full scan RETAINING the layout's `bucket` partition column — lets
+    * consumers align joins with the store's placement scheme and, via a
+    * filter on `bucket`, partition-prune the read to the bucket dirs a
+    * key set touches (see [[graft.ops.Dedup.incrementalFresh]]).
+    */
+  def scanBucketed(gid: String): DataFrame = {
+    requireBucketed(gid)
+    if (!hasData(gid)) emptyKV.withColumn("bucket", lit(0).cast("int"))
+    else spark.read.parquet(path(gid))
+      .select(col("key"), col("value"), col("bucket").cast("int").as("bucket"))
+  }
+
+  /** The gid's placement expression: the bucket a key lives in — the
+    * Spark analog of the reference's `getNode` hash placement
+    * (all/store.js:106-121). Evaluating it on a foreign key column lets a
+    * consumer route/prune by the store's own scheme.
+    */
+  def placement(gid: String, key: Column): Column =
+    bucketExpr(key, bucketCount(gid))
+
   /** Delete one key: rewrites only the key's own bucket (at production
     * scale this is a Delta/Iceberg delete — out of scope offline).
     */

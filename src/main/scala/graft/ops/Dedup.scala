@@ -56,6 +56,56 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Phase 1 of incremental exact dedup: the batch's content groups that
+    * are new w.r.t. BOTH the batch itself and the persistent fingerprint
+    * index — a PURE READ (the index is never modified), so it is safe to
+    * retry any number of times. Output: (fp, keeper_id), materialized.
+    *
+    * Scale shape: the batch's fingerprints are tagged with the store's
+    * OWN placement bucket ([[graft.kv.Store.placement]]) and the index
+    * scan is pruned to exactly the bucket partitions the batch touches
+    * (a `bucket IN (...)` partition filter over the retained layout
+    * column — DedupSpec gates the pruned file count). A small batch
+    * against a huge index therefore reads and shuffles only the touched
+    * slice of the index, never the full index; the anti-join keys on
+    * (bucket, fp), so its exchange carries the store's placement scheme
+    * rather than re-hashing bare fingerprints.
+    *
+    * The result is MATERIALIZED (localCheckpoint) before returning: a
+    * later [[absorbFingerprints]] rewrites (swaps) the very bucket files
+    * this read, so a lazy frame evaluated after the absorb would hit
+    * deleted part files (or, with ignoreMissingFiles, silently drop
+    * survivors).
+    */
+  def incrementalFresh(
+      store: graft.kv.Store, gid: String,
+      batch: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val inBatch = exactGroups(batch, textCol, idCol)
+      .select(col("fp"), col("keeper_id"))
+      .withColumn("bucket", store.placement(gid, col("fp")))
+    val touched = inBatch.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ bucket-count values — driver-safe
+    val known = store.scanBucketed(gid)
+      .filter(col("bucket").isin(touched: _*))
+      .select(col("bucket"), col("key").as("fp"))
+    inBatch.join(known, Seq("bucket", "fp"), "left_anti")
+      .select(col("fp"), col("keeper_id"))
+      .localCheckpoint()
+  }
+
+  /** Phase 2 of incremental exact dedup: absorb a [[incrementalFresh]]
+    * result into the index (one bucketed Store upsert touching only the
+    * batch's buckets). Call AFTER the survivors derived from `fresh` are
+    * durably persisted — see the retry contract on
+    * [[incrementalSurvivors]].
+    */
+  def absorbFingerprints(
+      store: graft.kv.Store, gid: String, fresh: DataFrame): Unit =
+    store.put(
+      fresh.select(col("fp").as("key"),
+        col("keeper_id").cast("string").as("value")),
+      gid, keyCol = Some("key"))
+
   /** INCREMENTAL exact dedup against a persistent fingerprint index — the
     * crawl-pipeline shape: each arriving batch is deduped within itself
     * AND against every previously ingested batch, then the index absorbs
@@ -68,27 +118,21 @@ object Dedup {
     * yields exactly the global [[exactSurvivors]] result (DedupSpec
     * proves batch1-then-batch2 == all-at-once).
     *
-    * Shape: one fingerprint groupBy within the batch, one anti-join
-    * against the index scan (both sides keyed by fingerprint), one
-    * bucketed Store append of the new fingerprints. The index is read
-    * via the Store's hash-bucketed layout, so at production scale the
-    * anti-join co-partitions with the bucket scheme rather than
-    * re-shuffling the full index.
+    * '''Retry contract: AT-MOST-ONCE per content.''' This one-call form
+    * updates the index BEFORE the caller has durably consumed the
+    * returned survivors, so re-running a batch whose downstream write
+    * failed returns EMPTY — the failed attempt's survivors are never
+    * re-emitted (nothing is ever emitted twice; a crash can lose, not
+    * duplicate). Pipelines that need effectively-once output must use
+    * the two-phase form directly: [[incrementalFresh]] (pure read,
+    * idempotent) → durably persist the survivors → [[absorbFingerprints]].
+    * DedupSpec pins both contracts.
     */
   def incrementalSurvivors(
       store: graft.kv.Store, gid: String,
       batch: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val inBatch = exactGroups(batch, textCol, idCol)
-      .select(col("fp"), col("keeper_id"))
-    val known = store.scan(gid).select(col("key").as("fp"))
-    // MATERIALIZE the anti-join before put(): the index update below
-    // rewrites (swaps) the very bucket files `known` reads, so a lazy
-    // `fresh` evaluated after put() would hit deleted part files (or,
-    // with ignoreMissingFiles, silently drop survivors)
-    val fresh = inBatch.join(known, Seq("fp"), "left_anti").localCheckpoint()
-    val keepers = fresh.select(col("fp").as("key"),
-      col("keeper_id").cast("string").as("value"))
-    store.put(keepers, gid, keyCol = Some("key"))
+    val fresh = incrementalFresh(store, gid, batch, textCol, idCol)
+    absorbFingerprints(store, gid, fresh)
     batch.join(
       fresh.select(col("keeper_id").as(idCol)), Seq(idCol), "left_semi")
   }

@@ -129,6 +129,88 @@ class DedupSpec extends SparkSessionSpec {
     assert(s3.isEmpty)
   }
 
+  test("two-phase incremental dedup: fresh is retryable, absorb is the commit") {
+    val root = java.nio.file.Files.createTempDirectory("graft-inc3").toString
+    val store = new graft.kv.Store(spark, root)
+    val batch = Seq(
+      (1L, "alpha content"), (2L, "alpha content"), (3L, "beta content")
+    ).toDF("doc_id", "text")
+    // phase 1 is a pure read: retrying before the absorb sees the index
+    // unchanged and returns the same keeper set — the property the
+    // one-call form gives up (its at-most-once contract is pinned by the
+    // re-send case above)
+    val f1 = Dedup.incrementalFresh(store, "fps", batch, "text", "doc_id")
+      .select("keeper_id").as[Long].collect().toSet
+    val f2 = Dedup.incrementalFresh(store, "fps", batch, "text", "doc_id")
+    assert(f2.select("keeper_id").as[Long].collect().toSet === f1)
+    assert(f1 === Set(1L, 3L))
+    // the commit point: absorb AFTER survivors are durably persisted
+    Dedup.absorbFingerprints(store, "fps", f2)
+    // now the content is known — a replayed batch yields nothing new
+    assert(Dedup.incrementalFresh(store, "fps", batch, "text", "doc_id")
+      .count() === 0)
+  }
+
+  test("incrementalFresh prunes the index scan to the batch's buckets") {
+    val root = java.nio.file.Files.createTempDirectory("graft-inc4").toString
+    val store = new graft.kv.Store(spark, root, defaultBuckets = 16)
+    def mk(lo: Long, n: Long) =
+      spark.range(lo, lo + n)
+        .selectExpr("id AS doc_id", "concat('unique doc number ', id) AS text")
+    // seed: 300 docs populate (w.h.p.) every one of the 16 buckets
+    Dedup.incrementalSurvivors(store, "fps", mk(0, 300), "text", "doc_id")
+      .count()
+    // a ONE-doc batch touches exactly one bucket: the anti-join's index
+    // scan must partition-prune to that bucket's files, not read the gid
+    @volatile var scanned = -1L
+    // plain TreeNode traversal stops at AQE wrappers (AdaptiveSparkPlanExec
+    // and materialized QueryStageExec nodes hide their subtrees from
+    // `children`), so recurse through them explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      import org.apache.spark.sql.execution.adaptive._
+      val here = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case _ => Nil
+      }
+      val deeper = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ deeper.flatMap(scans)
+    }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        scans(qe.executedPlan)
+          .filter(_.metadata.get("Location").exists(_.contains(root)))
+          .foreach(s => scanned = s.metrics("numFiles").value)
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val fresh = Dedup.incrementalFresh(store, "fps", mk(1000, 1),
+        "text", "doc_id")
+      assert(fresh.count() === 1)
+      // the listener bus is asynchronous — wait for the checkpoint's plan
+      val deadline = System.currentTimeMillis() + 20000
+      while (scanned < 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      def countParquet(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(countParquet).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      val total = countParquet(new java.io.File(s"$root/fps"))
+      assert(scanned >= 1 && scanned < total,
+        s"expected pruned index scan, got $scanned of $total files")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("incremental survivors: batch whose new fps land in OCCUPIED buckets") {
     // enough keys that batch 2's fingerprints collide with batch 1's
     // buckets — the index put() then REWRITES files the survivors frame
