@@ -13,7 +13,11 @@ package object ops {
     * count and this is the identity.
     */
   private[ops] def widen(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    val s = df.sparkSession
+    // session conf override so the gate is testable at a FIXED width on
+    // any runner (PlanSpec pins it; unset ⇒ the cluster's parallelism)
+    val p = s.conf.getOption("graft.widen.parallelism").map(_.toInt)
+      .getOrElse(s.sparkContext.defaultParallelism)
     if (df.rdd.getNumPartitions * 4 <= p) df.repartition(p) else df
   }
 }

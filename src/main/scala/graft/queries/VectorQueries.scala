@@ -20,17 +20,33 @@ object VectorQueries {
 
 
   /** Trained-index memo: the IVF centroids are a pure deterministic
-    * function of (data dir, nCentroids) — the test dirs are immutable —
-    * so queries AND their dynamic oracles share one training run instead
-    * of re-sampling + re-running k-means per construction. This is the
-    * FAISS usage pattern (train once, serve many); the operators accept
-    * the pre-trained index via their `trained` parameter.
+    * function of (data dir contents, nCentroids), so queries AND their
+    * dynamic oracles share one training run instead of re-sampling +
+    * re-running k-means per construction. This is the FAISS usage
+    * pattern (train once, serve many); the operators accept the
+    * pre-trained index via their `trained` parameter.
+    *
+    * The memo key carries a content stamp of the dir's embeddings table,
+    * so regenerating a data dir IN PLACE (same path, new data) trains
+    * fresh centroids instead of silently serving stale ones
+    * (SimilaritySpec proves the invalidation).
     */
   private val centroidMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Float]]]()
-  private def centroids(
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), Array[Array[Float]]]()
+
+  /** Cheap driver-side content stamp: fold of (mtime, length) over the
+    * embeddings table's file tree. Any rewrite changes mtime or size.
+    */
+  private def embeddingsStamp(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().foldLeft(1L)((a, c) => a * 1000003L ^ walk(c))
+      else f.lastModified() * 1000003L ^ f.length()
+    walk(new java.io.File(s"$dir/embeddings.parquet"))
+  }
+
+  private[graft] def centroids(
       s: SparkSession, dir: String, n: Int): Array[Array[Float]] =
-    centroidMemo.computeIfAbsent((dir, n), _ =>
+    centroidMemo.computeIfAbsent((dir, n, embeddingsStamp(dir)), _ =>
       Similarity.ivfCentroids(
         table(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec")),

@@ -98,12 +98,18 @@ class PlanSpec extends SparkSessionSpec {
 
   test("q14/t07: probe/kernel side widens past a parallelism-collapsed scan") {
     // single-row-group dev files scan as ~1 task; the CPU-heavy stage
-    // must run post-repartition (identity at production split counts)
-    Seq("q14_price_band_join", "t07_repetition").foreach { q =>
-      val p = plan(q)
-      assert(p.contains("RoundRobinPartitioning"),
-        s"$q runs its hot pass at scan parallelism")
-    }
+    // must run post-repartition (identity at production split counts).
+    // The widen width is pinned via conf so the gate holds identically on
+    // any runner (under local[2] the defaultParallelism gate would be the
+    // identity and this assert would fail spuriously)
+    spark.conf.set("graft.widen.parallelism", "4")
+    try {
+      Seq("q14_price_band_join", "t07_repetition").foreach { q =>
+        val p = plan(q)
+        assert(p.contains("RoundRobinPartitioning"),
+          s"$q runs its hot pass at scan parallelism")
+      }
+    } finally spark.conf.unset("graft.widen.parallelism")
   }
 
   /** Queries where a BroadcastNestedLoopJoin is the DESIGNED plan: a

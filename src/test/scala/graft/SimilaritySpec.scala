@@ -275,6 +275,27 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(plain.subsetOf(exhaustive))
   }
 
+  test("centroid memo invalidates when a data dir is regenerated in place") {
+    // same path, new contents: without the content stamp the memo key
+    // (dir, n) would serve the FIRST training run forever — queries and
+    // dynamic oracles would silently disagree with the live table
+    val tmp = java.nio.file.Files.createTempDirectory("graft-memo").toString
+    def install(src: String): Unit = {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/embeddings.parquet"),
+        java.nio.file.Paths.get(s"$tmp/embeddings.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    install("/root/testdata/sf0.001")
+    val a = graft.queries.VectorQueries.centroids(spark, tmp, 16)
+    // memo hit while unchanged: same array instance, no retrain
+    assert(graft.queries.VectorQueries.centroids(spark, tmp, 16) eq a)
+    install("/root/testdata/sf0.01")
+    val b = graft.queries.VectorQueries.centroids(spark, tmp, 16)
+    assert(a.map(_.toSeq).toSeq !== b.map(_.toSeq).toSeq,
+      "regenerated dir must retrain, not serve stale centroids")
+  }
+
   test("semanticDedup is a subset of global near-dup pairs at the same τ") {
     // cells only ever REMOVE candidate pairs vs the all-pairs test
     val e = table(spark, sfDir, "embeddings")

@@ -12,5 +12,11 @@ trait SparkSessionSpec extends AnyFunSuite {
 }
 
 object SparkSessionSpec {
-  lazy val shared: SparkSession = Engine.session(master = "local[4]", shufflePartitions = 4)
+  // GRAFT_TEST_MASTER lets the suite run on constrained runners
+  // (e.g. local[2]); plan gates that depend on parallelism pin their
+  // width via conf instead of reading the master (see PlanSpec's widen
+  // gate), so the suite is green at any setting
+  lazy val shared: SparkSession = Engine.session(
+    master = sys.env.getOrElse("GRAFT_TEST_MASTER", "local[4]"),
+    shufflePartitions = 4)
 }
