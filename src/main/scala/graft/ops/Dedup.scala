@@ -341,12 +341,17 @@ object Dedup {
     * its `cluster_id` — the canonical keeper for transitive dup groups
     * (a~b, b~c ⇒ {a,b,c} even when a~c was never emitted).
     *
-    * Min-label propagation, driver-looped: each round joins current
-    * labels across edges and keeps the per-node min; converged when no
-    * label changes. Rounds ≈ graph diameter, and near-dup clusters are
-    * stars/cliques (diameter ≤ ~3), so this is 2–4 small shuffles — the
-    * DataFrame-native Pregel-lite that stays in Catalyst instead of
-    * dropping to RDDs.
+    * Min-label propagation with POINTER JUMPING, driver-looped: each
+    * round (a) joins current labels across edges and keeps the per-node
+    * min, then (b) shortcuts the label chain — label(v) ←
+    * label(label(v)), composed 4-fold as three chained joins on the
+    * materialized label table — so the distance-to-root under the label
+    * pointers shrinks geometrically. Convergence is O(log diameter)
+    * rounds (a 1000-link chain converges in ~6 — DedupSpec gates it),
+    * not O(diameter); near-dup clusters are stars/cliques (diameter ≤
+    * ~3) where the seed pass already converges, so typical cost stays
+    * 2–3 small shuffles — the DataFrame-native Pregel-lite that stays in
+    * Catalyst instead of dropping to RDDs.
     */
   def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // localCheckpoint (not cache): each round's plan must start from a
@@ -381,11 +386,31 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster_id")).as("nmin"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      // materialized: the pointer-jump joins below reference this table
+      // four times — checkpointing once beats re-deriving the edge join
+      val afterNeighbors = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
+      // pointer jumping: follow the label chain 4 deep in one pass
+      // (label ← l(l(l(l(v)))), three chained joins). A label is always
+      // the id of a node IN the table (min over self+neighbors of node
+      // ids), so each hop resolves; left join + coalesce covers the
+      // chain root, whose label is itself. Labels are monotone
+      // non-increasing under composition, so the sum-based convergence
+      // test below still detects the combined fixpoint, and at the
+      // fixpoint the jump is the identity — the neighbor-pass fixpoint
+      // argument (constant label per component = component min) is
+      // unchanged.
+      val next = (1 to 3).foldLeft(afterNeighbors) { (l, i) =>
+        l.join(
+            afterNeighbors.select(col("id").as(s"__p$i"),
+              col("cluster_id").as(s"__l$i")),
+            col("cluster_id") === col(s"__p$i"), "left")
+          .select(col("id"),
+            coalesce(col(s"__l$i"), col("cluster_id")).as("cluster_id"))
+      }.localCheckpoint()
       // labels are monotone non-increasing per node, so the label sum is
       // unchanged iff NO label changed — one cheap aggregate per round
       // instead of a join-based diff

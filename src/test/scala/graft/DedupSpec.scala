@@ -129,6 +129,18 @@ class DedupSpec extends SparkSessionSpec {
     assert(s3.isEmpty)
   }
 
+  test("components: 1000-link chain converges via pointer jumping") {
+    // a path graph is the WORST case for plain min-label propagation
+    // (rounds = diameter = 1000); the pointer-jump shortcut must bring
+    // convergence to O(log n) — maxIter = 10 throws without it
+    val pairs = spark.range(1000)
+      .selectExpr("id AS id_a", "id + 1 AS id_b")
+    val out = Dedup.components(pairs, maxIter = 10)
+      .as[(Long, Long)].collect()
+    assert(out.length === 1001)
+    assert(out.forall(_._1 == 0L), "every chain node must label to node 0")
+  }
+
   test("two-phase incremental dedup: fresh is retryable, absorb is the commit") {
     val root = java.nio.file.Files.createTempDirectory("graft-inc3").toString
     val store = new graft.kv.Store(spark, root)
