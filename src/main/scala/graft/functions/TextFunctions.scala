@@ -42,6 +42,21 @@ object TextFunctions {
   def subwordTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
+  /** Real BPE segmentation: [[subwordTokens]]-style pre-tokens of the
+    * LOWERCASED text, each word then merged per the fixed ranked table
+    * [[graft.expr.BpeOps.Merges]] (leftmost occurrence of the
+    * lowest-ranked adjacent pair, one merge per step, until no table
+    * pair remains) — a genuine iterated-merge BPE apply, not a regex
+    * proxy. Native kernel inside whole-stage codegen; the t13 oracle
+    * replays the identical merge loop in a DuckDB recursive CTE with
+    * the table inlined.
+    */
+  def bpeTokens(text: Column): Column =
+    graft.expr.nat(graft.expr.BpeExpressions.BpeSubwords(
+      graft.expr.toExpr(
+        regexp_extract_all(lower(text),
+          lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))))
+
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
 

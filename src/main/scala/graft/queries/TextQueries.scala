@@ -72,6 +72,16 @@ object TextQueries {
         size(subwordTokens(col("text"))).as("n_subwords"))
     }),
 
+    // Real BPE token counts: iterated merges against the engine's fixed
+    // ranked table (graft.expr.BpeOps.Merges), native kernel. The oracle
+    // replays the merge loop in a recursive CTE with the table inlined.
+    "t13_bpe_tokens" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"))
+    }),
+
     // Gopher-style within-document repetition signals (top-token share,
     // duplicate-bigram share) — integer-exact counts + rounded ratios.
     "t07_repetition" -> ((s, dir) =>
@@ -172,7 +182,57 @@ object TextQueries {
                             THEN CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE)
                             ELSE 0.0 END) * 10.0, 1.0)) * 0.3, 6)"""
 
+  /** The t13 oracle: the kernel's BPE merge loop replayed in a DuckDB
+    * recursive CTE, with the ranked merge table inlined as a CASE from
+    * the SAME [[graft.expr.BpeOps.Merges]] the query kernel uses. Each
+    * recursion step merges the leftmost occurrence of the lowest-ranked
+    * adjacent pair (min over rank·100000 + index — rank-major, then
+    * leftmost); a word's terminal row is the one where no table pair
+    * remains. Unit split is code-point-based on both sides (DuckDB
+    * string indexing = code points; the kernel splits by code point).
+    */
+  private def t13OracleSql: String = {
+    val whens = graft.expr.BpeOps.Merges.zipWithIndex
+      .map { case ((a, b), r) => s"WHEN '$a|$b' THEN $r" }.mkString(" ")
+    def rankOf(pair: String) = s"(CASE $pair $whens ELSE NULL END)"
+    val pairAt = "seq[i] || '|' || seq[i+1]"
+    s"""WITH RECURSIVE
+        pre AS (
+          SELECT doc_id, regexp_extract_all(lower(text),
+            '[a-z0-9]+|[^a-z0-9 \t\n\f\r]') AS ws
+          FROM documents),
+        init AS (
+          -- widx only keys a word through the recursion (uniqueness is
+          -- all that matters; the final agg groups by doc_id alone)
+          SELECT doc_id, row_number() OVER () AS widx,
+            list_transform(range(1, length(tok) + 1), i -> tok[i]) AS seq
+          FROM (SELECT doc_id, unnest(ws) AS tok FROM pre)),
+        bpe AS (
+          SELECT doc_id, widx, seq FROM init
+          UNION ALL
+          SELECT doc_id, widx,
+            seq[1:bi-1] || [seq[bi] || seq[bi+1]] || seq[bi+2:] AS seq
+          FROM (
+            SELECT doc_id, widx, seq, CAST(best % 100000 AS BIGINT) AS bi
+            FROM (
+              SELECT doc_id, widx, seq,
+                list_min(list_transform(range(1, len(seq)),
+                  i -> ${rankOf(pairAt)} * 100000 + i)) AS best
+              FROM bpe)
+            WHERE best IS NOT NULL)),
+        fin AS (
+          SELECT doc_id, len(seq) AS n
+          FROM bpe
+          WHERE list_min(list_transform(range(1, len(seq)),
+            i -> ${rankOf(pairAt)})) IS NULL),
+        agg AS (SELECT doc_id, sum(n) AS n_bpe FROM fin GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN agg USING (doc_id)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "t13_bpe_tokens" -> t13OracleSql,
     "t01_token_stats" ->
       s"""SELECT doc_id,
           $nTokens AS n_tokens,

@@ -40,4 +40,38 @@ class TextFunctionsSpec extends SparkSessionSpec {
       twice.collect().map(_.getString(0)).toSeq)
     assert(once.collect()(0).getString(0) === "clean text")
   }
+
+  test("bpeTokens iterates ranked merges, not just pre-tokenization") {
+    def run(s: String): Seq[String] = {
+      val df = Seq((1L, s)).toDF("id", "text")
+      df.select(bpeTokens(col("text")).as("t"))
+        .collect()(0).getSeq[String](0)
+    }
+    // "the": t+h (rank 0) -> th, th+e (rank 1) -> the — full word rebuilt
+    assert(run("the") === Seq("the"))
+    // case folds before merging
+    assert(run("The") === Seq("the"))
+    // "and": a+n (rank 3) -> an, an+d (rank 4) -> and
+    assert(run("and") === Seq("and"))
+    // rank order beats position order: in "ath", (t,h) rank 0 wins over
+    // the EARLIER (a,t) rank 8 — a leftmost-only loop would emit [at, h]
+    assert(run("ath") === Seq("a", "th"))
+    // multi-word + punctuation: words segment independently, punct chars
+    // are single pre-tokens no rule touches
+    assert(run("the and!") === Seq("the", "and", "!"))
+    // no applicable rule: stays character-split
+    assert(run("xq") === Seq("x", "q"))
+  }
+
+  test("bpeTokens merge loop terminates with partial merges mid-word") {
+    val df = Seq((1L, "that testing")).toDF("id", "text")
+    val out = df.select(bpeTokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    // "that": t+h->th, a+t (rank 8)->at, (th,at) not in table -> [th, at]
+    // "testing": t+e? no; e+s (11)? t+es... trace: pairs (t,e),(e,s),(s,t),
+    // (t,i),(i,n),(n,g): best is i+n (rank 2) -> in; then e+s (11) -> es;
+    // then in+g (12) -> ing; remaining t,es,t,ing has (s,t)? no — "es","t"
+    // pair is (es,t) not in table -> [t, es, t, ing]
+    assert(out === Seq("th", "at", "t", "es", "t", "ing"))
+  }
 }
