@@ -56,6 +56,44 @@ class KVSinkSpec extends SparkSessionSpec {
     } finally q.stop()
   }
 
+  test("reconf mid-stream: re-sharding under a live sink keeps stream == batch") {
+    // the reference re-shards a gid while services keep using it
+    // (all/store.js:217-285); here the sink's micro-batches keep
+    // upserting across a reconf that changes every key's placement.
+    // Correctness hangs on put() re-reading the bucket count per batch
+    // and get() constant-folding against the CURRENT marker — a stale
+    // count on either side is a silent wrong read.
+    val root = java.nio.file.Files.createTempDirectory("graft-kvsink-rc").toString
+    val store = new Store(spark, root, defaultBuckets = 2)
+    val mem = MemoryStream[(Long, Timestamp, Double)](spark)
+    val q = KVSink.toStore(
+      runningAgg(mem.toDF().toDF("user_id", "ts", "value")),
+      store, "agg", keyCol = "user_id",
+      checkpointDir = s"$root/__ckpt")
+    try {
+      val batch1 = Seq((1L, t(0), 10.0), (1L, t(1), 5.0), (2L, t(2), 7.0))
+      mem.addData(batch1)
+      q.processAllAvailable()
+      // live re-shard 2 → 8 buckets: full rewrite, every placement changes
+      store.reconf("agg", 8)
+      assert(storedAgg(store.scan("agg")) === batchAgg(batch1))
+      // the NEXT micro-batches must write under the new scheme: one
+      // updates a pre-reconf key, one introduces a new key
+      val batch2 = Seq((1L, t(3), 1.0), (3L, t(4), 2.0))
+      mem.addData(batch2)
+      q.processAllAvailable()
+      assert(storedAgg(store.scan("agg")) === batchAgg(batch1 ++ batch2))
+      // point gets prune against the post-reconf layout; finding every
+      // key proves sink writes and reads agree on placement
+      Seq("1", "2", "3").foreach { k =>
+        assert(store.get("agg", k).count() === 1, s"key $k lost across reconf")
+      }
+      // and the updated key's value is the post-reconf upsert, not stale
+      val v1 = storedAgg(store.get("agg", "1"))
+      assert(v1 === batchAgg(batch1 ++ batch2).filter(_._1 == 1L))
+    } finally q.stop()
+  }
+
   test("streaming aggregate through Mem == batch aggregate") {
     val root = java.nio.file.Files.createTempDirectory("graft-kvsink-mem").toString
     val kvMem = new Mem
