@@ -7,13 +7,23 @@ import graft.Engine
 import graft.kv.Store
 import graft.ops.{CorpusStats, Dedup, Similarity, TemporalJoins}
 
-/** Dev tool: scale-up smoke test. Self-unions the sf tables N× (ids
-  * offset per replica so keys stay distinct) and runs the heavy operator
-  * shapes, printing wall times — evidence that plans scale linearly-ish
-  * rather than quadratically when the data grows, without needing a
-  * bigger generated dataset.
+/** Dev tool: scale-up smoke test + gated regression. Self-unions the sf
+  * tables N× (ids offset per replica so keys stay distinct) and runs the
+  * heavy operator shapes, printing wall times — evidence that plans
+  * scale linearly-ish rather than quadratically when the data grows,
+  * without needing a bigger generated dataset.
   *
-  * Usage: runMain graft.tools.ScaleSmoke [factor] [sfDir]
+  * Usage:
+  *   runMain graft.tools.ScaleSmoke [factor] [sfDir]   — smoke + JSON line
+  *   runMain graft.tools.ScaleSmoke gate [sfDir]       — GATED: times the
+  *     hazard shapes at factor 1 and 4 and FAILS (exit 1) when any grows
+  *     super-linearly past a generous bound (k=3; the one-cell semantic
+  *     dedup, whose CONTRACT is quadratic comparison work, gets the
+  *     quadratic bound instead). Prints a scale_gate JSON line.
+  *
+  * The deterministic companion is ScaleGateSpec (per-task pair bounds +
+  * tile-exchange plan gates, runs in `sbt test`); this main adds the
+  * wall-clock evidence.
   */
 object ScaleSmoke {
 
@@ -28,13 +38,102 @@ object ScaleSmoke {
     }.reduce(_ unionAll _)
   }
 
-  private def time(label: String)(f: => Long): Unit = {
+  private val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+  private def time(label: String)(f: => Long): Double = {
     val t0 = System.nanoTime()
     val n = f
-    println(f"[scale] $label%-28s rows=$n%12d wall=${(System.nanoTime() - t0) / 1e9}%7.1fs")
+    val secs = (System.nanoTime() - t0) / 1e9
+    results(label) = secs
+    println(f"[scale] $label%-28s rows=$n%12d wall=$secs%7.1fs")
+    secs
+  }
+
+  private def jsonLine(metric: String, fields: Seq[(String, String)]): String =
+    (Seq("\"metric\"" + s""":"$metric"""") ++
+      fields.map { case (k, v) => s""""$k":$v""" }).mkString("{", ",", "}")
+
+  private def shapesJson(m: collection.Map[String, Double]): String =
+    m.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+
+  /** The hazard shapes the gate times at two factors: the blocked-pair
+    * dedup family (linear bound — their per-block quadratics are capped)
+    * plus the degenerate one-cell semantic dedup (quadratic bound — all
+    * pairs of one cell IS its contract; the gate catches catastrophic
+    * regression, the per-task spread is ScaleGateSpec's job).
+    */
+  private def gateShapes(
+      spark: SparkSession, dir: String, factor: Int): Seq[(String, () => Long, Boolean)] = {
+    val docs = scaled(spark, dir, "documents", Seq("doc_id"), factor)
+    val emb = scaled(spark, dir, "embeddings", Seq("vec_id"), factor)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Seq(
+      ("exact_groups", () =>
+        Dedup.exactGroups(docs, "text", "doc_id").queryExecution.toRdd.count(), false),
+      ("minhash_pairs", () =>
+        Dedup.minhashPairs(docs, "text", "doc_id").queryExecution.toRdd.count(), false),
+      ("simhash_pairs", () =>
+        Dedup.simhashPairs(docs, "text", "doc_id").queryExecution.toRdd.count(), false),
+      ("ngram_jaccard", () =>
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", num = 19, den = 20)
+          .queryExecution.toRdd.count(), false),
+      ("cosine_neardups", () =>
+        Similarity.cosineNearDupPairs(emb, threshold = 0.99)
+          .queryExecution.toRdd.count(), false),
+      ("semantic_dedup", () =>
+        Similarity.semanticDedup(emb, threshold = 0.35, nCentroids = 16 * factor)
+          .queryExecution.toRdd.count(), false),
+      ("semantic_dedup_one_cell", () =>
+        Similarity.semanticDedup(emb, threshold = 0.35, nCentroids = 1,
+          maxCellRows = 2048).queryExecution.toRdd.count(), true))
+  }
+
+  /** Gate mode: wall-time ratio between factors must stay ≤ bound.
+    * Generous k and a noise floor on the base time keep this stable on a
+    * loaded machine while still failing hard on a quadratic blowup
+    * (linear shape at factor 4: expected ratio ~4, bound 12; quadratic
+    * regression: ~16+).
+    */
+  private def gateMain(dir: String): Unit = {
+    val spark = Engine.session()
+    val fHi = 4
+    val k = 3.0
+    def runAll(factor: Int): Map[String, Double] =
+      gateShapes(spark, dir, factor).map { case (label, f, _) =>
+        val t0 = System.nanoTime()
+        f()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-gate] x$factor $label%-24s $secs%7.2fs")
+        label -> secs
+      }.toMap
+    // warm the JVM/codegen caches on the small factor first, then measure
+    runAll(1)
+    val t1 = runAll(1)
+    val t4 = runAll(fHi)
+    val quadratic = gateShapes(spark, dir, 1).map { case (l, _, q) => l -> q }.toMap
+    val verdicts = t1.keys.toSeq.sorted.map { l =>
+      val base = math.max(t1(l), 0.3) // noise floor: tiny times are overhead
+      val ratio = t4(l) / base
+      val bound = (if (quadratic(l)) fHi.toDouble * fHi else fHi.toDouble) * k
+      (l, ratio, bound, ratio <= bound)
+    }
+    val ratios = verdicts.map { case (l, r, _, _) => l -> r }
+    println(jsonLine("scale_gate", Seq(
+      "factor_hi" -> fHi.toString, "k" -> k.toString,
+      "ratios" -> shapesJson(scala.collection.mutable.LinkedHashMap(ratios: _*)),
+      "pass" -> verdicts.forall(_._4).toString)))
+    verdicts.filterNot(_._4).foreach { case (l, r, b, _) =>
+      System.err.println(f"[scale-gate] FAIL $l: ratio $r%.1f exceeds bound $b%.1f")
+    }
+    spark.stop()
+    if (!verdicts.forall(_._4)) sys.exit(1)
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("gate")) {
+      gateMain(if (args.length > 1) args(1) else "/root/testdata/sf0.1")
+      return
+    }
     val factor = if (args.length > 0) args(0).toInt else 10
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = Engine.session()
@@ -141,6 +240,14 @@ object ScaleSmoke {
       Similarity.semanticDedup(emb, threshold = 0.35,
         nCentroids = 16 * factor).queryExecution.toRdd.count()
     }
+    // the degenerate mega-cell: every row in ONE cell, so comparison work
+    // is quadratic BY CONTRACT — what this smokes is that the maxCellRows
+    // tiles keep it spread across tasks instead of serializing (the
+    // per-task bound itself is gated deterministically in ScaleGateSpec)
+    time(s"semantic dedup 1-cell x$factor") {
+      Similarity.semanticDedup(emb, threshold = 0.35, nCentroids = 1,
+        maxCellRows = 2048).queryExecution.toRdd.count()
+    }
     // corpus stats: repetition is per-row narrow (should be ~linear);
     // dup-span coverage and contamination shuffle the gram stream once
     time(s"repetition signals x$factor") {
@@ -171,6 +278,8 @@ object ScaleSmoke {
       Similarity.clusterProfile(emb, nCentroids = 16)
         .queryExecution.toRdd.count()
     }
+    println(jsonLine("scale_smoke", Seq(
+      "factor" -> factor.toString, "shapes" -> shapesJson(results))))
     spark.stop()
   }
 }
