@@ -31,16 +31,25 @@ IGNORE_EXACT = {
 
 
 def resolve(path: str):
-    """Map a cited path (possibly shorthand) to a file under REF, or None."""
+    """Map a cited path (possibly shorthand) to ALL matching files under REF.
+
+    A shorthand basename can exist in several reference dirs (e.g. both
+    local/ and all/ hold a gossip.js); returning only the first match
+    would bounds-check the wrong file and produce silent false passes or
+    failures. Callers check line bounds against EVERY match: the citation
+    is good iff at least one match satisfies it (and ambiguous shorthands
+    are reported so full paths get used instead).
+    """
     p = path[len("/root/reference/"):] if path.startswith("/root/reference/") else path
     candidates = [p, f"distribution/{p}", f"test/{p}",
                   f"distribution/util/{p}", f"distribution/local/{p}",
                   f"distribution/all/{p}"]
+    out = []
     for c in candidates:
         f = REF / c
-        if f.is_file():
-            return f
-    return None
+        if f.is_file() and f not in out:
+            out.append(f)
+    return out
 
 
 def main() -> int:
@@ -55,13 +64,22 @@ def main() -> int:
                 continue
             if base.endswith(".md") and not base.startswith("/root/reference"):
                 continue  # repo-local docs
-            f = resolve(base)
+            matches = resolve(base)
             checked += 1
-            if f is None:
+            if not matches:
                 failures.append(f"{src.relative_to(REPO)}: dangling citation '{tok}'")
+                continue
+            if len(matches) > 1:
+                # ambiguous shorthand: a line range valid in one candidate
+                # and not another is unverifiable — demand the full path
+                rels = ", ".join(str(m.relative_to(REF)) for m in matches)
+                failures.append(
+                    f"{src.relative_to(REPO)}: ambiguous citation '{tok}' "
+                    f"(matches {rels}); cite the full reference path")
                 continue
             if lines:
                 hi = int(lines.split("-")[-1])
+                f = matches[0]
                 n = sum(1 for _ in f.open())
                 if hi > n:
                     failures.append(
