@@ -45,7 +45,19 @@ object PipelineQueries {
     "p02_domain_mixture" -> ((s, dir) =>
       Sampling.temperatureSample(
         table(s, dir, "documents").select(col("doc_id"), col("lang")),
-        stratumCol = "lang", keyCol = "doc_id", target = 200))
+        stratumCol = "lang", keyCol = "doc_id", target = 200)),
+
+    // Sequence packing: next-fit doc→pack assignment within
+    // (lang, shard) cells at 256-token capacity — the padding-free
+    // context-window prep step. Deterministic shard (doc_id % 4), id
+    // order, pure next-fit recurrence; the oracle replays the recurrence
+    // in a recursive CTE.
+    "p04_sequence_pack" -> ((s, dir) =>
+      graft.ops.Packing.nextFitPack(
+        table(s, dir, "documents"),
+        tokenCount(col("text")),
+        idCol = "doc_id", groupCol = "lang",
+        capacity = 256, numShards = 4))
   )
 
   // Stage mirrors come from the same shared snippets the per-stage
@@ -93,5 +105,32 @@ object PipelineQueries {
                              d.doc_id ASC) AS rn
                 FROM d JOIN q USING (lang))
           SELECT doc_id, lang FROM r WHERE rn <= quota"""
+,
+    // Mirrors Packing.nextFitPack: same shard (doc_id % 4), same id
+    // order, and the next-fit recurrence replayed per (lang, shard) cell
+    // in a recursive CTE — state (bin, acc) carried row to row exactly
+    // as the kernel's single pass does.
+    "p04_sequence_pack" -> {
+      import TextQueries.nTokens
+      s"""WITH RECURSIVE
+          d AS (SELECT doc_id, lang, doc_id % 4 AS shard,
+                  CAST($nTokens AS BIGINT) AS n_tokens
+                FROM documents),
+          o AS (SELECT *, row_number() OVER (PARTITION BY lang, shard
+                  ORDER BY doc_id ASC) AS rn
+                FROM d),
+          pack(lang, shard, rn, doc_id, n_tokens, bin, acc) AS (
+            SELECT lang, shard, rn, doc_id, n_tokens,
+              CAST(0 AS BIGINT), n_tokens
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.lang, o.shard, o.rn, o.doc_id, o.n_tokens,
+              CASE WHEN p.acc + o.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+              CASE WHEN p.acc + o.n_tokens > 256 THEN o.n_tokens
+                   ELSE p.acc + o.n_tokens END
+            FROM pack p JOIN o
+              ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1)
+          SELECT doc_id, lang, shard, bin, n_tokens FROM pack"""
+    }
   )
 }
