@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Engine.table
 import graft.streaming.EventStream
@@ -29,7 +30,20 @@ object StreamQueries {
     // rollup. StreamingSpec proves the readStream form matches.
     "s05_segment_hourly" -> ((s, dir) =>
       EventStream.segmentHourly(
-        table(s, dir, "events"), table(s, dir, "customer")))
+        table(s, dir, "events"), table(s, dir, "customer"))),
+
+    // Streaming exact-dedup monitoring stats (batch form): per-language
+    // docs seen / distinct contents / duplicates over the planted corpus
+    // (one exact dup per doc, the dedup family's ground truth).
+    // StreamingSpec proves the per-(lang, fp) state stream and the
+    // first-arrival survivor stream match their batch analogs.
+    "s06_dedup_stats" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val planted = d.unionAll(d.select(
+        (col("doc_id") + 10000).as("doc_id"), col("lang"), col("text")))
+      graft.streaming.DedupStream.stats(planted, "text", "doc_id", "lang")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -69,6 +83,20 @@ object StreamQueries {
          count(*) AS n_events,
          CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    // Same normalized-content fingerprint as the t05/d01 oracles; the
+    // planted union doubles every doc, so n_dups >= n_distinct per lang.
+    "s06_dedup_stats" ->
+      """WITH u AS (SELECT doc_id, lang, text FROM documents
+              UNION ALL SELECT doc_id + 10000, lang, text FROM documents),
+          g AS (SELECT lang,
+                  md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fp,
+                  count(*) AS n_copies
+                FROM u GROUP BY 1, 2)
+          SELECT lang,
+            CAST(sum(n_copies) AS BIGINT) AS n_docs,
+            count(*) AS n_distinct,
+            CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups
+          FROM g GROUP BY lang"""
   )
 }

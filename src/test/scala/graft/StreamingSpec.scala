@@ -124,6 +124,71 @@ class StreamingSpec extends SparkSessionSpec {
     assert(out.toSet === rows.map(_._1).toSet)
   }
 
+  test("streaming content-dedup state == batch groups, stats derive (s06)") {
+    val docs = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val planted = docs.unionAll(docs.select(
+      (col("doc_id") + 10000).as("doc_id"), col("lang"), col("text")))
+    val batchGroups = graft.streaming.DedupStream
+      .groups(planted, "text", "doc_id", "lang")
+      .collect().map(_.toSeq).toSet
+    val batchStats = graft.streaming.DedupStream
+      .stats(planted, "text", "doc_id", "lang")
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val sdf = mem.toDF().toDF("doc_id", "lang", "text")
+    val q = graft.streaming.DedupStream.groups(sdf, "text", "doc_id", "lang")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("s06_groups").start()
+    // originals in micro-batch 1, their twins in micro-batch 2: the
+    // per-(lang, fp) state must merge ACROSS batches (min/count are
+    // order-insensitive, so the final state is arrival-order-free)
+    val orig = docs.as[(Long, String, String)].collect()
+    mem.addData(orig.toSeq)
+    q.processAllAvailable()
+    mem.addData(orig.map { case (id, l, t) => (id + 10000, l, t) }.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamedGroups = spark.table("s06_groups").collect().map(_.toSeq).toSet
+    assert(streamedGroups === batchGroups)
+    // the monitoring stats derived from the live state == the s06 batch
+    // form — what a pipeline dashboard reads off the sink
+    val derived = spark.table("s06_groups")
+      .groupBy("lang")
+      .agg(sum("n_copies").as("n_docs"), count(lit(1)).as("n_distinct"),
+        (sum("n_copies") - count(lit(1))).as("n_dups"))
+      .collect().map(_.toSeq).toSet
+    assert(derived === batchStats)
+  }
+
+  test("streaming first-arrival survivors == batch min-id survivors") {
+    val docs = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val planted = docs.unionAll(docs.select(
+      (col("doc_id") + 10000).as("doc_id"), col("lang"), col("text")))
+    val batchIds = graft.ops.Dedup.exactSurvivors(planted, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val sdf = mem.toDF().toDF("doc_id", "lang", "text")
+    val q = graft.streaming.DedupStream.survivorsStream(sdf, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("s06_surv").start()
+    // arrival in id order (originals, then twins): first-arrival ==
+    // min-id, and the twins must be suppressed by CROSS-batch state
+    val orig = docs.as[(Long, String, String)].collect()
+    mem.addData(orig.toSeq)
+    q.processAllAvailable()
+    mem.addData(orig.map { case (id, l, t) => (id + 10000, l, t) }.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamedIds = spark.table("s06_surv")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamedIds === batchIds)
+    assert(streamedIds.nonEmpty)
+  }
+
   test("streaming sessionization closes sessions on event-time timeout") {
     val mem = MemoryStream[(Long, Timestamp, Long)](spark)
     def t(min: Int) = new Timestamp(3600L * 1000 * 24 + min * 60000L)
