@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * metadata — 16 bytes per doc, so a million-doc shard is ~16 MB of
   * state per task at 100 TB — and cells pack independently. The
   * reference engine has no packing primitive; its closest shape is a
-  * grouped fold through `mr.exec` (/root/reference/distribution/all/mr.js:92-135).
+  * grouped fold through the reduce phase
+  * (/root/reference/distribution/local/mapperReducer.js:123-136).
   *
   * Determinism end to end: shard = `id % numShards` (portable to the SQL
   * oracle — no engine-specific hash), order = id ascending, next-fit is
