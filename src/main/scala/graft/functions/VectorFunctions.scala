@@ -46,6 +46,27 @@ object VectorFunctions {
       }),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Symmetric int8 scalar quantization of a float vector: clamp each
+    * element to [-1, 1] and map to an integer code in [-127, 127] via
+    * `floor(x·127 + 0.5)` — floor-based rounding because `floor` is the
+    * same IEEE operation in every engine, where round() half-way rules
+    * differ. At 100 TB the int8 codes cut vector storage and scan
+    * bandwidth 4× versus float32; ANN then runs over [[sqDequantize]]d
+    * floats (v08), and the codes compose with the LSH/IVF paths by
+    * quantizing before bucketing.
+    */
+  def sqQuantize(v: Column): Column =
+    transform(v, x =>
+      floor(greatest(lit(-1.0), least(lit(1.0), x.cast("double"))) * lit(127.0)
+        + lit(0.5)).cast("int"))
+
+  /** Inverse of [[sqQuantize]] up to quantization error: code/127 as
+    * float. Dequantize→requantize is exact (the codes are fixed points),
+    * which SimilaritySpec asserts.
+    */
+  def sqDequantize(q: Column): Column =
+    transform(q, c => (c.cast("double") / lit(127.0)).cast("float"))
+
   /** Sign-bit sketch against a fixed hyperplane set: bucket id in
     * [0, 2^planes.length). The random-hyperplane LSH primitive — two
     * vectors' bucket-collision probability rises with cosine similarity.

@@ -148,6 +148,22 @@ object VectorQueries {
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         nCentroids = 16, trained = Some(centroids(s, dir, 16)))),
 
+    // Scalar-quantized ANN: corpus AND queries quantized to int8 codes
+    // (4x memory/bandwidth vs float32 — the capacity lever at 100 TB),
+    // exact top-k over the dequantized floats. Every arithmetic step
+    // (clamp, floor-round, /127, float narrow) is the same IEEE op in
+    // DuckDB, so the oracle is a full equality check, not a recall bound.
+    "v08_ann_sq" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.{sqDequantize, sqQuantize}
+      val dq = table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          sqDequantize(sqQuantize(col("embedding"))).as("v8"))
+      val e = dq.select(col("vec_id").as("id"), col("v8").as("vec"))
+      val q = dq.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v8").as("qvec"))
+      Similarity.bruteForceTopK(e, q, k = 10)
+    }),
+
     // CROSS-MODAL composition: embedding-space clusters joined back to
     // the text table (vec_id ↔ doc_id) for a cluster-conditioned language
     // histogram — "what does each semantic cluster contain", the readout
@@ -368,6 +384,26 @@ object VectorQueries {
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
          FROM u a JOIN u b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99"""
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99""",
+    // Mirrors sqQuantize/sqDequantize step for step: clamp, floor-round
+    // to int code, /127 as DOUBLE, narrow to REAL — all IEEE-identical —
+    // then the v01 exact top-k over the dequantized vectors.
+    "v08_ann_sq" ->
+      """WITH dq AS (
+           SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(CAST(floor(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127.0 + 0.5) AS INTEGER) / 127.0 AS REAL)) AS v8
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, v8 AS qvec FROM dq WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.v8::DOUBLE[], q.qvec::DOUBLE[]) AS sim
+           FROM dq e, q WHERE e.vec_id <> q.qid),
+         ranked AS (
+           SELECT qid, neighbor_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT qid, neighbor_id, rank, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 10"""
   )
 }

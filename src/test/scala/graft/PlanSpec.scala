@@ -119,6 +119,7 @@ class PlanSpec extends SparkSessionSpec {
     */
   private val intendedNlj = Set(
     "v01_ann_bruteforce", // query set broadcast against the corpus
+    "v08_ann_sq",         // same shape over the dequantized int8 codes
     "t10_tfidf", "t11_unigram_nll") // 1-row corpus-count cross join
 
   test("no query plans a CartesianProduct; NLJ only where designed") {

@@ -129,6 +129,36 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(byCell === prof)
   }
 
+  test("int8 scalar quantization: codes are fixed points, recall stays high") {
+    import graft.functions.VectorFunctions.{sqDequantize, sqQuantize}
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // dequantize∘quantize is a projection: re-quantizing the dequantized
+    // vector must reproduce the SAME codes (codes are fixed points)
+    val codes = e.select(col("id"), sqQuantize(col("vec")).as("c"))
+    val recoded = codes.select(col("id"),
+      sqQuantize(sqDequantize(col("c"))).as("c2"), col("c"))
+    assert(recoded.filter(col("c") =!= col("c2")).count() === 0)
+    // codes live in [-127, 127]
+    val bounds = codes.select(array_max(col("c")).as("hi"), array_min(col("c")).as("lo"))
+      .agg(max(col("hi")), min(col("lo"))).head()
+    assert(bounds.getInt(0) <= 127 && bounds.getInt(1) >= -127)
+    // quantized top-10 retains most of the exact top-10 (64-dim, max
+    // per-element error 1/254 -> cosine perturbation ~1e-2)
+    val (corpus, queries) = corpusAndQueries()
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val dq = sqDequantize(sqQuantize(col("vec")))
+    val qdq = sqDequantize(sqQuantize(col("qvec")))
+    val approx = Similarity.bruteForceTopK(
+        corpus.select(col("id"), dq.as("vec")),
+        queries.select(col("qid"), qdq.as("qvec")), k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"SQ recall@10 = $recall")
+    assert(recall >= 0.7)
+  }
+
   test("near-dup mining finds planted identical vectors") {
     val e = table(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
