@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic, engine-portable sketches.
+  *
+  * Spark's built-in sketches (HLL++, KLL — q18/q19) are the right 100 TB
+  * tools but their internals differ across engines, so they can never
+  * hash-match an external oracle. This module holds sketch ALGORITHMS
+  * whose every step is portable IEEE/integer arithmetic, so the estimate
+  * itself is bit-reproducible: the q26 KMV oracle is a full equality
+  * check — a sketch with an exact oracle.
+  */
+object Sketches {
+
+  /** KMV (k-minimum-values) distinct-count estimate per group.
+    *
+    * Each key is hashed to a 52-bit value (first 13 hex chars of its
+    * md5 — 52 bits so the value and all downstream arithmetic are exact
+    * in a double on every engine). Within a group, the k smallest
+    * DISTINCT hash values summarize the key set; with u_k = the k-th
+    * smallest hash normalized to (0, 1], the standard KMV estimator is
+    * `(k-1) / u_k`. Groups with fewer than k distinct hashes report the
+    * exact distinct count (the sketch degenerates to the truth).
+    *
+    * Shape: one partial-agg distinct shuffle of (group, hash) pairs,
+    * then a rank-limit window that plans as `WindowGroupLimit` (per-task
+    * top-k BEFORE the window's exchange), plus one tiny group count. At
+    * the very largest scales the distinct pass itself is the cost — that
+    * is exactly what q18's HLL++ trades accuracy for; KMV is the middle
+    * point: bounded summary (k values per group), exact oracle-able
+    * arithmetic.
+    *
+    * Output: (groupCol, est_<keyCol> DOUBLE rounded to 6, n_kmv = the
+    * summary size actually used).
+    */
+  def kmvDistinct(
+      df: DataFrame, keyCol: String, groupCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val two52 = 4503599627370496.0 // 2^52, exact in a double
+    val h = df.select(
+        col(groupCol),
+        conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+          .cast("long").as("__h"))
+      .distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h").asc)
+    val ranked = h.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k) // WindowGroupLimit: per-task k-min pre-shuffle
+    val kth = ranked.filter(col("__rn") === k)
+      .select(col(groupCol), col("__h").as("__hk"))
+    val counts = h.groupBy(col(groupCol)).agg(count(lit(1)).as("__nd"))
+    counts.join(kth, Seq(groupCol), "left")
+      .select(
+        col(groupCol),
+        round(
+          when(col("__nd") >= k,
+            lit((k - 1).toDouble) /
+              ((col("__hk").cast("double") + lit(1.0)) / lit(two52)))
+            .otherwise(col("__nd").cast("double")), 6)
+          .as(s"est_$keyCol"),
+        least(col("__nd"), lit(k.toLong)).as("n_kmv"))
+  }
+}

@@ -141,6 +141,14 @@ object Extended {
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("q95"),
           percentile_approx(col("value"), lit(0.99), lit(10000)).as("q99"))),
 
+    // KMV distinct sketch: k-minimum-values over 52-bit md5 hashes — a
+    // sketch whose every step is portable IEEE/integer arithmetic, so
+    // unlike q18's HLL++ the ESTIMATE itself hash-matches the oracle.
+    "q26_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.kmvDistinct(
+        table(s, dir, "events"), keyCol = "user_id",
+        groupCol = "event_type", k = 64)),
+
     // Pivot (long→wide): order counts per customer segment × priority.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — required at scale anyway.
@@ -220,6 +228,26 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors Sketches.kmvDistinct step for step: same 13-hex/52-bit md5
+    // hash (the q21/p02 md5-rank idiom), same (k-1)/u_k estimator with
+    // identical operation order, same <k exact fallback.
+    "q26_kmv_distinct" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+           FROM events),
+         r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+               FROM h),
+         a AS (SELECT event_type, max(rn) AS nd,
+                 max(CASE WHEN rn = 64 THEN h END) AS hk
+               FROM r GROUP BY event_type)
+         SELECT event_type,
+           round(CASE WHEN nd >= 64
+                 THEN 63.0 / ((CAST(hk AS DOUBLE) + 1.0) / 4503599627370496.0)
+                 ELSE CAST(nd AS DOUBLE) END, 6) AS est_user_id,
+           least(nd, 64) AS n_kmv
+         FROM a""",
     "q13_asof_view_purchase" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
                     WHERE event_type = 'purchase'),

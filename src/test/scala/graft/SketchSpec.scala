@@ -43,4 +43,32 @@ class SketchSpec extends SparkSessionSpec {
         s"$k p95 $a95 outside ${p95band}")
     }
   }
+
+  test("KMV distinct estimate tracks exact counts; degenerates to exact < k") {
+    val e = table(spark, sfDir, "events")
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val est = graft.ops.Sketches.kmvDistinct(e, "user_id", "event_type", k = 64)
+      .as[(String, Double, Long)].collect()
+    assert(est.map(_._1).toSet === exact.keySet)
+    est.foreach { case (tpe, v, nk) =>
+      val n = exact(tpe)
+      if (n < 64) {
+        // fewer distinct keys than the summary: the sketch IS the truth
+        assert(v === n.toDouble && nk === n)
+      } else {
+        // standard KMV error ~ 1/sqrt(k) = 12.5%; allow 4 sigma
+        assert(nk === 64L)
+        assert(math.abs(v - n) <= 0.5 * n,
+          s"$tpe estimate $v too far from exact $n")
+      }
+    }
+    // the rank-limit must plan as WindowGroupLimit (per-task k-min before
+    // the window's exchange) — the property that keeps the sketch cheap
+    val plan = graft.ops.Sketches.kmvDistinct(e, "user_id", "event_type")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "KMV rank limit lost the WindowGroupLimit pushdown")
+  }
 }
