@@ -36,6 +36,40 @@ object Sketches {
     * Output: (groupCol, est_<keyCol> DOUBLE rounded to 6, n_kmv = the
     * summary size actually used).
     */
+  /** Per-group quantile ESTIMATES from a deterministic hash sample —
+    * the oracle-able counterpart of q19's KLL sketch: sample membership
+    * is the md5-bucket rule ([[Sampling.hashBucket]], so both engines
+    * agree row for row), and the quantile of the sample is a pure
+    * rank-based pick (`rn == ceil(p·n)` under the total order
+    * (value, key)), no interpolation — every step integer/IEEE-portable.
+    *
+    * Estimation error comes only from sampling (~1/√(p·n) quantile
+    * deviation); the arithmetic is exact, so q27 hash-matches its
+    * oracle. Scale note: each group's SAMPLE flows through one window
+    * task — `samplePct` is the knob that bounds it (at 100 TB a 1%
+    * sample of a 10⁹-row group is 10⁷ rows per task — fine; the
+    * full-data exact quantile this replaces is not).
+    *
+    * Output: (groupCol, q50, q95, q99) — sample quantiles of `valueCol`.
+    */
+  def sampledQuantiles(
+      df: DataFrame, valueCol: String, keyCol: String, groupCol: String,
+      samplePct: Int = 20): DataFrame = {
+    require(samplePct >= 1 && samplePct <= 100,
+      s"samplePct must be in [1, 100], got $samplePct")
+    val s = df.filter(Sampling.hashBucket(col(keyCol)) < samplePct)
+      .select(col(groupCol), col(valueCol).as("__v"), col(keyCol).as("__k"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v").asc, col("__k").asc)
+    val ranked = s
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    def pick(p: Double) =
+      max(when(col("__rn") === ceil(lit(p) * col("__n")), col("__v")))
+    ranked.groupBy(col(groupCol))
+      .agg(pick(0.50).as("q50"), pick(0.95).as("q95"), pick(0.99).as("q99"))
+  }
+
   def kmvDistinct(
       df: DataFrame, keyCol: String, groupCol: String,
       k: Int = 64): DataFrame = {

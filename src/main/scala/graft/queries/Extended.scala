@@ -149,6 +149,15 @@ object Extended {
         table(s, dir, "events"), keyCol = "user_id",
         groupCol = "event_type", k = 64)),
 
+    // Sampled exact quantiles: q19's oracle-able counterpart — the
+    // estimate's only error source is the deterministic md5-bucket
+    // sample; the rank-based pick is bit-portable, so the oracle is a
+    // full equality check.
+    "q27_sampled_quantiles" -> ((s, dir) =>
+      graft.ops.Sketches.sampledQuantiles(
+        table(s, dir, "events"), valueCol = "value",
+        keyCol = "event_id", groupCol = "event_type")),
+
     // Pivot (long→wide): order counts per customer segment × priority.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — required at scale anyway.
@@ -248,6 +257,25 @@ object Extended {
                  ELSE CAST(nd AS DOUBLE) END, 6) AS est_user_id,
            least(nd, 64) AS n_kmv
          FROM a""",
+    // Mirrors Sketches.sampledQuantiles: same md5-bucket sample rule
+    // (q21's split idiom), same (value, key) total order, same
+    // rn == ceil(p*n) rank pick.
+    "q27_sampled_quantiles" ->
+      """WITH s AS (
+           SELECT event_type, value, event_id
+           FROM events
+           WHERE CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 100 < 20),
+         r AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY value ASC, event_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM s)
+         SELECT event_type,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS q50,
+           max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS q95,
+           max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS q99
+         FROM r GROUP BY event_type""",
     "q13_asof_view_purchase" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
                     WHERE event_type = 'purchase'),

@@ -71,4 +71,27 @@ class SketchSpec extends SparkSessionSpec {
     assert(plan.contains("WindowGroupLimit"),
       "KMV rank limit lost the WindowGroupLimit pushdown")
   }
+
+  test("sampled quantiles track exact quantiles within sampling error") {
+    val e = table(spark, sfDir, "events")
+    val est = graft.ops.Sketches
+      .sampledQuantiles(e, "value", "event_id", "event_type", samplePct = 20)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    // exact percentile BANDS around each target: the sample quantile
+    // must land inside a generous neighborhood of the true one (the
+    // bit-exact check is the q27 DuckDB oracle; this pins tracking)
+    val exact = e.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.30, 0.70, 0.88, 0.995, 0.94, 1.0))").as("b"))
+      .as[(String, Seq[Double])].collect().toMap
+    est.foreach { case (tpe, Seq(q50, q95, q99)) =>
+      val b = exact(tpe)
+      assert(q50 >= b(0) && q50 <= b(1), s"$tpe q50 $q50 outside [${b(0)}, ${b(1)}]")
+      assert(q95 >= b(2) && q95 <= b(3), s"$tpe q95 $q95 outside [${b(2)}, ${b(3)}]")
+      assert(q99 >= b(4) && q99 <= b(5), s"$tpe q99 $q99 outside [${b(4)}, ${b(5)}]")
+      // ordered by construction
+      assert(q50 <= q95 && q95 <= q99)
+    }
+    assert(est.nonEmpty)
+  }
 }
