@@ -340,6 +340,43 @@ object CorpusStats {
         round(coalesce(col("__avg"), lit(0.0)), 6).as("avg_nll"))
   }
 
+  /** Document-sharded inverted index: token → per-shard posting segment.
+    *
+    * The classic MR "build the index" workload (the reference's wordcount
+    * family generalized from counts to posting lists), laid out the way a
+    * distributed index actually ships: postings are partitioned by
+    * DOCUMENT shard (`doc_id mod nShards`, the Lucene/Elasticsearch
+    * document-routing shape), so one token's postings live in ≤ nShards
+    * bounded segments instead of one unbounded row. A stopword that hits
+    * every document of a 100 TB corpus would otherwise produce a single
+    * multi-GB posting cell on one task; here its per-segment size is
+    * capped by the shard's document count, build parallelism for that
+    * token is nShards-way, and a term lookup reads nShards rows and
+    * concatenates (segments are disjoint by construction, each internally
+    * sorted). Build cost: one explode + distinct + one (token, shard)
+    * keyed aggregation — partial-agg combines duplicate (doc, token)
+    * pairs map-side before either exchange.
+    *
+    * Output: (token, shard, df_shard, postings) — df_shard = exact
+    * per-shard document frequency (global df = sum over shards);
+    * postings = comma-joined doc_ids ascending.
+    */
+  def invertedIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).cast("long").as("__id"),
+        explode(lowerTokens(col(textCol))).as("token"))
+      .distinct()
+      .groupBy(col("token"), pmod(col("__id"), lit(nShards.toLong)).as("shard"))
+      .agg(
+        count(lit(1)).as("df_shard"),
+        array_join(
+          transform(array_sort(collect_list(col("__id"))),
+            i => i.cast("string")), ",").as("postings"))
+  }
+
   /** Top-`m` TF-IDF terms per document (score DESC, term ASC tie-break) —
     * the per-document salient-term extraction used for topic tagging and
     * domain labeling of a corpus. idf = ln(N / df) with N = total corpus

@@ -70,6 +70,82 @@ object Sketches {
       .agg(pick(0.50).as("q50"), pick(0.95).as("q95"), pick(0.99).as("q99"))
   }
 
+  /** Exact heavy hitters (frequent keys) in two bounded-memory passes:
+    * Misra–Gries candidate generation, then an exact recount of the
+    * candidates only.
+    *
+    * Pass 1 runs a Misra–Gries summary of `capacity` counters inside
+    * each partition (mapPartitions — genuinely imperative per-partition
+    * state, the one shape the Column algebra can't express) and emits
+    * only the surviving KEYS. MG guarantees any key with in-partition
+    * frequency > N_p/(capacity+1) survives; a key with global count
+    * ≥ N/supportDen must (pigeonhole) reach frequency ≥ N_p/supportDen
+    * in at least one partition, so with capacity ≥ supportDen the union
+    * of per-partition summaries is a SUPERSET of the true heavy hitters.
+    * Pass 2 recounts exactly: a broadcast join tags candidate rows, all
+    * other rows group under NULL — which partial aggregation collapses
+    * map-side to one row per task — and the final ratio filter makes the
+    * result EXACT, {key | count(key)·supportDen ≥ N}, independent of
+    * partitioning (the candidate set varies with the split; the output
+    * never does). N rides the same tiny aggregate as a frame-less window
+    * sum, so there is no extra scan and no driver-side action.
+    *
+    * Why not plain groupBy+HAVING: at billion-key cardinality the naive
+    * plan shuffles ~one row per DISTINCT key even after partial
+    * aggregation. Here the shuffle carries ≤ capacity·numPartitions
+    * candidate keys plus one null-group row per task, regardless of key
+    * cardinality — the 100 TB shape for "find the hot keys" (e.g. to
+    * pick [[SkewJoin]] salting targets). Cost: two scans of the input
+    * instead of one; at scale the scan is cheap, the vocabulary-wide
+    * shuffle is not.
+    *
+    * Keys are LONG (hash string keys first — the `kgram_hashes` idiom);
+    * null keys are dropped. Output: (keyCol, n), exact counts of keys
+    * with n·supportDen ≥ N.
+    */
+  def exactHeavyHitters(
+      df: DataFrame, keyCol: String, supportDen: Long,
+      capacity: Int = 0): DataFrame = {
+    require(supportDen >= 1, s"supportDen must be >= 1, got $supportDen")
+    val cap =
+      if (capacity > 0) capacity
+      else math.min(supportDen, Int.MaxValue.toLong).toInt
+    require(cap >= supportDen,
+      s"capacity $cap < supportDen $supportDen voids the MG superset guarantee")
+    import df.sparkSession.implicits._
+    val keys = df.select(col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull).as[Long]
+    val candidates = keys.mapPartitions { it =>
+      val counts = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach { k =>
+        val c = counts.getOrElse(k, 0L)
+        if (c > 0L || counts.size < cap) counts.update(k, c + 1L)
+        else {
+          // decrement-all; each such event cancels cap+1 units of
+          // inserted count, so the sweep is amortized O(1) per row.
+          val ks = counts.keysIterator.toArray
+          var i = 0
+          while (i < ks.length) {
+            val v = counts(ks(i))
+            if (v == 1L) counts -= ks(i) else counts.update(ks(i), v - 1L)
+            i += 1
+          }
+        }
+      }
+      counts.keysIterator
+    }.toDF("k").distinct()
+    val tagged = keys.toDF("k")
+      .join(broadcast(candidates.withColumn("__cand", lit(true))),
+        Seq("k"), "left")
+    val counted = tagged
+      .groupBy(when(col("__cand"), col("k")).as("__ck"))
+      .agg(count(lit(1)).as("n"))
+    counted
+      .withColumn("__total", sum(col("n")).over(Window.partitionBy()))
+      .filter(col("__ck").isNotNull && col("n") * supportDen >= col("__total"))
+      .select(col("__ck").as(keyCol), col("n"))
+  }
+
   def kmvDistinct(
       df: DataFrame, keyCol: String, groupCol: String,
       k: Int = 64): DataFrame = {

@@ -158,6 +158,37 @@ object Extended {
         table(s, dir, "events"), valueCol = "value",
         keyCol = "event_id", groupCol = "event_type")),
 
+    // Exact heavy hitters in two bounded-memory passes (Misra–Gries
+    // candidates + exact recount): the hot-key detector — at billion-key
+    // cardinality the shuffle carries only candidates, never the key
+    // universe. Support 1/1500 of lineitem rows.
+    "q28_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Sketches.exactHeavyHitters(
+        table(s, dir, "lineitem"), keyCol = "l_partkey",
+        supportDen = 1500)),
+
+    // Bloom-pruned fact⋈dim join: urgent-order revenue by return flag.
+    // The lineitem side is filtered by a bloom of the urgent orderkeys
+    // BEFORE its shuffle (false positives re-verified by the join, so
+    // the result is exactly the plain join — the oracle IS the plain
+    // join). ~2^16-key filter ≈ 77 KB; prune kills ~80% of fact rows
+    // pre-exchange at any scale.
+    "q29_bloom_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val urgent = table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.ops.BloomPrune.bloomPrunedJoin(
+        li, urgent, probeKey = "l_orderkey", buildKey = "o_orderkey",
+        expectedKeys = 1L << 16)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          dec38(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))))
+            .cast("double").as("revenue"))
+    }),
+
     // Pivot (long→wide): order counts per customer segment × priority.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — required at scale anyway.
@@ -276,6 +307,21 @@ object Extended {
            max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS q95,
            max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS q99
          FROM r GROUP BY event_type""",
+    // The two-pass MG result is EXACT (candidate superset + exact
+    // recount), so the oracle is the naive full-aggregation answer.
+    "q28_heavy_hitters" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS n
+                    FROM lineitem GROUP BY 1)
+         SELECT l_partkey, n FROM c
+         WHERE n * 1500 >= (SELECT count(*) FROM lineitem)""",
+    // Bloom false positives are eliminated by the exact join that
+    // follows the prune, so the oracle is the plain join.
+    "q29_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_returnflag""",
     "q13_asof_view_purchase" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
                     WHERE event_type = 'purchase'),

@@ -114,6 +114,14 @@ object TextQueries {
       CorpusStats.unigramNll(
         table(s, dir, "documents"), "text", "doc_id")),
 
+    // Document-sharded inverted index (token → per-shard posting
+    // segment): the classic build-the-index MR workload in its
+    // distributed layout — a stopword's postings split across shards
+    // instead of one unbounded cell (CorpusStats.invertedIndex).
+    "t14_inverted_index" -> ((s, dir) =>
+      CorpusStats.invertedIndex(
+        table(s, dir, "documents"), "text", "doc_id", nShards = 4)),
+
     // PII detection + redaction. The synthetic corpus carries no natural
     // PII, so the query PLANTS deterministic PII per document (the oracle
     // constructs the identical text), then counts and redacts it —
@@ -365,6 +373,18 @@ object TextQueries {
             coalesce(st.n_tokens, 0) AS n_tokens,
             round(coalesce(st.a, 0.0), 6) AS avg_nll
           FROM documents d LEFT JOIN st USING (doc_id)""",
+    // Mirrors CorpusStats.invertedIndex: DISTINCT (doc, token) pairs,
+    // shard = doc_id mod 4, postings comma-joined ascending (DuckDB
+    // string_agg ORDER BY doc_id == Spark array_sort on longs; integer
+    // CAST-to-VARCHAR renders identically on both engines).
+    "t14_inverted_index" ->
+      s"""WITH t AS (SELECT DISTINCT doc_id, unnest($lowToks) AS token
+                     FROM documents)
+          SELECT token, CAST(doc_id % 4 AS BIGINT) AS shard,
+            count(*) AS df_shard,
+            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id ASC)
+              AS postings
+          FROM t GROUP BY 1, 2""",
     // Mirrors t12: identical planted construction, Java-regex ∩ RE2
     // patterns, same replacement order (emails before IPs).
     "t12_pii" ->

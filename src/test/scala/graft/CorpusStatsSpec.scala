@@ -195,6 +195,46 @@ class CorpusStatsSpec extends SparkSessionSpec {
     assert(bad.count() === 0)
   }
 
+  test("invertedIndex: hand-built postings, set semantics, shard routing") {
+    val df = Seq(
+      (0L, "alpha beta alpha"), // duplicate token in one doc counts once
+      (1L, "beta gamma"),
+      (2L, "Alpha beta"),       // case folds into 'alpha'
+      (5L, "beta")              // doc 5 → shard 1 under mod 4
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.invertedIndex(df, "text", "doc_id", nShards = 4)
+      .orderBy("token", "shard").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      ("alpha", 0L, 1L, "0"),
+      ("alpha", 2L, 1L, "2"),
+      ("beta", 0L, 1L, "0"),
+      ("beta", 1L, 2L, "1,5"),
+      ("beta", 2L, 1L, "2"),
+      ("gamma", 1L, 1L, "1")))
+  }
+
+  test("invertedIndex: sharded segments reassemble the unsharded index exactly") {
+    val d = graft.Engine.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val sharded = CorpusStats.invertedIndex(d, "text", "doc_id", nShards = 4)
+    val global = CorpusStats.invertedIndex(d, "text", "doc_id", nShards = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getString(3))).toMap
+    // per-token: shard dfs sum to the global df, and the shard segments
+    // (each internally ascending) merge to the global posting list
+    val merged = sharded.collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).map { case (tok, segs) =>
+        val ids = segs.flatMap(_._3.split(',')).map(_.toLong).sorted
+        tok -> (segs.map(_._2).sum, ids.mkString(","))
+      }
+    assert(merged === global)
+    // segments are disjoint: total postings == distinct postings
+    val all = sharded.collect().flatMap(r =>
+      r.getString(3).split(',').map(id => (r.getString(0), id)))
+    assert(all.length === all.distinct.length)
+  }
+
   test("unigramNll: hand-computed corpus model, rare tokens cost more") {
     // corpus: a a a b  → T=4, c(a)=3, c(b)=1
     val df = Seq(

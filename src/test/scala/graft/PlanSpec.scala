@@ -112,6 +112,32 @@ class PlanSpec extends SparkSessionSpec {
     } finally spark.conf.unset("graft.widen.parallelism")
   }
 
+  test("q29: bloom prune sits on the fact scan inside codegen") {
+    // the native predicate must filter lineitem IN the scan's codegen
+    // stage — before any exchange — or the semi-join reduction is lost
+    val p = finalPlan("q29_bloom_join")
+    assert(p.contains("bloom_might_contain"),
+      "native bloom predicate missing from the q29 plan")
+    assert(p.linesIterator.exists(l =>
+      l.contains("bloom_might_contain") && l.contains("Filter")
+        && l.trim.startsWith("*(")
+        || l.contains("bloom_might_contain") && l.contains("Filter")
+        && l.trim.startsWith("+- *(")),
+      "bloom predicate fell out of whole-stage codegen")
+  }
+
+  test("q28: heavy-hitter recount shuffles candidates, not the key universe") {
+    // pass 2's pre-shuffle HashAggregate groups by the candidate-tagged
+    // key — the broadcast tag join must stay broadcast (a shuffled tag
+    // join would move every fact row twice)
+    val p = plan("q28_heavy_hitters")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")),
+      "candidate tag join is not a broadcast left join")
+    assert(p.contains("partial_count"),
+      "recount lost map-side partial aggregation")
+  }
+
   /** Queries where a BroadcastNestedLoopJoin is the DESIGNED plan: a
     * deliberately tiny broadcast side (the ANN query set, the 1-row
     * corpus-total frame), where nested-loop over a handful of rows is

@@ -72,6 +72,44 @@ class SketchSpec extends SparkSessionSpec {
       "KMV rank limit lost the WindowGroupLimit pushdown")
   }
 
+  test("exact heavy hitters == naive aggregation, across partitionings and thresholds") {
+    // mixed shape: hot keys, a medium background, an all-unique tail —
+    // the MG candidate set varies with the partitioning, the OUTPUT of
+    // the two-pass operator must not (exactness is partition-invariant)
+    val rnd = new scala.util.Random(42)
+    val data = Seq.fill(2000)(rnd.nextInt(1000).toLong) ++
+      Seq.fill(500)(7L) ++ Seq.fill(200)(13L) ++ (10000L to 11000L)
+    val n = data.size.toLong
+    val want = (den: Long) => data.groupBy(identity)
+      .map { case (k, v) => (k, v.size.toLong) }
+      .filter { case (_, c) => c * den >= n }.toSet
+    for (parts <- Seq(1, 3, 8); den <- Seq(5L, 50L, 500L)) {
+      val df = data.toDF("k").repartition(parts)
+      val got = graft.ops.Sketches.exactHeavyHitters(df, "k", den)
+        .as[(Long, Long)].collect().toSet
+      assert(got === want(den), s"parts=$parts den=$den")
+    }
+  }
+
+  test("heavy hitters: exact-equality threshold edge is included, all-unique stream is empty") {
+    // N = 100, den = 10: a key with count exactly 10 satisfies
+    // n·den ≥ N with equality and must appear
+    val edge = (Seq.fill(10)(1L) ++ (100L until 190L)).toDF("k")
+    val gotEdge = graft.ops.Sketches.exactHeavyHitters(edge, "k", 10L)
+      .as[(Long, Long)].collect().toSet
+    assert(gotEdge === Set((1L, 10L)))
+    // every key unique: nothing reaches N/den for den < N
+    val uniq = (1L to 400L).toDF("k")
+    assert(graft.ops.Sketches.exactHeavyHitters(uniq, "k", 100L).count() === 0)
+  }
+
+  test("heavy hitters: capacity below supportDen is rejected (MG guarantee)") {
+    val df = Seq(1L, 2L, 3L).toDF("k")
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketches.exactHeavyHitters(df, "k", 100L, capacity = 50)
+    }
+  }
+
   test("sampled quantiles track exact quantiles within sampling error") {
     val e = table(spark, sfDir, "events")
     val est = graft.ops.Sketches
