@@ -189,6 +189,23 @@ object Extended {
             .cast("double").as("revenue"))
     }),
 
+    // PageRank (5 rounds) over the bipartite customer↔part purchase
+    // graph, in fixed-point BIGINT arithmetic — float PageRank can never
+    // hash-match an oracle (sum order), the integer recurrence is
+    // bit-exact on both engines. Vertex ids: customer = 2k, part = 2k+1.
+    "q30_pagerank" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("u"),
+          (col("l_partkey") * 2 + 1).as("v"))
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      graft.ops.PageRank.fixedPointPageRank(edges, iterations = 5)
+    }),
+
     // Pivot (long→wide): order counts per customer segment × priority.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — required at scale anyway.
@@ -267,7 +284,31 @@ object Extended {
           sum(col("k")).as("sum_k")))
   )
 
+  /** q30's oracle replays the fixed-point recurrence round for round:
+    * DuckDB `//` (floor div) == Spark `div` (trunc) on the all-positive
+    * ranks, and the scaled-BIGINT sums are order-invariant, so the
+    * 5-round unroll is bit-identical to the Spark iteration.
+    */
+  private val q30OracleSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (SELECT d.dst AS vertex,
+           CAST(150000000000 + (85 * sum(r${i - 1}.r // d.outdeg)) // 100 AS BIGINT) AS r
+         FROM d JOIN r${i - 1} ON d.src = r${i - 1}.vertex GROUP BY d.dst)"""
+    }.mkString(",\n         ")
+    s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT u AS src, v AS dst FROM p
+               UNION ALL SELECT v AS src, u AS dst FROM p),
+         d AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS outdeg
+               FROM e),
+         r0 AS (SELECT DISTINCT src AS vertex,
+                  CAST(1000000000000 AS BIGINT) AS r FROM e),
+         $rounds
+       SELECT vertex, r FROM r5"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q30_pagerank" -> q30OracleSql,
     // Mirrors Sketches.kmvDistinct step for step: same 13-hex/52-bit md5
     // hash (the q21/p02 md5-rank idiom), same (k-1)/u_k estimator with
     // identical operation order, same <k exact fallback.
