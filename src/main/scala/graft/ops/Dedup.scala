@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -54,6 +55,35 @@ object Dedup {
     val keep = exactGroups(df, textCol, idCol)
       .select(col("keeper_id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Multi-source ingestion merge: one survivor per content fingerprint,
+    * chosen by source PRECEDENCE — the ingest-time rule "the same
+    * document arriving from several feeds keeps the most trusted copy"
+    * (curated feed over mirror over crawl). Lowest `priority` value
+    * wins; ties break on min id, so the keeper is total-order
+    * deterministic like [[exactSurvivors]]' min-id rule.
+    *
+    * Scale shape: the precedence window runs over a SLIM (fp, priority,
+    * id) projection — full rows never ride the fp shuffle — and
+    * survivors join back by id. Output: the surviving input rows plus
+    * `n_copies` (the merged group's size, the ingest-dedup monitoring
+    * signal).
+    */
+  def precedenceSurvivors(
+      df: DataFrame, textCol: String, idCol: String,
+      priority: Column): DataFrame = {
+    val slim = df.select(
+      fingerprint(col(textCol)).as("__fp"),
+      priority.as("__pri"), col(idCol))
+    val byFp = Window.partitionBy(col("__fp"))
+    val keep = slim
+      .withColumn("__rn",
+        row_number().over(byFp.orderBy(col("__pri").asc, col(idCol).asc)))
+      .withColumn("n_copies", count(lit(1)).over(byFp))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("n_copies"))
+    df.join(keep, Seq(idCol))
   }
 
   /** Phase 1 of incremental exact dedup: the batch's content groups that

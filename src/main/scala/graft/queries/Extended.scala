@@ -206,6 +206,28 @@ object Extended {
       graft.ops.PageRank.fixedPointPageRank(edges, iterations = 5)
     }),
 
+    // Time-series resample with gap fill: hourly event counts per type
+    // over the corpus's FULL hour range, absent hours materialized as 0
+    // (sequence+explode generates the dense grid; the grid is
+    // types×hours — tiny next to the event stream — and joins the
+    // partially-aggregated counts, so the event table pays only its
+    // one aggregation shuffle).
+    "q31_gap_fill" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      val counts = e.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n_events"))
+      val range = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(range))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+            .as("h"))
+      grid.join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+
     // Pivot (long→wide): order counts per customer segment × priority.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — required at scale anyway.
@@ -309,6 +331,19 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q30_pagerank" -> q30OracleSql,
+    "q31_gap_fill" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h
+                    FROM events),
+         c AS (SELECT event_type, h, count(*) AS n_events
+               FROM e GROUP BY 1, 2),
+         r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         g AS (SELECT t.event_type, gs.h
+               FROM (SELECT DISTINCT event_type FROM e) t,
+                    (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                     FROM r) gs)
+         SELECT g.event_type, g.h,
+           CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+         FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h""",
     // Mirrors Sketches.kmvDistinct step for step: same 13-hex/52-bit md5
     // hash (the q21/p02 md5-rank idiom), same (k-1)/u_k estimator with
     // identical operation order, same <k exact fallback.

@@ -57,7 +57,30 @@ object PipelineQueries {
         table(s, dir, "documents"),
         tokenCount(col("text")),
         idCol = "doc_id", groupCol = "lang",
-        capacity = 256, numShards = 4))
+        capacity = 256, numShards = 4)),
+
+    // Multi-source ingestion merge with source precedence: the corpus is
+    // re-ingested through a planted lower-priority 'mirror' feed (every
+    // 3rd doc duplicated, every 7th contributing a mirror-ONLY doc — the
+    // p01/t12 planted-construction idiom), and the merge must keep the
+    // primary copy of every duplicated fingerprint while still admitting
+    // mirror-only content (Dedup.precedenceSurvivors).
+    "p05_source_precedence" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirrorDup = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          lit("mirror").as("source"))
+      val mirrorOnly = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" mirror only")).as("text"),
+          lit("mirror").as("source"))
+      Dedup.precedenceSurvivors(
+        d.unionAll(mirrorDup).unionAll(mirrorOnly),
+        "text", "doc_id",
+        priority = when(col("source") === "mirror", 1).otherwise(0))
+        .select(col("doc_id"), col("source"), col("n_copies"))
+    })
   )
 
   // Stage mirrors come from the same shared snippets the per-stage
@@ -131,6 +154,27 @@ object PipelineQueries {
             FROM pack p JOIN o
               ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1)
           SELECT doc_id, lang, shard, bin, n_tokens FROM pack"""
-    }
+    },
+    // Mirrors p05: identical planted mirror feed, the d01/d02 normalized
+    // fingerprint, and the same (priority, id) keeper total order.
+    "p05_source_precedence" ->
+      """WITH u AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text, 'mirror' FROM documents
+           WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 20000, text || ' mirror only', 'mirror'
+           FROM documents WHERE doc_id % 7 = 0),
+         f AS (SELECT doc_id, source,
+                 CASE WHEN source = 'mirror' THEN 1 ELSE 0 END AS pri,
+                 md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g'))) AS fp
+               FROM u),
+         r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY fp
+                   ORDER BY pri ASC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY fp) AS n_copies
+               FROM f)
+         SELECT doc_id, source, n_copies FROM r WHERE rn = 1"""
   )
 }

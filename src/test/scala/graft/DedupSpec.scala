@@ -26,6 +26,21 @@ class DedupSpec extends SparkSessionSpec {
     assert(survivors === Set(1L, 3L, 4L, 5L))
   }
 
+  test("precedenceSurvivors: priority beats id, ties by min id, unique low-priority survives") {
+    val df = Seq(
+      (1L, "same text", "crawl"),
+      (2L, "same text", "curated"), // pri 0: keeper despite larger id
+      (3L, "same text", "crawl"),
+      (4L, "other", "crawl"),       // unique content: low priority still kept
+      (5L, "Other ", "crawl")       // same fp as 4 after normalization; min id wins
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.precedenceSurvivors(df, "text", "doc_id",
+        when(col("source") === "curated", 0).otherwise(1))
+      .select(col("doc_id"), col("n_copies"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 3L), (4L, 2L)))
+  }
+
   test("components merges transitive chains and leaves islands alone") {
     // a-b, b-c chain (a~c never emitted) + isolated pair + untouched ids
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

@@ -146,7 +146,8 @@ class PlanSpec extends SparkSessionSpec {
   private val intendedNlj = Set(
     "v01_ann_bruteforce", // query set broadcast against the corpus
     "v08_ann_sq",         // same shape over the dequantized int8 codes
-    "t10_tfidf", "t11_unigram_nll") // 1-row corpus-count cross join
+    "t10_tfidf", "t11_unigram_nll", // 1-row corpus-count cross join
+    "q31_gap_fill")                 // 1-row (h0, h1) range cross join
 
   test("no query plans a CartesianProduct; NLJ only where designed") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
