@@ -228,6 +228,24 @@ object Extended {
           coalesce(col("n_events"), lit(0L)).as("n_events"))
     }),
 
+    // RANGE-frame rolling aggregate: per-user trailing-1-hour event
+    // count/sum at every event — a VALUE-bounded frame (peers by
+    // second), the semantics q25's ROWS frame cannot express. Seconds
+    // come from integer floor-division of the timestamp on both engines
+    // (epoch_ns // 1e9 in the oracle), never a float epoch.
+    "q32_rolling_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3599, 0)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("sec"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          dec38(sum(dec(col("value"))).over(w)).cast("double"))
+        .select(col("user_id"), col("event_id"), col("sec"),
+          col("n_1h"), col("sum_1h"))
+    }),
+
     // Pivot (long→wide): order counts per customer segment × priority.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — required at scale anyway.
@@ -331,6 +349,21 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q30_pagerank" -> q30OracleSql,
+    // RANGE frame over integer seconds; peers (same user, same second)
+    // share one frame value on both engines. DECIMAL sum: rolling-frame
+    // aggregation order is engine-internal, so only an order-invariant
+    // accumulator can hash-match.
+    "q32_rolling_range" ->
+      """WITH e AS (SELECT user_id, event_id,
+                      epoch_ns(ts) // 1000000000 AS sec, value
+                    FROM events)
+         SELECT user_id, event_id, sec,
+           count(*) OVER w AS n_1h,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                AS DECIMAL(38,6)) AS DOUBLE) AS sum_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""",
     "q31_gap_fill" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h
                     FROM events),

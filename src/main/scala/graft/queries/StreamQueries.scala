@@ -32,6 +32,13 @@ object StreamQueries {
       EventStream.segmentHourly(
         table(s, dir, "events"), table(s, dir, "customer"))),
 
+    // Sliding-window aggregate: 6-hour windows advancing hourly (every
+    // event in 6 overlapping windows) — the window semantics tumbling
+    // s01 can't express. StreamingSpec proves the watermarked
+    // readStream form matches.
+    "s07_sliding_agg" -> ((s, dir) =>
+      EventStream.slidingAgg(table(s, dir, "events"))),
+
     // Streaming exact-dedup monitoring stats (batch form): per-language
     // docs seen / distinct contents / duplicates over the planted corpus
     // (one exact dup per doc, the dedup family's ground truth).
@@ -84,6 +91,16 @@ object StreamQueries {
          CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2""",
+    // Mirrors the Spark window(ts, 6h, 1h) assignment: an event's six
+    // containing windows start at truncHour(ts) − k hours, k ∈ [0, 6).
+    "s07_sliding_agg" ->
+      """WITH ks AS (SELECT unnest(range(0, 6)) AS k),
+         x AS (SELECT event_type, value,
+                 date_trunc('hour', ts) - to_hours(ks.k) AS w_start
+               FROM events, ks)
+         SELECT w_start, event_type, count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
+         FROM x GROUP BY 1, 2""",
     // Same normalized-content fingerprint as the t05/d01 oracles; the
     // planted union doubles every doc, so n_dups >= n_distinct per lang.
     "s06_dedup_stats" ->

@@ -60,6 +60,38 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding-window aggregate (batch form): 6-hour windows advancing
+    * hourly, so every event lands in 6 overlapping windows — the
+    * trend-smoothing shape tumbling windows ([[hourlyAgg]]) can't
+    * express. `window(ts, len, slide)` is the same operator batch and
+    * streaming; the ×6 row expansion happens BEFORE partial aggregation,
+    * so the shuffle still carries one row per (window, type), not per
+    * event.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast(DecimalType(38, 6)).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming form of [[slidingAgg]]: watermarked, append emits each
+    * 6-hour window once the watermark passes its end.
+    */
+  def slidingAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast(DecimalType(38, 6)).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Stream-static enrichment (batch form): events joined to a STATIC
     * dimension (customer → market segment) and aggregated per
     * (hour, segment). The third join family next to stream-stream

@@ -56,6 +56,52 @@ class StreamingSpec extends SparkSessionSpec {
     assert(streamed === batch)
   }
 
+  test("streaming sliding agg == batch sliding agg (complete mode)") {
+    val events = table(spark, sfDir, "events")
+    val batch = EventStream.slidingAgg(events).collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+    mem.addData(rows.toSeq)
+
+    val agg = EventStream.slidingAgg(streamDf)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sliding_out").collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
+  test("watermarked sliding windows emit once closed, all 6 overlaps") {
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    def t(min: Int) = new Timestamp(3600L * 1000 * 24 + min * 60000L)
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStream.slidingAggStream(
+      df.withColumn("event_id", lit(0L)).withColumn("user_id", lit(0L))
+        .withColumn("props", lit("")))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sliding_wm_out").start()
+    mem.addData(Seq((t(30), "click", 1.0)))
+    q.processAllAvailable()
+    // push the watermark far past every window containing t(30)
+    mem.addData(Seq((t(60 * 24), "click", 9.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((t(60 * 36), "click", 9.0)))
+    q.processAllAvailable()
+    q.stop()
+    // the t(30) event must have been emitted in exactly 6 hourly-sliding
+    // 6-hour windows
+    val out = spark.table("sliding_wm_out")
+      .filter(col("sum_value") === 1.0)
+      .select("w_start").as[Timestamp].collect()
+    assert(out.length === 6)
+  }
+
   test("watermarked append-mode windows emit once closed") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     def t(min: Int) = new Timestamp(3600L * 1000 * 24 + min * 60000L)
