@@ -246,6 +246,17 @@ object Extended {
           col("n_1h"), col("sum_1h"))
     }),
 
+    // Single-pass column profile over events + a derived nullable field
+    // (the JSON '$.k' extraction, so the null-count column has real
+    // work): per-column rows / nulls / exact distincts — the ingest-QA
+    // checksum. ts is excluded: Spark reads it at micros, DuckDB at
+    // nanos, so its distinct count is not a portable quantity.
+    "q33_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(
+        table(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long")),
+        Seq("event_id", "user_id", "event_type", "value", "props", "k"))),
+
     // Pivot (long→wide): order counts per customer segment × priority.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — required at scale anyway.
@@ -349,6 +360,35 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q30_pagerank" -> q30OracleSql,
+    // One UNION branch per profiled column; count(DISTINCT) skips nulls
+    // on both engines, and the derived k mirrors q23's extraction.
+    "q33_profile" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, props,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                    FROM events)
+         SELECT 'event_id' AS col_name, count(*) AS n_rows,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+           count(DISTINCT event_id) AS n_distinct FROM e
+         UNION ALL
+         SELECT 'user_id', count(*),
+           CAST(count(*) - count(user_id) AS BIGINT),
+           count(DISTINCT user_id) FROM e
+         UNION ALL
+         SELECT 'event_type', count(*),
+           CAST(count(*) - count(event_type) AS BIGINT),
+           count(DISTINCT event_type) FROM e
+         UNION ALL
+         SELECT 'value', count(*),
+           CAST(count(*) - count(value) AS BIGINT),
+           count(DISTINCT value) FROM e
+         UNION ALL
+         SELECT 'props', count(*),
+           CAST(count(*) - count(props) AS BIGINT),
+           count(DISTINCT props) FROM e
+         UNION ALL
+         SELECT 'k', count(*),
+           CAST(count(*) - count(k) AS BIGINT),
+           count(DISTINCT k) FROM e""",
     // RANGE frame over integer seconds; peers (same user, same second)
     // share one frame value on both engines. DECIMAL sum: rolling-frame
     // aggregation order is engine-internal, so only an order-invariant

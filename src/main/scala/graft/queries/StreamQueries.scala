@@ -32,6 +32,15 @@ object StreamQueries {
       EventStream.segmentHourly(
         table(s, dir, "events"), table(s, dir, "customer"))),
 
+    // LEFT OUTER attribution: views-in-window per purchase with the
+    // zero-view orphans KEPT (count(v_id) over the left-outer interval
+    // join) — s04's inner form silently drops them. StreamingSpec proves
+    // the watermarked stream-stream left-outer form matches.
+    "s08_attribution_outer" -> ((s, dir) =>
+      EventStream.viewPurchaseLeftOuter(table(s, dir, "events"))
+        .groupBy(col("p_id"), col("user_id"), col("p_ts"))
+        .agg(org.apache.spark.sql.functions.count(col("v_id")).as("n_views"))),
+
     // Sliding-window aggregate: 6-hour windows advancing hourly (every
     // event in 6 overlapping windows) — the window semantics tumbling
     // s01 can't express. StreamingSpec proves the watermarked
@@ -91,6 +100,14 @@ object StreamQueries {
          CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2""",
+    "s08_attribution_outer" ->
+      """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+                CAST(count(v.event_id) AS BIGINT) AS n_views
+         FROM events p LEFT JOIN events v
+           ON v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTES
+         WHERE p.event_type = 'purchase'
+         GROUP BY 1, 2, 3""",
     // Mirrors the Spark window(ts, 6h, 1h) assignment: an event's six
     // containing windows start at truncHour(ts) − k hours, k ∈ [0, 6).
     "s07_sliding_agg" ->

@@ -258,6 +258,53 @@ object EventStream {
         col("v_id"), col("v_ts"))
   }
 
+  /** LEFT OUTER attribution (batch form): every purchase with its
+    * in-window views, unmatched purchases KEPT with null view columns —
+    * the orphan-conversion detector the inner join ([[viewPurchaseJoin]])
+    * silently drops.
+    */
+  def viewPurchaseLeftOuter(
+      events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(col("p_id"), col("user_id"), col("p_ts"),
+        col("v_id"), col("v_ts"))
+  }
+
+  /** Streaming form of [[viewPurchaseLeftOuter]]: watermarked
+    * stream-stream LEFT OUTER interval join. A matched pair emits as
+    * soon as both rows meet; a NULL-matched purchase emits only once the
+    * watermark passes its join horizon — the unmatched verdict is then
+    * provably final, which is exactly why outer stream-stream joins
+    * REQUIRE both watermarks and a time-bound join condition.
+    */
+  def viewPurchaseLeftOuterStream(
+      purchases: DataFrame, views: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val v = views.select(col("event_id").as("v_id"),
+      col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("v_id"), col("v_ts"))
+  }
+
   /** Streaming exact dedup on a key: state-backed key-only dedup with
     * the watermark bounding how long a key's fingerprint is retained —
     * the streaming half of the Dedup.exact* operators. (`dropDuplicates`

@@ -151,6 +151,44 @@ class StreamingSpec extends SparkSessionSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join matches batch: matches AND watermark-final orphans") {
+    val events = table(spark, sfDir, "events")
+      .filter(col("user_id") < 50) // bounded slice keeps the test fast
+    val batch = EventStream.viewPurchaseLeftOuter(events, windowMinutes = 60)
+      .select(col("p_id"), coalesce(col("v_id"), lit(-1L)))
+      .as[(Long, Long)].collect().toSet
+
+    // a NULL-matched purchase only emits once the watermark passes its
+    // horizon, so push a far-future sentinel through BOTH sides to
+    // finalize every real row's verdict, then exclude the sentinel
+    val horizon = new Timestamp(
+      events.agg(max(col("ts"))).as[Timestamp].head().getTime
+        + 30L * 24 * 3600 * 1000)
+    def side(tpe: String) = {
+      val mem = MemoryStream[(Long, Timestamp, Long)](spark)
+      val rows = events.filter(col("event_type") === tpe)
+        .select("event_id", "ts", "user_id")
+        .as[(Long, Timestamp, Long)].collect()
+      mem.addData(rows.toSeq)
+      mem.addData(Seq((-1L, horizon, -1L))) // watermark sentinel
+      (mem, mem.toDF().toDF("event_id", "ts", "user_id"))
+    }
+    val (_, p) = side("purchase")
+    val (_, v) = side("view")
+    val q = EventStream.viewPurchaseLeftOuterStream(p, v, windowMinutes = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssloj_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssloj_out")
+      .filter(col("p_id") =!= -1L)
+      .select(col("p_id"), coalesce(col("v_id"), lit(-1L)))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    // the slice must actually contain both orphans and matches
+    assert(batch.exists(_._2 == -1L) && batch.exists(_._2 != -1L))
+  }
+
   test("streaming dedup removes injected duplicates") {
     val mem = MemoryStream[(Long, Timestamp, Long)](spark)
     val rows = table(spark, sfDir, "events")
