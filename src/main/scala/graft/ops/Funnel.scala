@@ -1,0 +1,84 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.mr.MapReduce
+
+/** Earliest-chain funnel analysis: how many users progressed through an
+  * ordered sequence of event types (signup → view → click → purchase),
+  * where stage k+1 counts only if it happens at-or-after the EARLIEST
+  * qualifying stage-k event (t₁ = min ts of stage 1; tₖ₊₁ = min ts ≥ tₖ
+  * of stage k+1) — the standard product-analytics conversion funnel.
+  *
+  * Spark shape: the SQL formulation is k chained join+min stages — k
+  * shuffles of the event table. This implementation instead pays ONE
+  * shuffle: events (filtered to funnel types before the exchange) group
+  * by user through the typed MR layer ([[graft.mr.MapReduce.exec]]),
+  * and the chain recurrence runs in-memory per user, where the group is
+  * bounded by a user's own event count — the same per-group-bounded
+  * contract sessionization (s02) relies on. At 100 TB the win is k−1
+  * fewer full-table exchanges; the reduce streams groups, never the
+  * whole partition.
+  *
+  * Output: one row per funnel stage — (stage, stage_name, n_users
+  * reaching stage or beyond). Cumulative counts come from a sequence
+  * explode over each user's max stage: a 5-row-per-user narrow op, not
+  * another pass over events.
+  */
+object Funnel {
+
+  def funnelStages(
+      events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // (getTime millis, getNanos) orders sub-millisecond events correctly;
+    // plain getTime would collapse them
+    implicit val tsOrd: Ordering[Timestamp] =
+      Ordering.by(t => (t.getTime, t.getNanos))
+    val stageArr = stages.toArray
+    val stageSet = stageArr.toSet
+    val typed = events
+      .select(col(userCol).cast("long"), col(typeCol), col(tsCol))
+      .as[(Long, String, Timestamp)]
+
+    val perUser: Dataset[(Long, Int)] = MapReduce.exec(typed)(e =>
+      // non-funnel types never ride the shuffle
+      if (stageSet.contains(e._2)) Iterator.single((e._1, (e._2, e._3)))
+      else Iterator.empty) { (user, it) =>
+      val byType: Map[String, Array[Timestamp]] =
+        it.toArray.groupBy(_._1).map { case (t, a) =>
+          t -> a.map(_._2).sorted.toArray
+        }
+      var stage = 0
+      var tCur: Timestamp = null
+      var advanced = true
+      while (advanced && stage < stageArr.length) {
+        val ts = byType.getOrElse(stageArr(stage), Array.empty[Timestamp])
+        // sorted, so the first qualifying element IS min(ts ≥ tCur)
+        val hit =
+          if (stage == 0) ts.headOption
+          else ts.find(t => !t.before(tCur))
+        hit match {
+          case Some(t) => tCur = t; stage += 1
+          case None => advanced = false
+        }
+      }
+      (user, stage)
+    }
+
+    val names = array(stageArr.map(lit).toIndexedSeq: _*)
+    perUser.toDF("user_id", "max_stage")
+      .filter(col("max_stage") >= 1)
+      .select(explode(sequence(lit(1), col("max_stage"))).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("stage"), element_at(names, col("stage")).as("stage_name"),
+        col("n_users"))
+  }
+}

@@ -246,6 +246,15 @@ object Extended {
           col("n_1h"), col("sum_1h"))
     }),
 
+    // Conversion funnel over events: users progressing signup → view →
+    // click → purchase under earliest-chain semantics. ONE shuffle via
+    // the typed MR layer, where the SQL formulation needs four (see
+    // ops.Funnel).
+    "q34_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnelStages(
+        table(s, dir, "events"),
+        Seq("signup", "view", "click", "purchase"))),
+
     // Single-pass column profile over events + a derived nullable field
     // (the JSON '$.k' extraction, so the null-count column has real
     // work): per-column rows / nulls / exact distincts — the ingest-QA
@@ -360,6 +369,29 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q30_pagerank" -> q30OracleSql,
+    // Chained-min funnel replayed as staged CTEs: tₖ₊₁ = min ts ≥ tₖ of
+    // the next stage's type. events carry no sub-microsecond components
+    // and no cross-type (user, ts) collisions, so the chain is engine-
+    // portable despite Spark reading micros where DuckDB reads nanos.
+    "q34_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                 JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+                 WHERE e.event_type = 'view' GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                 JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+                 WHERE e.event_type = 'click' GROUP BY 1),
+          s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                 JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.t
+                 WHERE e.event_type = 'purchase' GROUP BY 1)
+          SELECT 1 AS stage, 'signup' AS stage_name, count(*) AS n_users FROM s1
+          UNION ALL
+          SELECT 2, 'view', count(*) FROM s2
+          UNION ALL
+          SELECT 3, 'click', count(*) FROM s3
+          UNION ALL
+          SELECT 4, 'purchase', count(*) FROM s4""",
     // One UNION branch per profiled column; count(DISTINCT) skips nulls
     // on both engines, and the derived k mirrors q23's extraction.
     "q33_profile" ->

@@ -59,6 +59,25 @@ object PipelineQueries {
         idCol = "doc_id", groupCol = "lang",
         capacity = 256, numShards = 4)),
 
+    // Composite quality gate with per-rule verdicts: every document
+    // scored against the rule set (too_short / low_stopword /
+    // non_english) in one narrow pass, keeping WHY a document fails —
+    // the auditable form of a filter (p01 only keeps the survivors;
+    // curation debugging needs the reject reasons). reasons is a
+    // fixed-order comma join, so downstream per-rule counts are plain
+    // string filters; no shuffle anywhere.
+    "p06_quality_gate" -> ((s, dir) => {
+      val nTok = tokenCount(col("text"))
+      val reasons = concat_ws(",",
+        when(nTok < 25, lit("too_short")),
+        when(graft.functions.TextFunctions.stopwordRatio(col("text")) < 0.01,
+          lit("low_stopword")),
+        when(langId(col("text")) =!= "en", lit("non_english")))
+      table(s, dir, "documents")
+        .select(col("doc_id"), reasons.as("drop_reasons"),
+          (reasons === "").as("keep"))
+    }),
+
     // Multi-source ingestion merge with source precedence: the corpus is
     // re-ingested through a planted lower-priority 'mirror' feed (every
     // 3rd doc duplicated, every 7th contributing a mirror-ONLY doc — the
@@ -155,6 +174,27 @@ object PipelineQueries {
               ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1)
           SELECT doc_id, lang, shard, bin, n_tokens FROM pack"""
     },
+    // Mirrors p06 from the same shared fragments (nTokens/enHits/
+    // langCase): identical rule predicates, identical fixed reason
+    // order; concat_ws skips NULL branches on both engines.
+    "p06_quality_gate" -> {
+      import TextQueries.{enHits, langCase, nTokens}
+      val reasons = s"""concat_ws(',',
+             CASE WHEN n_toks < 25 THEN 'too_short' END,
+             CASE WHEN ratio < 0.01 THEN 'low_stopword' END,
+             CASE WHEN pred_lang <> 'en' THEN 'non_english' END)"""
+      s"""WITH q AS (SELECT doc_id,
+                 CAST($nTokens AS BIGINT) AS n_toks,
+                 CASE WHEN $nTokens > 0
+                   THEN CAST($enHits AS DOUBLE) / CAST($nTokens AS DOUBLE)
+                   ELSE 0.0 END AS ratio,
+                 $langCase AS pred_lang
+               FROM documents)
+          SELECT doc_id, $reasons AS drop_reasons,
+            ($reasons = '') AS keep
+          FROM q"""
+    },
+
     // Mirrors p05: identical planted mirror feed, the d01/d02 normalized
     // fingerprint, and the same (priority, id) keeper total order.
     "p05_source_precedence" ->

@@ -144,7 +144,7 @@ object TextQueries {
 
   // DuckDB-side mirrors of the heuristics. Kept in exact lockstep with
   // TextFunctions — same regexes (RE2-compatible), same tie-break order.
-  private val enHits =
+  private[queries] val enHits =
     """len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that|it)\b'))"""
   private val deHits =
     """len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b'))"""

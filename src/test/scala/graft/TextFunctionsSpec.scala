@@ -74,4 +74,24 @@ class TextFunctionsSpec extends SparkSessionSpec {
     // pair is (es,t) not in table -> [t, es, t, ing]
     assert(out === Seq("th", "at", "t", "es", "t", "ing"))
   }
+
+  test("quality gate composes rule verdicts with fixed reason order (p06)") {
+    val gate = graft.queries.PipelineQueries
+      .queries("p06_quality_gate")(spark, sfDir)
+    val rows = gate.as[(Long, String, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // keep iff no reason fired; reasons appear only in the fixed order
+    val order = Seq("too_short", "low_stopword", "non_english")
+    rows.foreach { case (_, reasons, keep) =>
+      assert(keep === reasons.isEmpty)
+      if (reasons.nonEmpty) {
+        val parts = reasons.split(",").toSeq
+        assert(parts.forall(order.contains))
+        assert(parts === order.filter(parts.contains), s"order drifted: $reasons")
+      }
+    }
+    // the gate must actually split the corpus (keeps AND multi-rule drops)
+    assert(rows.exists(_._3))
+    assert(rows.exists(r => r._2.contains(",")))
+  }
 }
