@@ -505,4 +505,154 @@ object Similarity {
         greatest(col("a_id"), col("b_id")).as("id_b"),
         round(col("sim"), 6).as("sim"))
   }
+
+  // ──────────────────── Product quantization (PQ) ────────────────────
+
+  /** Plain-L2 Lloyd's k-means for PQ sub-spaces (the spherical variant
+    * above serves IVF, whose cells live on the unit sphere; PQ
+    * sub-vectors don't). Deterministic: stride-sampled init, first-min
+    * assignment ties, empty clusters keep their previous centroid.
+    */
+  private def kmeansL2(
+      sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val dim = sample.head.length
+    val stride = math.max(1, sample.length / k)
+    var cents =
+      Array.tabulate(math.min(k, sample.length))(i => sample(i * stride % sample.length))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val t = p(i).toDouble - cents(c)(i).toDouble; d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+    }
+    cents
+  }
+
+  /** PQ codebooks: the vector space cut into `m` contiguous sub-spaces,
+    * an independent k-codeword L2 k-means per sub-space, trained on the
+    * same deterministic bounded sample [[ivfCentroids]] uses (the FAISS
+    * train-once shape — driver-side over ≤`sampleSize` rows, never a
+    * distributed iteration).
+    */
+  def pqCodebooks(
+      corpus: DataFrame, m: Int, k: Int,
+      sampleSize: Int = 2048, iters: Int = 10,
+      idCol: String = "id", vecCol: String = "vec"): Array[Array[Array[Float]]] = {
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqCodebooks needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m sub-spaces")
+    val sub = dim / m
+    Array.tabulate(m)(mi =>
+      kmeansL2(sample.map(_.slice(mi * sub, (mi + 1) * sub)), k, iters))
+  }
+
+  /** Σ(aᵢ−bᵢ)² in double, strict left-to-right — the squared form skips
+    * the sqrt so the per-codeword argmin is one fewer rounding step (and
+    * the oracle mirrors the squared compare, so tie bits can't diverge
+    * through a sqrt collapse).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Encode a vector to its `m` PQ codes: per sub-space argmin-distance
+    * codeword index (first-min ties, matching list_position semantics).
+    * Pure Column composition — codegen'd, no UDF; a 64-float vector
+    * compresses to m small ints (4 codes ≈ 64× less state than float32,
+    * THE memory/bandwidth lever for trillion-row ANN).
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    val sub = codebooks(0)(0).length
+    val codes = codebooks.zipWithIndex.map { case (cb, mi) =>
+      val s = slice(vec, mi * sub + 1, sub)
+      val dists = array(cb.map(c =>
+        l2sq(s, array(c.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    array(codes.toIndexedSeq: _*)
+  }
+
+  /** Decode PQ codes back to the reconstructed vector (the concatenation
+    * of each sub-space's selected codeword, as doubles). Codebooks ride
+    * the plan as literals — nothing is looked up at runtime but an
+    * `element_at`.
+    */
+  def pqDecode(codes: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    val nested = codebooks.map(cb =>
+      array(cb.map(c =>
+        array(c.map(x => lit(x.toDouble)).toIndexedSeq: _*)).toIndexedSeq: _*))
+    concat(nested.zipWithIndex.map { case (n, mi) =>
+      element_at(n, element_at(codes, mi + 1) + 1)
+    }.toIndexedSeq: _*)
+  }
+
+  /** PQ ANN with exact re-rank (the FAISS IVFPQ+refine shape): the
+    * corpus is encoded to codes (64× smaller than float32 — at 100 TB
+    * the codes fit where the vectors never would), the ADC pass scores
+    * queries against the RECONSTRUCTED vectors (asymmetric distance:
+    * the query stays exact, only the corpus is quantized) to cut
+    * |corpus| candidates down to a `refine`-sized shortlist, and only
+    * the shortlist's TRUE vectors are fetched for the exact final
+    * top-k. The expensive full-width scan touches codes only; full
+    * vectors move for |Q|·refine rows, not |corpus|.
+    *
+    * The reconstruction concatenates sub-space codewords in order, so
+    * the 64-element left-to-right distance accumulation equals the
+    * per-sub-space sum — one fused codegen'd pass, bit-reproducible
+    * against the oracle; both ranking windows tie-break on id.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, nCodes: Int = 16, refine: Int = 100,
+      trained: Option[Array[Array[Array[Float]]]] = None,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cbs = trained.getOrElse(pqCodebooks(corpus, m, nCodes, idCol = idCol, vecCol = vecCol))
+    val enc = corpus.select(col(idCol), pqEncode(col(vecCol), cbs).as("codes"))
+    val adcW = Window.partitionBy(col(qidCol))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+    val shortlist = enc.crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("adc_dist",
+        l2Distance(col(qvecCol), pqDecode(col("codes"), cbs)))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= refine)
+      .select(col(qidCol), col(idCol))
+    // shortlist is |Q|·refine rows — broadcast it back against the
+    // corpus so the vector fetch is a broadcast join, not a shuffle
+    val refined = corpus.join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(queries), Seq(qidCol))
+      .withColumn("dist", l2Distance(col(qvecCol), col(vecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("dist").asc, col(idCol).asc)
+    refined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"),
+        col("rank"), round(col("dist"), 6).as("dist"))
+  }
 }

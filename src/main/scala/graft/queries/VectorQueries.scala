@@ -52,6 +52,20 @@ object VectorQueries {
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         nCentroids = n))
 
+  /** PQ codebook memo — same train-once/content-stamp contract as
+    * [[centroidMemo]], keyed additionally by (m, k).
+    */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long), Array[Array[Array[Float]]]]()
+
+  private[graft] def pqBooks(
+      s: SparkSession, dir: String, m: Int, k: Int): Array[Array[Array[Float]]] =
+    pqMemo.computeIfAbsent((dir, m, k, embeddingsStamp(dir)), _ =>
+      Similarity.pqCodebooks(
+        table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        m = m, k = k))
+
   /** embeddings ∪ (embeddings ⊕ id+10000): plants one exact duplicate per
     * vector (natural max pairwise cosine in the corpus is 0.51, so dup
     * queries need ground truth).
@@ -162,6 +176,24 @@ object VectorQueries {
       val q = dq.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v8").as("qvec"))
       Similarity.bruteForceTopK(e, q, k = 10)
+    }),
+
+    // Product-quantization ANN with exact re-rank: 8 sub-spaces × 16
+    // codewords — each 64-float vector becomes 8 small ints (32× less
+    // state than float32, the memory lever none of v01/v02/v04/v08
+    // pull); the ADC shortlist (top-100) is re-ranked on true vectors
+    // (asymmetric distance + refine, the FAISS shape). Full SQL oracle:
+    // codebooks are deterministic (L2 k-means, fixed seed/sample rule),
+    // so encode + decode + distance replay in DuckDB with the codebooks
+    // inlined as exact decimal literals — see [[dynamicOracles]].
+    "v09_ann_pq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.pqTopK(e, q, k = 10, m = 8, nCodes = 16,
+        trained = Some(pqBooks(s, dir, 8, 16)))
     }),
 
     // CROSS-MODAL composition: embedding-space clusters joined back to
@@ -354,10 +386,80 @@ object VectorQueries {
         GROUP BY cb.cell, d.lang"""
   }
 
+  /** The v09 oracle: PQ encode + decode + asymmetric distance replayed
+    * in DuckDB with the trained codebooks inlined as exact decimal
+    * literals (the centroidCellCte exactness argument, applied to the
+    * per-sub-space codeword tables).
+    *
+    * Bit-exactness chain: per-codeword distances are Σ(aᵢ−bᵢ)² in double
+    * left-to-right (Spark `aggregate` ≡ DuckDB `list_aggregate 'sum'`);
+    * the argmin is a first-match position over identical doubles
+    * (`array_position`/`list_position` of the min); the reconstruction
+    * concatenates codewords in sub-space order, so the final 64-element
+    * sqrt-of-sum runs the identical IEEE sequence on both engines.
+    */
+  private def v09OracleSql(s: SparkSession, dir: String): String = {
+    val cbs = pqBooks(s, dir, 8, 16)
+    def exact(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString
+    val sub = cbs(0)(0).length
+    // per-sub-space distance list: one Σ(aᵢ−bᵢ)² per codeword
+    def distList(mi: Int): String =
+      cbs(mi).map { c =>
+        val lit = c.map(exact).mkString("[", ", ", "]")
+        val off = mi * sub
+        s"""list_aggregate(list_transform(range(1, ${sub + 1}),
+             i -> (CAST(embedding[i + $off] AS DOUBLE) - ($lit)[i])
+                * (CAST(embedding[i + $off] AS DOUBLE) - ($lit)[i])), 'sum')"""
+      }.mkString("[", ",\n            ", "]")
+    def bookLit(mi: Int): String =
+      cbs(mi).map(_.map(exact).mkString("[", ", ", "]"))
+        .mkString("[", ",\n            ", "]")
+    val reconExpr = cbs.indices
+      .map(mi => s"(${bookLit(mi)})[c$mi + 1]").mkString(" || ")
+    s"""WITH d AS (
+          SELECT vec_id, embedding,
+            ${cbs.indices.map(mi => s"${distList(mi)} AS d$mi").mkString(",\n            ")}
+          FROM embeddings),
+        enc AS (
+          SELECT vec_id, embedding,
+            ${cbs.indices.map(mi =>
+              s"CAST(list_position(d$mi, list_aggregate(d$mi, 'min')) - 1 AS INTEGER) AS c$mi")
+              .mkString(",\n            ")}
+          FROM d),
+        rec AS (
+          SELECT vec_id, $reconExpr AS recon FROM enc),
+        q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+              WHERE vec_id < 5),
+        shortlist AS (
+          SELECT q.qid, r.vec_id AS neighbor_id,
+            sqrt(list_aggregate(list_transform(range(1, ${sub * cbs.length + 1}),
+              i -> (CAST(q.qvec[i] AS DOUBLE) - r.recon[i])
+                 * (CAST(q.qvec[i] AS DOUBLE) - r.recon[i])), 'sum')) AS adc_dist
+          FROM rec r, q WHERE r.vec_id <> q.qid
+          QUALIFY row_number() OVER (PARTITION BY qid
+            ORDER BY adc_dist ASC, neighbor_id ASC) <= 100),
+        refined AS (
+          SELECT s.qid, s.neighbor_id,
+            sqrt(list_aggregate(list_transform(range(1, ${sub * cbs.length + 1}),
+              i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                 * (CAST(q.qvec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))), 'sum')) AS dist
+          FROM shortlist s
+          JOIN embeddings e ON e.vec_id = s.neighbor_id
+          JOIN q ON q.qid = s.qid),
+        ranked AS (
+          SELECT qid, neighbor_id, dist,
+            row_number() OVER (PARTITION BY qid ORDER BY dist ASC, neighbor_id ASC) AS rank
+          FROM refined)
+        SELECT qid, neighbor_id, rank, round(dist, 6) AS dist
+        FROM ranked WHERE rank <= 10"""
+  }
+
   /** Oracles that depend on the data dir (deterministic-but-data-derived
     * constants). Evaluated by Verify at dump time against the verify dir.
     */
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
+    "v09_ann_pq" -> (v09OracleSql(_, _)),
     "v04_ann_ivf" -> (v04OracleSql(_, _)),
     "v05_semantic_dedup" -> (v05OracleSql(_, _)),
     "v07_semdedup_exhaustive" -> (v07OracleSql(_, _)),

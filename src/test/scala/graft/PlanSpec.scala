@@ -146,6 +146,7 @@ class PlanSpec extends SparkSessionSpec {
   private val intendedNlj = Set(
     "v01_ann_bruteforce", // query set broadcast against the corpus
     "v08_ann_sq",         // same shape over the dequantized int8 codes
+    "v09_ann_pq",         // ADC pass: query set broadcast against codes
     "t10_tfidf", "t11_unigram_nll", // 1-row corpus-count cross join
     "q31_gap_fill")                 // 1-row (h0, h1) range cross join
 

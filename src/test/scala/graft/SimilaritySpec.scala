@@ -341,4 +341,42 @@ class SimilaritySpec extends SparkSessionSpec {
       assert(global.contains((id, of)), s"($id, $of) not a global pair")
     }
   }
+
+  test("PQ codes: shape, range, and codewords are encode fixed points") {
+    val (corpus, _) = corpusAndQueries()
+    val cbs = Similarity.pqCodebooks(corpus, m = 4, k = 16)
+    assert(cbs.length === 4)
+    assert(cbs.forall(cb => cb.length === 16 && cb.forall(_.length === 16)))
+    val enc = corpus.select(col("id"),
+      Similarity.pqEncode(col("vec"), cbs).as("codes"))
+    val codes = enc.select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
+    assert(codes.map(_.toList).distinct.size > 1, "degenerate encoding")
+    // encode(decode(codes)) == codes: the nearest codeword to a codeword
+    // is itself, so reconstruction re-encodes to the same codes
+    val recoded = enc.select(col("id"), col("codes"),
+      Similarity.pqEncode(
+        Similarity.pqDecode(col("codes"), cbs).cast("array<float>"),
+        cbs).as("codes2"))
+      .filter(not(col("codes") <=> col("codes2")))
+    assert(recoded.count() === 0)
+  }
+
+  test("PQ ANN recall >= 0.5 vs exact L2 top-k at k=10") {
+    val (corpus, queries) = corpusAndQueries()
+    // exact-L2 baseline (PQ approximates L2 distance, not cosine)
+    val exact = corpus.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("dist", VectorFunctions.l2Distance(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("dist").asc, col("id").asc)))
+      .filter(col("rank") <= 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(corpus, queries, k = 10, m = 8)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"PQ recall@10 = $recall")
+    assert(recall >= 0.5)
+  }
 }
