@@ -246,6 +246,40 @@ object Extended {
           col("n_1h"), col("sum_1h"))
     }),
 
+    // Triangle counting over the co-ordered-parts graph (parts linked
+    // when some order contains both): the third canonical graph/MR
+    // workload after PageRank (q30) and components (d06). Degree-ordered
+    // wedge-check — per-pivot out-degree bounded O(√|E|), see
+    // ops.Triangles. The oracle is an INDEPENDENT formulation (a<b<c
+    // three-way edge join), so the degree-direction machinery is
+    // differentially checked, not replayed.
+    "q35_triangles" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.ops.Triangles.triangleCount(edges)
+    }),
+
+    // Weekly cohort retention: users bucketed by the calendar week of
+    // their first event; n_users active per (cohort_week, week_offset).
+    // ALL-integer week arithmetic (epoch-microsecond division), so the
+    // matrix is bit-portable. One aggregation shuffle for first-seen
+    // (reused by the join), one distinct, one count — all on keys.
+    "q36_cohort_retention" -> ((s, dir) => {
+      val wk = floor(floor(unix_timestamp(col("ts")) / lit(86400L)) / lit(7L))
+        .cast("long")
+      val ev = table(s, dir, "events").select(col("user_id"), wk.as("week"))
+      val first = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      ev.join(first, "user_id")
+        .select(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"), col("user_id"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Conversion funnel over events: users progressing signup → view →
     // click → purchase under earliest-chain semantics. ONE shuffle via
     // the typed MR layer, where the SQL formulation needs four (see
@@ -369,6 +403,31 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q30_pagerank" -> q30OracleSql,
+    // Independent formulation: triangles as ordered a<b<c edge triples
+    // ((a,b),(b,c),(a,c)) — no degree direction, no wedges.
+    "q35_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey)
+          SELECT count(*) AS n_triangles
+          FROM e e1
+          JOIN e e2 ON e2.lo = e1.hi
+          JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi""",
+    // Integer week arithmetic: epoch_us // 86400000000 // 7 equals
+    // Spark's floor(floor(unix_timestamp/86400)/7) for the positive
+    // epochs in events.
+    "q36_cohort_retention" ->
+      """WITH w AS (SELECT user_id,
+                      epoch_us(ts) // 86400000000 // 7 AS week
+                    FROM events),
+          f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+          a AS (SELECT DISTINCT f.cohort_week,
+                  w.week - f.cohort_week AS week_offset, w.user_id
+                FROM w JOIN f USING (user_id))
+          SELECT cohort_week, week_offset, count(*) AS n_users
+          FROM a GROUP BY 1, 2""",
     // Chained-min funnel replayed as staged CTEs: tₖ₊₁ = min ts ≥ tₖ of
     // the next stage's type. events carry no sub-microsecond components
     // and no cross-type (user, ts) collisions, so the chain is engine-

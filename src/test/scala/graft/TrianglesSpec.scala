@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Triangles
+
+class TrianglesSpec extends SparkSessionSpec {
+  import spark.implicits._
+
+  private def count(edges: Seq[(Long, Long)]): Long =
+    Triangles.triangleCount(edges.toDF("src", "dst"))
+      .as[Long].head()
+
+  test("triangle count on hand-built graphs") {
+    // K3: one triangle
+    assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === 1L)
+    // K4: four triangles
+    assert(count(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))) === 4L)
+    // path: none
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === 0L)
+    // star: none (no closing edges)
+    assert(count(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) === 0L)
+    // bowtie: two triangles sharing node 3
+    assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L))) === 2L)
+  }
+
+  test("normalization: orientation, duplicates, self-loops don't change the count") {
+    val messy = Seq(
+      (2L, 1L), (1L, 2L), // both orientations + dup
+      (2L, 3L), (3L, 1L),
+      (1L, 1L), (3L, 3L)) // self-loops
+    assert(count(messy) === 1L)
+  }
+
+  test("degree-ordered count == naive ordered-triple count on real edges") {
+    val lp = Engine.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val got = Triangles.triangleCount(edges).as[Long].head()
+
+    val e = edges.select(least(col("src"), col("dst")).as("lo"),
+      greatest(col("src"), col("dst")).as("hi")).distinct()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e2.lo") === col("e1.hi"))
+      .join(e.as("e3"),
+        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+      .count()
+    assert(got === naive)
+    info(s"triangles in sf0.001 co-ordered-parts graph: $got")
+  }
+}
