@@ -632,7 +632,11 @@ object Similarity {
       idCol: String = "id", vecCol: String = "vec",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val cbs = trained.getOrElse(pqCodebooks(corpus, m, nCodes, idCol = idCol, vecCol = vecCol))
-    val enc = corpus.select(col(idCol), pqEncode(col(vecCol), cbs).as("codes"))
+    // the encode pass is m·nCodes distance kernels per row — the widen
+    // gate spreads it when the scan under-partitions (single-row-group
+    // files); identity at real split counts
+    val enc = widen(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol), pqEncode(col(vecCol), cbs).as("codes"))
     val adcW = Window.partitionBy(col(qidCol))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
     val shortlist = enc.crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
