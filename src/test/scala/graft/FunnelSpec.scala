@@ -52,6 +52,40 @@ class FunnelSpec extends SparkSessionSpec {
     assert(got === Set((1, "signup", 1L), (2, "view", 1L), (3, "click", 1L)))
   }
 
+  test("property: random event sets match a local chained-min replay (seeded)") {
+    val rnd = new scala.util.Random(99)
+    val types = Array("signup", "view", "click", "purchase", "noise")
+    val stages = Seq("signup", "view", "click", "purchase")
+    // small ts range FORCES same-ts collisions across types, exercising
+    // the >= tie rule the single-walk formulation gets wrong
+    val evs = for {
+      u <- 0L until 40L
+      _ <- 0 until rnd.nextInt(12)
+    } yield (u, types(rnd.nextInt(types.length)), ts(rnd.nextInt(15)))
+
+    def localStage(es: Seq[(Long, String, java.sql.Timestamp)]): Int = {
+      var t: java.sql.Timestamp = null
+      var stage = 0
+      var go = true
+      while (go && stage < stages.length) {
+        val cand = es.filter(e => e._2 == stages(stage) &&
+          (stage == 0 || !e._3.before(t))).map(_._3)
+        if (cand.isEmpty) go = false
+        else { t = cand.min((a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b)); stage += 1 }
+      }
+      stage
+    }
+    val perUser = evs.groupBy(_._1).view.mapValues(localStage).toMap
+    val expected = (1 to 4).map(k =>
+      k -> perUser.values.count(_ >= k).toLong).filter(_._2 > 0).toMap
+
+    val got = Funnel
+      .funnelStages(evs.toDF("user_id", "event_type", "ts"), stages)
+      .as[(Int, String, Long)].collect()
+      .map { case (st, _, n) => st -> n }.toMap
+    assert(got === expected)
+  }
+
   test("funnel matches the staged-min SQL formulation on real events") {
     val events = Engine.table(spark, sfDir, "events")
     val got = Funnel

@@ -34,6 +34,29 @@ class TrianglesSpec extends SparkSessionSpec {
     assert(count(messy) === 1L)
   }
 
+  test("property: random graphs match a local naive count (seeded)") {
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 8) {
+      val n = 5 + rnd.nextInt(25)
+      val density = 0.1 + rnd.nextDouble() * 0.4
+      val es = for {
+        a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < density
+      } yield (a.toLong, b.toLong)
+      // scramble orientations, re-inject duplicates and a self-loop
+      val messy = es.map { case (a, b) =>
+        if (rnd.nextBoolean()) (b, a) else (a, b)
+      } ++ es.take(es.size / 3) ++ Seq((0L, 0L))
+      val adj = es.toSet
+      var naive = 0L
+      for {
+        a <- 0 until n; b <- a + 1 until n if adj((a.toLong, b.toLong))
+        c <- b + 1 until n
+        if adj((b.toLong, c.toLong)) && adj((a.toLong, c.toLong))
+      } naive += 1
+      assert(count(messy) === naive, s"graph n=$n |E|=${es.size}")
+    }
+  }
+
   test("degree-ordered count == naive ordered-triple count on real edges") {
     val lp = Engine.table(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
