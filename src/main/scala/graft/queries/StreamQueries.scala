@@ -41,6 +41,15 @@ object StreamQueries {
         .groupBy(col("p_id"), col("user_id"), col("p_ts"))
         .agg(org.apache.spark.sql.functions.count(col("v_id")).as("n_views"))),
 
+    // Per-user funnel stage (batch form of the streaming funnel —
+    // StreamingSpec proves the state-backed stream == this). Detail
+    // granularity vs q34's summary: every user with funnel-type
+    // activity, including stage-0 non-starters.
+    "s09_funnel_user_stages" -> ((s, dir) =>
+      graft.ops.Funnel.perUserStages(
+        table(s, dir, "events"), Seq("signup", "view", "click", "purchase"))
+        .toDF("user_id", "stage")),
+
     // Sliding-window aggregate: 6-hour windows advancing hourly (every
     // event in 6 overlapping windows) — the window semantics tumbling
     // s01 can't express. StreamingSpec proves the watermarked
@@ -108,6 +117,34 @@ object StreamQueries {
           AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTES
          WHERE p.event_type = 'purchase'
          GROUP BY 1, 2, 3""",
+    // q34's chained-min CTEs at per-user granularity: stage = deepest
+    // chain CTE containing the user; base = anyone with funnel-type
+    // activity (stage 0 if the chain never starts).
+    "s09_funnel_user_stages" ->
+      """WITH base AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type IN ('signup','view','click','purchase')),
+          s1 AS (SELECT user_id, min(ts) AS t FROM events
+                 WHERE event_type = 'signup' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                 JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+                 WHERE e.event_type = 'view' GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                 JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+                 WHERE e.event_type = 'click' GROUP BY 1),
+          s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                 JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.t
+                 WHERE e.event_type = 'purchase' GROUP BY 1)
+          SELECT b.user_id,
+            CAST(CASE WHEN s4.user_id IS NOT NULL THEN 4
+                      WHEN s3.user_id IS NOT NULL THEN 3
+                      WHEN s2.user_id IS NOT NULL THEN 2
+                      WHEN s1.user_id IS NOT NULL THEN 1
+                      ELSE 0 END AS INTEGER) AS stage
+          FROM base b
+          LEFT JOIN s1 ON s1.user_id = b.user_id
+          LEFT JOIN s2 ON s2.user_id = b.user_id
+          LEFT JOIN s3 ON s3.user_id = b.user_id
+          LEFT JOIN s4 ON s4.user_id = b.user_id""",
     // Mirrors the Spark window(ts, 6h, 1h) assignment: an event's six
     // containing windows start at truncHour(ts) − k hours, k ∈ [0, 6).
     "s07_sliding_agg" ->

@@ -305,6 +305,47 @@ object EventStream {
         col("v_id"), col("v_ts"))
   }
 
+  /** Streaming funnel: per-user earliest-chain stage, finalized when the
+    * user goes quiet for `quietMinutes` of EVENT time (the s02
+    * sessionization finality rule applied to funnels). State accumulates
+    * the user's funnel-type (type, ts) pairs — bounded by the user's own
+    * event count, watermark-capped in time — and the SAME chain kernel
+    * the batch operator uses ([[graft.ops.Funnel.chainStage]]) runs once
+    * at timeout, so out-of-order arrival within the watermark cannot
+    * perturb the result: the chain is computed over the final set, not
+    * incrementally. Emits (user_id, stage).
+    */
+  def funnelStageStream(
+      spark: SparkSession, events: DataFrame, stages: Seq[String],
+      quietMinutes: Long = 10080L): Dataset[(Long, Int)] = {
+    import spark.implicits._
+    val stageArr = stages.toArray
+    val stageSet = stageArr.toSet
+    val quietMs = quietMinutes * 60000L
+    events
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .withWatermark("ts", s"$quietMinutes minutes")
+      .as[(Long, String, Timestamp)]
+      .filter(e => stageSet.contains(e._2))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(String, Timestamp)], (Long, Int)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Timestamp)],
+         state: GroupState[Seq[(String, Timestamp)]]) =>
+          if (state.hasTimedOut) {
+            val acc = state.get
+            state.remove()
+            Iterator.single((user, graft.ops.Funnel.chainStage(acc, stageArr)))
+          } else {
+            val acc = state.getOption.getOrElse(Seq.empty) ++
+              rows.map(e => (e._2, e._3))
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.map(_._2.getTime).max + quietMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup on a key: state-backed key-only dedup with
     * the watermark bounding how long a key's fingerprint is retained —
     * the streaming half of the Dedup.exact* operators. (`dropDuplicates`

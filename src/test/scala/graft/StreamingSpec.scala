@@ -189,6 +189,40 @@ class StreamingSpec extends SparkSessionSpec {
     assert(batch.exists(_._2 == -1L) && batch.exists(_._2 != -1L))
   }
 
+  test("streaming funnel stages == batch per-user stages at quiet finality") {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val events = table(spark, sfDir, "events").filter(col("user_id") < 50)
+    val batch = graft.ops.Funnel.perUserStages(events, stages)
+      .collect().toSet
+
+    // quiet window longer than the data span → each user finalizes
+    // exactly once, at the sentinel-advanced watermark (global funnel,
+    // the batch semantics)
+    val quietMin = 500L * 24 * 60
+    val horizon = new Timestamp(
+      events.agg(max(col("ts"))).as[Timestamp].head().getTime
+        + 1001L * 24 * 3600 * 1000)
+    val mem = MemoryStream[(Long, String, Timestamp)](spark)
+    mem.addData(events.select("user_id", "event_type", "ts")
+      .as[(Long, String, Timestamp)].collect().toSeq)
+    mem.addData(Seq((-1L, "signup", horizon)))
+    val q = EventStream.funnelStageStream(
+        spark, mem.toDF().toDF("user_id", "event_type", "ts"),
+        stages, quietMinutes = quietMin)
+      .toDF("user_id", "stage")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_stream_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_stream_out")
+      .filter(col("user_id") =!= -1L)
+      .as[(Long, Int)].collect().toSet
+    assert(streamed === batch)
+    // at sf0.001 every sliced user converts — stage diversity is covered
+    // by FunnelSpec's seeded property; here finality+equality is the claim
+    assert(batch.nonEmpty && batch.exists(_._2 == 4))
+  }
+
   test("streaming dedup removes injected duplicates") {
     val mem = MemoryStream[(Long, Timestamp, Long)](spark)
     val rows = table(spark, sfDir, "events")
