@@ -506,6 +506,29 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Per-label quantized centroid accumulator — the dataset-shift /
+    * class-balance profile: int8-quantize each vector
+    * ([[graft.functions.VectorFunctions.sqQuantize]]) and SUM per
+    * (label, dim) in the INTEGER domain. Long addition is associative-
+    * commutative, so the result is exact and reduction-order-free — a
+    * float mean drifts by partition order and can hash-match no oracle
+    * (the q30 fixed-point trick, applied to embedding space).
+    * (sum_code, n_vecs) reconstruct per-label means to quantization
+    * precision; the delta between two corpus drops is the drift signal.
+    *
+    * Scale shape: the ×dim posexplode is the standard columnar
+    * expansion; partial aggregation combines per partition before the
+    * exchange, so the shuffle carries |labels|·dim rows per partition,
+    * never the exploded stream.
+    */
+  def labelCentroidSums(
+      df: DataFrame, labelCol: String = "label",
+      vecCol: String = "vec"): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(sqQuantize(col(vecCol))).as(Seq("dim", "code")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("code")).as("sum_code"), count(lit(1)).as("n_vecs"))
+
   // ──────────────────── Product quantization (PQ) ────────────────────
 
   /** Plain-L2 Lloyd's k-means for PQ sub-spaces (the spherical variant

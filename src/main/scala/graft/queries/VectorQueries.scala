@@ -196,6 +196,14 @@ object VectorQueries {
         trained = Some(pqBooks(s, dir, 8, 16)))
     }),
 
+    // Per-label quantized centroid sums: the dataset-shift profile in
+    // exact integer arithmetic (int8 codes summed per (label, dim) —
+    // order-free, so fully oracleable where a float mean is not).
+    "v10_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroidSums(
+        table(s, dir, "embeddings")
+          .select(col("label"), col("embedding").as("vec")))),
+
     // CROSS-MODAL composition: embedding-space clusters joined back to
     // the text table (vec_id ↔ doc_id) for a cluster-conditioned language
     // histogram — "what does each semantic cluster contain", the readout
@@ -487,6 +495,20 @@ object VectorQueries {
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
          FROM u a JOIN u b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99""",
+    // Mirrors labelCentroidSums: same sqQuantize step (clamp, floor-
+    // round), generate_series as the posexplode, integer sums.
+    "v10_label_centroids" ->
+      """WITH q AS (
+           SELECT label,
+             list_transform(embedding, x ->
+               CAST(floor(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127.0 + 0.5) AS INTEGER)) AS codes
+           FROM embeddings),
+         sel AS (
+           SELECT label, CAST(gs.i - 1 AS INTEGER) AS dim, codes[gs.i] AS code
+           FROM q, generate_series(1, 64) gs(i))
+         SELECT label, dim, CAST(sum(code) AS BIGINT) AS sum_code,
+           count(*) AS n_vecs
+         FROM sel GROUP BY 1, 2""",
     // Mirrors sqQuantize/sqDequantize step for step: clamp, floor-round
     // to int code, /127 as DOUBLE, narrow to REAL — all IEEE-identical —
     // then the v01 exact top-k over the dequantized vectors.

@@ -150,6 +150,14 @@ class PlanSpec extends SparkSessionSpec {
     "t10_tfidf", "t11_unigram_nll", // 1-row corpus-count cross join
     "q31_gap_fill")                 // 1-row (h0, h1) range cross join
 
+  test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
+    // the staged-CTE SQL shape scans events per stage; the typed-MR
+    // funnel's whole point is a single scan feeding a single groupByKey
+    val p = plan("q34_funnel")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"funnel planned $scans event scans — must be one")
+  }
+
   test("no query plans a CartesianProduct; NLJ only where designed") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)

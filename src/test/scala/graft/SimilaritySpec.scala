@@ -342,6 +342,25 @@ class SimilaritySpec extends SparkSessionSpec {
     }
   }
 
+  test("labelCentroidSums: exact hand-built sums, partition-order-free") {
+    val df = Seq(
+      (1, Seq(1.0f, -1.0f, 0.5f)),
+      (1, Seq(0.5f, 0.0f, -0.5f)),
+      (2, Seq(2.0f, -2.0f, 0.0f)) // clamps to ±1
+    ).toDF("label", "vec")
+    // codes: [127,-127,64], [64,0,-63] (floor(-63.5)=-64? floor(-0.5*127+0.5)
+    //   = floor(-63.0) = -63), label2: [127,-127,0]
+    val got = Similarity.labelCentroidSums(df)
+      .as[(Int, Int, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1, 0, 191L, 2L), (1, 1, -127L, 2L), (1, 2, 1L, 2L),
+      (2, 0, 127L, 1L), (2, 1, -127L, 1L), (2, 2, 0L, 1L)))
+    // integer sums are reduction-order-free: any partitioning agrees
+    val wide = Similarity.labelCentroidSums(df.repartition(7))
+      .as[(Int, Int, Long, Long)].collect().toSet
+    assert(wide === got)
+  }
+
   test("PQ codes: shape, range, and codewords are encode fixed points") {
     val (corpus, _) = corpusAndQueries()
     val cbs = Similarity.pqCodebooks(corpus, m = 4, k = 16)
