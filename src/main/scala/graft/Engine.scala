@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session factory + table registry for the graft engine.
   *
@@ -54,17 +55,25 @@ object Engine {
 
   /** Read one driver-generated table from a scale-factor directory.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 has no native
-    * type for — read it as a nanos long (legacy conf) and floor-divide to
-    * micros. DuckDB truncates NANOS→micros the same way, so oracle parity
-    * holds.
+    * `events.ts` has drifted across datagen versions: originally parquet
+    * TIMESTAMP(NANOS) (no native Spark 4 type — readable only as a nanos
+    * long via the legacy conf), later TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ). Branch on the loaded
+    * dtype so either vintage normalizes to a session-TZ `timestamp`. The
+    * session TZ is pinned to UTC, so NTZ→LTZ is a value-preserving
+    * relabel, and DuckDB truncates NANOS→micros identically — oracle
+    * parity holds on both paths.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
+    } else df
   }
 
   /** Register every table as a temp view so `spark.sql` works too. */

@@ -423,31 +423,39 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      // pointer jumping: follow the label chain 4 deep in one pass
-      // (label ← l(l(l(l(v)))), three chained joins). A label is always
-      // the id of a node IN the table (min over self+neighbors of node
-      // ids), so each hop resolves; left join + coalesce covers the
-      // chain root, whose label is itself. Labels are monotone
-      // non-increasing under composition, so the sum-based convergence
-      // test below still detects the combined fixpoint, and at the
-      // fixpoint the jump is the identity — the neighbor-pass fixpoint
-      // argument (constant label per component = component min) is
-      // unchanged.
-      val next = (1 to 3).foldLeft(afterNeighbors) { (l, i) =>
-        l.join(
-            afterNeighbors.select(col("id").as(s"__p$i"),
-              col("cluster_id").as(s"__l$i")),
-            col("cluster_id") === col(s"__p$i"), "left")
-          .select(col("id"),
-            coalesce(col(s"__l$i"), col("cluster_id")).as("cluster_id"))
-      }.localCheckpoint()
       // labels are monotone non-increasing per node, so the label sum is
       // unchanged iff NO label changed — one cheap aggregate per round
       // instead of a join-based diff
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
+      val nSum = labelSum(afterNeighbors)
+      if (nSum.compareTo(prevSum) == 0) {
+        // Neighbor-min fixpoint: per edge (u,v) labels dominate both ways
+        // ⇒ constant per component ⇒ the component min, and the pointer
+        // jump below would be the identity. Near-dup graphs are stars/
+        // cliques where the seed pass already converged, so gating the
+        // jump on OBSERVED LABEL MOVEMENT makes the common verify round
+        // one join + one aggregate instead of four joins (the r5 bench
+        // regression suspect: unconditional 4-fold jumps per round).
+        converged = true
+        labels = afterNeighbors
+      } else {
+        // labels moved — chains may exist. Pointer jumping: follow the
+        // label chain 4 deep in one pass (label ← l(l(l(l(v)))), three
+        // chained joins). A label is always the id of a node IN the table
+        // (min over self+neighbors of node ids), so each hop resolves;
+        // left join + coalesce covers the chain root, whose label is
+        // itself. Labels stay monotone non-increasing under composition,
+        // so the sum test still detects the combined fixpoint.
+        val next = (1 to 3).foldLeft(afterNeighbors) { (l, i) =>
+          l.join(
+              afterNeighbors.select(col("id").as(s"__p$i"),
+                col("cluster_id").as(s"__l$i")),
+              col("cluster_id") === col(s"__p$i"), "left")
+            .select(col("id"),
+              coalesce(col(s"__l$i"), col("cluster_id")).as("cluster_id"))
+        }.localCheckpoint()
+        prevSum = labelSum(next)
+        labels = next
+      }
       iter += 1
     }
     // fail loudly: silently returning partially-propagated labels would

@@ -40,7 +40,8 @@ object PageRank {
 
   def fixedPointPageRank(
       edges: DataFrame, iterations: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      broadcastMaxVertices: Long = 2L * 1000 * 1000): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     require(scale >= 100L && scale % 100L == 0L,
@@ -49,31 +50,49 @@ object PageRank {
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .distinct()
-    val withDeg = e
+    val withDeg0 = e
       .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint()
-    var ranks = withDeg.select(col("src").as("vertex")).distinct()
+    var ranks = withDeg0.select(col("src").as("vertex")).distinct()
       .withColumn("r", lit(scale))
       .localCheckpoint()
+    // Two regimes for the per-round rank⋈edge join. Below the gate the
+    // vertex table fits an executor: broadcast it, the edge table never
+    // moves, the round's only exchange is the contribution shuffle.
+    // Above the gate (billions of vertices — no broadcast budget holds a
+    // vertex table) pin the edge table hash-partitioned on `src` ONCE;
+    // localCheckpoint preserves that physical partitioning, so every
+    // round's sort-merge join re-exchanges only the vertex-sized rank
+    // side, never the edges. The count and the gated repartition both
+    // read the already-materialized checkpoint — the edge join itself
+    // computes exactly once either way.
+    val useBroadcast = ranks.count() <= broadcastMaxVertices
+    val withDeg =
+      if (useBroadcast) withDeg0
+      else withDeg0.repartition(col("src")).localCheckpoint()
     val base = scale / 100L * 15L
-    for (_ <- 1 to iterations) {
-      // ranks is vertex-sized — broadcast it so the round's join needs NO
-      // distribution and the edge table (the data-sized side) never moves;
-      // the only per-round exchange is the partially-aggregated
-      // contribution shuffle. Checkpointed frames carry no stats, so
-      // without the hint Catalyst planned a sort-merge join and
-      // re-exchanged every edge every round (measured 5× the total edge
-      // bytes at sf0.1). Billion-vertex graphs outgrow the hint — there
-      // the rank table wants bucketed/co-partitioned storage instead;
-      // at that point drop the hint and pre-bucket both sides.
-      ranks = withDeg
-        .join(broadcast(ranks), col("src") === col("vertex"))
-        .select(col("dst"), expr("r div outdeg").as("c"))
-        .groupBy(col("dst"))
-        .agg(expr(s"$base + (85 * sum(c)) div 100").as("r"))
-        .select(col("dst").as("vertex"), col("r"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iterations)
+      ranks = round(withDeg, ranks, base, useBroadcast).localCheckpoint()
     ranks
   }
+
+  /** One rank iteration, un-checkpointed — exposed so specs can assert
+    * the physical join strategy (the outer loop's checkpoint flattens the
+    * plan to a LogicalRDD scan, hiding the join from inspection).
+    *
+    * Checkpointed frames carry no stats, so without an explicit hint
+    * Catalyst planned a sort-merge join and re-exchanged every edge every
+    * round (measured 5× the total edge bytes at sf0.1) — hence the
+    * explicit broadcast below the gate, explicit co-partitioning above it.
+    */
+  private[graft] def round(
+      withDeg: DataFrame, ranks: DataFrame, base: Long,
+      useBroadcast: Boolean): DataFrame =
+    withDeg
+      .join(if (useBroadcast) broadcast(ranks) else ranks,
+        col("src") === col("vertex"))
+      .select(col("dst"), expr("r div outdeg").as("c"))
+      .groupBy(col("dst"))
+      .agg(expr(s"$base + (85 * sum(c)) div 100").as("r"))
+      .select(col("dst").as("vertex"), col("r"))
 }

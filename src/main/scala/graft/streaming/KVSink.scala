@@ -26,29 +26,47 @@ object KVSink {
 
   /** Run `df` (a streaming DataFrame, typically an update-mode aggregate)
     * into a [[Store]] gid keyed by `keyCol`.
+    *
+    * `mode` must match the upstream operator's contract: Update for
+    * aggregates (changed keys per batch), Append for finality-emitting
+    * operators (e.g. the s09 funnel's flatMapGroupsWithState, whose rows
+    * appear once, at event-time timeout). Either way each batch upserts
+    * by key, so the store always holds the latest row per key.
     */
   def toStore(df: DataFrame, store: Store, gid: String, keyCol: String,
-      checkpointDir: String): StreamingQuery =
-    start(df, checkpointDir) { batch =>
+      checkpointDir: String,
+      mode: OutputMode = OutputMode.Update): StreamingQuery =
+    start(df, checkpointDir, mode) { batch =>
       store.put(batch, gid, Some(keyCol))
     }
 
   /** Same contract into a [[Mem]] group — the ephemeral option. */
   def toMem(df: DataFrame, mem: Mem, gid: String, keyCol: String,
-      checkpointDir: String): StreamingQuery =
-    start(df, checkpointDir) { batch =>
+      checkpointDir: String,
+      mode: OutputMode = OutputMode.Update): StreamingQuery =
+    start(df, checkpointDir, mode) { batch =>
       mem.put(batch, gid, Some(keyCol))
     }
 
-  private def start(df: DataFrame, checkpointDir: String)(
+  private def start(df: DataFrame, checkpointDir: String, mode: OutputMode)(
       put: DataFrame => Unit): StreamingQuery =
     df.writeStream
-      .outputMode(OutputMode.Update)
+      .outputMode(mode)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        // an empty micro-batch must not touch the store (a put would
-        // needlessly create/stamp the gid)
-        if (!batch.isEmpty) put(batch)
+        // Pin the micro-batch before multi-action processing: the KV put
+        // runs several actions (emptiness probe, touched-bucket collect,
+        // bucket write), and an unpinned foreachBatch frame RE-EXECUTES
+        // its stateful lineage per action — a flatMapGroupsWithState
+        // timeout replayed after its state.remove() emits from empty
+        // state (observed: funnel rows rewritten as stage 0 by the
+        // write action). persist() makes the batch's rows a fixed fact.
+        val pinned = batch.persist()
+        try {
+          // an empty micro-batch must not touch the store (a put would
+          // needlessly create/stamp the gid)
+          if (!pinned.isEmpty) put(pinned)
+        } finally { pinned.unpersist(); () }
       }
       .start()
 }

@@ -94,6 +94,65 @@ class KVSinkSpec extends SparkSessionSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel (s09) through Store survives a mid-stream reconf") {
+    // the newest stateful operator composed with the KV layer's live
+    // re-sharding: funnel finality rows upsert through a Store whose
+    // bucket count changes between micro-batches. Append mode — each
+    // user's stage row appears exactly once, at event-time timeout.
+    val stages = Seq("signup", "view", "click", "purchase")
+    val root = java.nio.file.Files.createTempDirectory("graft-kvsink-fnl").toString
+    val store = new Store(spark, root, defaultBuckets = 2)
+    val mem = MemoryStream[(Long, String, Timestamp)](spark)
+    val funnel = graft.streaming.EventStream.funnelStageStream(
+        spark, mem.toDF().toDF("user_id", "event_type", "ts"),
+        stages, quietMinutes = 1L)
+      .toDF("user_id", "stage")
+    val q = KVSink.toStore(funnel, store, "funnel", keyCol = "user_id",
+      checkpointDir = s"$root/__ckpt",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append)
+    val stageSchema = StructType.fromDDL("user_id LONG, stage INT")
+    def stored: Map[Long, Int] =
+      store.scan("funnel")
+        .select(from_json(col("value"), stageSchema).as("r"))
+        .select("r.user_id", "r.stage").as[(Long, Int)].collect()
+        .filter(_._1 >= 0).toMap
+    def batchOf(rows: Seq[(Long, String, Timestamp)]): Map[Long, Int] =
+      graft.ops.Funnel.perUserStages(
+        rows.toDF("user_id", "event_type", "ts"), stages)
+        .collect().toMap
+    try {
+      // timestamps offset from epoch: a row whose ts sits AT the initial
+      // watermark (epoch 0) is dropped as late before it ever reaches
+      // state — a test-data artifact worth documenting, not operator
+      // behavior (diagnosed by this spec's first draft)
+      val wave1 = Seq(
+        (1L, "signup", t(100)), (1L, "view", t(101)), (1L, "click", t(102)),
+        (1L, "purchase", t(103)),
+        (2L, "signup", t(100)), (2L, "view", t(102)),
+        (3L, "view", t(101))) // no signup → stage 0
+      mem.addData(wave1)
+      mem.addData(Seq((-1L, "signup", t(1000)))) // advance the watermark
+      q.processAllAvailable()
+      assert(stored === batchOf(wave1))
+      // live re-shard 2 → 8 buckets while the query keeps running
+      store.reconf("funnel", 8)
+      assert(stored === batchOf(wave1))
+      // disjoint second wave finalizes under the NEW placement scheme
+      val wave2 = Seq(
+        (7L, "signup", t(1100)), (7L, "view", t(1101)),
+        (8L, "signup", t(1100)))
+      mem.addData(wave2)
+      mem.addData(Seq((-1L, "signup", t(3000))))
+      q.processAllAvailable()
+      assert(stored === batchOf(wave1) ++ batchOf(wave2))
+      // point gets prune against the post-reconf layout
+      Seq("1", "2", "3", "7", "8").foreach { k =>
+        assert(store.get("funnel", k).count() === 1,
+          s"user $k lost across reconf")
+      }
+    } finally q.stop()
+  }
+
   test("streaming aggregate through Mem == batch aggregate") {
     val root = java.nio.file.Files.createTempDirectory("graft-kvsink-mem").toString
     val kvMem = new Mem

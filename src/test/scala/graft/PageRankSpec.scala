@@ -65,6 +65,46 @@ class PageRankSpec extends SparkSessionSpec {
     assert(a === b)
   }
 
+  test("above the broadcast gate: same bits, no broadcast join") {
+    val rnd = new scala.util.Random(11)
+    val oneWay = Seq.fill(200)((rnd.nextInt(30).toLong, 30L + rnd.nextInt(30)))
+    val both = (oneWay ++ oneWay.map(_.swap)).distinct
+    val edges = both.toDF("src", "dst")
+    val small = PageRank.fixedPointPageRank(edges, 4)
+      .as[(Long, Long)].collect().toMap
+    // gate forced: every graph is "too big to broadcast"
+    val big = PageRank.fixedPointPageRank(edges, 4, broadcastMaxVertices = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(big === small, "gated path must be bit-identical to broadcast path")
+    assert(big === replay(both, 4))
+  }
+
+  test("gated round plans a non-broadcast join; broadcast round broadcasts") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val e = edges.distinct()
+    val withDeg = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val ranks = withDeg.select(col("src").as("vertex"))
+      .distinct().withColumn("r", lit(1000000000000L))
+    def plan(useBroadcast: Boolean): String = {
+      val df = PageRank.round(withDeg, ranks, 150000000000L, useBroadcast)
+      df.queryExecution.toRdd.count() // finalize AQE decisions
+      df.queryExecution.executedPlan.toString()
+    }
+    // At test scale AQE would broadcast the tiny rank side regardless of
+    // the hint; zero both thresholds to emulate a rank table that exceeds
+    // any broadcast budget — the regime the gate exists for.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try assert(!plan(useBroadcast = false).contains("BroadcastHashJoin"),
+      "gated path must not plan a broadcast join")
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    assert(plan(useBroadcast = true).contains("BroadcastHashJoin"))
+  }
+
   test("iteration and scale bounds are enforced") {
     val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     intercept[IllegalArgumentException] {
