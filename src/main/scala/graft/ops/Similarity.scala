@@ -682,4 +682,83 @@ object Similarity {
       .select(col(qidCol), col(idCol).as("neighbor_id"),
         col("rank"), round(col("dist"), 6).as("dist"))
   }
+
+  /** IVF-PQ ANN with exact re-rank — the composition FAISS ships as its
+    * production default (IndexIVFPQ + refine), and THE 100 TB ANN
+    * architecture: the resident index state per corpus row is one cell
+    * int + `m` code bytes (vs 64 float32s — 32–64× smaller, so a
+    * trillion-vector index fits a cluster's memory where raw vectors
+    * never would), and a query's ADC scan touches only its `nProbe`
+    * probed cells (`nProbe/nCentroids` of the corpus) instead of every
+    * row — [[pqTopK]]'s full-corpus ADC pass with IVF's candidate
+    * pruning layered on top.
+    *
+    * Plan shape: the encode pass fuses cell-argmax + PQ-encode into the
+    * corpus scan (no shuffle); the ADC stage is a single cell-key join
+    * against the broadcast probe list; the refine stage fetches true
+    * vectors for |Q|·refine rows via a broadcast join. The corpus is
+    * never shuffled.
+    *
+    * Determinism: cell assignment ties → first max (matching
+    * `list_position`), ADC and final ranks tie-break on id — the same
+    * bit-exactness contract as v04 + v09, so the composed SQL oracle is
+    * a full equality check.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 6,
+      m: Int = 8, nCodes: Int = 16, refine: Int = 100,
+      trainedCells: Option[Array[Array[Float]]] = None,
+      trainedBooks: Option[Array[Array[Array[Float]]]] = None,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
+    val cents = trainedCells.getOrElse(
+      ivfCentroids(corpus, nCentroids, idCol = idCol, vecCol = vecCol))
+    val cbs = trainedBooks.getOrElse(
+      pqCodebooks(corpus, m, nCodes, idCol = idCol, vecCol = vecCol))
+    require(cents.nonEmpty, "ivfPqTopK needs a non-empty corpus")
+    val nCells = cents.length
+    val probes = math.min(nProbe, nCells)
+    // resident index state: (id, cell, codes) — built in one fused scan
+    // pass (cell argmax + m·nCodes distance kernels; the widen gate
+    // spreads it past a parallelism-collapsed scan)
+    val encoded = withCellCosines(
+        widen(corpus.select(col(idCol), col(vecCol))),
+        cents, vecCol, maxLiteralCells)
+      .withColumn("cell", argmaxCell)
+      .select(col(idCol), col("cell"),
+        pqEncode(col(vecCol), cbs).as("codes"))
+    // queries probe their nProbe best cells (the ivfTopK probe shape)
+    val qb = withCellCosines(queries, cents, qvecCol, maxLiteralCells)
+      .withColumn("__ranked", sort_array(zip_with(
+        col("__cos"), sequence(lit(1), lit(nCells)),
+        (c, i) => struct((-c).as("negc"), i.as("idx")))))
+      .withColumn("cell",
+        explode(slice(transform(col("__ranked"), s => s("idx").cast("int")),
+          1, probes)))
+      .drop("__cos", "__ranked", "__cents")
+    // ADC within probed cells only; a corpus row lives in exactly one
+    // cell, so each (query, corpus) pair meets at most once — no dedup
+    val adcW = Window.partitionBy(col(qidCol))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+    val shortlist = encoded.join(broadcast(qb), Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("adc_dist",
+        l2Distance(col(qvecCol), pqDecode(col("codes"), cbs)))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= refine)
+      .select(col(qidCol), col(idCol))
+    // exact re-rank on true vectors — |Q|·refine rows, broadcast-joined
+    val refined = corpus.join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("dist", l2Distance(col(qvecCol), col(vecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("dist").asc, col(idCol).asc)
+    refined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"),
+        col("rank"), round(col("dist"), 6).as("dist"))
+  }
 }

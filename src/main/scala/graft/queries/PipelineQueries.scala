@@ -78,6 +78,16 @@ object PipelineQueries {
           (reasons === "").as("keep"))
     }),
 
+    // Deterministic seeded global shuffle + shard export plan: every doc
+    // gets (shard, pos, rank_key) from a two-round integer LCG on its id
+    // — the data-order-reproducibility step a training export needs
+    // (order is a hyperparameter; it must derive from (corpus, seed),
+    // never from physical row order). One narrow pass + one shard-keyed
+    // window; no global sort exists at any scale.
+    "p07_shuffle_shards" -> ((s, dir) =>
+      graft.ops.Sharding.shuffleShards(
+        table(s, dir, "documents"), nShards = 8, seed = 42L)),
+
     // Multi-source ingestion merge with source precedence: the corpus is
     // re-ingested through a planted lower-priority 'mirror' feed (every
     // 3rd doc duplicated, every 7th contributing a mirror-ONLY doc — the
@@ -193,6 +203,24 @@ object PipelineQueries {
           SELECT doc_id, $reasons AS drop_reasons,
             ($reasons = '') AS keep
           FROM q"""
+    },
+
+    // Mirrors Sharding.shuffleShards: the identical two-round LCG
+    // recurrence (glibc constants, seed 42 folded into the first
+    // increment), same mod-2^31 reduction so no intermediate exceeds
+    // int64, same (rank_key, doc_id) within-shard order.
+    "p07_shuffle_shards" -> {
+      val seedC = 42L + 12345L
+      s"""WITH h AS (
+           SELECT doc_id,
+             ((((doc_id % 2147483648) * 1103515245 + $seedC) % 2147483648)
+               * 1103515245 + 12345) % 2147483648 AS rank_key
+           FROM documents)
+         SELECT doc_id, CAST(rank_key % 8 AS INTEGER) AS shard,
+           row_number() OVER (PARTITION BY rank_key % 8
+             ORDER BY rank_key ASC, doc_id ASC) AS pos,
+           rank_key
+         FROM h"""
     },
 
     // Mirrors p05: identical planted mirror feed, the d01/d02 normalized

@@ -196,6 +196,24 @@ object VectorQueries {
         trained = Some(pqBooks(s, dir, 8, 16)))
     }),
 
+    // IVF-PQ with exact re-rank — the FAISS production composition and
+    // THE trillion-row ANN shape: per-row resident state is cell int +
+    // 8 code bytes; ADC touches only probed cells (6/16 of the corpus
+    // here); true vectors move for |Q|·refine rows. Full SQL oracle:
+    // the v04 centroid CTE composed with the v09 codebook CTEs — both
+    // legs' bit-exactness arguments carry over unchanged.
+    "v11_ann_ivfpq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(e, q, k = 10, nCentroids = 16, nProbe = 6,
+        m = 8, nCodes = 16,
+        trainedCells = Some(centroids(s, dir, 16)),
+        trainedBooks = Some(pqBooks(s, dir, 8, 16)))
+    }),
+
     // Per-label quantized centroid sums: the dataset-shift profile in
     // exact integer arithmetic (int8 codes summed per (label, dim) —
     // order-free, so fully oracleable where a float mean is not).
@@ -406,26 +424,31 @@ object VectorQueries {
     * concatenates codewords in sub-space order, so the final 64-element
     * sqrt-of-sum runs the identical IEEE sequence on both engines.
     */
-  private def v09OracleSql(s: SparkSession, dir: String): String = {
-    val cbs = pqBooks(s, dir, 8, 16)
-    def exact(f: Float): String =
-      new java.math.BigDecimal(f.toDouble).toPlainString
+  private def exactF(f: Float): String =
+    new java.math.BigDecimal(f.toDouble).toPlainString
+
+  /** The PQ encode/reconstruct CTE bodies (`d`, `enc`, `rec`), shared by
+    * the v09 and v11 oracles so the codebook-inlining exactness contract
+    * has one definition. `d` computes per-sub-space codeword distances,
+    * `enc` the argmin codes, `rec` the reconstructed DOUBLE[] vector.
+    */
+  private def pqEncRecCtes(cbs: Array[Array[Array[Float]]]): String = {
     val sub = cbs(0)(0).length
     // per-sub-space distance list: one Σ(aᵢ−bᵢ)² per codeword
     def distList(mi: Int): String =
       cbs(mi).map { c =>
-        val lit = c.map(exact).mkString("[", ", ", "]")
+        val lit = c.map(exactF).mkString("[", ", ", "]")
         val off = mi * sub
         s"""list_aggregate(list_transform(range(1, ${sub + 1}),
              i -> (CAST(embedding[i + $off] AS DOUBLE) - ($lit)[i])
                 * (CAST(embedding[i + $off] AS DOUBLE) - ($lit)[i])), 'sum')"""
       }.mkString("[", ",\n            ", "]")
     def bookLit(mi: Int): String =
-      cbs(mi).map(_.map(exact).mkString("[", ", ", "]"))
+      cbs(mi).map(_.map(exactF).mkString("[", ", ", "]"))
         .mkString("[", ",\n            ", "]")
     val reconExpr = cbs.indices
       .map(mi => s"(${bookLit(mi)})[c$mi + 1]").mkString(" || ")
-    s"""WITH d AS (
+    s"""d AS (
           SELECT vec_id, embedding,
             ${cbs.indices.map(mi => s"${distList(mi)} AS d$mi").mkString(",\n            ")}
           FROM embeddings),
@@ -436,22 +459,79 @@ object VectorQueries {
               .mkString(",\n            ")}
           FROM d),
         rec AS (
-          SELECT vec_id, $reconExpr AS recon FROM enc),
+          SELECT vec_id, $reconExpr AS recon FROM enc)"""
+  }
+
+  /** Squared-diff-sum distance between a query vector and a corpus-side
+    * DOUBLE[] expression — the shared sqrt(Σ(aᵢ−bᵢ)²) SQL fragment.
+    */
+  private def l2SqlExpr(dim: Int, a: String, b: String): String =
+    s"""sqrt(list_aggregate(list_transform(range(1, ${dim + 1}),
+              i -> (CAST($a[i] AS DOUBLE) - $b)
+                 * (CAST($a[i] AS DOUBLE) - $b)), 'sum'))"""
+
+  private def v09OracleSql(s: SparkSession, dir: String): String = {
+    val cbs = pqBooks(s, dir, 8, 16)
+    val dim = cbs(0)(0).length * cbs.length
+    s"""WITH ${pqEncRecCtes(cbs)},
         q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
               WHERE vec_id < 5),
         shortlist AS (
           SELECT q.qid, r.vec_id AS neighbor_id,
-            sqrt(list_aggregate(list_transform(range(1, ${sub * cbs.length + 1}),
-              i -> (CAST(q.qvec[i] AS DOUBLE) - r.recon[i])
-                 * (CAST(q.qvec[i] AS DOUBLE) - r.recon[i])), 'sum')) AS adc_dist
+            ${l2SqlExpr(dim, "q.qvec", "r.recon[i]")} AS adc_dist
           FROM rec r, q WHERE r.vec_id <> q.qid
           QUALIFY row_number() OVER (PARTITION BY qid
             ORDER BY adc_dist ASC, neighbor_id ASC) <= 100),
         refined AS (
           SELECT s.qid, s.neighbor_id,
-            sqrt(list_aggregate(list_transform(range(1, ${sub * cbs.length + 1}),
-              i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
-                 * (CAST(q.qvec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))), 'sum')) AS dist
+            ${l2SqlExpr(dim, "q.qvec", "CAST(e.embedding[i] AS DOUBLE)")} AS dist
+          FROM shortlist s
+          JOIN embeddings e ON e.vec_id = s.neighbor_id
+          JOIN q ON q.qid = s.qid),
+        ranked AS (
+          SELECT qid, neighbor_id, dist,
+            row_number() OVER (PARTITION BY qid ORDER BY dist ASC, neighbor_id ASC) AS rank
+          FROM refined)
+        SELECT qid, neighbor_id, rank, round(dist, 6) AS dist
+        FROM ranked WHERE rank <= 10"""
+  }
+
+  /** The v11 oracle: the v04 centroid-cell CTE composed with the v09 PQ
+    * CTEs — corpus rows carry (cell, recon); queries probe their 6 best
+    * cells; the ADC shortlist is restricted to probed cells; refine and
+    * final ranking replay v09's exact-distance SQL. Each leg's
+    * bit-exactness argument is unchanged by the composition (the cell
+    * join only FILTERS candidate pairs; every surviving number is
+    * computed exactly as in its standalone oracle).
+    */
+  private def v11OracleSql(s: SparkSession, dir: String): String = {
+    val cents = centroids(s, dir, 16)
+    val cbs = pqBooks(s, dir, 8, 16)
+    val dim = cbs(0)(0).length * cbs.length
+    val nCells = cents.length
+    val probes = math.min(6, nCells)
+    s"""${centroidCellCte(cents)},
+        ${pqEncRecCtes(cbs)},
+        q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+              WHERE vec_id < 5),
+        qp AS (
+          SELECT vec_id AS qid, gs.i AS cell
+          FROM base, generate_series(1, $nCells) gs(i)
+          WHERE vec_id < 5
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cosl[gs.i] DESC, gs.i ASC) <= $probes),
+        shortlist AS (
+          SELECT q.qid, r.vec_id AS neighbor_id,
+            ${l2SqlExpr(dim, "q.qvec", "r.recon[i]")} AS adc_dist
+          FROM rec r
+          JOIN cb ON cb.id = r.vec_id
+          JOIN qp ON qp.cell = cb.cell AND r.vec_id <> qp.qid
+          JOIN q ON q.qid = qp.qid
+          QUALIFY row_number() OVER (PARTITION BY q.qid
+            ORDER BY adc_dist ASC, neighbor_id ASC) <= 100),
+        refined AS (
+          SELECT s.qid, s.neighbor_id,
+            ${l2SqlExpr(dim, "q.qvec", "CAST(e.embedding[i] AS DOUBLE)")} AS dist
           FROM shortlist s
           JOIN embeddings e ON e.vec_id = s.neighbor_id
           JOIN q ON q.qid = s.qid),
@@ -468,6 +548,7 @@ object VectorQueries {
     */
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
     "v09_ann_pq" -> (v09OracleSql(_, _)),
+    "v11_ann_ivfpq" -> (v11OracleSql(_, _)),
     "v04_ann_ivf" -> (v04OracleSql(_, _)),
     "v05_semantic_dedup" -> (v05OracleSql(_, _)),
     "v07_semdedup_exhaustive" -> (v07OracleSql(_, _)),

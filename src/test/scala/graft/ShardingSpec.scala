@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.ops.Sharding
+
+/** Seeded global shuffle/shard export plan (p07): permutation and
+  * determinism properties, plus a driver-side replay of the LCG
+  * recurrence as an independent second implementation.
+  */
+class ShardingSpec extends SparkSessionSpec {
+  import spark.implicits._
+
+  private val M = 2147483648L
+  private def lcg(id: Long, seed: Long): Long = {
+    val h0 = id % M
+    val h1 = (h0 * 1103515245L + (((seed % M) + M) % M + 12345L)) % M
+    (h1 * 1103515245L + 12345L) % M
+  }
+
+  test("rank_key matches the driver-side LCG replay, shard = key mod N") {
+    val out = Sharding.shuffleShards(
+        table(spark, sfDir, "documents"), nShards = 8, seed = 42L)
+      .select("doc_id", "shard", "rank_key")
+      .as[(Long, Int, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, shard, key) =>
+      assert(key === lcg(id, 42L), s"doc $id")
+      assert(shard === (key % 8).toInt)
+    }
+  }
+
+  test("output is a partitioned permutation: every doc once, pos dense per shard") {
+    val docs = table(spark, sfDir, "documents")
+    val out = Sharding.shuffleShards(docs, nShards = 8, seed = 42L)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.length === docs.count())
+    // pos is 1..|shard| dense within each shard
+    out.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    // a corpus of sequential ids spreads across all 8 shards
+    assert(out.map(_._2).distinct.length === 8)
+  }
+
+  test("same seed reproduces bit-for-bit; a different seed permutes differently") {
+    val docs = table(spark, sfDir, "documents")
+    val a = Sharding.shuffleShards(docs, 8, seed = 42L).collect().toSet
+    val b = Sharding.shuffleShards(docs, 8, seed = 42L).collect().toSet
+    val c = Sharding.shuffleShards(docs, 8, seed = 7L).collect().toSet
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("partition-invariant: 1 vs 8 input partitions give identical output") {
+    val docs = table(spark, sfDir, "documents")
+    val a = Sharding.shuffleShards(docs.repartition(1), 8).collect().toSet
+    val b = Sharding.shuffleShards(docs.repartition(8), 8).collect().toSet
+    assert(a === b)
+  }
+}

@@ -398,4 +398,32 @@ class SimilaritySpec extends SparkSessionSpec {
     info(s"PQ recall@10 = $recall")
     assert(recall >= 0.5)
   }
+
+  test("IVF-PQ ANN recall >= 0.5 vs exact L2 at k=10") {
+    val (corpus, queries) = corpusAndQueries()
+    val exact = corpus.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("dist", VectorFunctions.l2Distance(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("dist").asc, col("id").asc)))
+      .filter(col("rank") <= 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfPqTopK(corpus, queries, k = 10,
+      nCentroids = 16, nProbe = 6, m = 8)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF-PQ recall@10 = $recall")
+    assert(recall >= 0.5)
+  }
+
+  test("IVF-PQ probing every cell == pqTopK (the IVF layer only prunes)") {
+    val (corpus, queries) = corpusAndQueries()
+    val full = Similarity.ivfPqTopK(corpus, queries, k = 10,
+      nCentroids = 8, nProbe = 8, m = 8)
+      .select("qid", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val pq = Similarity.pqTopK(corpus, queries, k = 10, m = 8)
+      .select("qid", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full === pq)
+  }
 }
