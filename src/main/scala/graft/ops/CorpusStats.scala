@@ -340,6 +340,51 @@ object CorpusStats {
         round(coalesce(col("__avg"), lit(0.0)), 6).as("avg_nll"))
   }
 
+  /** Bigram conditional-NLL score per document — the next-order CCNet
+    * quality signal above [[unigramNll]]: mean −ln P(w₂|w₁) under the
+    * corpus bigram MLE (P = c(w₁,w₂)/c(w₁·), both counts over bigram
+    * positions). Low = phrasing typical of the corpus; high = unusual
+    * word TRANSITIONS, which catches shuffled/garbled text a unigram
+    * model scores as perfectly normal.
+    *
+    * Shape: bigrams explode once; the count join-backs are keyed on
+    * (w₁,w₂) then w₁ — plain shuffle joins, because at corpus scale the
+    * bigram vocabulary is far past any broadcast budget (the t08/t10
+    * size-gate reasoning, permanently on the shuffle side); the per-doc
+    * aggregate is the third and final exchange. Nothing collects.
+    *
+    * Documents with fewer than 2 tokens carry 0 bigrams and score 0 —
+    * the explicit size filter also keeps Spark's `sequence` from
+    * generating a DESCENDING index range on short docs (sequence(0,-1)
+    * is [0,-1], not empty).
+    */
+  def bigramNll(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), lowerTokens(col(textCol)).as("__ws"))
+    val big = tok
+      .filter(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__ws) - 2), i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"))
+        .as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val ctx = big.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val bic = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
+    val scored = big
+      .join(bic, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .withColumn("__nll", log(col("__c1").cast("double") / col("__c12")))
+    val stats = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_bigrams"),
+      avg(col("__nll")).as("__avg"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("__avg"), lit(0.0)), 6).as("avg_nll"))
+  }
+
   /** Document-sharded inverted index: token → per-shard posting segment.
     *
     * The classic MR "build the index" workload (the reference's wordcount

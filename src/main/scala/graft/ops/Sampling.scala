@@ -99,4 +99,34 @@ object Sampling {
       .filter(col("__rn") <= col("__quota"))
       .drop("__rn", "__quota")
   }
+
+  /** Token-BUDGET sampling: per stratum, admit documents in the
+    * deterministic md5 order until the stratum's running TOKEN total
+    * would exceed `budget` — epoch planning counts tokens, not
+    * documents ([[temperatureSample]] fixes doc quotas; a mixture spec
+    * is "N billion tokens of code, M of web", which this implements).
+    * A doc is kept iff the cumulative token count THROUGH it stays ≤
+    * budget (first-fit prefix, so one oversized doc past the line
+    * doesn't starve nothing-after-it; the prefix rule keeps membership
+    * a pure function of (corpus, budget)).
+    *
+    * Integer cumulative sum over an md5-ranked per-stratum window —
+    * exact in any engine, one shuffle on the stratum key. Strata are
+    * the parallel unit (the q22/p02 scale shape).
+    *
+    * Output: (keyCol, stratumCol, n_tokens, cum_tokens).
+    */
+  def tokenBudgetSample(
+      df: DataFrame, stratumCol: String, keyCol: String,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("__tok", tokens.cast("long"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") <= budget)
+      .select(col(keyCol), col(stratumCol),
+        col("__tok").as("n_tokens"), col("__cum").as("cum_tokens"))
+  }
 }

@@ -78,6 +78,17 @@ object PipelineQueries {
           (reasons === "").as("keep"))
     }),
 
+    // Token-BUDGET mixture sampling: per language, admit docs in md5
+    // order until the running TOKEN total passes 5000 — epoch planning
+    // counts tokens, not documents (p02 fixes doc quotas; a mixture
+    // spec is "N tokens of code, M of web"). Integer cumsum over a
+    // per-stratum window; strata are the parallel unit.
+    "p08_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSample(
+        table(s, dir, "documents"),
+        stratumCol = "lang", keyCol = "doc_id",
+        tokens = tokenCount(col("text")), budget = 5000L)),
+
     // Deterministic seeded global shuffle + shard export plan: every doc
     // gets (shard, pos, rank_key) from a two-round integer LCG on its id
     // — the data-order-reproducibility step a training export needs
@@ -203,6 +214,23 @@ object PipelineQueries {
           SELECT doc_id, $reasons AS drop_reasons,
             ($reasons = '') AS keep
           FROM q"""
+    },
+
+    // Mirrors Sampling.tokenBudgetSample: same md5-rank order (the
+    // q22/p02 idiom), same integer cumulative sum, same prefix rule
+    // (cum <= budget).
+    "p08_token_budget" -> {
+      import TextQueries.nTokens
+      s"""WITH d AS (SELECT doc_id, lang,
+                CAST($nTokens AS BIGINT) AS n_tokens
+              FROM documents),
+          r AS (SELECT doc_id, lang, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                FROM d)
+          SELECT doc_id, lang, n_tokens, cum_tokens
+          FROM r WHERE cum_tokens <= 5000"""
     },
 
     // Mirrors Sharding.shuffleShards: the identical two-round LCG

@@ -114,6 +114,14 @@ object TextQueries {
       CorpusStats.unigramNll(
         table(s, dir, "documents"), "text", "doc_id")),
 
+    // Bigram conditional-NLL score (mean -ln P(w2|w1) vs the corpus
+    // bigram MLE) — the transition-aware quality signal above t11:
+    // shuffled/garbled text that a unigram model scores as normal
+    // stands out here.
+    "t15_bigram_nll" -> ((s, dir) =>
+      CorpusStats.bigramNll(
+        table(s, dir, "documents"), "text", "doc_id")),
+
     // Document-sharded inverted index (token → per-shard posting
     // segment): the classic build-the-index MR workload in its
     // distributed layout — a stopword's postings split across shards
@@ -371,6 +379,29 @@ object TextQueries {
                  FROM sc GROUP BY doc_id)
           SELECT d.doc_id,
             coalesce(st.n_tokens, 0) AS n_tokens,
+            round(coalesce(st.a, 0.0), 6) AS avg_nll
+          FROM documents d LEFT JOIN st USING (doc_id)""",
+    // Mirrors CorpusStats.bigramNll: 1-based DuckDB list index i/i+1 ==
+    // Spark's 0-based __ws[i]/__ws[i+1] over the identical token list;
+    // scalar range(1, len) is empty for len <= 1, matching the
+    // size >= 2 filter (lateral generate_series can't take a column
+    // parameter in DuckDB — the v09 list_transform(range...) idiom
+    // can); ln(c1/c12) single-ln form and round-6 avg as in t11.
+    "t15_bigram_nll" ->
+      s"""WITH t AS (SELECT doc_id, $lowToks AS toks FROM documents),
+          bp AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                     i -> [toks[i], toks[i + 1]])) AS p
+                 FROM t),
+          bg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bp),
+          c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+          c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+          sc AS (SELECT doc_id, ln(CAST(c1.c1 AS DOUBLE) / c12.c12) AS nll
+                 FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+          st AS (SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS a
+                 FROM sc GROUP BY doc_id)
+          SELECT d.doc_id,
+            coalesce(st.n_bigrams, 0) AS n_bigrams,
             round(coalesce(st.a, 0.0), 6) AS avg_nll
           FROM documents d LEFT JOIN st USING (doc_id)""",
     // Mirrors CorpusStats.invertedIndex: DISTINCT (doc, token) pairs,

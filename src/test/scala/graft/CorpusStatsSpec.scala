@@ -249,6 +249,38 @@ class CorpusStatsSpec extends SparkSessionSpec {
     assert(got(2) === Row(3L, 0L, 0.0))
   }
 
+  test("bigramNll: hand-computed transitions; garbled order costs more") {
+    // corpus bigrams: doc1 "a b a b" → (a,b) (b,a) (a,b)
+    //                 doc2 "b b"     → (b,b)
+    //                 doc3 "a"       → none (size < 2)
+    // c1(a)=2, c1(b)=2; c12(a,b)=2, c12(b,a)=1, c12(b,b)=1
+    val df = Seq(
+      (1L, "a b a b"), // nlls: ln(2/2), ln(2/1), ln(2/2) → avg = ln(2)/3
+      (2L, "b b"),     // avg = ln(2/1) = ln 2
+      (3L, "a")        // no bigrams → 0
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.bigramNll(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got(0) === Row(1L, 3L, round6(math.log(2.0) / 3.0)))
+    assert(got(1) === Row(2L, 1L, round6(math.log(2.0))))
+    assert(got(2) === Row(3L, 0L, 0.0))
+  }
+
+  test("bigramNll: shuffling words raises the score while unigramNll is blind") {
+    // natural corpus: many docs share the transition "the cat"; one doc
+    // carries the same WORDS in a garbled order — identical unigram
+    // profile, never-seen transitions
+    val natural = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val garbled = Seq((99L, "cat the on sat mat the"))
+    val df = (natural ++ garbled).toDF("doc_id", "text")
+    val uni = CorpusStats.unigramNll(df, "text", "doc_id")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    val bi = CorpusStats.bigramNll(df, "text", "doc_id")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(uni(99L) === uni(1L)) // same bag of words → unigram can't tell
+    assert(bi(99L) > bi(1L))     // transitions expose the garble
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -79,4 +79,47 @@ class SamplingSpec extends SparkSessionSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(a === b)
   }
+
+  test("token budget sample: md5-order prefix, per-stratum budget respected") {
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = table(spark, sfDir, "documents").select("doc_id", "lang", "text")
+    val out = Sampling.tokenBudgetSample(
+        docs, "lang", "doc_id", length(col("text")), budget = 20000L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // cum stays within budget and equals the per-stratum running sum of
+    // the selected prefix in md5 order
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._4).max <= 20000L, s"stratum $lang over budget")
+      val byOrder = rows.sortBy(_._4)
+      assert(byOrder.map(_._3).scanLeft(0L)(_ + _).tail.toSeq ===
+        byOrder.map(_._4).toSeq, s"stratum $lang cum mismatch")
+    }
+    // prefix rule: the selected set is closed under the md5 order — the
+    // doc JUST past the budget line is excluded, all before it included
+    val md5Order = docs
+      .select(col("doc_id"), col("lang"),
+        org.apache.spark.sql.functions.md5(col("doc_id").cast("string")).as("h"),
+        length(col("text")).cast("long").as("n"))
+      .as[(Long, String, String, Long)].collect()
+    md5Order.groupBy(_._2).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      val cums = ordered.map(_._4).scanLeft(0L)(_ + _).tail
+      val expect = ordered.zip(cums).takeWhile(_._2 <= 20000L).map(_._1._1).toSet
+      val got = out.filter(_._2 == lang).map(_._1).toSet
+      assert(got === expect, s"stratum $lang membership")
+    }
+  }
+
+  test("token budget sample membership is stable under repartitioning") {
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = table(spark, sfDir, "documents").select("doc_id", "lang", "text")
+    val a = Sampling.tokenBudgetSample(
+        docs, "lang", "doc_id", length(col("text")), 20000L)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.tokenBudgetSample(
+        docs.repartition(7), "lang", "doc_id", length(col("text")), 20000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+  }
 }
