@@ -278,6 +278,23 @@ object ScaleSmoke {
       Similarity.clusterProfile(emb, nCentroids = 16)
         .queryExecution.toRdd.count()
     }
+    // IVF-PQ: the encode pass is per-row narrow, the ADC join fans in by
+    // nProbe/nCells — both must track corpus size linearly
+    time(s"ivfpq ann corpus x$factor") {
+      Similarity.ivfPqTopK(emb, q, k = 10, nCentroids = 16, nProbe = 6,
+        m = 8).queryExecution.toRdd.count()
+    }
+    // bigram NLL: explode + two count join-backs on the bigram keys —
+    // vocabulary grows sublinearly, the token stream linearly
+    time(s"bigram nll x$factor") {
+      CorpusStats.bigramNll(docs, "text", "doc_id")
+        .queryExecution.toRdd.count()
+    }
+    // shuffle-shard export plan: narrow LCG pass + shard-keyed window
+    time(s"shuffle shards x$factor") {
+      graft.ops.Sharding.shuffleShards(docs, nShards = 64)
+        .queryExecution.toRdd.count()
+    }
     println(jsonLine("scale_smoke", Seq(
       "factor" -> factor.toString, "shapes" -> shapesJson(results))))
     spark.stop()
