@@ -700,9 +700,11 @@ object Similarity {
     * never shuffled.
     *
     * Determinism: cell assignment ties → first max (matching
-    * `list_position`), ADC and final ranks tie-break on id — the same
-    * bit-exactness contract as v04 + v09, so the composed SQL oracle is
-    * a full equality check.
+    * `list_position`), ADC and final ranks tie-break on id, and the
+    * ADC sum is the left-associated per-sub-space partial order the
+    * oracle replays — the v04 + v09 bit-exactness contract extended to
+    * the LUT decomposition, so the composed SQL oracle is a full
+    * equality check.
     */
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
@@ -729,7 +731,19 @@ object Similarity {
       .withColumn("cell", argmaxCell)
       .select(col(idCol), col("cell"),
         pqEncode(col(vecCol), cbs).as("codes"))
-    // queries probe their nProbe best cells (the ivfTopK probe shape)
+    // queries probe their nProbe best cells (the ivfTopK probe shape),
+    // and carry a precomputed ADC lookup table: ||q−recon||² is separable
+    // per sub-space, so lut[mi][j] = ||q_mi − codebook[mi][j]||² turns
+    // each candidate's distance into m table lookups + adds instead of a
+    // dim-wide recompute — FAISS's precomputed distance tables, the step
+    // that makes ADC throughput independent of dim. The LUT costs
+    // m·nCodes kernel evals ONCE per query row, amortized over every
+    // candidate in its probed cells.
+    val sub = cbs(0)(0).length
+    val lut = array(cbs.zipWithIndex.map { case (cb, mi) =>
+      val s = slice(col(qvecCol), mi * sub + 1, sub)
+      array(cb.map(c => l2sq(s, array(c.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
     val qb = withCellCosines(queries, cents, qvecCol, maxLiteralCells)
       .withColumn("__ranked", sort_array(zip_with(
         col("__cos"), sequence(lit(1), lit(nCells)),
@@ -737,15 +751,21 @@ object Similarity {
       .withColumn("cell",
         explode(slice(transform(col("__ranked"), s => s("idx").cast("int")),
           1, probes)))
+      .withColumn("__lut", lut)
       .drop("__cos", "__ranked", "__cents")
     // ADC within probed cells only; a corpus row lives in exactly one
-    // cell, so each (query, corpus) pair meets at most once — no dedup
+    // cell, so each (query, corpus) pair meets at most once — no dedup.
+    // Sum order is mi = 0..m−1 left-associated — the oracle replays the
+    // identical parenthesization, so the sqrt sees the same double.
+    val adcSq = cbs.indices
+      .map(mi => element_at(element_at(col("__lut"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1))
+      .reduce(_ + _)
     val adcW = Window.partitionBy(col(qidCol))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
     val shortlist = encoded.join(broadcast(qb), Seq("cell"))
       .filter(col(idCol) =!= col(qidCol))
-      .withColumn("adc_dist",
-        l2Distance(col(qvecCol), pqDecode(col("codes"), cbs)))
+      .withColumn("adc_dist", sqrt(adcSq))
       .withColumn("adc_rank", row_number().over(adcW))
       .filter(col("adc_rank") <= refine)
       .select(col(qidCol), col(idCol))

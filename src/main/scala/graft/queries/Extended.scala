@@ -228,6 +228,32 @@ object Extended {
           coalesce(col("n_events"), lit(0L)).as("n_events"))
     }),
 
+    // Hourly volume anomaly flags — the pipeline-monitoring readout
+    // (ingest spikes/droughts per event type). Robust statistic in ALL
+    // integer arithmetic: the per-type DISCRETE median of hourly counts
+    // (lower-middle pick at rank (n+1) div 2 under the (count, hour)
+    // total order — no float interpolation, so the flag is bit-portable)
+    // and a 6·n > 5·med spike test (count > 1.2x median without
+    // fractions). Two aggregations + a per-type broadcast join-back;
+    // hours are the parallel unit.
+    "q38_hourly_anomaly" -> ((s, dir) => {
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n_events").asc, col("h").asc)
+      val med = hourly
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__cnt", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("__rn") === expr("(__cnt + 1) div 2"))
+        .select(col("event_type"), col("n_events").as("type_median"))
+      hourly.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("h"), col("n_events"),
+          col("type_median"),
+          (col("n_events") * 6 > col("type_median") * 5).as("is_spike"))
+    }),
+
     // RANGE-frame rolling aggregate: per-user trailing-1-hour event
     // count/sum at every event — a VALUE-bounded frame (peers by
     // second), the semantics q25's ROWS frame cannot express. Seconds
@@ -508,6 +534,26 @@ object Extended {
          SELECT g.event_type, g.h,
            CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
          FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h""",
+    // Mirrors q38: the same (n_events, h)-ordered row_number pick at
+    // rank (cnt+1)//2 — a DISCRETE lower-middle median, never a float
+    // interpolation — and the fraction-free 6n > 5m spike test.
+    "q38_hourly_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, n_events AS type_median
+           FROM (SELECT event_type, n_events,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY n_events ASC, h ASC) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+                 FROM hourly)
+           WHERE rn = (cnt + 1) // 2)
+         SELECT hourly.event_type, hourly.h, hourly.n_events,
+           m.type_median,
+           (hourly.n_events * 6 > m.type_median * 5) AS is_spike
+         FROM hourly JOIN m USING (event_type)""",
     // Mirrors Sketches.kmvDistinct step for step: same 13-hex/52-bit md5
     // hash (the q21/p02 md5-rank idiom), same (k-1)/u_k estimator with
     // identical operation order, same <k exact fallback.

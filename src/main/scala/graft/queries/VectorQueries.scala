@@ -497,19 +497,34 @@ object VectorQueries {
   }
 
   /** The v11 oracle: the v04 centroid-cell CTE composed with the v09 PQ
-    * CTEs — corpus rows carry (cell, recon); queries probe their 6 best
-    * cells; the ADC shortlist is restricted to probed cells; refine and
-    * final ranking replay v09's exact-distance SQL. Each leg's
-    * bit-exactness argument is unchanged by the composition (the cell
-    * join only FILTERS candidate pairs; every surviving number is
-    * computed exactly as in its standalone oracle).
+    * encode CTEs — corpus rows carry (cell, codes); queries probe their
+    * 6 best cells; the ADC shortlist is restricted to probed cells and
+    * scored by the LUT decomposition the operator uses — per-sub-space
+    * squared partials against the SELECTED codeword, summed mi-ascending
+    * left-associated (`p0 + p1 + …` parses left-assoc, matching the
+    * Scala `reduce`), sqrt at the end — so every surviving double is
+    * bit-identical; refine and final ranking replay v09's
+    * exact-distance SQL.
     */
   private def v11OracleSql(s: SparkSession, dir: String): String = {
     val cents = centroids(s, dir, 16)
     val cbs = pqBooks(s, dir, 8, 16)
     val dim = cbs(0)(0).length * cbs.length
+    val sub = cbs(0)(0).length
     val nCells = cents.length
     val probes = math.min(6, nCells)
+    // per-sub-space partial: ||q_mi − codebook[mi][c_mi]||² with the
+    // selected codeword picked by the row's code — same exact-decimal
+    // codebook literals as the enc CTE
+    def bookLit(mi: Int): String =
+      cbs(mi).map(_.map(exactF).mkString("[", ", ", "]"))
+        .mkString("[", ",\n            ", "]")
+    val adcSq = cbs.indices.map { mi =>
+      val off = mi * sub
+      s"""list_aggregate(list_transform(range(1, ${sub + 1}),
+            i -> (CAST(q.qvec[i + $off] AS DOUBLE) - (${bookLit(mi)})[e.c$mi + 1][i])
+               * (CAST(q.qvec[i + $off] AS DOUBLE) - (${bookLit(mi)})[e.c$mi + 1][i])), 'sum')"""
+    }.mkString("(", "\n          + ", ")")
     s"""${centroidCellCte(cents)},
         ${pqEncRecCtes(cbs)},
         q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
@@ -521,11 +536,11 @@ object VectorQueries {
           QUALIFY row_number() OVER (PARTITION BY vec_id
                     ORDER BY cosl[gs.i] DESC, gs.i ASC) <= $probes),
         shortlist AS (
-          SELECT q.qid, r.vec_id AS neighbor_id,
-            ${l2SqlExpr(dim, "q.qvec", "r.recon[i]")} AS adc_dist
-          FROM rec r
-          JOIN cb ON cb.id = r.vec_id
-          JOIN qp ON qp.cell = cb.cell AND r.vec_id <> qp.qid
+          SELECT q.qid, e.vec_id AS neighbor_id,
+            sqrt($adcSq) AS adc_dist
+          FROM enc e
+          JOIN cb ON cb.id = e.vec_id
+          JOIN qp ON qp.cell = cb.cell AND e.vec_id <> qp.qid
           JOIN q ON q.qid = qp.qid
           QUALIFY row_number() OVER (PARTITION BY q.qid
             ORDER BY adc_dist ASC, neighbor_id ASC) <= 100),
