@@ -153,6 +153,36 @@ class KVSinkSpec extends SparkSessionSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint: agg state recovers, no double-count") {
+    // kill the query between micro-batches and restart it on the SAME
+    // checkpoint: the aggregate's state store must recover (user 1's
+    // count continues from 2, not from 0) and the recovered query must
+    // not re-apply batch1 (a replayed upsert with a re-zeroed count
+    // would read n=1 for user 1 — the double-apply signature).
+    val root = java.nio.file.Files.createTempDirectory("graft-kvsink-rs").toString
+    val store = new Store(spark, root, defaultBuckets = 4)
+    val mem = MemoryStream[(Long, Timestamp, Double)](spark)
+    def startQuery() = KVSink.toStore(
+      runningAgg(mem.toDF().toDF("user_id", "ts", "value")),
+      store, "agg", keyCol = "user_id",
+      checkpointDir = s"$root/__ckpt")
+    val batch1 = Seq((1L, t(0), 10.0), (1L, t(1), 5.0), (2L, t(2), 7.0))
+    val q1 = startQuery()
+    try {
+      mem.addData(batch1)
+      q1.processAllAvailable()
+      assert(storedAgg(store.scan("agg")) === batchAgg(batch1))
+    } finally q1.stop()
+    // restart on the same checkpoint; feed only NEW data
+    val batch2 = Seq((1L, t(3), 1.0), (3L, t(4), 2.0))
+    val q2 = startQuery()
+    try {
+      mem.addData(batch2)
+      q2.processAllAvailable()
+      assert(storedAgg(store.scan("agg")) === batchAgg(batch1 ++ batch2))
+    } finally q2.stop()
+  }
+
   test("streaming aggregate through Mem == batch aggregate") {
     val root = java.nio.file.Files.createTempDirectory("graft-kvsink-mem").toString
     val kvMem = new Mem
