@@ -42,6 +42,21 @@ object MMQueries {
         d.select((col("doc_id") + 10000).as("doc_id"), col("text"),
           col("lang"), col("source"), col("n_chars")))
       Multimodal.mediaDedupGroups(Multimodal.asMediaTable(planted))
+    }),
+
+    // Preprocessing export manifest: the cross-family composition a
+    // multimodal decode fleet consumes — per visual doc, its resize
+    // target (m03) joined to its seeded shard/position (p07), so a
+    // worker claims shard k and processes its rows in pos order. One
+    // id equi-join between two already-oracled plans.
+    "m05_export_manifest" -> ((s, dir) => {
+      val plan = Multimodal.resizePlan(
+        Multimodal.asMediaTable(table(s, dir, "documents")), maxDim = 224)
+      val shards = graft.ops.Sharding.shuffleShards(
+        table(s, dir, "documents"), nShards = 8, seed = 42L)
+      plan.join(shards, Seq("doc_id"))
+        .select(col("doc_id"), col("media_type"),
+          col("target_w"), col("target_h"), col("shard"), col("pos"))
     })
   )
 
@@ -72,6 +87,33 @@ object MMQueries {
             CAST(floor(width * least(1.0, 224.0 / greatest(width, height))) AS INT) AS target_w,
             CAST(floor(height * least(1.0, 224.0 / greatest(width, height))) AS INT) AS target_h
           FROM m WHERE media_type IN ('image', 'video')""",
+    // Composes the m03 and p07 oracle fragments verbatim; the join adds
+    // no arithmetic, so each leg's exactness argument carries over.
+    "m05_export_manifest" ->
+      s"""WITH m AS (
+            SELECT doc_id,
+              CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+              CAST(($nBytes % 640) + 16 AS INT) AS width,
+              CAST((($nBytes * 7) % 480) + 16 AS INT) AS height
+            FROM documents),
+          plan AS (
+            SELECT doc_id, media_type,
+              CAST(floor(width * least(1.0, 224.0 / greatest(width, height))) AS INT) AS target_w,
+              CAST(floor(height * least(1.0, 224.0 / greatest(width, height))) AS INT) AS target_h
+            FROM m WHERE media_type IN ('image', 'video')),
+          h AS (
+            SELECT doc_id,
+              ((((doc_id % 2147483648) * 1103515245 + ${42L + 12345L}) % 2147483648)
+                * 1103515245 + 12345) % 2147483648 AS rank_key
+            FROM documents),
+          s AS (
+            SELECT doc_id, CAST(rank_key % 8 AS INTEGER) AS shard,
+              row_number() OVER (PARTITION BY rank_key % 8
+                ORDER BY rank_key ASC, doc_id ASC) AS pos
+            FROM h)
+          SELECT plan.doc_id, plan.media_type, plan.target_w, plan.target_h,
+            s.shard, s.pos
+          FROM plan JOIN s USING (doc_id)""",
     // The media payload is the UTF-8 text bytes (asMediaTable), so
     // md5(BINARY) on the Spark side == md5(text VARCHAR) here.
     "m04_media_dedup" ->

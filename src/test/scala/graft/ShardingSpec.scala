@@ -54,6 +54,25 @@ class ShardingSpec extends SparkSessionSpec {
     assert(a !== c)
   }
 
+  test("incremental-stable: a doc's (shard, rank_key) never changes as the corpus grows") {
+    // the property an INCREMENTAL export needs: admitting new documents
+    // must not reshuffle already-exported ones — shard and rank derive
+    // from the id alone, so the half-corpus assignment is a strict
+    // subset of the full-corpus assignment (only within-shard pos can
+    // shift as new rows interleave)
+    val docs = table(spark, sfDir, "documents")
+    val half = Sharding.shuffleShards(docs.filter(col("doc_id") % 2 === 0), 8)
+      .select("doc_id", "shard", "rank_key")
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, s, k) => id -> ((s, k)) }.toMap
+    val full = Sharding.shuffleShards(docs, 8)
+      .select("doc_id", "shard", "rank_key")
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, s, k) => id -> ((s, k)) }.toMap
+    assert(half.nonEmpty)
+    half.foreach { case (id, sk) => assert(full(id) === sk, s"doc $id moved") }
+  }
+
   test("partition-invariant: 1 vs 8 input partitions give identical output") {
     val docs = table(spark, sfDir, "documents")
     val a = Sharding.shuffleShards(docs.repartition(1), 8).collect().toSet
