@@ -158,6 +158,44 @@ class PlanSpec extends SparkSessionSpec {
     assert(scans === 1, s"funnel planned $scans event scans — must be one")
   }
 
+  test("p07/p08/q38: every window operator is partitioned (no global window)") {
+    // the single-partition window is the quiet scale killer: correct at
+    // test SF, one task holding the corpus at 100 TB. The export/budget/
+    // anomaly windows must all key on a real partition column. A GLOBAL
+    // windowspecdefinition starts with an order expr (" ASC"/" DESC") or
+    // goes straight to the frame; a partitioned one leads with plain
+    // partition columns.
+    Seq("p07_shuffle_shards", "p08_token_budget", "q38_hourly_anomaly")
+      .foreach { q =>
+        val p = finalPlan(q)
+        val specs = "windowspecdefinition\\(([^,)]*)".r
+          .findAllMatchIn(p).map(_.group(1)).toSeq
+        assert(specs.nonEmpty, s"$q expected a window operator")
+        specs.foreach { first =>
+          assert(!first.contains("specifiedwindowframe") &&
+            !first.contains(" ASC") && !first.contains(" DESC"),
+            s"$q plans a GLOBAL window (spec leads with '$first')")
+        }
+      }
+  }
+
+  test("v11: probe list broadcasts — the encoded corpus never shuffles before ADC") {
+    val p = finalPlan("v11_ann_ivfpq")
+    // the cell join must be a broadcast join (probe side), and the
+    // shortlist/refine fetches are broadcast too — the only hash
+    // exchanges in the whole plan are the two qid-keyed rank windows
+    // (ADC shortlist + final top-k); ReusedExchange references don't
+    // count as new exchanges
+    assert(p.contains("BroadcastHashJoin"))
+    // AQE toString repeats the tree under "== Initial Plan ==" — slice
+    // to the final section or every operator double-counts
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(exchanges <= 2,
+      s"v11 plans $exchanges hash exchanges; corpus is leaking into a shuffle")
+  }
+
   test("no query plans a CartesianProduct; NLJ only where designed") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
