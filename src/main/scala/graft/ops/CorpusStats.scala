@@ -385,6 +385,59 @@ object CorpusStats {
         round(coalesce(col("__avg"), lit(0.0)), 6).as("avg_nll"))
   }
 
+  /** Okapi BM25 relevance of every document to a fixed term set — the
+    * standard retrieval scorer (the t10 TF-IDF machinery with document-
+    * length normalization and saturating TF), the ranking half of a
+    * RAG-corpus curation pass: score docs against a topic probe, keep or
+    * re-weight by relevance.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — the Lucene form,
+    * positive for every df.
+    *
+    * Shape: doc length is a NARROW size() over the token array (never an
+    * explode-regroup); only query-term hits explode, so the exchanged
+    * stream is |Q|-bounded per doc; (N, avgdl, df) ride 1-row/|Q|-row
+    * broadcasts. Scores are a ≤|Q|-term double sum — round-6 absorbs
+    * summation-order ulps (the t11 contract).
+    *
+    * Output: (idCol, n_hit_terms, score).
+    */
+  def bm25(
+      df: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val docs = widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), lowerTokens(col(textCol)).as("__ws"))
+      .select(col(idCol), col("__ws"), size(col("__ws")).cast("long").as("__dl"))
+    val corpus = docs.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__dl")).as("__tl"))
+    val hits = docs
+      .select(col(idCol), col("__dl"), explode(col("__ws")).as("w"))
+      .filter(col("w").isin(queryTerms: _*))
+    val tf = hits.groupBy(col(idCol), col("__dl"), col("w"))
+      .agg(count(lit(1)).as("__tf"))
+    val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("__df"))
+    val scored = tf
+      .join(broadcast(dft), Seq("w"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
+      .withColumn("__avgdl", col("__tl").cast("double") / col("__n"))
+      .withColumn("__s",
+        col("__idf") * (col("__tf") * (k1 + 1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+    val perDoc = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_hit_terms"),
+      sum(col("__s")).as("__score"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_terms"), lit(0L)).as("n_hit_terms"),
+        round(coalesce(col("__score"), lit(0.0)), 6).as("score"))
+  }
+
   /** Document-sharded inverted index: token → per-shard posting segment.
     *
     * The classic MR "build the index" workload (the reference's wordcount

@@ -122,6 +122,14 @@ object TextQueries {
       CorpusStats.bigramNll(
         table(s, dir, "documents"), "text", "doc_id")),
 
+    // Okapi BM25 relevance against a fixed topic probe — the retrieval
+    // scorer for RAG-corpus curation (t10's tf/df machinery + document-
+    // length normalization + saturating TF, the Lucene idf form).
+    "t16_bm25" -> ((s, dir) =>
+      CorpusStats.bm25(
+        table(s, dir, "documents"), "text", "doc_id",
+        queryTerms = Seq("hash", "vector", "slow"))),
+
     // Document-sharded inverted index (token → per-shard posting
     // segment): the classic build-the-index MR workload in its
     // distributed layout — a stopword's postings split across shards
@@ -404,6 +412,31 @@ object TextQueries {
             coalesce(st.n_bigrams, 0) AS n_bigrams,
             round(coalesce(st.a, 0.0), 6) AS avg_nll
           FROM documents d LEFT JOIN st USING (doc_id)""",
+    // Mirrors CorpusStats.bm25 operation for operation: compound
+    // constants written as their EXPRESSIONS ((1.2 + 1.0), (1.0 - 0.75))
+    // so both engines derive the identical doubles (a literal '2.2'
+    // parses to a DIFFERENT double than computed 1.2 + 1.0); same
+    // left-associated multiply/divide chains; round-6 absorbs the
+    // <=3-term sum order (t11 contract).
+    "t16_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $lowToks AS toks FROM documents),
+          d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+          c AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM d),
+          h AS (SELECT doc_id, dl, unnest(toks) AS w FROM d),
+          f AS (SELECT doc_id, dl, w, count(*) AS tf FROM h
+                WHERE w IN ('hash', 'vector', 'slow') GROUP BY 1, 2, 3),
+          g AS (SELECT w, count(*) AS df FROM f GROUP BY w),
+          s AS (SELECT f.doc_id,
+                  ln((c.n - g.df + 0.5) / (g.df + 0.5) + 1.0)
+                    * (f.tf * (1.2 + 1.0))
+                    / (f.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * f.dl / (CAST(c.tl AS DOUBLE) / c.n))) AS sc
+                FROM f JOIN g USING (w), c),
+          p AS (SELECT doc_id, count(*) AS n_hit_terms, sum(sc) AS score
+                FROM s GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(p.n_hit_terms, 0) AS n_hit_terms,
+            round(coalesce(p.score, 0.0), 6) AS score
+          FROM documents d LEFT JOIN p USING (doc_id)""",
     // Mirrors CorpusStats.invertedIndex: DISTINCT (doc, token) pairs,
     // shard = doc_id mod 4, postings comma-joined ascending (DuckDB
     // string_agg ORDER BY doc_id == Spark array_sort on longs; integer

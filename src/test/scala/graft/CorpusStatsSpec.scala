@@ -281,6 +281,24 @@ class CorpusStatsSpec extends SparkSessionSpec {
     assert(bi(99L) > bi(1L))     // transitions expose the garble
   }
 
+  test("bm25: hand-computed Lucene-form scores with length normalization") {
+    // corpus: doc1 "a a b" (dl 3), doc2 "b b" (dl 2), doc3 "a" (dl 1)
+    // query {a}: N=3, avgdl=2, df(a)=2
+    val df = Seq((1L, "a a b"), (2L, "b b"), (3L, "a")).toDF("doc_id", "text")
+    val got = CorpusStats.bm25(df, "text", "doc_id", Seq("a"))
+      .orderBy("doc_id").collect()
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def s(tf: Long, dl: Long): Double =
+      idf * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (6.0 / 3)))
+    assert(got(0) === Row(1L, 1L, round6(s(2, 3))))
+    assert(got(1) === Row(2L, 0L, 0.0))
+    assert(got(2) === Row(3L, 1L, round6(s(1, 1))))
+    // the normalization property BM25 adds over TF-IDF: same tf in a
+    // SHORTER doc scores higher
+    assert(s(1, 1) > s(1, 3))
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
