@@ -336,6 +336,50 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Cross-group near-pair mining within the deterministic k-means
+    * cells — the bitext/parallel-data candidate generator: (id_a, id_b)
+    * pairs at cosine ≥ threshold whose GROUPS differ (languages for
+    * parallel-corpus mining, sources for cross-source near-dup audits).
+    * Same within-cell contract and [[saltedBlockPairs]] skew bound as
+    * [[semanticDedup]]; the group table joins on the id AFTER the pair
+    * generation and threshold filter, so group metadata never rides the
+    * quadratic expansion — only surviving pairs pay the metadata join.
+    *
+    * Output: (id_a, id_b, grp_a, grp_b, sim), id_a < id_b.
+    */
+  def crossGroupPairs(
+      corpus: DataFrame, groups: DataFrame, threshold: Double,
+      nCentroids: Int = 16, sampleSize: Int = 2048, iters: Int = 10,
+      idCol: String = "id", vecCol: String = "vec", grpCol: String = "grp",
+      maxLiteralCells: Int = IvfLiteralCellGate,
+      trained: Option[Array[Array[Float]]] = None,
+      maxCellRows: Int = 4096): DataFrame = {
+    val centroids = trained.getOrElse(
+      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol))
+    if (centroids.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"),
+          lit("").as("grp_a"), lit("").as("grp_b"), lit(0.0).as("sim"))
+        .limit(0)
+    val assigned = withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
+      .withColumn("cell", argmaxCell)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
+    // cosine is orientation-symmetric bit-for-bit (per-element products
+    // commute inside the same accumulation order), so the salt-dependent
+    // pair orientation cannot perturb sim — the v05 oracle's argument
+    val pairs = saltedBlockPairs(assigned, "cell", maxCellRows)
+      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("a_id"), col("b_id")).as("id_a"),
+        greatest(col("a_id"), col("b_id")).as("id_b"),
+        round(col("sim"), 6).as("sim"))
+    pairs
+      .join(groups.select(col(idCol).as("id_a"), col(grpCol).as("grp_a")), Seq("id_a"))
+      .join(groups.select(col(idCol).as("id_b"), col(grpCol).as("grp_b")), Seq("id_b"))
+      .filter(col("grp_a") =!= col("grp_b"))
+      .select(col("id_a"), col("id_b"), col("grp_a"), col("grp_b"), col("sim"))
+  }
+
   /** [[semanticDedup]] with a cross-cell recall backstop: the union of
     * the within-cell pair set and the hyperplane-bucket blocked pair set
     * ([[cosineNearDupPairs]]), re-resolved under the same min-earlier-id

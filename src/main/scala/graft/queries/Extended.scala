@@ -84,6 +84,22 @@ object Extended {
           col("g_segment"), col("n_customers"), col("sum_acctbal"))
     }),
 
+    // CUBE grouping — q16's ROLLUP sibling completing the grouping-sets
+    // family: all four (status, priority) marginal combinations in one
+    // Expand-based pass (2^k replicated groups, one shuffle — never k
+    // separate aggregations unioned).
+    "q39_cube_orders" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+          count(lit(1)).as("n_orders"),
+          dec38(sum(dec(col("o_totalprice")))).cast("double").as("sum_price"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("g_status"), col("g_priority"),
+          col("n_orders"), col("sum_price"))),
+
     // Reduce-side equi-join expressed through the MR-parity layer — the
     // tag-and-union idiom, the ONLY join shape the reference can run
     // (inside user closures; SURVEY §2.6). Deliberately the typed
@@ -640,6 +656,14 @@ object Extended {
            CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP (n_name, c_mktsegment)""",
+    "q39_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q17_mr_join" ->
       """SELECT c_custkey, c_name, count(o_custkey) AS n_orders,
                 max(o_totalprice) AS max_price

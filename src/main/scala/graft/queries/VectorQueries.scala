@@ -222,6 +222,20 @@ object VectorQueries {
         table(s, dir, "embeddings")
           .select(col("label"), col("embedding").as("vec")))),
 
+    // Cross-lingual bitext candidate mining: cross-LANGUAGE embedding
+    // pairs at cosine >= 0.35 within the shared k-means cells — the
+    // parallel-corpus candidate generator (same within-cell contract as
+    // v05; language metadata joins after the threshold filter, never
+    // riding the quadratic expansion).
+    "p09_bitext_candidates" -> ((s, dir) =>
+      Similarity.crossGroupPairs(
+        table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        table(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("lang").as("grp")),
+        threshold = 0.35, nCentroids = 16,
+        trained = Some(centroids(s, dir, 16)))),
+
     // CROSS-MODAL composition: embedding-space clusters joined back to
     // the text table (vec_id ↔ doc_id) for a cluster-conditioned language
     // histogram — "what does each semantic cluster contain", the readout
@@ -401,6 +415,26 @@ object VectorQueries {
         FROM cb GROUP BY cell"""
   }
 
+  /** The p09 oracle: the shared cell-assignment CTE, within-cell pairs
+    * at the threshold (v05's pair SQL), then the documents join for
+    * languages and the cross-language filter — the metadata join adds
+    * no arithmetic, so v05's bit-exactness argument carries over.
+    */
+  private def p09OracleSql(s: SparkSession, dir: String): String = {
+    val cents = centroids(s, dir, 16)
+    s"""${centroidCellCte(cents)},
+        p AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+            round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 6) AS sim
+          FROM cb a JOIN cb b ON a.cell = b.cell AND a.id < b.id
+          WHERE list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]) >= 0.35)
+        SELECT p.id_a, p.id_b, da.lang AS grp_a, db.lang AS grp_b, p.sim
+        FROM p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+        WHERE da.lang <> db.lang"""
+  }
+
   /** The p03 oracle: the shared cell-assignment CTE joined to documents
     * on the aligned id, then integer-exact counts.
     */
@@ -564,6 +598,7 @@ object VectorQueries {
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
     "v09_ann_pq" -> (v09OracleSql(_, _)),
     "v11_ann_ivfpq" -> (v11OracleSql(_, _)),
+    "p09_bitext_candidates" -> (p09OracleSql(_, _)),
     "v04_ann_ivf" -> (v04OracleSql(_, _)),
     "v05_semantic_dedup" -> (v05OracleSql(_, _)),
     "v07_semdedup_exhaustive" -> (v07OracleSql(_, _)),

@@ -417,6 +417,30 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(recall >= 0.5)
   }
 
+  test("crossGroupPairs: planted cross-lang twin found, same-lang pair filtered") {
+    // base corpus plus two planted twins of vector 0: one in another
+    // language (must surface) and one in the same language (must be
+    // filtered by the cross-group rule even though its cosine is 1.0)
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus = e.unionAll(
+      e.filter(col("id") === 0).select(lit(50001L).as("id"), col("vec")))
+      .unionAll(
+        e.filter(col("id") === 0).select(lit(50002L).as("id"), col("vec")))
+    val groups = corpus.select(col("id"),
+      when(col("id") === 50001L, lit("xx"))
+        .otherwise(lit("en")).as("grp"))
+    val got = Similarity.crossGroupPairs(corpus, groups, threshold = 0.999)
+      .select("id_a", "id_b", "grp_a", "grp_b")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got.contains((0L, 50001L, "en", "xx")))
+    assert(!got.exists { case (a, b, _, _) => Set(a, b) == Set(0L, 50002L) },
+      "same-group twin must not surface")
+    got.foreach { case (a, b, ga, gb) =>
+      assert(a < b); assert(ga != gb)
+    }
+  }
+
   test("IVF-PQ probing every cell == pqTopK (the IVF layer only prunes)") {
     val (corpus, queries) = corpusAndQueries()
     val full = Similarity.ivfPqTopK(corpus, queries, k = 10,
