@@ -148,6 +148,7 @@ class PlanSpec extends SparkSessionSpec {
     "v08_ann_sq",         // same shape over the dequantized int8 codes
     "v09_ann_pq",         // ADC pass: query set broadcast against codes
     "t10_tfidf", "t11_unigram_nll", // 1-row corpus-count cross join
+    "t16_bm25",                     // 1-row (N, total-length) cross join
     "q31_gap_fill")                 // 1-row (h0, h1) range cross join
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
