@@ -93,6 +93,34 @@ object DedupQueries {
         train = d.filter(col("doc_id") >= 50),
         eval = d.filter(col("doc_id") < 50),
         "text", "doc_id", k = 8)
+    }),
+
+    // Dedup IMPACT report — what a dedup pass would save, by source:
+    // doc and token counts of non-keeper copies (keeper = min doc_id
+    // per normalized fingerprint, the d02 rule), over a corpus
+    // re-ingested through a duplicating 'mirror' feed. The readout that
+    // justifies/budgets dedup before training. Slim (fp, id, source,
+    // ntok) rows ride the fp shuffle — full text never moves.
+    "d10_dedup_impact" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val withMirror = d.unionAll(d.select(
+        (col("doc_id") + 10000).as("doc_id"), col("text"),
+        lit("mirror").as("source")))
+      val slim = withMirror.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("__ntok"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("__fp"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+      slim.withColumn("__keeper", min(col("doc_id")).over(w))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("__keeper"), 1L).otherwise(0L))
+            .as("n_dup_docs"),
+          sum(col("__ntok")).as("tokens_total"),
+          sum(when(col("doc_id") =!= col("__keeper"), col("__ntok"))
+            .otherwise(lit(0L))).as("tokens_removed"))
     })
   )
 
@@ -103,6 +131,23 @@ object DedupQueries {
   private val normFp = """md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g')))"""
 
   val oracles: Map[String, String] = Map(
+    // Mirrors d10: same mirror feed, d01/d02 normalized fingerprint,
+    // min-id keeper window, integer token sums (nTokens = t01's shared
+    // token fragment).
+    "d10_dedup_impact" -> {
+      s"""WITH u AS (SELECT doc_id, text, source FROM documents
+              UNION ALL SELECT doc_id + 10000, text, 'mirror' FROM documents),
+          f AS (SELECT doc_id, source,
+                  CAST(${TextQueries.nTokens} AS BIGINT) AS ntok,
+                  $normFp AS fp
+                FROM u),
+          k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM f)
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+            CAST(sum(ntok) AS BIGINT) AS tokens_total,
+            CAST(sum(CASE WHEN doc_id <> keeper THEN ntok ELSE 0 END) AS BIGINT) AS tokens_removed
+          FROM k GROUP BY source"""
+    },
     // Exact 3-token-shingle Jaccard ≥ 0.8 — the same set d03's verified
     // LSH candidates produce (xxhash64 only drives candidate generation;
     // verification is over the shingle sets themselves, and jaccard is a

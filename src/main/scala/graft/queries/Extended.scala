@@ -100,6 +100,40 @@ object Extended {
           col("g_status"), col("g_priority"),
           col("n_orders"), col("sum_price"))),
 
+    // Quartile bucketing via ntile — the distribution summary (per
+    // event type, each value quartile's bounds and mass) that drives
+    // outlier caps and binned features; completes the ranking-window
+    // family (row_number q08, rank/dense_rank q08, ntile here).
+    // Deterministic: the (value, event_id) order is total, and ntile's
+    // larger-first-bucket remainder rule is shared SQL semantics.
+    "q41_value_quartiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      table(s, dir, "events")
+        .withColumn("q", ntile(4).over(w))
+        .groupBy(col("event_type"), col("q"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+    }),
+
+    // Explicit GROUPING SETS — the third grouping-sets member next to
+    // ROLLUP (q16) and CUBE (q39): a hand-picked set list ((status),
+    // (priority), ()) that neither shorthand expresses, written through
+    // the spark.sql surface (registerAll makes every table a temp view,
+    // so the SQL entry point is first-class too). Same one-Expand-pass
+    // physical shape.
+    "q40_grouping_sets" -> ((s, dir) => {
+      graft.Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+             count(1) AS n_orders
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
+
     // Reduce-side equi-join expressed through the MR-parity layer — the
     // tag-and-union idiom, the ONLY join shape the reference can run
     // (inside user closures; SURVEY §2.6). Deliberately the typed
@@ -656,6 +690,22 @@ object Extended {
            CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP (n_name, c_mktsegment)""",
+    "q41_value_quartiles" ->
+      """WITH t AS (
+           SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type
+               ORDER BY value ASC, event_id ASC) AS q
+           FROM events)
+         SELECT event_type, q, count(*) AS n_events,
+           min(value) AS lo, max(value) AS hi
+         FROM t GROUP BY 1, 2""",
+    "q40_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n_orders
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
     "q39_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
