@@ -29,10 +29,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt)
+    // targeted adjudication: SPARK_GRAFT_BENCH_ONLY=q30,q28 benches just
+    // those queries (comma-separated name prefixes); default all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
     val warmDir = "/root/testdata/sf0.001"
     val spark = Engine.session(master = s"local[$cpus]")
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
       }
@@ -50,7 +59,7 @@ object Bench {
         }
       }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val first = measure(name, fn)
       name -> (if (first.contains(-1.0)) (-1.0, -1.0)
       else {
@@ -73,10 +82,16 @@ object Bench {
     println(line)
     // The driver's stdout capture has twice head-truncated this line
     // (BASELINE.md:81-83); persist it so the record survives regardless.
+    // Path is per-sf (overridable via SPARK_GRAFT_BENCH_OUT) so concurrent
+    // or stale runs at different scales cannot clobber each other's record.
+    val persistPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"/tmp/graft_bench_${new java.io.File(sfDir).getName}.json")
     try {
-      val out = new java.io.PrintWriter("/tmp/graft_bench.json")
+      val out = new java.io.PrintWriter(persistPath)
       try out.println(line) finally out.close()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] persist to $persistPath failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -403,6 +403,43 @@ object CorpusStats {
     *
     * Output: (idCol, n_hit_terms, score).
     */
+  /** Per-document lexical diversity: token count, type (distinct-token)
+    * count, type-token ratio, and hapax count (types occurring exactly
+    * once in the doc) — the cheap repetitiveness/quality signals a corpus
+    * audit runs next to the Gopher rules (t07). A low TTR or hapax share
+    * flags boilerplate and template spam that per-line repetition (t07's
+    * dup-line ratios) can miss.
+    *
+    * Shape: explode → (doc, token) count → per-doc aggregate. Both
+    * aggregations are keyed by doc (the explode fan-out is |tokens| and
+    * partially aggregated before its shuffle); nothing is corpus-global,
+    * so the op scales with the token stream like t01. TTR is a single
+    * int/int IEEE division (bit-portable), rounded 6 by the t11 contract.
+    *
+    * Output: (idCol, n_tokens, n_types, hapax_count, ttr); empty/no-token
+    * docs report zeros.
+    */
+  def lexicalDiversity(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(lowerTokens(col(textCol))).as("w"))
+    val perType = toks.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("__c"))
+    val perDoc = perType.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax_count"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("hapax_count"), lit(0L)).as("hapax_count"),
+        round(when(coalesce(col("n_tokens"), lit(0L)) === 0, 0.0)
+          .otherwise(col("n_types").cast("double") /
+            col("n_tokens").cast("double")), 6).as("ttr"))
+  }
+
   def bm25(
       df: DataFrame, textCol: String, idCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -57,6 +57,44 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Time-windowed exact dedup: duplicates only count WITHIN the same
+    * time bucket — the at-least-once event-delivery cleaner (retried
+    * webhook posts, replayed log segments) and the rolling-ingest analog
+    * of [[exactSurvivors]] for continuously arriving corpora where
+    * cross-epoch repeats are legitimate (a daily snapshot SHOULD repeat
+    * yesterday's unchanged rows).
+    *
+    * The dedup key is (content key cols, bucket = epoch-seconds div
+    * `bucketSeconds`); keeper = first by (tsCol-seconds, tieCol). State
+    * is bounded by the bucket width at ANY stream length — the property
+    * that makes this shape runnable forever on an ingest pipeline, where
+    * whole-history dedup state grows without bound (that cross-batch
+    * problem is [[incrementalSurvivors]]' job). One (keys, bucket)
+    * shuffle; slim projection rides it.
+    *
+    * Output: the surviving input rows plus `bucket` and `n_copies` (the
+    * group size — the duplicate-rate monitoring signal).
+    */
+  def windowedSurvivors(
+      df: DataFrame, keyCols: Seq[String], tsCol: String, tieCol: String,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    require(keyCols.nonEmpty, "windowedSurvivors needs at least one key column")
+    require(bucketSeconds >= 1, s"bucketSeconds must be positive, got $bucketSeconds")
+    val es = unix_timestamp(col(tsCol))
+    val slim = df.select(
+      (Seq(col(tieCol)) ++ keyCols.map(col) :+ es.as("__es")): _*)
+      .withColumn("bucket", expr(s"__es div ${bucketSeconds}L"))
+    val byGroup = Window.partitionBy(
+      (keyCols.map(col) :+ col("bucket")): _*)
+    val keep = slim
+      .withColumn("__rn", row_number().over(
+        byGroup.orderBy(col("__es").asc, col(tieCol).asc)))
+      .withColumn("n_copies", count(lit(1)).over(byGroup))
+      .filter(col("__rn") === 1)
+      .select(col(tieCol), col("bucket"), col("n_copies"))
+    df.join(keep, Seq(tieCol))
+  }
+
   /** Multi-source ingestion merge: one survivor per content fingerprint,
     * chosen by source PRECEDENCE — the ingest-time rule "the same
     * document arriving from several feeds keeps the most trusted copy"

@@ -18,20 +18,31 @@ import org.apache.spark.sql.functions._
   * per round on BOTH engines identically; at scale = 10¹² that is ~1e-12
   * of rank mass, far below any ranking-relevant difference.
   *
+  * Vertex universe: src ∪ dst. DANGLING vertices (no out-edges — real web
+  * graphs are full of them) redistribute their mass uniformly: with
+  * D = Σ ranks over dangling vertices and N = |vertices|, every vertex's
+  * update gains `D div N` alongside its edge contributions — the standard
+  * redistribution term, kept integer so it stays oracle-able (the lost
+  * remainder D mod N is truncated identically on both engines). Vertices
+  * with no IN-edges still receive the base + dangling share.
+  *
   * Iteration shape (the 100 TB story): edges ⋈ outdeg are materialized
   * ONCE (localCheckpoint — the d06 round idiom: each round's plan starts
   * from materialized state, not a growing lineage), then every round
   * broadcasts the vertex-sized rank table into the edge scan and pays
   * exactly one exchange: the partially-aggregated dst-keyed contribution
-  * shuffle. The edge table — the data-sized side — never moves. Rounds
-  * are fixed (`iterations`), not convergence-tested — deterministic
-  * cost, and the oracle can unroll the same count.
+  * shuffle. The edge table — the data-sized side — never moves. A graph
+  * where every vertex appears as both src and dst (symmetric corpora like
+  * q30's) runs exactly that plan; a general graph adds only a vertex-sized
+  * left join plus a 1-row dangling-mass broadcast per round. Rounds are
+  * fixed (`iterations`), not convergence-tested — deterministic cost, and
+  * the oracle can unroll the same count.
   *
-  * Precondition: every vertex must appear as BOTH src and dst (no
-  * dangling mass, no vanishing vertices) — symmetric/bidirectional edge
-  * sets satisfy this by construction; `require`d at plan level for the
-  * caller's sanity (checked cheaply on the dev scale by the spec, not
-  * re-counted at runtime).
+  * Overflow contract: a single vertex can in the worst case receive the
+  * whole rank mass (≈ N·scale), so `85 · N · scale` must fit a long —
+  * `require`d explicitly. At a billion vertices pick scale ≤ 10⁸ (rank
+  * precision 1e-8 — far finer than PageRank needs); the default 10¹²
+  * serves graphs to ~10⁵ vertices.
   *
   * Output: (vertex, r) — r the scaled fixed-point rank after
   * `iterations` rounds from a uniform `scale` start.
@@ -50,12 +61,33 @@ object PageRank {
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .distinct()
-    val withDeg0 = e
+    val withDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint()
-    var ranks = withDeg0.select(col("src").as("vertex")).distinct()
-      .withColumn("r", lit(scale))
+    // One setup pass over the materialized edges classifies every vertex
+    // (appears-as-src, appears-as-dst). This single job replaces the old
+    // separate ranks-count action AND decides all three regimes: the
+    // broadcast gate (N), dangling handling, and the complete-graph fast
+    // path. The 1-row collect below scans the checkpoint, not the lineage.
+    val vflags = withDeg
+      .select(col("src").as("vertex"), lit(1).as("s"), lit(0).as("d"))
+      .unionAll(withDeg
+        .select(col("dst").as("vertex"), lit(0).as("s"), lit(1).as("d")))
+      .groupBy("vertex")
+      .agg(max(col("s")).as("s"), max(col("d")).as("d"))
       .localCheckpoint()
+    val stats = vflags
+      .agg(count(lit(1)), sum(col("s")), sum(col("d"))).collect()(0)
+    val (nV, nSrc, nDst) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    require(nV <= Long.MaxValue / 100L / scale,
+      s"85*N*scale must fit a long: N=$nV needs scale <= ${Long.MaxValue / 100L / nV}")
+    // complete = every vertex has out- AND in-edges: no dangling mass, no
+    // contribution-less vertices — the per-round plan needs only the
+    // contribution join+shuffle (the historical q30 plan, unchanged)
+    val complete = nSrc == nV && nDst == nV
+    val dangling = vflags.filter(col("s") === 0).select(col("vertex"))
+    val vertices = vflags.select(col("vertex"))
+    val hasDangling = nSrc < nV
     // Two regimes for the per-round rank⋈edge join. Below the gate the
     // vertex table fits an executor: broadcast it, the edge table never
     // moves, the round's only exchange is the contribution shuffle.
@@ -63,22 +95,26 @@ object PageRank {
     // vertex table) pin the edge table hash-partitioned on `src` ONCE;
     // localCheckpoint preserves that physical partitioning, so every
     // round's sort-merge join re-exchanges only the vertex-sized rank
-    // side, never the edges. The count and the gated repartition both
-    // read the already-materialized checkpoint — the edge join itself
-    // computes exactly once either way.
-    val useBroadcast = ranks.count() <= broadcastMaxVertices
-    val withDeg =
-      if (useBroadcast) withDeg0
-      else withDeg0.repartition(col("src")).localCheckpoint()
+    // side, never the edges.
+    val useBroadcast = nV <= broadcastMaxVertices
+    val edgeSide =
+      if (useBroadcast) withDeg
+      else withDeg.repartition(col("src")).localCheckpoint()
     val base = scale / 100L * 15L
+    // initial ranks project straight off the materialized vflags — no
+    // extra checkpoint job; each round's result is checkpointed below
+    var ranks = vertices.withColumn("r", lit(scale))
     for (_ <- 1 to iterations)
-      ranks = round(withDeg, ranks, base, useBroadcast).localCheckpoint()
+      ranks = (if (complete) round(edgeSide, ranks, base, useBroadcast)
+        else roundGeneral(edgeSide, vertices, dangling, hasDangling,
+          nV, ranks, base, useBroadcast)).localCheckpoint()
     ranks
   }
 
-  /** One rank iteration, un-checkpointed — exposed so specs can assert
-    * the physical join strategy (the outer loop's checkpoint flattens the
-    * plan to a LogicalRDD scan, hiding the join from inspection).
+  /** One rank iteration of the complete-graph fast path, un-checkpointed —
+    * exposed so specs can assert the physical join strategy (the outer
+    * loop's checkpoint flattens the plan to a LogicalRDD scan, hiding the
+    * join from inspection).
     *
     * Checkpointed frames carry no stats, so without an explicit hint
     * Catalyst planned a sort-merge join and re-exchanged every edge every
@@ -95,4 +131,42 @@ object PageRank {
       .groupBy(col("dst"))
       .agg(expr(s"$base + (85 * sum(c)) div 100").as("r"))
       .select(col("dst").as("vertex"), col("r"))
+
+  /** One rank iteration of the general path: contributions left-joined
+    * onto the full vertex set (no-in-edge vertices keep their base), plus
+    * the dangling-mass share `D div N` when the graph has dangling
+    * vertices. D rides a 1-row aggregate broadcast-crossed into the
+    * vertex-sized update — the edge table still never moves, and the
+    * round still pays exactly one data-sized exchange (the contribution
+    * shuffle).
+    */
+  private[graft] def roundGeneral(
+      withDeg: DataFrame, vertices: DataFrame, dangling: DataFrame,
+      hasDangling: Boolean, nV: Long, ranks: DataFrame, base: Long,
+      useBroadcast: Boolean): DataFrame = {
+    val contrib = withDeg
+      .join(if (useBroadcast) broadcast(ranks) else ranks,
+        col("src") === col("vertex"))
+      .select(col("dst"), expr("r div outdeg").as("c"))
+      .groupBy(col("dst"))
+      .agg(sum(col("c")).as("__s"))
+      .select(col("dst").as("vertex"), col("__s"))
+    val updated = vertices.join(contrib, Seq("vertex"), "left")
+    if (!hasDangling)
+      updated.select(col("vertex"),
+        expr(s"$base + (85 * coalesce(__s, CAST(0 AS BIGINT))) div 100")
+          .as("r"))
+    else {
+      // Σ r over dangling vertices — dangling is vertex-bounded, so it
+      // follows the same broadcast gate as the rank table itself
+      val dmass = ranks
+        .join(if (useBroadcast) broadcast(dangling) else dangling,
+          Seq("vertex"), "left_semi")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("__dm"))
+      updated.crossJoin(broadcast(dmass))
+        .select(col("vertex"),
+          expr(s"$base + (85 * (coalesce(__s, CAST(0 AS BIGINT))" +
+            s" + __dm div $nV)) div 100").as("r"))
+    }
+  }
 }

@@ -33,6 +33,50 @@ object Sharding {
   private val A = 1103515245L // glibc LCG multiplier
   private val C = 12345L      // glibc LCG increment
 
+  /** Byte-budget shard packing — the webdataset/tar-shard export plan:
+    * rows are laid out in a deterministic seeded order (the same LCG
+    * rank as [[shuffleShards]]) and cut into shards of ≈`budgetBytes`
+    * each by a running byte total; a row whose bytes would cross the
+    * budget boundary starts the next shard's range (shard = exclusive
+    * prefix-sum div budget — pure integer arithmetic, so the SQL oracle
+    * replays it exactly).
+    *
+    * Scale shape: the running sum needs a total order, which never
+    * exists globally — it is windowed per `groupCol` (media type /
+    * source / language — the axis real exports already partition by,
+    * since a reader wants homogeneous shards). Each group's window is
+    * one sort task; at 100 TB the group axis is chosen so each group is
+    * executor-sized (the p08 stratum contract), or the two-level
+    * partition-prefix layout takes over. Balance within a group is
+    * LLN-tight because the seeded order decorrelates size from position.
+    *
+    * Output: (idCol, groupCol, n_bytes, shard, offset_bytes) — offset is
+    * the row's start position within its shard's byte range.
+    */
+  def byteBudgetShards(
+      df: DataFrame, byteCol: String, budgetBytes: Long,
+      groupCol: String, seed: Long = 42L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budgetBytes >= 1, s"budgetBytes must be >= 1, got $budgetBytes")
+    val seedC = ((seed % M) + M) % M + C
+    val h0 = pmod(col(idCol).cast("long"), lit(M))
+    val h1 = pmod(h0 * lit(A) + lit(seedC), lit(M))
+    val h2 = pmod(h1 * lit(A) + lit(C), lit(M))
+    val order = Window.partitionBy(col(groupCol))
+      .orderBy(col("rank_key").asc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol),
+        col(byteCol).cast("long").as("n_bytes"), h2.as("rank_key"))
+      .withColumn("__cum_before",
+        coalesce(sum(col("n_bytes")).over(
+          order.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard",
+        expr(s"__cum_before div ${budgetBytes}L").cast("int"))
+      .withColumn("offset_bytes",
+        col("__cum_before") - col("shard").cast("long") * budgetBytes)
+      .select(col(idCol), col(groupCol), col("n_bytes"), col("shard"),
+        col("offset_bytes"))
+  }
+
   /** (idCol, shard, pos, rank_key): seeded permutation metadata per row.
     * `pos` is 1-based within shard, ordered by (rank_key, id).
     */

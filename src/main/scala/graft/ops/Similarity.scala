@@ -52,6 +52,35 @@ object Similarity {
     rankTopK(scored, k, idCol, qidCol)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most similar corpus vectors whose LABEL differs from the query's —
+    * the highest-similarity wrong answers, exactly the negatives a
+    * dual-encoder batch wants. Same exact-scoring contract as
+    * [[bruteForceTopK]] with the label exclusion fused into the scan
+    * filter (before ranking, so the k negatives are true label-excluded
+    * top-k, not a post-filtered shortlist that can come up short).
+    *
+    * Scale: the corpus side stays distributed and unshuffled; queries +
+    * labels broadcast. At 100 TB corpora swap the scorer for the IVF
+    * probe shape ([[ivfTopK]]) with an over-fetch then the same label
+    * filter — the mining contract (exclude same-label) composes with any
+    * of the ANN paths; this exact form is also the recall oracle for
+    * those.
+    *
+    * Output: (qidCol, neighbor_id, rank, sim) — v01's contract.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "id", vecCol: String = "vec", labelCol: String = "label",
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      qlabelCol: String = "qlabel"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qidCol) &&
+        col(labelCol) =!= col(qlabelCol))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    rankTopK(scored, k, idCol, qidCol)
+  }
+
   /** LSH-bucketed ANN: hyperplane sign buckets + multiprobe.
     * Each query looks in every bucket within Hamming distance `probeBits`
     * of its own (1 + n + n(n-1)/2 buckets for probeBits=2); candidates are
@@ -356,11 +385,20 @@ object Similarity {
       maxCellRows: Int = 4096): DataFrame = {
     val centroids = trained.getOrElse(
       ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol))
-    if (centroids.isEmpty)
-      return corpus.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id_a"), lit(0L).as("id_b"),
-          lit("").as("grp_a"), lit("").as("grp_b"), lit(0.0).as("sim"))
-        .limit(0)
+    if (centroids.isEmpty) {
+      // empty-corpus result built by the same projections as the
+      // non-empty path, so id/grp column TYPES track the caller's inputs
+      // (a hardcoded long/string schema would diverge for other key types)
+      return corpus.limit(0)
+        .select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+          lit(0.0).as("sim"))
+        .join(groups.limit(0)
+          .select(col(idCol).as("id_a"), col(grpCol).as("grp_a")), Seq("id_a"))
+        .join(groups.limit(0)
+          .select(col(idCol).as("id_b"), col(grpCol).as("grp_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("grp_a"), col("grp_b"),
+          col("sim"))
+    }
     val assigned = withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
       .withColumn("cell", argmaxCell)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
@@ -780,25 +818,27 @@ object Similarity {
     // per sub-space, so lut[mi][j] = ||q_mi − codebook[mi][j]||² turns
     // each candidate's distance into m table lookups + adds instead of a
     // dim-wide recompute — FAISS's precomputed distance tables, the step
-    // that makes ADC throughput independent of dim. The LUT costs
-    // m·nCodes kernel evals ONCE per query row, amortized over every
-    // candidate in its probed cells. Measured ≈ parity with the decode
-    // form at the 64-dim test embeddings (the per-row ENCODE pass
-    // dominates there); the per-pair saving is dim/m-fold, so at
-    // production dims (768+) ADC stops scaling with dim at all.
+    // that makes ADC throughput independent of dim. The LUT column is
+    // computed BEFORE the probe-cell explode, so its m·nCodes kernel
+    // evals run once per query row (the exploded probe rows copy the
+    // array, they don't recompute it), amortized over every candidate in
+    // the probed cells. Measured ≈ parity with the decode form at the
+    // 64-dim test embeddings (the per-row ENCODE pass dominates there);
+    // the per-pair saving is dim/m-fold, so at production dims (768+)
+    // ADC stops scaling with dim at all.
     val sub = cbs(0)(0).length
     val lut = array(cbs.zipWithIndex.map { case (cb, mi) =>
       val s = slice(col(qvecCol), mi * sub + 1, sub)
       array(cb.map(c => l2sq(s, array(c.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
     }.toIndexedSeq: _*)
     val qb = withCellCosines(queries, cents, qvecCol, maxLiteralCells)
+      .withColumn("__lut", lut)
       .withColumn("__ranked", sort_array(zip_with(
         col("__cos"), sequence(lit(1), lit(nCells)),
         (c, i) => struct((-c).as("negc"), i.as("idx")))))
       .withColumn("cell",
         explode(slice(transform(col("__ranked"), s => s("idx").cast("int")),
           1, probes)))
-      .withColumn("__lut", lut)
       .drop("__cos", "__ranked", "__cents")
     // ADC within probed cells only; a corpus row lives in exactly one
     // cell, so each (query, corpus) pair meets at most once — no dedup.

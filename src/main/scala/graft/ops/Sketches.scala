@@ -70,6 +70,82 @@ object Sketches {
       .agg(pick(0.50).as("q50"), pick(0.95).as("q95"), pick(0.99).as("q99"))
   }
 
+  /** Per-group KLL-sketch quantiles under a machine-checkable contract.
+    *
+    * `percentile_approx` (Spark's quantile sketch) is the right 100 TB
+    * tool, but its estimates are engine-specific and can never hash-match
+    * an external oracle. This operator makes the sketch verifiable anyway:
+    * it emits, per group, the EXACT discrete quantiles (actual data
+    * values under an integer-arithmetic rank rule — bit-portable across
+    * engines) plus a `within_bounds` verdict that checks the sketch's
+    * estimate's RANK against the sketch's published guarantee
+    * (rank error ≤ n/accuracy). The oracle recomputes the exact columns
+    * and asserts the verdict is TRUE; a sketch regression flips the
+    * verdict and fails the driver hash.
+    *
+    * Rank rule (both engines, integer arithmetic only — no float
+    * percent-to-rank conversion, which would risk a 1-ulp floor
+    * divergence): rank_p = 1 + ((n-1)·p) div 100 under the per-group
+    * value sort. Ties share the value, so the picked value is
+    * deterministic regardless of tie order.
+    *
+    * Verdict: the estimate is an actual data value occupying rank
+    * interval [count(< est)+1, count(≤ est)]; it passes if that interval
+    * overlaps [rank_p − tol, rank_p + tol] with tol = n div accuracy + 2
+    * (+2 absorbs the sketch's ceil-vs-floor target-rank definition).
+    *
+    * Scale: the exact columns ride one per-group sort window — that is
+    * the VERIFICATION arm, priced for test scale. At 100 TB you run the
+    * estimate alone (or q27's sampled exact pick); this operator is how
+    * the sketch earns its trust before you do. Same pattern as the
+    * q18/q26 and q19/q27 exact-twin pairs.
+    *
+    * Output: (groupCol, q50, q95, q99, within_bounds) — q* are the EXACT
+    * discrete quantiles; the sketch's estimates stay internal to the
+    * verdict.
+    */
+  def verifiedQuantiles(
+      df: DataFrame, valueCol: String, groupCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val e = df.select(col(groupCol), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val ranked = e
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__v").asc)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    def rankOf(p: Int) = expr(s"1 + ((__n - 1) * $p) div 100")
+    val exact = ranked.groupBy(col(groupCol)).agg(
+      max(when(col("__rn") === rankOf(50), col("__v"))).as("q50"),
+      max(when(col("__rn") === rankOf(95), col("__v"))).as("q95"),
+      max(when(col("__rn") === rankOf(99), col("__v"))).as("q99"),
+      max(col("__n")).as("__n"))
+    val est = e.groupBy(col(groupCol)).agg(
+      percentile_approx(col("__v"), lit(0.5), lit(accuracy)).as("__e50"),
+      percentile_approx(col("__v"), lit(0.95), lit(accuracy)).as("__e95"),
+      percentile_approx(col("__v"), lit(0.99), lit(accuracy)).as("__e99"))
+    // rank bracket of each estimate: one more scan, broadcast of the
+    // |groups|-row estimate table — no extra shuffle of the data
+    def cnt(cmp: org.apache.spark.sql.Column) =
+      sum(when(cmp, 1L).otherwise(0L))
+    val ranks = e.join(broadcast(est), Seq(groupCol))
+      .groupBy(col(groupCol)).agg(
+        cnt(col("__v") <= col("__e50")).as("__le50"),
+        cnt(col("__v") < col("__e50")).as("__lt50"),
+        cnt(col("__v") <= col("__e95")).as("__le95"),
+        cnt(col("__v") < col("__e95")).as("__lt95"),
+        cnt(col("__v") <= col("__e99")).as("__le99"),
+        cnt(col("__v") < col("__e99")).as("__lt99"))
+    def ok(p: Int, le: String, lt: String) = {
+      val target = rankOf(p)
+      val tol = expr(s"__n div $accuracy + 2")
+      (col(lt) + lit(1) <= target + tol) && (col(le) >= target - tol)
+    }
+    exact.join(ranks, Seq(groupCol))
+      .select(col(groupCol), col("q50"), col("q95"), col("q99"),
+        (ok(50, "__le50", "__lt50") && ok(95, "__le95", "__lt95") &&
+          ok(99, "__le99", "__lt99")).as("within_bounds"))
+  }
+
   /** Exact heavy hitters (frequent keys) in two bounded-memory passes:
     * Misra–Gries candidate generation, then an exact recount of the
     * candidates only.

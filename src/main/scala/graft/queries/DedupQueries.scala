@@ -95,6 +95,20 @@ object DedupQueries {
         "text", "doc_id", k = 8)
     }),
 
+    // Time-windowed event dedup: one survivor per (user, event_type) per
+    // hour bucket — the at-least-once delivery cleaner whose state stays
+    // bucket-bounded at any stream length (see Dedup.windowedSurvivors;
+    // the cross-batch unbounded variant is d02's incremental index).
+    "d11_windowed_dedup" -> ((s, dir) =>
+      graft.ops.Dedup.windowedSurvivors(
+        table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts")),
+        keyCols = Seq("user_id", "event_type"), tsCol = "ts",
+        tieCol = "event_id", bucketSeconds = 3600L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("bucket"), col("n_copies"))),
+
     // Dedup IMPACT report — what a dedup pass would save, by source:
     // doc and token counts of non-keeper copies (keeper = min doc_id
     // per normalized fingerprint, the d02 rule), over a corpus
@@ -104,22 +118,27 @@ object DedupQueries {
     "d10_dedup_impact" -> ((s, dir) => {
       val d = table(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("source"))
-      val withMirror = d.unionAll(d.select(
-        (col("doc_id") + 10000).as("doc_id"), col("text"),
-        lit("mirror").as("source")))
-      val slim = withMirror.select(col("doc_id"), col("source"),
+      // planted mirror rows live in a DISJOINT id space (negative ids:
+      // -id-1), so no corpus size can alias them onto genuine doc_ids.
+      // The keeper is therefore rank-based, not min-id: originals beat
+      // mirrors by priority, then min id — same verdicts, scale-proof.
+      val withMirror = d
+        .select(col("doc_id"), col("text"), col("source"), lit(0).as("__prio"))
+        .unionAll(d.select((-col("doc_id") - 1).as("doc_id"), col("text"),
+          lit("mirror").as("source"), lit(1).as("__prio")))
+      val slim = withMirror.select(col("doc_id"), col("source"), col("__prio"),
         graft.functions.TextFunctions.tokenCount(col("text"))
           .cast("long").as("__ntok"),
         graft.functions.TextFunctions.fingerprint(col("text")).as("__fp"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
-      slim.withColumn("__keeper", min(col("doc_id")).over(w))
+        .orderBy(col("__prio").asc, col("doc_id").asc)
+      slim.withColumn("__rn", row_number().over(w))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(when(col("doc_id") =!= col("__keeper"), 1L).otherwise(0L))
-            .as("n_dup_docs"),
+          sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
           sum(col("__ntok")).as("tokens_total"),
-          sum(when(col("doc_id") =!= col("__keeper"), col("__ntok"))
+          sum(when(col("__rn") > 1, col("__ntok"))
             .otherwise(lit(0L))).as("tokens_removed"))
     })
   )
@@ -131,21 +150,38 @@ object DedupQueries {
   private val normFp = """md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g')))"""
 
   val oracles: Map[String, String] = Map(
-    // Mirrors d10: same mirror feed, d01/d02 normalized fingerprint,
-    // min-id keeper window, integer token sums (nTokens = t01's shared
-    // token fragment).
+    // Mirrors d11: same integer epoch-second bucketing (`//` == `div` on
+    // positive epochs), same (es, event_id) keeper order.
+    "d11_windowed_dedup" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+              epoch_us(ts) // 1000000 AS es FROM events),
+          b AS (SELECT *, es // 3600 AS bucket FROM e),
+          r AS (SELECT *,
+                  row_number() OVER (PARTITION BY user_id, event_type, bucket
+                    ORDER BY es, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id, event_type, bucket)
+                    AS n_copies
+                FROM b)
+          SELECT event_id, user_id, event_type, bucket, n_copies
+          FROM r WHERE rn = 1""",
+
+    // Mirrors d10: same disjoint-id mirror feed (-id-1), d01/d02
+    // normalized fingerprint, (priority, id) rank-based keeper, integer
+    // token sums (nTokens = t01's shared token fragment).
     "d10_dedup_impact" -> {
-      s"""WITH u AS (SELECT doc_id, text, source FROM documents
-              UNION ALL SELECT doc_id + 10000, text, 'mirror' FROM documents),
-          f AS (SELECT doc_id, source,
+      s"""WITH u AS (SELECT doc_id, text, source, 0 AS prio FROM documents
+              UNION ALL
+              SELECT -doc_id - 1, text, 'mirror', 1 FROM documents),
+          f AS (SELECT doc_id, source, prio,
                   CAST(${TextQueries.nTokens} AS BIGINT) AS ntok,
                   $normFp AS fp
                 FROM u),
-          k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM f)
+          k AS (SELECT *, row_number() OVER (PARTITION BY fp
+                  ORDER BY prio ASC, doc_id ASC) AS rn FROM f)
           SELECT source, count(*) AS n_docs,
-            CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+            CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
             CAST(sum(ntok) AS BIGINT) AS tokens_total,
-            CAST(sum(CASE WHEN doc_id <> keeper THEN ntok ELSE 0 END) AS BIGINT) AS tokens_removed
+            CAST(sum(CASE WHEN rn > 1 THEN ntok ELSE 0 END) AS BIGINT) AS tokens_removed
           FROM k GROUP BY source"""
     },
     // Exact 3-token-shingle Jaccard ≥ 0.8 — the same set d03's verified

@@ -170,26 +170,35 @@ object Extended {
         .toDF("c_custkey", "c_name", "n_orders", "max_price")
     }),
 
-    // Sketch aggregates (no SQL oracle — sketch internals differ across
-    // engines; SketchSpec bounds the error against exact aggregation).
+    // Sketch aggregates under a machine-checkable contract. The sketch
+    // internals (HLL++/KLL) are engine-specific so the ESTIMATE can never
+    // hash-match an external oracle — instead each query emits the exact
+    // value plus a deterministic `within_bounds` verdict comparing the
+    // internal estimate against the sketch's published error bound; the
+    // oracle recomputes the exact columns and asserts TRUE. A sketch
+    // regression flips the verdict and fails the driver hash.
     // HLL++ distinct: constant memory per group at any cardinality — the
-    // 100 TB answer where exact countDistinct shuffles every key.
+    // 100 TB answer where exact countDistinct shuffles every key. Bound:
+    // 3× the configured rsd (0.02 → 6%), same bar SketchSpec pins.
     "q18_sketch_distinct" -> ((s, dir) =>
       table(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
-          .as("approx_users"))),
-
-    // Quantile sketch over a positive-skew value distribution. Scalar
-    // columns (not array<double>): flat schemas survive any downstream
-    // consumer, and the checker canonicalizes them.
-    "q19_sketch_quantiles" -> ((s, dir) =>
-      table(s, dir, "events")
-        .groupBy(col("event_type"))
         .agg(
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("q50"),
-          percentile_approx(col("value"), lit(0.95), lit(10000)).as("q95"),
-          percentile_approx(col("value"), lit(0.99), lit(10000)).as("q99"))),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("__est"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__est").cast("double") /
+            col("exact_users").cast("double") - 1.0) <= 0.06)
+            .as("within_bounds"))),
+
+    // KLL quantile sketch, rank-verified: exact discrete quantiles
+    // (integer-arithmetic rank rule, bit-portable) + a verdict that the
+    // sketch estimate's rank honors its n/accuracy guarantee. See
+    // Sketches.verifiedQuantiles for the contract.
+    "q19_sketch_quantiles" -> ((s, dir) =>
+      graft.ops.Sketches.verifiedQuantiles(
+        table(s, dir, "events"), valueCol = "value",
+        groupCol = "event_type", accuracy = 10000)),
 
     // KMV distinct sketch: k-minimum-values over 52-bit md5 hashes — a
     // sketch whose every step is portable IEEE/integer arithmetic, so
@@ -438,6 +447,15 @@ object Extended {
             .cast("double").as("running_spend"))
     }),
 
+    // Batch sessionization: gap-based (30 min) session episodes per user
+    // — the behavioral-data grouping step before sequence packing. All
+    // arithmetic integer epoch seconds (the q32 contract); see
+    // ops/Sessions.scala for the window shape and skew notes.
+    "q42_sessionize" -> ((s, dir) =>
+      graft.ops.Sessions.sessionize(
+        table(s, dir, "events"), keyCol = "user_id", tsCol = "ts",
+        tieCol = "event_id", gapSeconds = 1800L)),
+
     // Semi-structured extraction: JSON path into a string column
     // (schema-on-read), then relational aggregation over the extracted
     // field — the log-analytics shape. All aggregates integer-exact
@@ -479,6 +497,51 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q30_pagerank" -> q30OracleSql,
+    // Replays Sessions.sessionize step for step: same integer epoch
+    // seconds, same (es, event_id) total order, same lag/running-sum
+    // break chain — every step integer, so equality is exact.
+    "q42_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+              epoch_us(ts) // 1000000 AS es FROM events),
+          l AS (SELECT user_id, event_id, es,
+                  lag(es) OVER (PARTITION BY user_id
+                    ORDER BY es, event_id) AS prev FROM e),
+          s AS (SELECT user_id, event_id, es,
+                  CASE WHEN prev IS NULL OR es - prev > 1800
+                    THEN 1 ELSE 0 END AS brk FROM l),
+          g AS (SELECT user_id, es,
+                  CAST(sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY es, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM s)
+          SELECT user_id, session_id, count(*) AS n_events,
+            min(es) AS t_start_s, max(es) AS t_end_s,
+            max(es) - min(es) AS duration_s
+          FROM g GROUP BY user_id, session_id""",
+
+    // Sketch-contract oracles: the oracle recomputes the EXACT columns
+    // and asserts the verdict literally — if Spark's sketch ever breaks
+    // its bound, its within_bounds flips to false and the hash fails.
+    "q18_sketch_distinct" ->
+      """SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bounds
+         FROM events GROUP BY event_type""",
+    // Discrete quantiles by the same integer rank rule as
+    // Sketches.verifiedQuantiles: rank_p = 1 + ((n-1)*p) // 100. Ties
+    // share the value, so the pick is order-independent.
+    "q19_sketch_quantiles" ->
+      """WITH s AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value)
+                AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM events WHERE value IS NOT NULL)
+         SELECT event_type,
+           max(CASE WHEN rn = 1 + ((n-1)*50)//100 THEN value END) AS q50,
+           max(CASE WHEN rn = 1 + ((n-1)*95)//100 THEN value END) AS q95,
+           max(CASE WHEN rn = 1 + ((n-1)*99)//100 THEN value END) AS q99,
+           TRUE AS within_bounds
+         FROM s GROUP BY event_type""",
     // Independent formulation: triangles as ordered a<b<c edge triples
     // ((a,b),(b,c),(a,c)) — no degree direction, no wedges.
     "q35_triangles" ->

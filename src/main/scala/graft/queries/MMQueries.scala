@@ -57,8 +57,24 @@ object MMQueries {
       plan.join(shards, Seq("doc_id"))
         .select(col("doc_id"), col("media_type"),
           col("target_w"), col("target_h"), col("shard"), col("pos"))
-    })
+    }),
+
+    // Byte-budget shard packing (webdataset/tar-shard export plan):
+    // seeded LCG layout order per media type, running byte total, 4 KiB
+    // shard ranges — all integer (Sharding.byteBudgetShards).
+    "m06_byte_shards" -> byteShardsQuery
   )
+
+  // a def, not a val: the queries map above initializes first, and a
+  // forward val reference would be null at object-init time
+  private def byteShardsQuery: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val media = Multimodal.asMediaTable(table(s, dir, "documents"))
+        .withColumn("n_bytes", length(col("media")).cast("long"))
+      graft.ops.Sharding.byteBudgetShards(
+        media, byteCol = "n_bytes", budgetBytes = 4096L,
+        groupCol = "media_type", seed = 42L, idCol = "doc_id")
+    }
 
   private val nBytes = "octet_length(encode(text))"
 
@@ -114,6 +130,29 @@ object MMQueries {
           SELECT plan.doc_id, plan.media_type, plan.target_w, plan.target_h,
             s.shard, s.pos
           FROM plan JOIN s USING (doc_id)""",
+    // Replays byteBudgetShards: the p07 LCG rank (seed 42 → +12387
+    // first-round increment), per-media-type exclusive byte prefix sum,
+    // integer shard/offset arithmetic.
+    "m06_byte_shards" ->
+      s"""WITH m AS (SELECT doc_id,
+              CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+              CAST($nBytes AS BIGINT) AS n_bytes
+            FROM documents),
+          h AS (SELECT *,
+              ((((doc_id % 2147483648) * 1103515245 + ${42L + 12345L})
+                % 2147483648) * 1103515245 + 12345) % 2147483648 AS rank_key
+            FROM m),
+          c AS (SELECT *,
+              CAST(coalesce(sum(n_bytes) OVER (PARTITION BY media_type
+                ORDER BY rank_key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum_before
+            FROM h)
+          SELECT doc_id, media_type, n_bytes,
+            CAST(cum_before // 4096 AS INTEGER) AS shard,
+            cum_before - (cum_before // 4096) * 4096 AS offset_bytes
+          FROM c""",
     // The media payload is the UTF-8 text bytes (asMediaTable), so
     // md5(BINARY) on the Spark side == md5(text VARCHAR) here.
     "m04_media_dedup" ->

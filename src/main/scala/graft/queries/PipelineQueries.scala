@@ -225,9 +225,9 @@ object PipelineQueries {
                 CAST($nTokens AS BIGINT) AS n_tokens
               FROM documents),
           r AS (SELECT doc_id, lang, n_tokens,
-                  sum(n_tokens) OVER (PARTITION BY lang
+                  CAST(sum(n_tokens) OVER (PARTITION BY lang
                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
-                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
                 FROM d)
           SELECT doc_id, lang, n_tokens, cum_tokens
           FROM r WHERE cum_tokens <= 5000"""

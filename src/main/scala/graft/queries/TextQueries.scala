@@ -130,6 +130,13 @@ object TextQueries {
         table(s, dir, "documents"), "text", "doc_id",
         queryTerms = Seq("hash", "vector", "slow"))),
 
+    // Lexical diversity: tokens, types, hapax count, type-token ratio —
+    // the boilerplate/template-spam signal the per-line repetition rules
+    // (t07) can miss (CorpusStats.lexicalDiversity).
+    "t17_lexical_diversity" -> ((s, dir) =>
+      CorpusStats.lexicalDiversity(
+        table(s, dir, "documents"), "text", "doc_id")),
+
     // Document-sharded inverted index (token → per-shard posting
     // segment): the classic build-the-index MR workload in its
     // distributed layout — a stopword's postings split across shards
@@ -372,6 +379,27 @@ object TextQueries {
           FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                   ORDER BY score DESC, term ASC) AS rank FROM s)
           WHERE rank <= 3""",
+    // Mirrors CorpusStats.lexicalDiversity: integer counts end to end;
+    // ttr is one int/int IEEE division (bit-portable), rounded 6 by the
+    // t11 contract.
+    "t17_lexical_diversity" ->
+      s"""WITH t AS (SELECT doc_id, $lowToks AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+          c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+          s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_types,
+                  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS hapax_count
+                FROM c GROUP BY doc_id)
+          SELECT d.doc_id,
+            coalesce(s.n_tokens, 0) AS n_tokens,
+            coalesce(s.n_types, 0) AS n_types,
+            coalesce(s.hapax_count, 0) AS hapax_count,
+            round(CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 0.0
+              ELSE CAST(s.n_types AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+              END, 6) AS ttr
+          FROM documents d LEFT JOIN s USING (doc_id)""",
+
     // Mirrors CorpusStats.unigramNll: same single ln form
     // ln(T/c) on both sides; avg-of-doubles summation order may drift
     // ulps between engines, absorbed by round 6 (same accepted class as
@@ -414,10 +442,13 @@ object TextQueries {
           FROM documents d LEFT JOIN st USING (doc_id)""",
     // Mirrors CorpusStats.bm25 operation for operation: compound
     // constants written as their EXPRESSIONS ((1.2 + 1.0), (1.0 - 0.75))
-    // so both engines derive the identical doubles (a literal '2.2'
-    // parses to a DIFFERENT double than computed 1.2 + 1.0); same
-    // left-associated multiply/divide chains; round-6 absorbs the
-    // <=3-term sum order (t11 contract).
+    // so both sides evaluate the same operation tree. NOTE the parity
+    // guarantee comes from the round-6 contract (t11), NOT from any
+    // literal-vs-expression double identity: DuckDB parses 1.2/1.0 as
+    // DECIMAL, so its (1.2 + 1.0) is decimal arithmetic whose double
+    // conversion may sit 1 ulp from the Scala double chain — round-6
+    // absorbs that, and the <=3-term sum order; same left-associated
+    // multiply/divide chains.
     "t16_bm25" ->
       s"""WITH t AS (SELECT doc_id, $lowToks AS toks FROM documents),
           d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),

@@ -117,6 +117,22 @@ object VectorQueries {
         trained = Some(centroids(s, dir, 16)))
     }),
 
+    // Hard-negative mining: per query, the top-10 most-similar vectors
+    // with a DIFFERENT label — the contrastive-training negatives picker
+    // (Similarity.hardNegatives: v01's exact scorer with the label
+    // exclusion fused into the scan filter; the IVF paths compose the
+    // same way at corpus scale).
+    "v12_hard_negatives" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      Similarity.hardNegatives(e, q, k = 10)
+    }),
+
     // Embedding-cosine near-dup pairs at ≥ 0.99 over the planted corpus:
     // exactly the 500 planted identical pairs. Blocking cannot miss them
     // (identical vectors share their exact bucket), so the full-pairwise
@@ -613,6 +629,21 @@ object VectorQueries {
            SELECT q.qid, e.vec_id AS neighbor_id,
              list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS sim
            FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         ranked AS (
+           SELECT qid, neighbor_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT qid, neighbor_id, rank, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 10""",
+    // v01's oracle with the label exclusion in the same scan filter.
+    "v12_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+              FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS sim
+           FROM embeddings e, q
+           WHERE e.vec_id <> q.qid AND e.label <> q.qlabel),
          ranked AS (
            SELECT qid, neighbor_id, sim,
              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank

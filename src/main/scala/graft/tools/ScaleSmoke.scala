@@ -295,6 +295,21 @@ object ScaleSmoke {
       graft.ops.Sharding.shuffleShards(docs, nShards = 64)
         .queryExecution.toRdd.count()
     }
+    // BM25: one explode + a 1-row corpus-stats broadcast + df join-back —
+    // token stream linear, term vocabulary sublinear
+    time(s"bm25 x$factor") {
+      CorpusStats.bm25(docs, "text", "doc_id",
+        queryTerms = Seq("the", "data", "model"))
+        .queryExecution.toRdd.count()
+    }
+    // cross-group (bitext) candidate mining: the p09 shape — same salted
+    // in-cell tiles as semantic dedup plus the post-threshold group join
+    val docLangs = docs.select(col("doc_id").as("id"),
+      (pmod(col("doc_id"), lit(7))).cast("string").as("grp"))
+    time(s"bitext candidates x$factor") {
+      Similarity.crossGroupPairs(emb, docLangs, threshold = 0.35,
+        nCentroids = 16 * factor).queryExecution.toRdd.count()
+    }
     println(jsonLine("scale_smoke", Seq(
       "factor" -> factor.toString, "shapes" -> shapesJson(results))))
     spark.stop()

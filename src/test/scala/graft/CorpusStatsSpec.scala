@@ -299,6 +299,20 @@ class CorpusStatsSpec extends SparkSessionSpec {
     assert(s(1, 1) > s(1, 3))
   }
 
+  test("lexical diversity: hand-computed counts, empty doc reports zeros") {
+    val df = Seq(
+      (1L, "a b a c"), // 4 tokens, 3 types, hapax {b, c}, ttr 0.75
+      (2L, ""),        // no tokens at all
+      (3L, "X x")      // case-folds to {x: 2}: 2 tokens, 1 type, 0 hapax
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.lexicalDiversity(df, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 3L, 2L, 0.75)))
+    assert(got(2L) === ((2L, 0L, 0L, 0L, 0.0)))
+    assert(got(3L) === ((3L, 2L, 1L, 0L, 0.5)))
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

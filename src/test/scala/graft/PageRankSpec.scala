@@ -15,20 +15,27 @@ class PageRankSpec extends SparkSessionSpec {
   private val Scale = 1000000000000L
 
   /** Driver-side replay: the same recurrence over a Map — an independent
-    * second implementation, not a re-run of the Spark plan.
+    * second implementation, not a re-run of the Spark plan. General form:
+    * vertices = src ∪ dst, dangling mass redistributed as D div N, all
+    * arithmetic positive-long truncating division (== div on both
+    * engines).
     */
   private def replay(
       edges: Seq[(Long, Long)], iterations: Int): Map[Long, Long] = {
     val e = edges.distinct
     val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
-    var r = e.map(_._1).distinct.map(_ -> Scale).toMap
+    val vertices = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = vertices.size.toLong
+    var r = vertices.map(_ -> Scale).toMap
     for (_ <- 1 to iterations) {
       val contribs = e.groupBy(_._2).map { case (dst, in) =>
         dst -> in.map { case (src, _) => r(src) / outdeg(src) }.sum
       }
-      r = contribs.map { case (v, s) =>
-        v -> (Scale / 100L * 15L + 85L * s / 100L)
-      }
+      val dmass = vertices.filterNot(outdeg.contains).map(r).sum
+      r = vertices.map { v =>
+        v -> (Scale / 100L * 15L +
+          85L * (contribs.getOrElse(v, 0L) + dmass / n) / 100L)
+      }.toMap
     }
     r
   }
@@ -51,6 +58,36 @@ class PageRankSpec extends SparkSessionSpec {
     // hub concentration: the star center of the densest vertex outranks
     // the uniform start (sanity that mass actually flowed)
     assert(got.values.max > Scale)
+  }
+
+  test("dangling vertices: mass redistributes, no-in-edge vertices keep base+share") {
+    // 3 is dangling (no out-edges); 4 has out-edges but no in-edges —
+    // both contract gaps the src∧dst precondition used to exclude
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (4L, 3L))
+    val got = PageRank.fixedPointPageRank(edges.toDF("src", "dst"), 6)
+      .as[(Long, Long)].collect().toMap
+    val want = replay(edges, 6)
+    assert(got === want)
+    assert(got.keySet === Set(1L, 2L, 3L, 4L), "full src ∪ dst universe")
+    // dangling redistribution is live: 3 hoards mass it never emits via
+    // edges, yet everyone still receives its share (r > pure base)
+    val base = Scale / 100L * 15L
+    assert(got(4L) > base, "no-in-edge vertex must still get the dangling share")
+  }
+
+  test("dangling path == replay across partitionings and the broadcast gate") {
+    val rnd = new scala.util.Random(3)
+    // skewed one-way graph: many dangling sinks, several source-only hubs
+    val edges = (Seq.fill(400)((rnd.nextInt(30).toLong, 30L + rnd.nextInt(60))) ++
+      Seq((100L, 5L), (101L, 5L))).distinct
+    val want = replay(edges, 5)
+    for (parts <- Seq(1, 8); gate <- Seq(2000000L, 0L)) {
+      val got = PageRank.fixedPointPageRank(
+        edges.toDF("src", "dst").repartition(parts), 5,
+        broadcastMaxVertices = gate)
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"parts=$parts gate=$gate")
+    }
   }
 
   test("result is partition-invariant (1 vs 8 input partitions)") {
@@ -103,6 +140,34 @@ class PageRankSpec extends SparkSessionSpec {
     finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     assert(plan(useBroadcast = true).contains("BroadcastHashJoin"))
+  }
+
+  test("gated regime on a multi-partition edge set: no broadcast join, bit-exact") {
+    // the SMJ regime driven end-to-end over real multi-partition data —
+    // not just plan-asserted on a toy frame: the round must both avoid
+    // BroadcastHashJoin and reproduce the replay bit for bit
+    val rnd = new scala.util.Random(19)
+    val oneWay = Seq.fill(250)((rnd.nextInt(40).toLong, 40L + rnd.nextInt(40)))
+    val both = (oneWay ++ oneWay.map(_.swap)).distinct
+    val e = both.toDF("src", "dst").repartition(8).distinct()
+    val withDeg = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src")).localCheckpoint()
+    val ranks = withDeg.select(col("src").as("vertex")).distinct()
+      .withColumn("r", lit(Scale)).localCheckpoint()
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val df = PageRank.round(
+        withDeg, ranks, Scale / 100L * 15L, useBroadcast = false)
+      val got = df.as[(Long, Long)].collect().toMap
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "gated regime must not broadcast")
+      assert(got === replay(both, 1))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   test("iteration and scale bounds are enforced") {

@@ -79,4 +79,44 @@ class ShardingSpec extends SparkSessionSpec {
     val b = Sharding.shuffleShards(docs.repartition(8), 8).collect().toSet
     assert(a === b)
   }
+
+  test("byte-budget shards match a driver-side prefix-sum replay") {
+    val m = table(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 3).cast("string").as("grp"),
+        length(col("text")).cast("long").as("nb"))
+    val got = Sharding.byteBudgetShards(m, "nb", 1024L, "grp")
+      .as[(Long, String, Long, Int, Long)].collect()
+    val rows = m.as[(Long, String, Long)].collect()
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (lcg(r._1, 42L), r._1)).toIndexedSeq.map { case (id, _, nb) =>
+        val shard = (cum / 1024L).toInt
+        val out = (id, g, nb, shard, cum - shard * 1024L)
+        cum += nb
+        out
+      }
+    }.toSet
+    assert(got.toSet === expect)
+    assert(got.nonEmpty)
+    got.foreach { case (id, _, _, s, off) =>
+      assert(s >= 0 && off >= 0 && off < 1024L, s"doc $id shard range")
+    }
+  }
+
+  test("byte-budget shards are partition-invariant and budget-monotone") {
+    val m = table(spark, sfDir, "documents")
+      .select(col("doc_id"), lit("g").as("grp"),
+        length(col("text")).cast("long").as("nb"))
+    val a = Sharding.byteBudgetShards(m.repartition(1), "nb", 2048L, "grp")
+      .collect().toSet
+    val b = Sharding.byteBudgetShards(m.repartition(8), "nb", 2048L, "grp")
+      .collect().toSet
+    assert(a === b)
+    // a bigger budget can only merge shards, never split: shard count shrinks
+    val nSmall = Sharding.byteBudgetShards(m, "nb", 1024L, "grp")
+      .select("shard").distinct().count()
+    val nBig = Sharding.byteBudgetShards(m, "nb", 8192L, "grp")
+      .select("shard").distinct().count()
+    assert(nBig <= nSmall)
+  }
 }

@@ -450,4 +450,28 @@ class SimilaritySpec extends SparkSessionSpec {
       .select("qid", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
     assert(full === pq)
   }
+
+  test("hard negatives: never the query's label, == label-filtered brute force") {
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val q = table(spark, sfDir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val labels = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val got = Similarity.hardNegatives(e, q, k = 5)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (qid, nid, _, _) =>
+      assert(labels(nid) !== labels(qid), s"query $qid mined same-label $nid")
+    }
+    // per query: identical to brute force over the label-excluded corpus
+    labels.filter(_._1 < 3).foreach { case (qid, lbl) =>
+      val want = Similarity.bruteForceTopK(
+        e.filter(col("label") =!= lbl).drop("label"),
+        q.filter(col("qid") === qid).drop("qlabel"), k = 5)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(got.filter(_._1 == qid).toSet === want, s"query $qid")
+    }
+  }
 }

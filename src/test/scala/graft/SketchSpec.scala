@@ -11,36 +11,41 @@ import graft.Engine.table
 class SketchSpec extends SparkSessionSpec {
   import spark.implicits._
 
-  test("HLL++ distinct within 3x configured rsd of exact") {
+  test("HLL++ distinct verdict: exact matches countDistinct, bound holds") {
     val e = table(spark, sfDir, "events")
-    val approx = SparkEntry.queries("q18_sketch_distinct")(spark, sfDir)
-      .as[(String, Long)].collect().toMap
+    val got = SparkEntry.queries("q18_sketch_distinct")(spark, sfDir)
+      .as[(String, Long, Boolean)].collect()
     val exact = e.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n"))
       .as[(String, Long)].collect().toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (k, n) =>
-      val rel = math.abs(approx(k).toDouble - n) / n
-      assert(rel <= 0.06, s"$k: approx=${approx(k)} exact=$n rel=$rel")
+    assert(got.map(_._1).toSet === exact.keySet)
+    got.foreach { case (k, n, ok) =>
+      assert(n === exact(k), s"$k exact_users")
+      // the verdict IS the 3x-rsd bound — a false here means the HLL
+      // estimate drifted past 6% of exact
+      assert(ok, s"$k HLL estimate out of bounds (exact=$n)")
     }
   }
 
-  test("quantile sketch brackets exact percentiles") {
+  test("quantile sketch verdict: exact discrete quantiles, rank bound holds") {
     val e = table(spark, sfDir, "events")
-    val approx = SparkEntry.queries("q19_sketch_quantiles")(spark, sfDir)
-      .as[(String, Double, Double, Double)].collect()
-      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
-    val exact = e.groupBy("event_type")
+    val got = SparkEntry.queries("q19_sketch_quantiles")(spark, sfDir)
+      .as[(String, Double, Double, Double, Boolean)].collect()
+    assert(got.nonEmpty)
+    // exact interpolated percentile BANDS bracket the discrete picks
+    val bands = e.groupBy("event_type")
       .agg(expr("percentile(value, array(0.45, 0.55))").as("p50band"),
         expr("percentile(value, array(0.93, 0.97))").as("p95band"))
       .as[(String, Seq[Double], Seq[Double])].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
-    exact.foreach { case (k, (p50band, p95band)) =>
-      val Seq(a50, a95, _) = approx(k)
-      assert(a50 >= p50band.head && a50 <= p50band.last,
-        s"$k p50 $a50 outside ${p50band}")
-      assert(a95 >= p95band.head && a95 <= p95band.last,
-        s"$k p95 $a95 outside ${p95band}")
+    got.foreach { case (k, q50, q95, q99, ok) =>
+      assert(ok, s"$k sketch rank verdict false")
+      assert(q50 <= q95 && q95 <= q99, s"$k quantiles not monotone")
+      val (p50band, p95band) = bands(k)
+      assert(q50 >= p50band.head && q50 <= p50band.last,
+        s"$k q50 $q50 outside ${p50band}")
+      assert(q95 >= p95band.head && q95 <= p95band.last,
+        s"$k q95 $q95 outside ${p95band}")
     }
   }
 

@@ -32,6 +32,35 @@ def norm(v):
         return tuple(norm(x) for x in v)
     return v
 
+def family(t):
+    """Collapse a DuckDB type to the equivalence class the DRIVER's hash
+    canonicalizer actually distinguishes. Calibrated against r6 driver
+    results: int32 vs int64 hash EQUAL (16 green queries emit Spark
+    INTEGER where the oracle emits BIGINT), but HUGEINT hash-FAILS
+    against BIGINT (p08 — an uncast sum() converts to a different Python
+    type downstream). So: machine ints are one family; HUGEINT, DECIMAL,
+    and floats are each their own."""
+    t = str(t)
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith("STRUCT") or t.endswith("[]"):
+        return t  # compare nested/list types verbatim
+    return {
+        "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
+        "BIGINT": "int", "UTINYINT": "int", "USMALLINT": "int",
+        "UINTEGER": "int", "UBIGINT": "int",
+        "FLOAT": "float", "DOUBLE": "float",
+    }.get(t, t)
+
+def typed(rel):
+    """(cols, rows, name->type-family). The family check catches the r6
+    p08 class of bug (uncast DuckDB sum() → HUGEINT) that value-only
+    comparison misses, without flagging int-width noise the driver
+    provably tolerates."""
+    cols = list(rel.columns)
+    types = {c: family(t) for c, t in zip(cols, rel.types)}
+    return cols, rel.fetchall(), types
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -43,26 +72,27 @@ def main(sf_dir, out_dir):
     result_dirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
     for d in result_dirs:
         name = os.path.basename(d)
-        got = con.execute(f"SELECT * FROM '{d}/*.parquet'")
-        gcols = [c[0] for c in got.description]
-        grows = got.fetchall()
+        gcols, grows, gtypes = typed(con.sql(f"SELECT * FROM '{d}/*.parquet'"))
         if name not in oracle:
             n_noracle += 1
             print(f"  [no-oracle] {name}: {len(grows)} rows")
             continue
         try:
-            exp = con.execute(oracle[name])
-            ecols = [c[0] for c in exp.description]
-            erows = exp.fetchall()
+            ecols, erows, etypes = typed(con.sql(oracle[name]))
         except Exception as e:
             n_fail += 1
             print(f"  [FAIL-sql ] {name}: oracle SQL error: {e}")
             continue
         gc, gv = canon(grows, gcols)
         ec, ev = canon(erows, ecols)
+        tdiff = {c: (gtypes.get(c), etypes.get(c)) for c in set(gcols) | set(ecols)
+                 if gtypes.get(c) != etypes.get(c)}
         if gc != ec:
             n_fail += 1
             print(f"  [FAIL-cols] {name}: spark={gc} duckdb={ec}")
+        elif tdiff:
+            n_fail += 1
+            print(f"  [FAIL-type] {name}: col->(spark,duckdb) = {tdiff}")
         elif gv != ev:
             n_fail += 1
             diff = [(a, b) for a, b in zip(gv, ev) if a != b][:3]
@@ -74,5 +104,25 @@ def main(sf_dir, out_dir):
     print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}")
     sys.exit(1 if n_fail else 0)
 
+def selftest():
+    """Regression guard for the r6 p08 class of bug: an uncast DuckDB
+    window/agg sum() returns HUGEINT where Spark parquet holds BIGINT —
+    values identical, widths different. The type check must FAIL it."""
+    import tempfile
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as td:
+        con.execute(f"COPY (SELECT CAST(10 AS BIGINT) AS s) TO '{td}/r.parquet'")
+        got = typed(con.sql(f"SELECT * FROM '{td}/r.parquet'"))
+        bad = typed(con.sql("SELECT sum(x) AS s FROM (SELECT CAST(10 AS BIGINT) x)"))
+        ok = typed(con.sql(
+            "SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT CAST(10 AS BIGINT) x)"))
+    assert got[1] == bad[1] == ok[1], "values should all be equal"
+    assert got[2] != bad[2], f"uncast HUGEINT must be flagged: {got[2]} vs {bad[2]}"
+    assert got[2] == ok[2], f"cast BIGINT must pass: {got[2]} vs {ok[2]}"
+    print("selftest ok: HUGEINT-vs-BIGINT caught, cast version passes")
+
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    if sys.argv[1:2] == ["--selftest"]:
+        selftest()
+    else:
+        main(sys.argv[1], sys.argv[2])
