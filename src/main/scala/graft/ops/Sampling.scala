@@ -129,4 +129,52 @@ object Sampling {
       .select(col(keyCol), col(stratumCol),
         col("__tok").as("n_tokens"), col("__cum").as("cum_tokens"))
   }
+
+  /** Deterministic negative-edge sampling for link-prediction /
+    * graph-embedding training: per source vertex, `perSrc` candidate
+    * destinations drawn by the shared two-round LCG (the p07 shuffle
+    * recurrence, seeded) over a DENSE destination domain, minus the
+    * edges that actually exist. Candidates that collide with a real
+    * edge (or with each other) are dropped, not re-drawn — the standard
+    * oversample-and-filter shape, and the reason output size per src is
+    * ≤ perSrc, not exactly perSrc.
+    *
+    * `dstDomainMax` is the dense-domain size: candidate raw values map
+    * to destination ids via `dstOf(h mod dstDomainMax)`. Passing the
+    * domain bound explicitly (a catalog constant like max part key)
+    * keeps the op action-free; the draw is a pure column function of
+    * (src, j, seed), so membership survives repartitioning and corpus
+    * growth — the [[split]] reproducibility contract.
+    *
+    * Scale: one explode (perSrc rows per src) + one anti-join on the
+    * edge key — the anti-join is the only exchange, keyed like the edge
+    * table itself. All arithmetic stays below 2⁶³ (mod-2³¹ reduction
+    * first).
+    *
+    * Output: (src, dst, j) — j the draw index, deduped to the smallest
+    * j per surviving (src, dst).
+    */
+  def negativeEdges(
+      edges: DataFrame, dstDomainMax: Long, dstOf: Column => Column,
+      perSrc: Int = 4, seed: Long = 42L): DataFrame = {
+    require(perSrc >= 1, s"perSrc must be >= 1, got $perSrc")
+    require(dstDomainMax >= 1, s"dstDomainMax must be >= 1, got $dstDomainMax")
+    val M = 2147483648L
+    val A = 1103515245L
+    val C = 12345L
+    val seedC = ((seed % M) + M) % M + C
+    val h0 = pmod(col("src") * perSrc + col("j"), lit(M))
+    val h1 = pmod(h0 * lit(A) + lit(seedC), lit(M))
+    val h2 = pmod(h1 * lit(A) + lit(C), lit(M))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"), col("dst")).orderBy(col("j").asc)
+    edges.select(col("src")).distinct()
+      .select(col("src"),
+        explode(sequence(lit(0), lit(perSrc - 1))).as("j"))
+      .withColumn("dst", dstOf(pmod(h2, lit(dstDomainMax))))
+      .join(edges, Seq("src", "dst"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("src"), col("dst"), col("j"))
+  }
 }

@@ -456,6 +456,30 @@ object Extended {
         table(s, dir, "events"), keyCol = "user_id", tsCol = "ts",
         tieCol = "event_id", gapSeconds = 1800L)),
 
+    // Negative-edge sampling over the q30 graph (customers ↔ parts):
+    // per customer vertex, up to 4 deterministic LCG-drawn part vertices
+    // it did NOT buy — link-prediction / graph-embedding training
+    // negatives (Sampling.negativeEdges). The part-key domain bound is
+    // one 1-row agg read at plan build (bounded driver action, the
+    // centroid-training precedent); the draw itself is a pure column
+    // function, so membership survives any repartitioning.
+    "q43_negative_edges" -> ((s, dir) => {
+      val lo = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = lo.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      // dense TPC-H part keys: domain = [1, max]; 1-row bounded read
+      val maxPk = table(s, dir, "part")
+        .agg(max(col("p_partkey"))).head.getLong(0)
+      graft.ops.Sampling.negativeEdges(
+        edges, dstDomainMax = maxPk, dstOf = h => (h + 1) * 2 + 1,
+        perSrc = 4, seed = 42L)
+    }),
+
     // Semi-structured extraction: JSON path into a string column
     // (schema-on-read), then relational aggregation over the extracted
     // field — the log-analytics shape. All aggregates integer-exact
@@ -497,6 +521,27 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q30_pagerank" -> q30OracleSql,
+    // Replays negativeEdges: identical LCG recurrence (seed 42 → +12387
+    // first-round increment — the p07 constants), same dense-domain
+    // mapping h → 2*(h % max + 1) + 1, same NOT EXISTS edge exclusion
+    // and min-j dedup. All integer.
+    "q43_negative_edges" ->
+      """WITH mx AS (SELECT max(p_partkey) AS p FROM part),
+          e AS (SELECT DISTINCT o_custkey * 2 AS src,
+                  l_partkey * 2 + 1 AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          s AS (SELECT DISTINCT src FROM e),
+          c AS (SELECT src, gs.j,
+                  2 * (((((src * 4 + gs.j) % 2147483648) * 1103515245
+                    + 12387) % 2147483648 * 1103515245 + 12345)
+                    % 2147483648 % mx.p + 1) + 1 AS dst
+                FROM s, generate_series(0, 3) gs(j), mx),
+          a AS (SELECT c.* FROM c WHERE NOT EXISTS
+                 (SELECT 1 FROM e WHERE e.src = c.src AND e.dst = c.dst)),
+          d AS (SELECT *, row_number() OVER (PARTITION BY src, dst
+                  ORDER BY j) AS rn FROM a)
+          SELECT src, dst, j FROM d WHERE rn = 1""",
+
     // Replays Sessions.sessionize step for step: same integer epoch
     // seconds, same (es, event_id) total order, same lag/running-sum
     // break chain — every step integer, so equality is exact.

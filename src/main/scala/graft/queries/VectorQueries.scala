@@ -117,6 +117,34 @@ object VectorQueries {
         trained = Some(centroids(s, dir, 16)))
     }),
 
+    // ANN recall report — "measure, don't guess" as a first-class
+    // operator: per (method, query), recall@10 of every approximate path
+    // (LSH, IVF, SQ, PQ, IVF-PQ) against the exact v01 baseline. Every
+    // method is deterministic, so the report itself is oracled: the
+    // DuckDB side recomputes each method from its own oracle SQL and the
+    // same intersection counts must fall out. At 100 TB the baseline leg
+    // runs over a sampled query set; the harness shape is unchanged.
+    // bf is localCheckpointed so the five legs reuse one materialization
+    // instead of replanning the exact scorer per leg.
+    "v13_ann_recall" -> ((s, dir) => {
+      val bf = queries("v01_ann_bruteforce")(s, dir)
+        .select(col("qid"), col("neighbor_id")).localCheckpoint()
+      val qids = bf.select(col("qid")).distinct()
+      Seq("lsh" -> "v02_ann_lsh", "ivf" -> "v04_ann_ivf",
+        "sq" -> "v08_ann_sq", "pq" -> "v09_ann_pq",
+        "ivfpq" -> "v11_ann_ivfpq").map { case (m, qn) =>
+        val hits = queries(qn)(s, dir)
+          .select(col("qid"), col("neighbor_id"))
+          .join(bf, Seq("qid", "neighbor_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("__n"))
+        qids.join(hits, Seq("qid"), "left")
+          .select(lit(m).as("method"), col("qid"),
+            coalesce(col("__n"), lit(0L)).as("n_hits"),
+            round(coalesce(col("__n"), lit(0L)).cast("double") / 10.0, 6)
+              .as("recall_at_10"))
+      }.reduce(_ unionAll _)
+    }),
+
     // Hard-negative mining: per query, the top-10 most-similar vectors
     // with a DIFFERENT label — the contrastive-training negatives picker
     // (Similarity.hardNegatives: v01's exact scorer with the label
@@ -611,7 +639,36 @@ object VectorQueries {
   /** Oracles that depend on the data dir (deterministic-but-data-derived
     * constants). Evaluated by Verify at dump time against the verify dir.
     */
+  /** v13's oracle composes each method's own oracle SQL (static or
+    * data-dependent) as an isolated nested-WITH subquery against the
+    * v01 exact baseline CTE, so the recall arithmetic is verified with
+    * ZERO new method formulations — a regression in any method's oracle
+    * or plan shows up as a recall mismatch here too.
+    */
+  private def v13OracleSql(s: SparkSession, dir: String): String = {
+    val legs = Seq(
+      "lsh" -> oracles("v02_ann_lsh"),
+      "ivf" -> v04OracleSql(s, dir),
+      "sq" -> oracles("v08_ann_sq"),
+      "pq" -> v09OracleSql(s, dir),
+      "ivfpq" -> v11OracleSql(s, dir))
+    val union = legs.map { case (m, sql) =>
+      s"""SELECT '$m' AS method, q.qid,
+            CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+            round(CAST(coalesce(h.n, 0) AS DOUBLE) / 10.0, 6) AS recall_at_10
+          FROM qids q LEFT JOIN (
+            SELECT m.qid, count(*) AS n
+            FROM ($sql) m
+            JOIN bf ON bf.qid = m.qid AND bf.neighbor_id = m.neighbor_id
+            GROUP BY m.qid) h ON q.qid = h.qid"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH bf AS (${oracles("v01_ann_bruteforce")}),
+        qids AS (SELECT DISTINCT qid FROM bf)
+        $union"""
+  }
+
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
+    "v13_ann_recall" -> (v13OracleSql(_, _)),
     "v09_ann_pq" -> (v09OracleSql(_, _)),
     "v11_ann_ivfpq" -> (v11OracleSql(_, _)),
     "p09_bitext_candidates" -> (p09OracleSql(_, _)),

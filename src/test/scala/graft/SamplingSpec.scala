@@ -122,4 +122,33 @@ class SamplingSpec extends SparkSessionSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(a === b)
   }
+
+  test("negative edges: LCG replay, never a real edge, min-j dedup") {
+    val edges = Seq((2L, 3L), (2L, 5L), (4L, 3L)).toDF("src", "dst")
+    val got = Sampling.negativeEdges(edges, dstDomainMax = 3L,
+        dstOf = h => (h + 1) * 2 + 1, perSrc = 4, seed = 42L)
+      .as[(Long, Long, Int)].collect()
+    val real = Set((2L, 3L), (2L, 5L), (4L, 3L))
+    got.foreach { case (s, d, _) => assert(!real((s, d)), s"real edge ($s,$d)") }
+    // independent driver-side replay of the draw + dedup + exclusion
+    val M = 2147483648L
+    def lcg(x: Long): Long =
+      ((x % M * 1103515245L + 12387L) % M * 1103515245L + 12345L) % M
+    val want = Seq(2L, 4L).flatMap { s =>
+      (0 to 3).map(j => (s, 2 * (lcg(s * 4 + j) % 3 + 1) + 1, j))
+    }.groupBy(t => (t._1, t._2)).map(_._2.minBy(_._3))
+      .filterNot(t => real((t._1, t._2))).toSet
+    assert(got.toSet === want)
+    assert(got.nonEmpty)
+  }
+
+  test("negative edges are partition-invariant and never exceed perSrc per src") {
+    val edges = (1L to 60L).map(i => (i * 2, i % 7 * 2 + 1)).toDF("src", "dst")
+    val a = Sampling.negativeEdges(edges.repartition(1), 7L,
+      h => (h + 1) * 2 + 1, perSrc = 3).collect().toSet
+    val b = Sampling.negativeEdges(edges.repartition(8), 7L,
+      h => (h + 1) * 2 + 1, perSrc = 3).collect().toSet
+    assert(a === b)
+    a.groupBy(_.getLong(0)).values.foreach(rs => assert(rs.size <= 3))
+  }
 }

@@ -451,6 +451,29 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(full === pq)
   }
 
+  test("ANN recall report: full method x query grid, hits consistent with a direct intersection") {
+    val got = SparkEntry.queries("v13_ann_recall")(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    val methods = Set("lsh", "ivf", "sq", "pq", "ivfpq")
+    val qids = got.map(_._2).toSet
+    assert(got.map(_._1).toSet === methods)
+    assert(got.length === methods.size * qids.size, "one row per (method, qid)")
+    got.foreach { case (m, q, n, r) =>
+      assert(n >= 0 && n <= 10, s"$m/$q n_hits $n")
+      assert(math.abs(r - n / 10.0) < 1e-9, s"$m/$q recall $r != $n/10")
+    }
+    // one method cross-checked against a direct intersection computed here
+    val bf = SparkEntry.queries("v01_ann_bruteforce")(spark, sfDir)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = SparkEntry.queries("v02_ann_lsh")(spark, sfDir)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val wantLsh = qids.map(q =>
+      q -> (bf.filter(_._1 == q) intersect lsh.filter(_._1 == q)).size.toLong).toMap
+    got.filter(_._1 == "lsh").foreach { case (_, q, n, _) =>
+      assert(n === wantLsh(q), s"lsh qid $q")
+    }
+  }
+
   test("hard negatives: never the query's label, == label-filtered brute force") {
     val e = table(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
