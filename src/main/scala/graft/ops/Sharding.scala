@@ -33,6 +33,18 @@ object Sharding {
   private val A = 1103515245L // glibc LCG multiplier
   private val C = 12345L      // glibc LCG increment
 
+  /** The shared two-round LCG rank in [0, 2³¹) as a pure column — the
+    * deterministic layout-order primitive every export op keys on (p07
+    * shards, m06 byte packing, m07 interleave). Engine-portable: the
+    * identical integer recurrence replays in SQL.
+    */
+  def lcgRank(id: org.apache.spark.sql.Column, seed: Long = 42L): org.apache.spark.sql.Column = {
+    val seedC = ((seed % M) + M) % M + C
+    val h0 = pmod(id.cast("long"), lit(M))
+    val h1 = pmod(h0 * lit(A) + lit(seedC), lit(M))
+    pmod(h1 * lit(A) + lit(C), lit(M))
+  }
+
   /** Byte-budget shard packing — the webdataset/tar-shard export plan:
     * rows are laid out in a deterministic seeded order (the same LCG
     * rank as [[shuffleShards]]) and cut into shards of ≈`budgetBytes`

@@ -62,7 +62,28 @@ object MMQueries {
     // Byte-budget shard packing (webdataset/tar-shard export plan):
     // seeded LCG layout order per media type, running byte total, 4 KiB
     // shard ranges — all integer (Sharding.byteBudgetShards).
-    "m06_byte_shards" -> byteShardsQuery
+    "m06_byte_shards" -> byteShardsQuery,
+
+    // Modality-balanced interleave: round-robin image/audio/video
+    // positions (pos = (rn-1)*3 + modality index, rn the seeded LCG
+    // order within the modality) — the batch-composition order a
+    // multimodal trainer reads so every consecutive triple spans the
+    // three modalities. Per-modality windows only (the p07 scale shape);
+    // when a modality exhausts, its residues simply go unused — the
+    // standard tail behavior.
+    "m07_modality_interleave" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(table(s, dir, "documents"))
+      val typeIdx = when(col("media_type") === "image", 0)
+        .when(col("media_type") === "audio", 1).otherwise(2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_type"))
+        .orderBy(col("rank_key").asc, col("doc_id").asc)
+      media.select(col("doc_id"), col("media_type"),
+          graft.ops.Sharding.lcgRank(col("doc_id")).as("rank_key"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("media_type"), col("rn"),
+          ((col("rn") - 1) * 3 + typeIdx).as("pos"))
+    })
   )
 
   // a def, not a val: the queries map above initializes first, and a
@@ -153,6 +174,25 @@ object MMQueries {
             CAST(cum_before // 4096 AS INTEGER) AS shard,
             cum_before - (cum_before // 4096) * 4096 AS offset_bytes
           FROM c""",
+    // Replays m07: same LCG rank, same per-modality row_number order,
+    // same (rn-1)*3 + modality-index position arithmetic. All integer.
+    "m07_modality_interleave" ->
+      s"""WITH m AS (SELECT doc_id,
+              CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type
+            FROM documents),
+          h AS (SELECT *,
+              ((((doc_id % 2147483648) * 1103515245 + ${42L + 12345L})
+                % 2147483648) * 1103515245 + 12345) % 2147483648 AS rank_key
+            FROM m),
+          r AS (SELECT *,
+              row_number() OVER (PARTITION BY media_type
+                ORDER BY rank_key, doc_id) AS rn
+            FROM h)
+          SELECT doc_id, media_type, rn,
+            (rn - 1) * 3 + (CASE media_type WHEN 'image' THEN 0
+              WHEN 'audio' THEN 1 ELSE 2 END) AS pos
+          FROM r""",
     // The media payload is the UTF-8 text bytes (asMediaTable), so
     // md5(BINARY) on the Spark side == md5(text VARCHAR) here.
     "m04_media_dedup" ->

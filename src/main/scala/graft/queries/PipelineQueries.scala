@@ -37,6 +37,27 @@ object PipelineQueries {
           max(qualityScore(col("text"))).as("max_quality"))
     }),
 
+    // Quality-decile curriculum plan: per language, documents bucketed
+    // into quality deciles (ntile over the t02 score, doc_id tie-break)
+    // with integer repeat factors that upsample high-quality mass —
+    // the "repeat the good data" curriculum readout (the budget side of
+    // what p02's temperature mixture does across domains). One
+    // lang-partitioned window + one aggregate; all integer after the
+    // shared rounded score.
+    "p10_quality_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("__q").asc, col("doc_id").asc)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("__q"),
+          tokenCount(col("text")).cast("long").as("__ntok"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("tokens"))
+        .withColumn("repeats", expr("(decile + 1) div 2"))
+        .withColumn("effective_tokens", col("tokens") * col("repeats"))
+    }),
+
     // Domain-mixture (temperature) sampling at τ = 0.5: per-language
     // quotas ∝ √n — the multilingual-upsampling pass that rebalances a
     // skewed corpus before training. Integer-exact quota arithmetic
@@ -150,6 +171,27 @@ object PipelineQueries {
             min(quality) AS min_quality,
             max(quality) AS max_quality
           FROM b GROUP BY 1"""
+    },
+    // Mirrors p10: the shared rounded quality score, the same
+    // (score, doc_id) ntile order (both engines distribute remainder
+    // rows to the leading buckets — the q41 ntile contract), integer
+    // repeat/token arithmetic.
+    "p10_quality_deciles" -> {
+      import TextQueries.{nTokens, qualitySql}
+      s"""WITH q AS (SELECT doc_id, lang, $qualitySql AS q,
+                  CAST($nTokens AS BIGINT) AS ntok
+                FROM documents),
+          t AS (SELECT lang, ntok,
+                  ntile(10) OVER (PARTITION BY lang
+                    ORDER BY q, doc_id) AS decile
+                FROM q)
+          SELECT lang, CAST(decile AS INTEGER) AS decile,
+            count(*) AS n_docs,
+            CAST(sum(ntok) AS BIGINT) AS tokens,
+            (decile + 1) // 2 AS repeats,
+            CAST(sum(ntok) * ((decile + 1) // 2) AS BIGINT)
+              AS effective_tokens
+          FROM t GROUP BY lang, decile"""
     },
     // Mirrors Sampling.temperatureSample: isqrt = floor(sqrt(n)) — IEEE
     // sqrt is correctly rounded in every engine, so the integer quota
