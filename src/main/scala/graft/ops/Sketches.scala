@@ -146,6 +146,46 @@ object Sketches {
           ok(99, "__le99", "__lt99")).as("within_bounds"))
   }
 
+  /** Per-group winsorization: clip a metric column to its group's
+    * discrete [loPct, hiPct] quantile bounds — the outlier-taming
+    * preprocessing step for training signals (reward values, engagement
+    * counts) where a fat tail would dominate a mean. Bounds use the
+    * same integer rank rule as [[verifiedQuantiles]] and are actual data
+    * values, so the clip is bit-portable; clipped rows keep their
+    * identity (`was_clipped` flags them for audit).
+    *
+    * Scale: the bounds ride one per-group sort window (the exact arm —
+    * swap in approximate bounds at 100 TB, the clip projection is
+    * unchanged) and broadcast back as one row per group; the data-sized
+    * side never shuffles for the clip itself.
+    *
+    * Output: (idCol, groupCol, valueCol, clipped_value, was_clipped).
+    */
+  def winsorize(
+      df: DataFrame, valueCol: String, groupCol: String, idCol: String,
+      loPct: Int = 1, hiPct: Int = 99): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 0 <= loPct < hiPct <= 100, got ($loPct, $hiPct)")
+    val e = df.select(col(idCol), col(groupCol), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val ranked = e
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__v").asc)))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    def rankOf(p: Int) = expr(s"1 + ((__n - 1) * $p) div 100")
+    val bounds = ranked.groupBy(col(groupCol)).agg(
+      max(when(col("__rn") === rankOf(loPct), col("__v"))).as("__lo"),
+      max(when(col("__rn") === rankOf(hiPct), col("__v"))).as("__hi"))
+    e.join(broadcast(bounds), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("__v").as(valueCol),
+        when(col("__v") < col("__lo"), col("__lo"))
+          .when(col("__v") > col("__hi"), col("__hi"))
+          .otherwise(col("__v")).as("clipped_value"),
+        (col("__v") < col("__lo") || col("__v") > col("__hi"))
+          .as("was_clipped"))
+  }
+
   /** Exact heavy hitters (frequent keys) in two bounded-memory passes:
     * Misra–Gries candidate generation, then an exact recount of the
     * candidates only.

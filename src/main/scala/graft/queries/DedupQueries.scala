@@ -109,6 +109,40 @@ object DedupQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("bucket"), col("n_copies"))),
 
+    // Quality-aware dedup: the keeper of each exact-duplicate group is
+    // chosen by (quality DESC, raw length ASC, priority, id) rather than
+    // d02's min-id rule — "keep the best, cleanest copy": the t02 score
+    // ranks content quality, raw length breaks content-identical ties
+    // toward the minimal-noise extraction (the copy without padding /
+    // whitespace bloat). The planted variant doubles every space — same
+    // normalized fingerprint, longer raw form — so the cleanliness
+    // ordering has real work to do on any corpus; mirrors live in the
+    // disjoint negative-id space (the d10 rule).
+    "d12_quality_survivors" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d
+        .select(col("doc_id"), col("text"), lit(0).as("__prio"))
+        .unionAll(d.select((-col("doc_id") - 1).as("doc_id"),
+          regexp_replace(col("text"), " ", "  ").as("text"),
+          lit(1).as("__prio")))
+      val slim = planted.select(col("doc_id"), col("__prio"),
+        graft.functions.TextFunctions.qualityScore(col("text"))
+          .as("quality"),
+        length(col("text")).cast("long").as("__len"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      val byFp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp"))
+      slim
+        .withColumn("__rn", row_number().over(byFp.orderBy(
+          col("quality").desc, col("__len").asc,
+          col("__prio").asc, col("doc_id").asc)))
+        .withColumn("n_copies", count(lit(1)).over(byFp))
+        .filter(col("__rn") === 1)
+        .select(col("fp"), col("doc_id").as("keeper_id"),
+          col("n_copies"), col("quality").as("keeper_quality"),
+          col("__len").as("keeper_len"))
+    }),
+
     // Dedup IMPACT report — what a dedup pass would save, by source:
     // doc and token counts of non-keeper copies (keeper = min doc_id
     // per normalized fingerprint, the d02 rule), over a corpus
@@ -150,6 +184,29 @@ object DedupQueries {
   private val normFp = """md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g')))"""
 
   val oracles: Map[String, String] = Map(
+    // Mirrors d12: the shared rounded quality score over the same padded
+    // feed ('g' flag = Spark's replace-all), same (quality DESC, length
+    // ASC, prio, id) keeper order — quality is round-6 identical on both
+    // engines and length/prio/id are integers, so the ordering cannot
+    // diverge.
+    "d12_quality_survivors" -> {
+      import TextQueries.qualitySql
+      s"""WITH u AS (SELECT doc_id, text, 0 AS prio FROM documents
+              UNION ALL
+              SELECT -doc_id - 1, regexp_replace(text, ' ', '  ', 'g'), 1
+              FROM documents),
+          q AS (SELECT doc_id, prio, $qualitySql AS quality,
+                  CAST(length(text) AS BIGINT) AS len,
+                  $normFp AS fp FROM u),
+          r AS (SELECT *,
+                  row_number() OVER (PARTITION BY fp
+                    ORDER BY quality DESC, len, prio, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY fp) AS n_copies FROM q)
+          SELECT fp, doc_id AS keeper_id, n_copies,
+            quality AS keeper_quality, len AS keeper_len
+          FROM r WHERE rn = 1"""
+    },
+
     // Mirrors d11: same integer epoch-second bucketing (`//` == `div` on
     // positive epochs), same (es, event_id) keeper order.
     "d11_windowed_dedup" ->

@@ -456,6 +456,15 @@ object Extended {
         table(s, dir, "events"), keyCol = "user_id", tsCol = "ts",
         tieCol = "event_id", gapSeconds = 1800L)),
 
+    // Per-type winsorization of the event metric to its discrete
+    // [p1, p99] bounds — outlier taming for training signals; bounds are
+    // actual data values under the integer rank rule, so the clip is
+    // bit-portable (Sketches.winsorize).
+    "q44_winsorize" -> ((s, dir) =>
+      graft.ops.Sketches.winsorize(
+        table(s, dir, "events"), valueCol = "value",
+        groupCol = "event_type", idCol = "event_id")),
+
     // Negative-edge sampling over the q30 graph (customers ↔ parts):
     // per customer vertex, up to 4 deterministic LCG-drawn part vertices
     // it did NOT buy — link-prediction / graph-embedding training
@@ -521,6 +530,26 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q30_pagerank" -> q30OracleSql,
+    // Replays winsorize: identical rank rule for the bounds, identical
+    // CASE clip over the same data values.
+    "q44_winsorize" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events
+              WHERE value IS NOT NULL),
+          s AS (SELECT *,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n FROM e),
+          b AS (SELECT event_type,
+                  max(CASE WHEN rn = 1 + ((n-1)*1)//100 THEN value END) AS lo,
+                  max(CASE WHEN rn = 1 + ((n-1)*99)//100 THEN value END) AS hi
+                FROM s GROUP BY event_type)
+          SELECT e.event_id, e.event_type, e.value,
+            CASE WHEN e.value < b.lo THEN b.lo
+                 WHEN e.value > b.hi THEN b.hi
+                 ELSE e.value END AS clipped_value,
+            (e.value < b.lo OR e.value > b.hi) AS was_clipped
+          FROM e JOIN b USING (event_type)""",
+
     // Replays negativeEdges: identical LCG recurrence (seed 42 → +12387
     // first-round increment — the p07 constants), same dense-domain
     // mapping h → 2*(h % max + 1) + 1, same NOT EXISTS edge exclusion

@@ -258,4 +258,19 @@ class DedupSpec extends SparkSessionSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(s2 === (200L until 300L).toSet)
   }
+
+  test("d12 quality keeper: every group pairs original+mirror, cleanest (shortest) copy wins") {
+    val got = SparkEntry.queries("d12_quality_survivors")(spark, sfDir)
+      .as[(String, Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (fp, keeper, n, q, len) =>
+      assert(n >= 2, s"$fp: planted mirror missing")
+      assert(q >= 0.0 && q <= 1.0, s"$fp quality $q")
+      // the space-doubled mirror is strictly longer wherever the text
+      // has a space, and quality ties on this punct-free corpus — the
+      // length tie-break must hand every multi-word group to an original
+      assert(keeper >= 0, s"$fp: padded mirror $keeper won over an original")
+      assert(len >= 0)
+    }
+  }
 }

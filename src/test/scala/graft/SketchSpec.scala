@@ -77,6 +77,22 @@ class SketchSpec extends SparkSessionSpec {
       "KMV rank limit lost the WindowGroupLimit pushdown")
   }
 
+  test("winsorize clips to the discrete p-bounds and flags exactly the out-of-range rows") {
+    // n = 100, bounds at p10/p90: lo rank = 1 + (99*10) div 100 = 10 →
+    // value 10.0; hi rank = 1 + (99*90) div 100 = 90 → value 90.0
+    val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("id", "grp", "v")
+    val got = graft.ops.Sketches
+      .winsorize(df, "v", "grp", "id", loPct = 10, hiPct = 90)
+      .as[(Long, String, Double, Double, Boolean)].collect()
+    assert(got.length === 100)
+    got.foreach { case (_, _, v, cv, fl) =>
+      assert(cv === math.max(10.0, math.min(90.0, v)))
+      assert(fl === (v < 10.0 || v > 90.0))
+    }
+    assert(got.count(_._5) === 19) // 1..9 low, 91..100 high
+  }
+
   test("exact heavy hitters == naive aggregation, across partitionings and thresholds") {
     // mixed shape: hot keys, a medium background, an all-unique tail —
     // the MG candidate set varies with the partitioning, the OUTPUT of
