@@ -456,6 +456,24 @@ object Extended {
         table(s, dir, "events"), keyCol = "user_id", tsCol = "ts",
         tieCol = "event_id", gapSeconds = 1800L)),
 
+    // Correlated scalar subqueries through the SQL surface — the shape
+    // Catalyst DECORRELATES into aggregate + join (no per-row re-scan
+    // ever executes; the q40 spark.sql + temp-view precedent). The
+    // above-average test is expressed as price·n > sum over
+    // DECIMAL-exact terms, so both engines compare identical exact
+    // values (a decimal avg would round differently per engine).
+    "q45_above_customer_avg" -> ((s, dir) => {
+      graft.Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders o
+           WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+               (SELECT count(*) FROM orders i
+                WHERE i.o_custkey = o.o_custkey)
+             > (SELECT sum(CAST(i.o_totalprice AS DECIMAL(18,6)))
+                FROM orders i WHERE i.o_custkey = o.o_custkey)""")
+    }),
+
     // Per-type winsorization of the event metric to its discrete
     // [p1, p99] bounds — outlier taming for training signals; bounds are
     // actual data values under the integer rank rule, so the clip is
@@ -530,6 +548,18 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q30_pagerank" -> q30OracleSql,
+    // The identical correlated-subquery SQL: both engines evaluate the
+    // same DECIMAL-exact price·n > sum predicate, so the row sets match
+    // regardless of how each engine decorrelates.
+    "q45_above_customer_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+             (SELECT count(*) FROM orders i
+              WHERE i.o_custkey = o.o_custkey)
+           > (SELECT sum(CAST(i.o_totalprice AS DECIMAL(18,6)))
+              FROM orders i WHERE i.o_custkey = o.o_custkey)""",
+
     // Replays winsorize: identical rank rule for the bounds, identical
     // CASE clip over the same data values.
     "q44_winsorize" ->

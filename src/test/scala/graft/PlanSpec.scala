@@ -147,6 +147,8 @@ class PlanSpec extends SparkSessionSpec {
     "v01_ann_bruteforce", // query set broadcast against the corpus
     "v08_ann_sq",         // same shape over the dequantized int8 codes
     "v09_ann_pq",         // ADC pass: query set broadcast against codes
+    "v12_hard_negatives", // v01's scorer + non-equi label exclusion
+    "v13_ann_recall",     // composes the v01/v08/v09 legs above
     "t10_tfidf", "t11_unigram_nll", // 1-row corpus-count cross join
     "t16_bm25",                     // 1-row (N, total-length) cross join
     "q31_gap_fill")                 // 1-row (h0, h1) range cross join
