@@ -57,6 +57,33 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the split coordinate is the
+    * content group's representative id (min id per normalized
+    * fingerprint), not the row's own id — so every copy of the same
+    * content lands on the SAME side of the boundary. A naive per-id hash
+    * split ([[Sampling.split]]) puts ~2·trainPct·(100−trainPct)% of dup
+    * pairs on opposite sides: exactly the train→test contamination an
+    * eval suite exists to prevent (DedupSpec pins that the naive split
+    * really does straddle groups this one keeps together).
+    *
+    * Scale shape: one fp-keyed partial aggregation (slim (fp, id) rows —
+    * text never moves) + a slim fp join-back; the split itself is a pure
+    * column function of rep_id. Same md5 split-band arithmetic as
+    * [[Sampling.split]], so membership is stable under repartitioning,
+    * appends, and re-runs.
+    *
+    * Output: (id, rep_id, split).
+    */
+  def leakSafeSplit(
+      df: DataFrame, textCol: String, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      fingerprint(col(textCol)).as("fp"))
+    val rep = slim.groupBy("fp").agg(min(col("id")).as("rep_id"))
+    Sampling.split(slim.join(rep, "fp"), "rep_id", trainPct, valPct)
+      .select(col("id"), col("rep_id"), col("split"))
+  }
+
   /** Time-windowed exact dedup: duplicates only count WITHIN the same
     * time bucket — the at-least-once event-delivery cleaner (retried
     * webhook posts, replayed log segments) and the rolling-ingest analog
@@ -614,5 +641,88 @@ object Dedup {
       .filter(col("inter") * den >= col("uni") * lit(num))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
+  // ------------------------------------------------------- LSH tuning
+
+  /** LSH parameter-tuning report: for each (bands, rowsPerBand) cut of
+    * ONE shared minhash signature, the candidate-pair count and the
+    * recall against exact Jaccard ≥ num/den — the measurement that picks
+    * d03's production parameters (more bands ⇒ higher recall, more
+    * candidates to verify; the report quantifies that tradeoff on the
+    * actual corpus instead of the textbook S-curve).
+    *
+    * The hash family here is md5-derived (per-index salt `j` hashed WITH
+    * the shingle), so a SQL engine replays every signature bit-for-bit —
+    * the d04 portable-family discipline. That costs numHashes md5 calls
+    * per shingle, ~16× the xxhash64 production kernel ([[minhashPairs]]):
+    * the right trade for a TUNING run, which a pipeline executes once on
+    * a bounded sample per corpus, not per ingest batch. Candidate
+    * generation itself is the production shape — band keys carry
+    * (id, key) only, pairs expand only inside buckets.
+    *
+    * Output: (bands, rows_per_band, n_candidates, n_true, n_detected,
+    * recall) — one row per config.
+    */
+  def lshTuningReport(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16,
+      configs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4)),
+      num: Int = 1, den: Int = 2): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (b, r) =>
+      b >= 1 && r >= 1 && b * r <= numHashes },
+      s"each bands*rowsPerBand must fit numHashes=$numHashes: $configs")
+    val p = expansionParallelism(df)
+    // trigram shingles over lowercased whitespace tokens, distinct per doc
+    val tk = filter(split(lower(col(textCol)), WhitespaceRegex),
+      t => t =!= lit(""))
+    val sig = df.repartition(p)
+      .select(col(idCol).cast("long").as("id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("id"), array_distinct(
+        transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", slice(col("tk"), i, lit(3))))).as("shingles"))
+      .withColumn("mh",
+        transform(sequence(lit(0), lit(numHashes - 1)), j =>
+          array_min(transform(col("shingles"), s =>
+            conv(substring(md5(concat(j.cast("string"), lit(":"), s)),
+              1, 15), 16, 10).cast("long")))))
+      .localCheckpoint()
+    // ground truth: exact Jaccard ≥ num/den over pairs sharing a shingle
+    val ex = sig.select(col("id"), explode(col("shingles")).as("s"))
+      .repartition(p, col("s"))
+    val shared = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sig.select(col("id"), size(col("shingles")).cast("long").as("sz"))
+    val truth = shared
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(col("inter") * den >= (col("sz_a") + col("sz_b") - col("inter")) * num)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val nTrue = truth.count()
+    configs.map { case (b, r) =>
+      val keys = sig.select(col("id"),
+        explode(transform(sequence(lit(0), lit(b - 1)), bi =>
+          concat(bi.cast("string"), lit("|"),
+            concat_ws(",", transform(
+              slice(col("mh"), bi.cast("int") * r + 1, lit(r)),
+              m => m.cast("string")))))).as("k"))
+        .repartition(p, col("k"))
+      val cand = keys.as("a")
+        .join(keys.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      cand.join(truth.withColumn("__t", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("__t")), lit(0L)).as("n_detected"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), lit(nTrue).as("n_true"), col("n_detected"),
+          round(when(lit(nTrue) > 0L,
+              col("n_detected").cast("double") / lit(nTrue).cast("double"))
+            .otherwise(lit(1.0)), 6).as("recall"))
+    }.reduce(_ unionAll _)
   }
 }

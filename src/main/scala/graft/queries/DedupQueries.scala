@@ -174,6 +174,39 @@ object DedupQueries {
           sum(col("__ntok")).as("tokens_total"),
           sum(when(col("__rn") > 1, col("__ntok"))
             .otherwise(lit(0L))).as("tokens_removed"))
+    }),
+
+    // Leakage-safe split: every copy of the same content lands on the
+    // same side of the train/val/test boundary (split keyed on the
+    // content group's min-id representative, not the row's own id —
+    // q21's naive per-id split puts dup pairs on opposite sides, the
+    // exact train→test contamination d08 measures after the fact). The
+    // mirror feed plants a dup group per doc in the disjoint negative-id
+    // space (the d10 rule), so the co-side guarantee has real work to do
+    // on any corpus.
+    "p11_leak_safe_split" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.unionAll(
+        d.select((-col("doc_id") - 1).as("doc_id"), col("text")))
+      Dedup.leakSafeSplit(planted, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("rep_id"), col("split"))
+    }),
+
+    // LSH parameter-tuning report: candidate count + recall vs exact
+    // Jaccard >= 0.5 for three (bands, rows) cuts of one 16-hash md5
+    // signature. The mirror feed plants a ~0.6-Jaccard near-dup per doc
+    // (its first 3/5 tokens, negative-id space) so the configs' recall
+    // genuinely separates — (16,1) catches nearly all, (4,4) misses most
+    // — instead of saturating at 1.0 on exact dups.
+    "d14_lsh_tuning" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mirror = d
+        .withColumn("toks",
+          graft.functions.TextFunctions.tokens(lower(col("text"))))
+        .select((-col("doc_id") - 1).as("doc_id"),
+          expr("array_join(slice(toks, 1, greatest((size(toks) * 3) div 5, 1)), ' ')")
+            .as("text"))
+      Dedup.lshTuningReport(d.unionAll(mirror), "text", "doc_id")
     })
   )
 
@@ -184,6 +217,89 @@ object DedupQueries {
   private val normFp = """md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g')))"""
 
   val oracles: Map[String, String] = Map(
+    // Mirrors d14 end-to-end: truncated-prefix mirror feed, trigram
+    // shingles, the 16-hash md5 family (15 hex chars -> 60-bit ints, the
+    // p07/q21 hex-parse idiom), band keys as 'b|v1,v2', exact-Jaccard
+    // truth at inter*2 >= union, per-config candidate/detected counts.
+    "d14_lsh_tuning" -> {
+      val lowTk =
+        """list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), t -> t <> '')"""
+      s"""WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT -doc_id - 1,
+              array_to_string(tk[1:greatest((len(tk) * 3) // 5, 1)], ' ')
+            FROM (SELECT doc_id, $lowTk AS tk FROM documents)),
+          toks AS (SELECT doc_id, $lowTk AS tk FROM u),
+          sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(tk) - 1),
+                i -> array_to_string(tk[i:i+2], ' '))) AS shingles
+            FROM toks WHERE len(tk) >= 3),
+          sig AS (
+            SELECT doc_id, shingles,
+              list_transform(range(0, 16),
+                j -> list_min(list_transform(shingles,
+                  s -> CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), ':', s)), 1, 15)) AS BIGINT)))) AS mh
+            FROM sh),
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+          shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+          truth AS (
+            SELECT id_a, id_b FROM shared
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE inter * 2 >= (sa.sz + sb.sz - inter)),
+          cfg AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4)) c(bands, rpb)),
+          keys AS (
+            SELECT cfg.bands, cfg.rpb, sig.doc_id,
+              unnest(list_transform(range(0, cfg.bands),
+                b -> concat(CAST(b AS VARCHAR), '|',
+                  array_to_string(mh[b * cfg.rpb + 1 : (b + 1) * cfg.rpb], ',')))) AS k
+            FROM sig CROSS JOIN cfg),
+          cand AS (
+            SELECT DISTINCT a.bands AS bands, a.rpb AS rpb,
+              a.doc_id AS id_a, b.doc_id AS id_b
+            FROM keys a JOIN keys b
+              ON a.bands = b.bands AND a.rpb = b.rpb AND a.k = b.k
+                AND a.doc_id < b.doc_id),
+          nc AS (SELECT bands, rpb, count(*) AS n_candidates
+                 FROM cand GROUP BY 1, 2),
+          nd AS (SELECT bands, rpb, count(*) AS n_detected
+                 FROM cand JOIN truth USING (id_a, id_b) GROUP BY 1, 2),
+          nt AS (SELECT count(*) AS n_true FROM truth)
+          SELECT cfg.bands, cfg.rpb AS rows_per_band,
+            coalesce(nc.n_candidates, 0) AS n_candidates,
+            nt.n_true,
+            coalesce(nd.n_detected, 0) AS n_detected,
+            round(CASE WHEN nt.n_true > 0
+              THEN CAST(coalesce(nd.n_detected, 0) AS DOUBLE) / CAST(nt.n_true AS DOUBLE)
+              ELSE 1.0 END, 6) AS recall
+          FROM cfg LEFT JOIN nc USING (bands, rpb)
+          LEFT JOIN nd USING (bands, rpb)
+          CROSS JOIN nt"""
+    },
+    // Mirrors p11: same negative-id mirror feed, window-min
+    // representative per normalized fingerprint, q21's md5 split-band
+    // arithmetic keyed on rep_id.
+    "p11_leak_safe_split" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT -doc_id - 1, text FROM documents),
+          f AS (SELECT doc_id, $normFp AS fp FROM u),
+          r AS (SELECT doc_id,
+                  min(doc_id) OVER (PARTITION BY fp) AS rep_id FROM f),
+          b AS (SELECT doc_id, rep_id,
+                  CAST(CAST(concat('0x',
+                    substring(md5(CAST(rep_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 AS INT) AS bucket FROM r)
+          SELECT doc_id, rep_id,
+            CASE WHEN bucket < 80 THEN 'train'
+                 WHEN bucket < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM b""",
     // Mirrors d12: the shared rounded quality score over the same padded
     // feed ('g' flag = Spark's replace-all), same (quality DESC, length
     // ASC, prio, id) keeper order — quality is round-6 identical on both

@@ -385,6 +385,18 @@ object Extended {
           .withColumn("k", get_json_object(col("props"), "$.k").cast("long")),
         Seq("event_id", "user_id", "event_type", "value", "props", "k"))),
 
+    // MERGEABLE stats catalog (the incremental-ANALYZE shape): rows land
+    // in 8 md5 ingest shards, each shard computes rows/nulls/min/max/KMV
+    // candidates independently, the global row is assembled from shard
+    // summaries alone — the q33 profile re-expressed so a 100 TB catalog
+    // refresh after one new shard re-reads one shard. KMV merge is exact
+    // set algebra, so the result is bucket-count-invariant (ProfileSpec
+    // pins merge == direct).
+    "q46_mergeable_stats" -> ((s, dir) =>
+      graft.ops.Profile.mergeableStats(
+        table(s, dir, "events"), bucketKeyCol = "event_id",
+        columns = Seq("event_id", "user_id", "event_type"))),
+
     // Pivot (long→wide): order counts per customer segment × priority.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — required at scale anyway.
@@ -546,6 +558,34 @@ object Extended {
        SELECT vertex, r FROM r5"""
   }
 
+  /** One q46 branch per profiled column: global rows/nulls/min/max plus
+    * the q26 KMV estimator over the column's distinct 52-bit md5 hashes.
+    */
+  private def q46OracleSql: String = {
+    def branch(c: String) =
+      s"""SELECT '$c' AS col_name, a.n_rows, a.n_nulls,
+            round(CASE WHEN b.nc >= 64
+              THEN 63.0 / ((CAST(b.hk AS DOUBLE) + 1.0) / 4503599627370496.0)
+              ELSE CAST(b.nc AS DOUBLE) END, 6) AS ndv_est,
+            a.min_val, a.max_val
+          FROM (
+            SELECT count(*) AS n_rows,
+              CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+              CAST(min($c) AS VARCHAR) AS min_val,
+              CAST(max($c) AS VARCHAR) AS max_val
+            FROM events) a
+          CROSS JOIN (
+            SELECT count(*) AS nc, max(CASE WHEN rn = 64 THEN h END) AS hk
+            FROM (
+              SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+              FROM (
+                SELECT DISTINCT CAST(concat('0x',
+                  substring(md5(CAST($c AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+                FROM events WHERE $c IS NOT NULL))) b"""
+    Seq("event_id", "user_id", "event_type")
+      .map(branch).mkString("\n UNION ALL \n")
+  }
+
   val oracles: Map[String, String] = Map(
     "q30_pagerank" -> q30OracleSql,
     // The identical correlated-subquery SQL: both engines evaluate the
@@ -694,6 +734,11 @@ object Extended {
           SELECT 3, 'click', count(*) FROM s3
           UNION ALL
           SELECT 4, 'purchase', count(*) FROM s4""",
+    // Mirrors q46 directly at the GLOBAL level: the KMV merge is exact
+    // (union's k smallest == global k smallest), so the oracle need not
+    // replay the sharding — it computes each column's stats and KMV
+    // estimate straight off the table with q26's hash/estimator idiom.
+    "q46_mergeable_stats" -> q46OracleSql,
     // One UNION branch per profiled column; count(DISTINCT) skips nulls
     // on both engines, and the derived k mirrors q23's extraction.
     "q33_profile" ->

@@ -82,6 +82,32 @@ object TextQueries {
         size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"))
     }),
 
+    // Tokenizer fertility per language: BPE-tokens-per-word and
+    // bytes-per-BPE-token — the readout that decides whether a tokenizer
+    // (or a language's share of it) is efficient enough to train with,
+    // and the denominator every token-budget plan (p08/p10) quietly
+    // depends on. One narrow pass (both tokenizations are per-row
+    // kernels), one lang-keyed partial agg; ratios divide the exact
+    // integer sums.
+    "t18_tokenizer_fertility" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("lang"),
+          tokenCount(col("text")).cast("long").as("ws"),
+          size(bpeTokens(col("text"))).cast("long").as("bpe"),
+          octet_length(col("text")).cast("long").as("b"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"),
+          sum(col("b")).as("text_bytes"))
+        .withColumn("fertility",
+          round(col("bpe_tokens").cast("double")
+            / col("ws_tokens").cast("double"), 6))
+        .withColumn("bytes_per_token",
+          round(col("text_bytes").cast("double")
+            / col("bpe_tokens").cast("double"), 6))
+    }),
+
     // Gopher-style within-document repetition signals (top-token share,
     // duplicate-bigram share) — integer-exact counts + rounded ratios.
     "t07_repetition" -> ((s, dir) =>
@@ -222,13 +248,21 @@ object TextQueries {
     * remains. Unit split is code-point-based on both sides (DuckDB
     * string indexing = code points; the kernel splits by code point).
     */
-  private def t13OracleSql: String = {
+  private def t13OracleSql: String =
+    s"""WITH RECURSIVE $bpeCtes
+        SELECT d.doc_id,
+          CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+  /** The shared BPE-replay CTE chain (ends in `agg(doc_id, n_bpe)`) —
+    * composed by the t13 and t18 oracles; must sit under WITH RECURSIVE.
+    */
+  private def bpeCtes: String = {
     val whens = graft.expr.BpeOps.Merges.zipWithIndex
       .map { case ((a, b), r) => s"WHEN '$a|$b' THEN $r" }.mkString(" ")
     def rankOf(pair: String) = s"(CASE $pair $whens ELSE NULL END)"
     val pairAt = "seq[i] || '|' || seq[i+1]"
-    s"""WITH RECURSIVE
-        pre AS (
+    s"""pre AS (
           SELECT doc_id, regexp_extract_all(lower(text),
             '[a-z0-9]+|[^a-z0-9 \t\n\f\r]') AS ws
           FROM documents),
@@ -256,14 +290,35 @@ object TextQueries {
           FROM bpe
           WHERE list_min(list_transform(range(1, len(seq)),
             i -> ${rankOf(pairAt)})) IS NULL),
-        agg AS (SELECT doc_id, sum(n) AS n_bpe FROM fin GROUP BY doc_id)
-        SELECT d.doc_id,
-          CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
-        FROM documents d LEFT JOIN agg USING (doc_id)"""
+        agg AS (SELECT doc_id, sum(n) AS n_bpe FROM fin GROUP BY doc_id)"""
   }
+
+  /** The t18 oracle: per-lang fertility from the same BPE replay. Sums
+    * CAST to BIGINT (DuckDB HUGEINT — the p08 lesson); the two ratios
+    * divide exact-int doubles, so they are correctly rounded identically
+    * on both engines.
+    */
+  private def t18OracleSql: String =
+    s"""WITH RECURSIVE $bpeCtes,
+        base AS (
+          SELECT d.doc_id, d.lang,
+            CAST(len($lowToks) AS BIGINT) AS ws,
+            CAST(strlen(d.text) AS BIGINT) AS b,
+            CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS bpe
+          FROM documents d LEFT JOIN agg USING (doc_id))
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(ws) AS BIGINT) AS ws_tokens,
+          CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+          CAST(sum(b) AS BIGINT) AS text_bytes,
+          round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6)
+            AS fertility,
+          round(CAST(sum(b) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE), 6)
+            AS bytes_per_token
+        FROM base GROUP BY lang"""
 
   val oracles: Map[String, String] = Map(
     "t13_bpe_tokens" -> t13OracleSql,
+    "t18_tokenizer_fertility" -> t18OracleSql,
     "t01_token_stats" ->
       s"""SELECT doc_id,
           $nTokens AS n_tokens,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine.table
+import graft.ops
 import graft.ops.Similarity
 
 /** Similarity-search query surface over `embeddings` (64-dim float
@@ -296,7 +297,22 @@ object VectorQueries {
       cells.join(docs, Seq("id"))
         .groupBy(col("cell"), col("lang"))
         .agg(count(lit(1)).as("n_docs"))
-    })
+    }),
+
+    // Distributed Lloyd's k-means TRAINING (not just inference like
+    // v04's sampled-fit cells): the full corpus participates in every
+    // round, fixed-point-integer arithmetic makes the run bit-exact, and
+    // the oracle replays all 2 training rounds + final assignment as
+    // unrolled SQL — the q30/PageRank discipline applied to a training
+    // loop. Per round: map-side assignment against the centroid literal
+    // + ONE partially-aggregated (cell, dim) shuffle; the corpus never
+    // re-shuffles.
+    "v14_kmeans_train" -> ((s, dir) =>
+      ops.KMeansTrain.lloydAssign(
+        table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")),
+        k = 8, rounds = 2, idCol = "vec_id", vecCol = "embedding")
+        .withColumnRenamed("id", "vec_id"))
   )
 
   /** The v02 oracle rebuilt from the SAME deterministic constants the
@@ -680,6 +696,70 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "v02_ann_lsh" -> v02OracleSql,
+    // Unrolled Lloyd's replay (the q30 idiom): quantize -> md5-bucket
+    // seeds -> [assign -> integer-mean update] x2 -> final assignment.
+    // Every value is integer, every sum is CAST to BIGINT (DuckDB sums
+    // to HUGEINT — the p08 lesson), `//` on nonnegative ints matches
+    // Spark-side floorDiv.
+    "v14_kmeans_train" ->
+      """WITH q AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, CAST(t.i AS INTEGER) AS i, qv[CAST(t.i AS INTEGER)] AS v
+           FROM q CROSS JOIN generate_series(1, 64) t(i)),
+         b AS (
+           SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS mk,
+             CAST(CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS cell
+           FROM q),
+         s0 AS (
+           SELECT cell, vec_id FROM (
+             SELECT cell, vec_id,
+               row_number() OVER (PARTITION BY cell ORDER BY mk, vec_id) AS rn
+             FROM b) WHERE rn = 1),
+         c0 AS (SELECT s0.cell, e.i, e.v FROM s0 JOIN e USING (vec_id)),
+         d1 AS (
+           SELECT e.vec_id, c.cell,
+             CAST(sum((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS d2
+           FROM e JOIN c0 c USING (i) GROUP BY 1, 2),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+             FROM d1) WHERE rn = 1),
+         u1 AS (
+           SELECT a1.cell, e.i,
+             CAST(CAST(sum(e.v) AS BIGINT) // count(*) AS BIGINT) AS v
+           FROM a1 JOIN e USING (vec_id) GROUP BY 1, 2),
+         c1 AS (
+           SELECT c0.cell, c0.i, coalesce(u1.v, c0.v) AS v
+           FROM c0 LEFT JOIN u1 ON u1.cell = c0.cell AND u1.i = c0.i),
+         d2r AS (
+           SELECT e.vec_id, c.cell,
+             CAST(sum((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS d2
+           FROM e JOIN c1 c USING (i) GROUP BY 1, 2),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+             FROM d2r) WHERE rn = 1),
+         u2 AS (
+           SELECT a2.cell, e.i,
+             CAST(CAST(sum(e.v) AS BIGINT) // count(*) AS BIGINT) AS v
+           FROM a2 JOIN e USING (vec_id) GROUP BY 1, 2),
+         c2 AS (
+           SELECT c1.cell, c1.i, coalesce(u2.v, c1.v) AS v
+           FROM c1 LEFT JOIN u2 ON u2.cell = c1.cell AND u2.i = c1.i),
+         df AS (
+           SELECT e.vec_id, c.cell,
+             CAST(sum((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS d2
+           FROM e JOIN c2 c USING (i) GROUP BY 1, 2)
+         SELECT vec_id, cell, d2 AS dist2 FROM (
+           SELECT vec_id, cell, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           FROM df) WHERE rn = 1""",
     "v01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          scored AS (

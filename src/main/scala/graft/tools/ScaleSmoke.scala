@@ -310,6 +310,22 @@ object ScaleSmoke {
       Similarity.crossGroupPairs(emb, docLangs, threshold = 0.35,
         nCentroids = 16 * factor).queryExecution.toRdd.count()
     }
+    // distributed Lloyd's: per round one assignment pass + one (cell,dim)
+    // partial-agg shuffle — wall time must track the corpus linearly
+    time(s"kmeans train x$factor") {
+      graft.ops.KMeansTrain.lloydAssign(
+        scaled(spark, dir, "embeddings", Seq("vec_id"), factor)
+          .select(col("vec_id"), col("embedding")),
+        k = 8, rounds = 2, idCol = "vec_id", vecCol = "embedding")
+        .queryExecution.toRdd.count()
+    }
+    // LSH tuning report: 16 md5 hashes per shingle (the portable family's
+    // documented 16x) + three banded candidate joins + the exact-Jaccard
+    // truth leg — each leg near-linear on a natural corpus
+    time(s"lsh tuning report x$factor") {
+      Dedup.lshTuningReport(docs, "text", "doc_id")
+        .queryExecution.toRdd.count()
+    }
     println(jsonLine("scale_smoke", Seq(
       "factor" -> factor.toString, "shapes" -> shapesJson(results))))
     spark.stop()

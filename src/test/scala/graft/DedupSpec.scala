@@ -273,4 +273,45 @@ class DedupSpec extends SparkSessionSpec {
       assert(len >= 0)
     }
   }
+
+  test("p11 leak-safe split: content groups never straddle the boundary; the naive split does") {
+    val d = Engine.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val planted = d.unionAll(
+      d.select((-$"doc_id" - 1).as("doc_id"), $"text"))
+    val safe = Dedup.leakSafeSplit(planted, "text", "doc_id")
+      .as[(Long, Long, String)].collect()
+    assert(safe.length === planted.count())
+    // every (original, mirror) pair shares its representative's side
+    val byRep = safe.groupBy(_._2)
+    byRep.foreach { case (rep, rows) =>
+      assert(rows.map(_._3).toSet.size === 1,
+        s"rep $rep split across ${rows.map(_._3).toSet}")
+    }
+    // at least one planted pair has ids the NAIVE per-id split separates —
+    // i.e. the operator is doing real work, not vacuously agreeing
+    val naive = graft.ops.Sampling.split(planted, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val straddled = safe.map(_._2).distinct.count { rep =>
+      val ids = byRep(rep).map(_._1)
+      ids.map(naive).toSet.size > 1
+    }
+    assert(straddled > 0, "mirror feed produced no naive-split straddle")
+  }
+
+  test("d14 lsh tuning: finer bands only add candidates; counts consistent") {
+    val rep = Dedup.lshTuningReport(docs, "text", "doc_id")
+      .as[(Int, Int, Long, Long, Long, Double)].collect().sortBy(-_._1)
+    assert(rep.map(r => (r._1, r._2)).toSeq === Seq((16, 1), (8, 2), (4, 4)))
+    // a (4,4) band match implies two (8,2) matches implies four (16,1)
+    // matches — candidate sets are nested, so counts are monotone
+    val counts = rep.map(_._3).toSeq
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2), counts)
+    rep.foreach { case (b, r, cand, tru, det, recall) =>
+      assert(det <= tru && det <= cand, s"($b,$r)")
+      assert(recall >= 0.0 && recall <= 1.0)
+      // the three exact-dup pairs (1,2),(1,6),(2,6) share identical
+      // signatures: every config must detect them
+      assert(tru >= 3 && det >= 3, s"($b,$r) missed an exact dup")
+    }
+  }
 }

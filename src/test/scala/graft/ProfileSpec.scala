@@ -29,4 +29,35 @@ class ProfileSpec extends SparkSessionSpec {
     assert(scans === 1, s"profile planned $scans scans — must be one pass")
     assert(p.contains("Expand"), "multi-distinct lost the Expand plan")
   }
+
+  test("mergeableStats: merge is bucket-count-invariant (the mergeability contract)") {
+    val e = table(spark, sfDir, "events")
+    def run(b: Int) = Profile
+      .mergeableStats(e, "event_id", Seq("event_id", "user_id", "event_type"),
+        nBuckets = b)
+      .as[(String, Long, Long, Double, String, String)]
+      .collect().sortBy(_._1).toSeq
+    val direct = run(1) // one bucket == no sharding: the direct global path
+    assert(run(8) === direct)
+    assert(run(3) === direct)
+  }
+
+  test("mergeableStats agrees with the exact profile below the KMV knee") {
+    val e = table(spark, sfDir, "events")
+    val exact = Profile.profile(e, Seq("event_type"))
+      .as[(String, Long, Long, Long)].collect().head
+    val got = Profile
+      .mergeableStats(e, "event_id", Seq("event_type"), nBuckets = 4)
+      .as[(String, Long, Long, Double, String, String)].collect().head
+    assert(got._2 === exact._2 && got._3 === exact._3)
+    // event_type cardinality (5) is far below k=64: the KMV set is the
+    // complete distinct set and the estimate must be EXACT
+    assert(got._4 === exact._4.toDouble)
+    // nulls: planted frame with nulls keeps the null column honest
+    val withNulls = Seq(Option("a"), Option("a"), None, Option("b"))
+      .toDF("s").withColumn("id", monotonically_increasing_id())
+    val g2 = Profile.mergeableStats(withNulls, "id", Seq("s"), nBuckets = 2)
+      .as[(String, Long, Long, Double, String, String)].collect().head
+    assert(g2 === (("s", 4L, 1L, 2.0, "a", "b")))
+  }
 }
