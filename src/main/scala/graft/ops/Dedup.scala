@@ -652,14 +652,17 @@ object Dedup {
     * candidates to verify; the report quantifies that tradeoff on the
     * actual corpus instead of the textbook S-curve).
     *
-    * The hash family here is md5-derived (per-index salt `j` hashed WITH
-    * the shingle), so a SQL engine replays every signature bit-for-bit —
-    * the d04 portable-family discipline. That costs numHashes md5 calls
-    * per shingle, ~16× the xxhash64 production kernel ([[minhashPairs]]):
-    * the right trade for a TUNING run, which a pipeline executes once on
-    * a bounded sample per corpus, not per ingest batch. Candidate
-    * generation itself is the production shape — band keys carry
-    * (id, key) only, pairs expand only inside buckets.
+    * The hash family here is md5-derived so a SQL engine replays every
+    * signature bit-for-bit — the d04 portable-family discipline. ONE md5
+    * per shingle supplies two 60-bit halves (h0, h1); hash j is the
+    * linear combination h0 + j·(h1 mod 1e9+7) — Carter-Wegman-style
+    * pairwise independence from a single digest, integer-exact in any
+    * engine, no overflow (h0 < 2⁶⁰, j·h1m < 2³⁴). Still ~1 md5 per
+    * shingle vs the xxhash64 production kernel's ([[minhashPairs]])
+    * near-free hashing — the right trade for a TUNING run, which a
+    * pipeline executes once on a bounded sample per corpus, not per
+    * ingest batch. Candidate generation itself is the production shape —
+    * band keys carry (id, key) only, pairs expand only inside buckets.
     *
     * Output: (bands, rows_per_band, n_candidates, n_true, n_detected,
     * recall) — one row per config.
@@ -673,56 +676,92 @@ object Dedup {
       b >= 1 && r >= 1 && b * r <= numHashes },
       s"each bands*rowsPerBand must fit numHashes=$numHashes: $configs")
     val p = expansionParallelism(df)
-    // trigram shingles over lowercased whitespace tokens, distinct per doc
+    // trigram shingles over lowercased whitespace tokens, hashed to
+    // (h0, h1) ONCE at the scan — the checkpoint carries only slim
+    // (id, sorted-distinct h0 set, 16 minhashes) rows, never strings
     val tk = filter(split(lower(col(textCol)), WhitespaceRegex),
       t => t =!= lit(""))
     val sig = df.repartition(p)
       .select(col(idCol).cast("long").as("id"), tk.as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("id"), array_distinct(
-        transform(sequence(lit(1), size(col("tk")) - 2),
-          i => concat_ws(" ", slice(col("tk"), i, lit(3))))).as("shingles"))
-      .withColumn("mh",
+      .select(col("id"), transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ", slice(col("tk"), i, lit(3)))).as("shingles"))
+      // duplicate shingles are harmless here: array_min ignores them and
+      // hset dedups the h0 projection (DuckDB can't distinct a struct
+      // list, so neither side does)
+      .withColumn("hs", transform(col("shingles"), s => struct(
+        conv(substring(md5(s), 1, 15), 16, 10).cast("long").as("h0"),
+        (conv(substring(md5(s), 17, 15), 16, 10).cast("long")
+          % 1000000007L).as("h1"))))
+      .select(col("id"),
+        array_sort(array_distinct(transform(col("hs"),
+          h => h.getField("h0")))).as("hset"),
         transform(sequence(lit(0), lit(numHashes - 1)), j =>
-          array_min(transform(col("shingles"), s =>
-            conv(substring(md5(concat(j.cast("string"), lit(":"), s)),
-              1, 15), 16, 10).cast("long")))))
+          array_min(transform(col("hs"), h =>
+            h.getField("h0") + j.cast("long") * h.getField("h1")))).as("mh"))
       .localCheckpoint()
-    // ground truth: exact Jaccard ≥ num/den over pairs sharing a shingle
-    val ex = sig.select(col("id"), explode(col("shingles")).as("s"))
-      .repartition(p, col("s"))
-    val shared = ex.as("a")
-      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sig.select(col("id"), size(col("shingles")).cast("long").as("sz"))
-    val truth = shared
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .filter(col("inter") * den >= (col("sz_a") + col("sz_b") - col("inter")) * num)
+    // ground truth: exact Jaccard ≥ num/den over the hashed shingle sets
+    // — the d05 shape: co-shingle pair stream deduped to (a, b), then a
+    // merge-walk |A∩B| over the two sorted sets. PREFIX FILTERING
+    // (Bayardo, on the hash-sorted global order): a pair at J ≥ num/den
+    // must share an element within each side's first
+    // |A| − ⌈t·|A|⌉ + 1 sorted hashes, so only prefixes are indexed —
+    // the co-occurrence stream drops ~(1−t)² without losing a pair
+    val ex = sig
+      .withColumn("__plen", expr(
+        s"size(hset) - ((size(hset) * $num + ${den - 1}) div $den) + 1"))
+      .select(col("id"),
+        explode(slice(col("hset"), lit(1), col("__plen"))).as("h"))
+      .repartition(p, col("h"))
+    val truth = ex.as("a")
+      .join(ex.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(sig.select(col("id").as("id_a"), col("hset").as("ha")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("hset").as("hb")), "id_b")
+      .withColumn("inter", intersectCard(col("ha"), col("hb")))
+      .withColumn("uni", size(col("ha")) + size(col("hb")) - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
     val nTrue = truth.count()
-    configs.map { case (b, r) =>
-      val keys = sig.select(col("id"),
-        explode(transform(sequence(lit(0), lit(b - 1)), bi =>
+    // ALL configs' band keys in ONE pass / ONE exchange / ONE self-join:
+    // the key struct carries the config index, so equality never crosses
+    // configs and the quadratic expansion happens once per bucket
+    val keyArrays = configs.zipWithIndex.map { case ((b, r), ci) =>
+      transform(sequence(lit(0), lit(b - 1)), bi =>
+        struct(lit(ci).as("cfg"),
           concat(bi.cast("string"), lit("|"),
             concat_ws(",", transform(
               slice(col("mh"), bi.cast("int") * r + 1, lit(r)),
-              m => m.cast("string")))))).as("k"))
-        .repartition(p, col("k"))
-      val cand = keys.as("a")
-        .join(keys.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .dropDuplicates("id_a", "id_b")
-      cand.join(truth.withColumn("__t", lit(1L)), Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum(col("__t")), lit(0L)).as("n_detected"))
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          col("n_candidates"), lit(nTrue).as("n_true"), col("n_detected"),
-          round(when(lit(nTrue) > 0L,
-              col("n_detected").cast("double") / lit(nTrue).cast("double"))
-            .otherwise(lit(1.0)), 6).as("recall"))
-    }.reduce(_ unionAll _)
+              m => m.cast("string")))).as("k")))
+    }
+    val keyed = sig.select(col("id"),
+        explode(concat(keyArrays: _*)).as("ck"))
+      .select(col("id"), col("ck.cfg").as("cfg"), col("ck.k").as("k"))
+      .repartition(p, col("cfg"), col("k"))
+    val counts = keyed.as("a")
+      .join(keyed.as("b"), col("a.cfg") === col("b.cfg") &&
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.cfg").as("cfg"),
+        col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("cfg", "id_a", "id_b")
+      .join(truth.withColumn("__t", lit(1L)), Seq("id_a", "id_b"), "left")
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(col("__t")), lit(0L)).as("n_detected"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    configs.zipWithIndex.map { case ((b, r), ci) =>
+      val (nc, nd) = counts.getOrElse(ci, (0L, 0L))
+      val recall =
+        if (nTrue > 0) BigDecimal(nd.toDouble / nTrue.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 1.0
+      (b, r, nc, nTrue, nd, recall)
+    }.toDF("bands", "rows_per_band", "n_candidates", "n_true",
+      "n_detected", "recall")
   }
 }

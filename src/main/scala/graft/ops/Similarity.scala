@@ -81,6 +81,94 @@ object Similarity {
     rankTopK(scored, k, idCol, qidCol)
   }
 
+  /** Maximal Marginal Relevance re-rank: per query, greedily select `k`
+    * results trading relevance against redundancy —
+    * score(d) = λ·rel(q,d) − (1−λ)·max over selected s of sim(d,s) —
+    * the diversified-retrieval stage that stops a result list (or a
+    * training-data selection round) from being k copies of one document.
+    *
+    * Pipeline contract (the production rerank shape): MMR runs on a
+    * per-query SHORTLIST (`shortlist` exact-top-rel candidates here; an
+    * ANN front end at corpus scale), never on the corpus — so the greedy
+    * is a per-group sequential fold over ≤`shortlist` rows, exactly what
+    * the typed `flatMapGroups` surface is for. One broadcast-scored scan
+    * + one qid shuffle of slim (id, rel, vec) shortlist rows.
+    *
+    * Determinism/oracle: λ defaults to 0.5 (exact in binary — both
+    * engines parse it to the same double, the t16 constant-parity
+    * lesson); the in-group cosine replays [[graft.expr]]'s exact
+    * accumulation order (dot/norms left-to-right, `dot/(√na·√nb)`), so
+    * every score is bit-identical to DuckDB's `list_cosine_similarity`
+    * and the v15 oracle unrolls the greedy step for step. Ties break to
+    * the lowest id.
+    *
+    * Output: (qid, rank, neighbor_id, score) — rank 1..k in selection
+    * order, score rounded to 6.
+    */
+  def mmrSelect(
+      corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int = 20,
+      lambda: Double = 0.5,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("rel", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("rel").desc, col(idCol).asc)
+    val cand = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= shortlist)
+      .select(col(qidCol).cast("long").as("qid"), col(idCol).cast("long").as("id"),
+        col("rel"), col(vecCol).as("v"))
+    // the exact accumulation order of expr.GraftExpressions.CosineSim —
+    // bit-parity with DuckDB's list_cosine_similarity is the contract
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val u = a(i).toDouble; val v = b(i).toDouble
+        dot += u * v; na += u * u; nb += v * v
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val oneMinus = 1.0 - lambda
+    cand.as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val selected = scala.collection.mutable.ArrayBuffer[Int]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+        for (rank <- 1 to math.min(k, rows.length)) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < rows.length) {
+            if (!selected.contains(i)) {
+              val maxSim =
+                if (selected.isEmpty) 0.0
+                else selected.map(j => cos(rows(i)._4, rows(j)._4)).max
+              val score = lambda * rows(i)._3 - oneMinus * maxSim
+              if (score > bestScore ||
+                (score == bestScore && rows(i)._2 < bestId)) {
+                best = i; bestScore = score; bestId = rows(i)._2
+              }
+            }
+            i += 1
+          }
+          selected += best
+          out += ((qid, rank, rows(best)._2, bestScore))
+        }
+        out
+      }
+      .toDF("qid", "rank", "neighbor_id", "score")
+      .withColumn("score", round(col("score"), 6))
+  }
+
   /** LSH-bucketed ANN: hyperplane sign buckets + multiprobe.
     * Each query looks in every bucket within Hamming distance `probeBits`
     * of its own (1 + n + n(n-1)/2 buckets for probeBits=2); candidates are

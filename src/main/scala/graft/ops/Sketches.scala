@@ -267,26 +267,30 @@ object Sketches {
       k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val two52 = 4503599627370496.0 // 2^52, exact in a double
+    // ONE aggregation: the native bounded KMV buffer absorbs duplicates
+    // and combines map-side (graft.expr.KmvSketch), so the historical
+    // distinct-exchange + per-group-sort shape (distinct → window rank ≤
+    // k → count join) collapses to a single partial-agg pass whose
+    // shuffle carries ≤ k longs per (group, partition). Output values
+    // are identical: below the knee the sketch IS the distinct set, at
+    // it size()==k ⇔ the exact distinct count ≥ k.
     val h = df.select(
-        col(groupCol),
-        conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
-          .cast("long").as("__h"))
-      .distinct()
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h").asc)
-    val ranked = h.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k) // WindowGroupLimit: per-task k-min pre-shuffle
-    val kth = ranked.filter(col("__rn") === k)
-      .select(col(groupCol), col("__h").as("__hk"))
-    val counts = h.groupBy(col(groupCol)).agg(count(lit(1)).as("__nd"))
-    counts.join(kth, Seq(groupCol), "left")
+      col(groupCol),
+      conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+        .cast("long").as("__h"))
+    h.groupBy(col(groupCol))
+      .agg(graft.expr.nat(graft.expr.KmvSketch(
+        graft.expr.toExpr(col("__h")), k).toAggregateExpression())
+        .as("__kmv"))
       .select(
         col(groupCol),
         round(
-          when(col("__nd") >= k,
+          when(size(col("__kmv")) === k,
             lit((k - 1).toDouble) /
-              ((col("__hk").cast("double") + lit(1.0)) / lit(two52)))
-            .otherwise(col("__nd").cast("double")), 6)
+              ((element_at(col("__kmv"), k).cast("double") + lit(1.0))
+                / lit(two52)))
+            .otherwise(size(col("__kmv")).cast("double")), 6)
           .as(s"est_$keyCol"),
-        least(col("__nd"), lit(k.toLong)).as("n_kmv"))
+        size(col("__kmv")).cast("long").as("n_kmv"))
   }
 }

@@ -199,14 +199,22 @@ object DedupQueries {
     // genuinely separates — (16,1) catches nearly all, (4,4) misses most
     // — instead of saturating at 1.0 on exact dups.
     "d14_lsh_tuning" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mirror = d
+      // ONE scan + one exchange for the planted feed: each doc explodes
+      // into itself and its truncated mirror (a UNION of scan branches
+      // reads the parquet twice and tokenizes on the single-row-group
+      // scan task)
+      val planted = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("toks",
           graft.functions.TextFunctions.tokens(lower(col("text"))))
-        .select((-col("doc_id") - 1).as("doc_id"),
-          expr("array_join(slice(toks, 1, greatest((size(toks) * 3) div 5, 1)), ' ')")
-            .as("text"))
-      Dedup.lshTuningReport(d.unionAll(mirror), "text", "doc_id")
+        .select(explode(array(
+          struct(col("doc_id").as("doc_id"), col("text").as("text")),
+          struct((-col("doc_id") - 1).as("doc_id"),
+            expr("array_join(slice(toks, 1, greatest((size(toks) * 3) div 5, 1)), ' ')")
+              .as("text")))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+      Dedup.lshTuningReport(planted, "text", "doc_id")
     })
   )
 
@@ -236,23 +244,36 @@ object DedupQueries {
               list_distinct(list_transform(range(1, len(tk) - 1),
                 i -> array_to_string(tk[i:i+2], ' '))) AS shingles
             FROM toks WHERE len(tk) >= 3),
-          sig AS (
-            SELECT doc_id, shingles,
-              list_transform(range(0, 16),
-                j -> list_min(list_transform(shingles,
-                  s -> CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), ':', s)), 1, 15)) AS BIGINT)))) AS mh
+          hh AS (
+            SELECT doc_id,
+              list_transform(shingles, s -> struct_pack(
+                h0 := CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT),
+                h1 := CAST(concat('0x', substring(md5(s), 17, 15)) AS BIGINT)
+                      % 1000000007)) AS hs
             FROM sh),
-          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+          sig AS (
+            SELECT doc_id,
+              list_sort(list_distinct(list_transform(hs, h -> h.h0))) AS hset,
+              list_transform(range(0, 16),
+                j -> list_min(list_transform(hs,
+                  h -> h.h0 + j * h.h1))) AS mh
+            FROM hh),
+          ex AS (SELECT doc_id, unnest(
+              hset[1 : len(hset) - ((len(hset) * 1 + 1) // 2) + 1]) AS h
+            FROM sig),
           shared AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-          sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
           truth AS (
-            SELECT id_a, id_b FROM shared
-            JOIN sizes sa ON id_a = sa.doc_id
-            JOIN sizes sb ON id_b = sb.doc_id
-            WHERE inter * 2 >= (sa.sz + sb.sz - inter)),
+            SELECT id_a, id_b FROM (
+              SELECT id_a, id_b,
+                len(list_intersect(sa.hset, sb.hset)) AS inter,
+                len(sa.hset) + len(sb.hset)
+                  - len(list_intersect(sa.hset, sb.hset)) AS uni
+              FROM shared
+              JOIN sig sa ON id_a = sa.doc_id
+              JOIN sig sb ON id_b = sb.doc_id)
+            WHERE inter * 2 >= uni),
           cfg AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4)) c(bands, rpb)),
           keys AS (
             SELECT cfg.bands, cfg.rpb, sig.doc_id,

@@ -68,7 +68,20 @@ object StreamQueries {
       val planted = d.unionAll(d.select(
         (col("doc_id") + 10000).as("doc_id"), col("lang"), col("text")))
       graft.streaming.DedupStream.stats(planted, "text", "doc_id", "lang")
-    })
+    }),
+
+    // Streaming catalog stats (batch form): per-(column, ingest shard)
+    // rows / nulls / min / max / KMV candidates — the q46 mergeable
+    // ANALYZE maintained as BOUNDED streaming state (four scalars + at
+    // most 64 hashes per group at any stream length). StreamingSpec
+    // proves the mapGroupsWithState form converges to this under
+    // shuffled multi-batch arrival, and that merging these shard rows
+    // reproduces q46's global answer.
+    "s10_shard_stats" -> ((s, dir) =>
+      graft.streaming.StatsStream.statsFromEvents(
+        graft.streaming.StatsStream.statEvents(
+          table(s, dir, "events"), bucketKeyCol = "event_id",
+          columns = Seq("event_id", "user_id"), nBuckets = 8)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -168,6 +181,40 @@ object StreamQueries {
             CAST(sum(n_copies) AS BIGINT) AS n_docs,
             count(*) AS n_distinct,
             CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups
-          FROM g GROUP BY lang"""
+          FROM g GROUP BY lang""",
+    // Mirrors s10: one branch per profiled long column, the q46 md5
+    // shard bucket, per-shard scalar stats + the k-min rank (n_kmv =
+    // min(distinct, 64), hk = 64th smallest hash or NULL below the knee).
+    "s10_shard_stats" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS col_name, b.bucket, b.n_rows, b.n_nulls,
+              b.min_val, b.max_val, coalesce(kk.n_kmv, 0) AS n_kmv, kk.hk
+            FROM (
+              SELECT bucket, count(*) AS n_rows,
+                CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+                min($c) AS min_val, max($c) AS max_val
+              FROM e GROUP BY bucket) b
+            LEFT JOIN (
+              SELECT bucket,
+                CAST(sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_kmv,
+                max(CASE WHEN rn = 64 THEN h END) AS hk
+              FROM (
+                SELECT bucket, h,
+                  row_number() OVER (PARTITION BY bucket ORDER BY h ASC) AS rn
+                FROM (
+                  SELECT DISTINCT bucket, CAST(concat('0x',
+                    substring(md5(CAST($c AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+                  FROM e WHERE $c IS NOT NULL))
+              GROUP BY bucket) kk USING (bucket)"""
+      s"""WITH e AS (
+            SELECT event_id, user_id,
+              CAST(CAST(concat('0x',
+                substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 8 AS INT) AS bucket
+            FROM events)
+          ${branch("event_id")}
+          UNION ALL
+          ${branch("user_id")}"""
+    }
   )
 }

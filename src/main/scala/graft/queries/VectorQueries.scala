@@ -312,7 +312,21 @@ object VectorQueries {
         table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding")),
         k = 8, rounds = 2, idCol = "vec_id", vecCol = "embedding")
-        .withColumnRenamed("id", "vec_id"))
+        .withColumnRenamed("id", "vec_id")),
+
+    // MMR diversified re-rank: greedy λ=0.5 relevance-vs-redundancy
+    // selection of 5 from each query's exact top-20 shortlist — the
+    // rerank stage that keeps a result list (or a data-selection round)
+    // from being five copies of one document. Oracle unrolls all five
+    // greedy steps (correlated max-sim subqueries, the q45 surface).
+    "v15_mmr_rerank" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.mmrSelect(e, q, k = 5, shortlist = 20)
+    })
   )
 
   /** The v02 oracle rebuilt from the SAME deterministic constants the
@@ -694,8 +708,65 @@ object VectorQueries {
     "v06_cluster_profile" -> (v06OracleSql(_, _)),
     "p03_cluster_language_mix" -> (p03OracleSql(_, _)))
 
+  /** v15's oracle: the v01 scored CTE cut to a top-20 shortlist, a
+    * pairwise candidate-sim table, then the five greedy MMR steps
+    * unrolled — each step excludes the already-selected set (NOT
+    * EXISTS) and subtracts the correlated max selected-sim. λ=0.5 is
+    * exact in binary, cosines are bit-identical across engines (the v01
+    * contract), so every intermediate score matches bitwise.
+    */
+  private def v15OracleSql: String = {
+    val steps = (2 to 5).map { i =>
+      val prevUnion = (1 until i)
+        .map(j => s"SELECT qid, id FROM sel$j").mkString(" UNION ALL ")
+      s"""prev$i AS ($prevUnion),
+         st$i AS (
+           SELECT qid, id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+           FROM (
+             SELECT c.qid, c.id,
+               0.5 * c.rel - 0.5 * (
+                 SELECT max(ps.sim) FROM ps JOIN prev$i p
+                   ON p.qid = ps.qid AND ps.idb = p.id
+                 WHERE ps.qid = c.qid AND ps.ida = c.id) AS score
+             FROM cand c
+             WHERE NOT EXISTS (
+               SELECT 1 FROM prev$i p WHERE p.qid = c.qid AND p.id = c.id))),
+         sel$i AS (SELECT qid, id, score FROM st$i WHERE rn = 1)"""
+    }.mkString(",\n")
+    val ranked = (1 to 5)
+      .map(i => s"SELECT qid, $i AS rk, id, score FROM sel$i")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id < 3),
+        scored AS (
+          SELECT q.qid, e.vec_id AS id,
+            list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS rel
+          FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        cand AS (SELECT qid, id, rel FROM (
+            SELECT qid, id, rel,
+              row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id ASC) AS rn
+            FROM scored) WHERE rn <= 20),
+        ps AS (
+          SELECT a.qid, a.id AS ida, b.id AS idb,
+            list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+          FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id
+          JOIN embeddings ea ON ea.vec_id = a.id
+          JOIN embeddings eb ON eb.vec_id = b.id),
+        st1 AS (SELECT qid, id, 0.5 * rel - 0.5 * 0.0 AS score,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, id ASC) AS rn
+                FROM cand),
+        sel1 AS (SELECT qid, id, score FROM st1 WHERE rn = 1),
+        $steps
+        SELECT qid, CAST(rk AS INT) AS rank, id AS neighbor_id,
+          round(score, 6) AS score
+        FROM ($ranked)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "v02_ann_lsh" -> v02OracleSql,
+    "v15_mmr_rerank" -> v15OracleSql,
     // Unrolled Lloyd's replay (the q30 idiom): quantize -> md5-bucket
     // seeds -> [assign -> integer-mean update] x2 -> final assignment.
     // Every value is integer, every sum is CAST to BIGINT (DuckDB sums

@@ -182,4 +182,26 @@ class ExpressionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("integer literal"))
   }
+
+  test("kmv_sketch aggregate == composed distinct-sort-take, any partitioning") {
+    def sketch(k: Int) = graft.expr.nat(graft.expr.KmvSketch(
+      graft.expr.toExpr(col("h")), k).toAggregateExpression())
+    // values with duplicates, nulls, and negatives across groups
+    val rows = (0 until 500).map { i =>
+      (s"g${i % 3}", if (i % 41 == 0) None else Some((i * 2654435761L) % 997 - 300))
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "h").repartition(parts)
+      val got = df.groupBy(col("g")).agg(sketch(8).as("kmv"))
+        .as[(String, Seq[Long])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.flatMap(_._2).distinct.sorted.take(8)
+      }
+      assert(got === want, s"parts=$parts")
+      // ascending, distinct, capped
+      got.values.foreach { s =>
+        assert(s.length <= 8 && s == s.distinct.sorted)
+      }
+    }
+  }
 }

@@ -152,7 +152,8 @@ class PlanSpec extends SparkSessionSpec {
     "t10_tfidf", "t11_unigram_nll", // 1-row corpus-count cross join
     "t16_bm25",                     // 1-row (N, total-length) cross join
     "q31_gap_fill",                 // 1-row (h0, h1) range cross join
-    "q46_mergeable_stats")          // 1-row (scalar stats × KMV) joins
+    "q46_mergeable_stats",          // 1-row (scalar stats × KMV) joins
+    "v15_mmr_rerank")               // query set broadcast (v01 shape)
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
     // the staged-CTE SQL shape scans events per stage; the typed-MR

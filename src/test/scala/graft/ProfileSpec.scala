@@ -60,4 +60,16 @@ class ProfileSpec extends SparkSessionSpec {
       .as[(String, Long, Long, Double, String, String)].collect().head
     assert(g2 === (("s", 4L, 1L, 2.0, "a", "b")))
   }
+
+  test("mergeableStats is one scan for all columns, KMV partially aggregated") {
+    val p = Profile.mergeableStats(
+        table(spark, sfDir, "events"), "event_id",
+        Seq("event_id", "user_id", "event_type"))
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"mergeableStats planned $scans scans — must be one")
+    assert(p.contains("partial_kmv_sketch"),
+      "shard KMV lost map-side partial aggregation")
+    assert(!p.contains("Window"), "sketch path must not plan a window sort")
+  }
 }

@@ -497,4 +497,41 @@ class SimilaritySpec extends SparkSessionSpec {
       assert(got.filter(_._1 == qid).toSet === want, s"query $qid")
     }
   }
+
+  test("MMR: rank 1 is the relevance argmax; a planted exact dup of it is demoted") {
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = table(spark, sfDir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top1 = Similarity.bruteForceTopK(e, q, k = 1)
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // plant an exact duplicate of each query's most-relevant doc: plain
+    // top-2 would return (top, dup); MMR must push the dup off rank 2
+    // (its max-sim-to-selected is 1.0, the maximal redundancy penalty)
+    val dupIds = top1.values.toSet
+    val dups = e.filter(col("id").isin(dupIds.toSeq: _*))
+      .select((col("id") + 100000L).as("id"), col("vec"))
+    val planted = e.unionAll(dups)
+    val got = Similarity.mmrSelect(planted, q, k = 5, shortlist = 20)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.length === 15)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_._2)
+      // rank 1 = pure relevance argmax: the original top doc (lower id
+      // than its planted twin on the rel tie)
+      assert(byRank.head._3 === top1(qid), s"query $qid rank-1")
+      val dupOfTop = top1(qid) + 100000L
+      assert(byRank(1)._3 !== dupOfTop,
+        s"query $qid rank-2 picked the exact dup — no diversification")
+      // (scores are NOT monotone down the ranking: a negative max-sim
+      // turns the redundancy penalty into a bonus — classical MMR)
+      // selected ids are distinct
+      assert(rows.map(_._3).distinct.length === rows.length)
+    }
+    // partition invariance of the per-group fold
+    val re = Similarity.mmrSelect(planted.repartition(7), q, k = 5,
+      shortlist = 20).as[(Long, Int, Long, Double)].collect().toSet
+    assert(re === got.toSet)
+  }
 }

@@ -69,12 +69,17 @@ class SketchSpec extends SparkSessionSpec {
           s"$tpe estimate $v too far from exact $n")
       }
     }
-    // the rank-limit must plan as WindowGroupLimit (per-task k-min before
-    // the window's exchange) — the property that keeps the sketch cheap
+    // the sketch must plan as ONE partially-aggregated pass (the native
+    // kmv_sketch buffer combines map-side) — no distinct exchange, no
+    // per-group sort: the properties that keep the sketch cheap
     val plan = graft.ops.Sketches.kmvDistinct(e, "user_id", "event_type")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"),
-      "KMV rank limit lost the WindowGroupLimit pushdown")
+    assert(plan.contains("partial_kmv_sketch"),
+      "KMV lost map-side partial aggregation")
+    assert(!plan.contains("Window"),
+      "KMV sketch path must not plan a window sort")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"KMV planned $exchanges exchanges — must be one")
   }
 
   test("winsorize clips to the discrete p-bounds and flags exactly the out-of-range rows") {

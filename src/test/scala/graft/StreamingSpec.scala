@@ -346,6 +346,57 @@ class StreamingSpec extends SparkSessionSpec {
     assert(out(2L) === ((1L, 1L)))
   }
 
+  test("streaming shard stats state == batch form under shuffled multi-batch arrival (s10)") {
+    import graft.streaming.StatsStream
+    val events = table(spark, sfDir, "events")
+    val cols = Seq("event_id", "user_id")
+    val batch = StatsStream.statsFromEvents(
+        StatsStream.statEvents(events, "event_id", cols, nBuckets = 8))
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Long)](spark)
+    val streamDf = mem.toDF().toDF("event_id", "user_id")
+    // worst-case arrival: reversed id order, split across three batches
+    val rows = events.select("event_id", "user_id")
+      .as[(Long, Long)].collect().sortBy(-_._1)
+    val thirds = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val out = StatsStream.shardStatsStream(streamDf, "event_id", cols)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("s10_out").start()
+    thirds.foreach { part =>
+      mem.addData(part.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // update mode re-emits a group each batch it is touched in: the
+    // LAST emission per (col, bucket) is the quiet-period state
+    val sink = spark.table("s10_out")
+      .withColumn("__seq", monotonically_increasing_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name"), col("bucket"))
+      .orderBy(col("__seq").desc)
+    val finalState = sink.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__seq", "__rn")
+      .collect().map(_.toSeq).toSet
+    assert(finalState === batch)
+
+    // merging the shard rows reproduces q46's global catalog row for
+    // the long columns (the same KMV merge the batch op relies on)
+    val merged = graft.ops.Profile.mergeableStats(
+        events, "event_id", cols, nBuckets = 8)
+      .as[(String, Long, Long, Double, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._5, r._6))).toMap
+    val fromShards = StatsStream.statsFromEvents(
+        StatsStream.statEvents(events, "event_id", cols, nBuckets = 8))
+      .groupBy(col("col_name"))
+      .agg(sum(col("n_rows")).as("r"), sum(col("n_nulls")).as("n"),
+        min(col("min_val")).cast("string").as("mn"),
+        max(col("max_val")).cast("string").as("mx"))
+      .as[(String, Long, Long, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(fromShards === merged)
+  }
+
   implicit class Tup3Ops[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
