@@ -18,7 +18,17 @@ object Verify {
     val out = new java.io.File(outDir)
     if (out.exists()) rm(out)
     out.mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop filter (the Bench SPARK_GRAFT_BENCH_ONLY idiom): dump only
+    // queries matching the comma-separated name prefixes. The driver
+    // never sets it → full dump.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

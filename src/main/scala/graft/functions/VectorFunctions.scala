@@ -94,4 +94,32 @@ object VectorFunctions {
       (next() >>> 11).toDouble / (1L << 52).toDouble - 1.0
     })
   }
+
+  /** Binary (sign-bit) quantization: dim float elements collapse to
+    * ceil(dim/64) packed BIGINT words — bit i of word w is
+    * `v[w·64+i] >= 0`. The 1-bit extreme of the v08/v09 quantization
+    * family: 64-dim float32 (256 B) becomes ONE long (8 B), a 32× cut in
+    * the bytes a candidate scan touches, and Hamming distance over the
+    * codes is XOR+popcount — a handful of ALU ops per candidate vs dim
+    * multiply-adds. `dim` is static, so the word folds unroll into
+    * straight-line codegen'd CASE/OR chains (no dynamic shifts, no UDF).
+    */
+  def signPack(v: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val words = (dim + 63) / 64
+    array((0 until words).map { w =>
+      (w * 64 until math.min(w * 64 + 64, dim)).map { i =>
+        when(element_at(v, i + 1) >= lit(0), lit(1L << (i - w * 64)))
+          .otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+  }
+
+  /** Hamming distance between two [[signPack]]ed codes:
+    * Σ_w popcount(a_w XOR b_w), via codegen'd `zip_with`+`bit_count`.
+    */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
 }

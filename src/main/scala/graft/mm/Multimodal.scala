@@ -138,4 +138,30 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("doc_id"), col("frame_idx"), col("n_frames"))
+
+  /** Media quality gate with per-rule verdicts — the p06 auditable-filter
+    * idiom lifted to media. Consumes the [[decodeFeatures]] output (or
+    * any frame with the same metadata columns), so the rules run on
+    * already-extracted METADATA: per-modality dimension/aspect/frame
+    * checks are pure column logic, and a rejected file never reaches the
+    * expensive full-decode/resize stages downstream. `reasons` keeps WHY
+    * (fixed rule order, comma-joined), `kept` is the gate verdict —
+    * per-rule reject counts downstream are plain string filters, no
+    * re-decode. Narrow projection, no shuffle.
+    */
+  def qualityGate(features: DataFrame, minBytes: Long = 64,
+      minDim: Int = 32, maxAspect: Int = 8, minFrames: Int = 2): DataFrame = {
+    val visual = col("media_type").isin("image", "video")
+    val reasons = concat_ws(",",
+      when(col("n_bytes") < minBytes, lit("tiny_payload")),
+      when(visual && least(col("width"), col("height")) < minDim,
+        lit("tiny_dims")),
+      when(visual && greatest(col("width"), col("height"))
+        > lit(maxAspect) * least(col("width"), col("height")),
+        lit("extreme_aspect")),
+      when(col("media_type") === "video" && col("n_frames") < minFrames,
+        lit("too_few_frames")))
+    features.select(col("doc_id"), col("media_type"), col("n_bytes"),
+      reasons.as("reasons"), (reasons === "").as("kept"))
+  }
 }

@@ -764,4 +764,30 @@ object Dedup {
     }.toDF("bands", "rows_per_band", "n_candidates", "n_true",
       "n_detected", "recall")
   }
+
+  /** Cross-SOURCE exact-duplication matrix: for every unordered pair of
+    * distinct sources, how many normalized fingerprints both carry —
+    * the "is CommonCrawl re-delivering C4?" curation diagnostic. d10
+    * reports per-source dedup impact; this reports WHICH source pairs
+    * share content, which is what decides precedence rules (p05) and
+    * whether a feed is worth ingesting at all.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (fingerprint, source)
+    * first — one partially-aggregated shuffle — so the per-fingerprint
+    * self-join cell is bounded by |sources| (a catalog-sized constant),
+    * never by how many documents share the fingerprint. A fingerprint
+    * duplicated a million times inside one source contributes ONE row
+    * per source it appears in. No quadratic leg anywhere.
+    *
+    * Output: (source_a, source_b, n_shared_fps) with source_a < source_b.
+    */
+  def sourceOverlap(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val fps = df.select(fingerprint(col(textCol)).as("__fp"),
+      col(sourceCol).cast("string").as("__src")).distinct()
+    fps.join(fps.select(col("__fp"), col("__src").as("__src_b")), Seq("__fp"))
+      .filter(col("__src") < col("__src_b"))
+      .groupBy(col("__src").as("source_a"), col("__src_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
 }

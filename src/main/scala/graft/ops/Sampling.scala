@@ -177,4 +177,44 @@ object Sampling {
       .filter(col("__rn") === 1)
       .select(col("src"), col("dst"), col("j"))
   }
+
+  /** Data-constrained epoch planning: turn a global token `budget` into
+    * per-stratum repeat counts. Each stratum (domain/language/source)
+    * holding T_s tokens gets a quota ∝ ⌊√T_s⌋ (the [[temperatureSample]]
+    * flattening, so small-but-valuable strata aren't starved), and the
+    * quota becomes a whole number of EPOCHS over the stratum —
+    * `ceil(quota / T_s)` capped at `maxEpochs`, after the empirical
+    * result that repeating data beyond ~4 epochs stops buying loss
+    * (the data-constrained-scaling recipe: up-repeat small domains
+    * instead of over-sampling the big one). `planned_tokens` is what the
+    * schedule actually delivers: min(quota, epochs·T_s).
+    *
+    * All integer arithmetic (`div` floor division, ceil as
+    * `(q + T − 1) div T`), so the plan is engine-reproducible. Scale:
+    * one partially-aggregated groupBy to T_s (stratum cardinality rows),
+    * then a whole-frame window over |strata| rows — the p02 shape; the
+    * corpus itself is touched once.
+    *
+    * Output: (stratumCol, n_tokens, quota, epochs, planned_tokens).
+    */
+  def epochPlan(
+      df: DataFrame, stratumCol: String, tokens: Column,
+      budget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    df.groupBy(col(stratumCol))
+      .agg(sum(tokens.cast("long")).as("n_tokens"),
+        floor(sqrt(sum(tokens.cast("long")))).cast("long").as("__s"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__ss", sum(col("__s")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("quota", expr(s"$budget * __s div __ss"))
+      .withColumn("epochs",
+        least(lit(maxEpochs.toLong),
+          expr("(quota + n_tokens - 1) div n_tokens")))
+      .withColumn("planned_tokens",
+        least(col("quota"), col("epochs") * col("n_tokens")))
+      .select(col(stratumCol), col("n_tokens"), col("quota"),
+        col("epochs"), col("planned_tokens"))
+  }
 }

@@ -956,4 +956,56 @@ object Similarity {
       .select(col(qidCol), col(idCol).as("neighbor_id"),
         col("rank"), round(col("dist"), 6).as("dist"))
   }
+
+  /** Binary-quantized ANN: sign-bit codes + Hamming shortlist + exact
+    * cosine rerank — the 1-bit endpoint of the quantization family
+    * (v08 int8 SQ → v09/v11 PQ → this). The production pattern for
+    * billion-scale retrieval where even PQ codes are too big to scan.
+    *
+    * Plan shape (the 100 TB story):
+    *  1. Each corpus row collapses to (id, ceil(dim/64) packed longs) —
+    *     [[graft.functions.VectorFunctions.signPack]] is fused into the
+    *     scan, so the candidate stage streams 8 bytes/row of code instead
+    *     of 256 bytes of float vector; the float vectors never shuffle.
+    *  2. Candidate scoring broadcasts only the query CODES and computes
+    *     XOR+popcount per pair (`bit_count`, whole-stage codegen'd) —
+    *     integer ALU work, no FP, no array traversal.
+    *  3. The per-query Hamming top-`shortlist` survivors (|Q|·shortlist
+    *     rows, deterministic tie-break by id) are broadcast back against
+    *     the corpus for an exact-cosine rerank — the identical
+    *     refine tail v09/v11 use.
+    *
+    * Hamming on sign bits estimates angular distance (cos θ ≈
+    * cos(π·h/dim) — the hyperplane-LSH identity with the coordinate
+    * axes as planes), so shortlist ≫ k buys back the quantization
+    * recall loss; SimilaritySpec bounds recall vs the exact v01 result.
+    */
+  def hammingTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      shortlist: Int = 50,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val codes = corpus.select(col(idCol), signPack(col(vecCol), dim).as("__code"))
+    val qcodes = queries.select(col(qidCol), signPack(col(qvecCol), dim).as("__qcode"))
+    val hw = Window.partitionBy(col(qidCol))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+    val short = codes.crossJoin(broadcast(qcodes))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("hamming", hammingDist(col("__code"), col("__qcode")))
+      .withColumn("__hrank", row_number().over(hw))
+      .filter(col("__hrank") <= shortlist)
+      .select(col(qidCol), col(idCol), col("hamming"))
+    // exact rerank on true vectors — |Q|·shortlist rows, broadcast-joined
+    val rer = corpus.join(broadcast(short), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    rer
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"), col("rank"),
+        col("hamming"), round(col("sim"), 6).as("sim"))
+  }
 }

@@ -215,6 +215,19 @@ object DedupQueries {
               .as("text")))).as("r"))
         .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
       Dedup.lshTuningReport(planted, "text", "doc_id")
+    }),
+
+    // Cross-source exact-duplication matrix: distinct (fingerprint,
+    // source) pairs self-joined on fingerprint — per-fp cell bounded by
+    // |sources|, so no group size can go quadratic. The 'mirror' feed
+    // plants every document into a second source, giving each real
+    // source a known full-overlap row against 'mirror' on top of any
+    // genuine cross-source duplication in the corpus.
+    "d13_source_overlap" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("text"), col("source"))
+      val withMirror = d.unionAll(
+        d.select(col("text"), lit("mirror").as("source")))
+      Dedup.sourceOverlap(withMirror, "text", "source")
     })
   )
 
@@ -225,6 +238,17 @@ object DedupQueries {
   private val normFp = """md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g')))"""
 
   val oracles: Map[String, String] = Map(
+    // Mirrors d13: same mirror feed, same normalized fingerprint,
+    // distinct (fp, source) before the self-join, lexicographic pair
+    // orientation. count(*) is already distinct-fp per pair.
+    "d13_source_overlap" ->
+      s"""WITH u AS (SELECT text, source FROM documents
+                     UNION ALL SELECT text, 'mirror' AS source FROM documents),
+          f AS (SELECT DISTINCT $normFp AS fp, source FROM u),
+          p AS (SELECT a.source AS source_a, b.source AS source_b
+                FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source)
+          SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_fps
+          FROM p GROUP BY source_a, source_b""",
     // Mirrors d14 end-to-end: truncated-prefix mirror feed, trigram
     // shingles, the 16-hash md5 family (15 hex chars -> 60-bit ints, the
     // p07/q21 hex-parse idiom), band keys as 'b|v1,v2', exact-Jaccard

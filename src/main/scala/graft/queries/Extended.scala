@@ -16,6 +16,32 @@ import graft.ops.TemporalJoins
 object Extended {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Referential-integrity audit: orphan counts per FK edge, with
+    // planted violations in disjoint negative key spaces (every 50th
+    // order re-keyed to a phantom customer; every 100th order's
+    // lineitems re-keyed to a phantom order AND part). The supplier
+    // edge stays clean by construction — a healthy edge must read 0.
+    "q47_fk_orphans" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      val ordersP = orders.unionAll(
+        orders.filter(pmod(col("o_orderkey"), lit(50)) === 0)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1)
+          .withColumn("o_custkey", -col("o_custkey") - 1))
+      val liP = li.unionAll(
+        li.filter(pmod(col("l_orderkey"), lit(100)) === 0)
+          .withColumn("l_orderkey", -col("l_orderkey") - 1)
+          .withColumn("l_partkey", -col("l_partkey") - 1))
+      graft.ops.Audit.fkOrphans(Seq(
+        ("orders.o_custkey->customer", ordersP, "o_custkey",
+          table(s, dir, "customer"), "c_custkey"),
+        ("lineitem.l_orderkey->orders", liP, "l_orderkey",
+          orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", liP, "l_partkey",
+          table(s, dir, "part"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", liP, "l_suppkey",
+          table(s, dir, "supplier"), "s_suppkey")))
+    }),
     // AS-OF join: each purchase matched to the user's most recent view at
     // or before the purchase time. Union + window, not a range-join
     // blowup — see TemporalJoins.asofJoin. Production runs the skew-
@@ -587,6 +613,36 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors q47: same planted phantom keys, one LEFT JOIN per edge,
+    // orphan = NULL parent key. Sums CAST to BIGINT (the p08 lesson).
+    "q47_fk_orphans" ->
+      """WITH op AS (
+           SELECT o_orderkey, o_custkey FROM orders
+           UNION ALL SELECT -o_orderkey - 1, -o_custkey - 1 FROM orders
+           WHERE o_orderkey % 50 = 0),
+         lp AS (
+           SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+           UNION ALL SELECT -l_orderkey - 1, -l_partkey - 1, l_suppkey
+           FROM lineitem WHERE l_orderkey % 100 = 0)
+         SELECT 'orders.o_custkey->customer' AS edge,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         FROM op LEFT JOIN customer c ON op.o_custkey = c.c_custkey
+         UNION ALL
+         SELECT 'lineitem.l_orderkey->orders',
+           count(*),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lp LEFT JOIN orders o ON lp.l_orderkey = o.o_orderkey
+         UNION ALL
+         SELECT 'lineitem.l_partkey->part',
+           count(*),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lp LEFT JOIN part p ON lp.l_partkey = p.p_partkey
+         UNION ALL
+         SELECT 'lineitem.l_suppkey->supplier',
+           count(*),
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lp LEFT JOIN supplier s ON lp.l_suppkey = s.s_suppkey""",
     "q30_pagerank" -> q30OracleSql,
     // The identical correlated-subquery SQL: both engines evaluate the
     // same DECIMAL-exact price·n > sum predicate, so the row sets match

@@ -83,7 +83,16 @@ object MMQueries {
         .withColumn("rn", row_number().over(w))
         .select(col("doc_id"), col("media_type"), col("rn"),
           ((col("rn") - 1) * 3 + typeIdx).as("pos"))
-    })
+    }),
+
+    // Media quality gate: per-rule verdicts (tiny_payload / tiny_dims /
+    // extreme_aspect / too_few_frames) over the decode-features output —
+    // metadata-only rules that reject a file BEFORE the expensive decode
+    // stages. The p06 auditable-filter idiom on the media table.
+    "m08_media_gate" -> ((s, dir) =>
+      Multimodal.qualityGate(
+        Multimodal.decodeFeatures(
+          s, Multimodal.asMediaTable(table(s, dir, "documents"))).toDF()))
   )
 
   // a def, not a val: the queries map above initializes first, and a
@@ -100,6 +109,34 @@ object MMQueries {
   private val nBytes = "octet_length(encode(text))"
 
   val oracles: Map[String, String] = Map(
+    // Mirrors m08: the m01 stub-dimension fragments feeding the same
+    // fixed-order rule set; concat_ws skips NULL branches identically on
+    // both engines (the p06 contract), and kept is '' equality on the
+    // same joined string.
+    "m08_media_gate" ->
+      s"""WITH f AS (
+            SELECT doc_id,
+              CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+              CAST($nBytes AS BIGINT) AS n_bytes,
+              CAST(($nBytes % 640) + 16 AS INT) AS width,
+              CAST((($nBytes * 7) % 480) + 16 AS INT) AS height,
+              CAST(($nBytes % 16) + 1 AS INT) AS n_frames
+            FROM documents),
+          r AS (
+            SELECT doc_id, media_type, n_bytes,
+              concat_ws(',',
+                CASE WHEN n_bytes < 64 THEN 'tiny_payload' END,
+                CASE WHEN media_type IN ('image', 'video')
+                     AND least(width, height) < 32 THEN 'tiny_dims' END,
+                CASE WHEN media_type IN ('image', 'video')
+                     AND greatest(width, height) > 8 * least(width, height)
+                     THEN 'extreme_aspect' END,
+                CASE WHEN media_type = 'video' AND n_frames < 2
+                     THEN 'too_few_frames' END) AS reasons
+            FROM f)
+          SELECT doc_id, media_type, n_bytes, reasons,
+            (reasons = '') AS kept
+          FROM r""",
     "m01_media_meta" ->
       s"""SELECT doc_id,
           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -141,13 +141,84 @@ object PipelineQueries {
         "text", "doc_id",
         priority = when(col("source") === "mirror", 1).otherwise(0))
         .select(col("doc_id"), col("source"), col("n_copies"))
-    })
+    }),
+
+    // Snapshot change-data-capture: the refreshed crawl is the corpus
+    // with every 17th doc dropped (deletes), every 13th doc's text
+    // revised (updates), and a planted insert feed in the disjoint
+    // negative-id space (the d10 idiom). Only (key, md5 digest) rides
+    // the one full-outer shuffle; unchanged rows never materialize.
+    "p12_snapshot_cdc" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val refreshed = d.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionAll(d.filter(pmod(col("doc_id"), lit(19)) === 0)
+          .select((-col("doc_id") - 1).as("doc_id"), col("text"),
+            col("lang")))
+      graft.ops.Snapshot.diff(d, refreshed, "doc_id", Seq("text", "lang"))
+    }),
+
+    // Data-constrained epoch planning: per-language token totals →
+    // sqrt-temperature quotas under a 200k global budget → whole-epoch
+    // repeat counts capped at 4. Integer arithmetic end to end; the
+    // corpus is scanned once, everything after is |strata|-sized.
+    "p13_epoch_plan" -> ((s, dir) =>
+      Sampling.epochPlan(
+        table(s, dir, "documents"), stratumCol = "lang",
+        tokens = tokenCount(col("text")), budget = 200000L, maxEpochs = 4))
   )
 
   // Stage mirrors come from the same shared snippets the per-stage
   // oracles use (TextQueries.qualitySql/langCase/nTokens), so the
   // pipeline oracle cannot drift from the stage oracles.
   val oracles: Map[String, String] = Map(
+    // Mirrors p12: same refresh derivation, same chr(1)-joined md5
+    // digest, full outer join on the key, same three-way op verdict.
+    "p12_snapshot_cdc" ->
+      """WITH o AS (SELECT doc_id,
+              md5(concat_ws(chr(1), text, lang)) AS fp FROM documents),
+          n0 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                        ELSE text END AS text, lang
+                 FROM documents WHERE doc_id % 17 <> 0),
+          n1 AS (SELECT -doc_id - 1 AS doc_id, text, lang
+                 FROM documents WHERE doc_id % 19 = 0),
+          n AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang)) AS fp
+                FROM (SELECT * FROM n0 UNION ALL SELECT * FROM n1)),
+          j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                  o.fp AS ofp, n.fp AS nfp
+                FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          SELECT doc_id,
+            CASE WHEN ofp IS NULL THEN 'insert'
+                 WHEN nfp IS NULL THEN 'delete'
+                 WHEN ofp <> nfp THEN 'update' END AS op
+          FROM j
+          WHERE ofp IS NULL OR nfp IS NULL OR ofp <> nfp""",
+    // Mirrors p13: floor(sqrt) weights, integer // quotas against the
+    // whole-frame weight sum, ceil as (q+T-1)//T capped at 4. Every
+    // output CAST to BIGINT (the p08 HUGEINT lesson).
+    "p13_epoch_plan" -> {
+      import TextQueries.nTokens
+      s"""WITH d AS (SELECT lang, CAST($nTokens AS BIGINT) AS nt
+                     FROM documents),
+          g AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens,
+                  CAST(floor(sqrt(CAST(sum(nt) AS BIGINT))) AS BIGINT) AS s
+                FROM d GROUP BY lang),
+          q AS (SELECT lang, n_tokens,
+                  CAST((200000 * s) // (SELECT CAST(sum(s) AS BIGINT) FROM g)
+                    AS BIGINT) AS quota
+                FROM g WHERE n_tokens > 0),
+          e AS (SELECT lang, n_tokens, quota,
+                  CAST(least(4, (quota + n_tokens - 1) // n_tokens)
+                    AS BIGINT) AS epochs
+                FROM q)
+          SELECT lang, n_tokens, quota, epochs,
+            CAST(least(quota, epochs * n_tokens) AS BIGINT) AS planned_tokens
+          FROM e"""
+    },
     "p01_curation_pipeline" -> {
       import TextQueries.{langCase, nTokens, qualitySql}
       s"""WITH u AS (SELECT doc_id, text FROM documents

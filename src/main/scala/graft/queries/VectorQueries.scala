@@ -326,6 +326,21 @@ object VectorQueries {
         .filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.mmrSelect(e, q, k = 5, shortlist = 20)
+    }),
+
+    // Binary (sign-bit) quantized ANN: 64-dim float32 → ONE packed long,
+    // Hamming (XOR+popcount) shortlist, exact-cosine rerank. The 1-bit
+    // endpoint of the v08/v09/v11 quantization family. Full SQL oracle:
+    // the sign bits and integer Hamming sums are exactly reproducible,
+    // and the rerank reuses the established list_cosine_similarity
+    // parity contract.
+    "v16_ann_hamming" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.hammingTopK(e, q, k = 10, dim = 64, shortlist = 50)
     })
   )
 
@@ -767,6 +782,37 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "v02_ann_lsh" -> v02OracleSql,
     "v15_mmr_rerank" -> v15OracleSql,
+    // Mirrors hammingTopK: sign-disagreement count per dim (integer —
+    // exactly the popcount of the XORed packed codes), shortlist by
+    // (hamming, id), rerank by list_cosine_similarity (the established
+    // bit-parity contract). list_sum → CAST BIGINT (the p08 lesson).
+    "v16_ann_hamming" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+              FROM embeddings WHERE vec_id < 5),
+         h AS (
+           SELECT q.qid, e.vec_id AS id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> CASE WHEN (e.embedding[i] >= 0) <> (q.qvec[i] >= 0)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+           FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         s AS (
+           SELECT qid, id, hamming,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY hamming ASC, id ASC) AS hrank
+           FROM h),
+         r AS (
+           SELECT s.qid, s.id AS neighbor_id, s.hamming,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS sim
+           FROM s JOIN embeddings e ON e.vec_id = s.id
+                  JOIN q ON q.qid = s.qid
+           WHERE s.hrank <= 50),
+         ranked AS (
+           SELECT qid, neighbor_id, hamming, sim,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM r)
+         SELECT qid, neighbor_id, rank, hamming, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 10""",
     // Unrolled Lloyd's replay (the q30 idiom): quantize -> md5-bucket
     // seeds -> [assign -> integer-mean update] x2 -> final assignment.
     // Every value is integer, every sum is CAST to BIGINT (DuckDB sums

@@ -314,4 +314,18 @@ class DedupSpec extends SparkSessionSpec {
       assert(tru >= 3 && det >= 3, s"($b,$r) missed an exact dup")
     }
   }
+
+  test("sourceOverlap: distinct-fp counts, orientation, within-source dups ignored") {
+    val docs = Seq(
+      ("x", "s1"), ("y", "s1"),
+      ("x", "s2"), ("x", "s2"),   // within-source dup counts ONCE
+      ("  X ", "s2"),             // normalizes to the same fp as "x"
+      ("y", "s3"), ("z", "s3"))
+      .toDF("text", "source")
+    val got = Dedup.sourceOverlap(docs, "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    // s1∩s2 share fp(x); s1∩s3 share fp(y); s2∩s3 share nothing.
+    // Pairs are lexicographic (a < b), never mirrored.
+    assert(got === Set(("s1", "s2", 1L), ("s1", "s3", 1L)))
+  }
 }

@@ -52,4 +52,39 @@ class MultimodalSpec extends SparkSessionSpec {
     assert(twoPlus.count() === groups.count()) // all groups have the copy
     assert(groups.filter(col("keeper_id") >= 10000).count() === 0)
   }
+
+  test("qualityGate: each rule fires alone, composes, and passes clean rows") {
+    val features = Seq(
+      // doc_id, media_type, n_bytes, width, height, n_frames
+      (1L, "image", 1000L, 224, 224, 0),   // clean
+      (2L, "image", 10L, 224, 224, 0),     // tiny_payload only
+      (3L, "image", 1000L, 16, 100, 0),    // tiny_dims (100 <= 8*16, no aspect)
+      (4L, "image", 1000L, 600, 40, 0),    // extreme_aspect (600 > 8*40=320)
+      (5L, "video", 1000L, 224, 224, 1),   // too_few_frames
+      (6L, "audio", 10L, 16, 16, 1),       // audio: ONLY payload rule applies
+      (7L, "video", 10L, 16, 100, 1)       // three rules compose, fixed order
+    ).toDF("doc_id", "media_type", "n_bytes", "width", "height", "n_frames")
+    val got = Multimodal.qualityGate(features)
+      .select("doc_id", "reasons", "kept")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("", true)))
+    assert(got(2L) === (("tiny_payload", false)))
+    assert(got(3L) === (("tiny_dims", false)))
+    assert(got(4L) === (("extreme_aspect", false)))
+    assert(got(5L) === (("too_few_frames", false)))
+    assert(got(6L) === (("tiny_payload", false)))
+    assert(got(7L) === (("tiny_payload,tiny_dims,too_few_frames", false)))
+  }
+
+  test("fkOrphans: planted orphans counted per edge, clean edge reads zero") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq((10L, 1L), (11L, 2L), (12L, 99L), (13L, 98L), (14L, 3L))
+      .toDF("id", "fk")
+    val got = graft.ops.Audit.fkOrphans(Seq(
+        ("child->parent", child, "fk", parent, "pk"),
+        ("clean", parent, "pk", parent, "pk")))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("child->parent", 5L, 2L), ("clean", 3L, 0L)))
+  }
 }

@@ -153,7 +153,8 @@ class PlanSpec extends SparkSessionSpec {
     "t16_bm25",                     // 1-row (N, total-length) cross join
     "q31_gap_fill",                 // 1-row (h0, h1) range cross join
     "q46_mergeable_stats",          // 1-row (scalar stats × KMV) joins
-    "v15_mmr_rerank")               // query set broadcast (v01 shape)
+    "v15_mmr_rerank",               // query set broadcast (v01 shape)
+    "v16_ann_hamming")              // query CODES broadcast vs corpus codes
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
     // the staged-CTE SQL shape scans events per stage; the typed-MR

@@ -151,4 +151,26 @@ class SamplingSpec extends SparkSessionSpec {
     assert(a === b)
     a.groupBy(_.getLong(0)).values.foreach(rs => assert(rs.size <= 3))
   }
+
+  test("epochPlan: hand-computed quotas, epoch cap, zero-stratum filter") {
+    // A: T=10000, s=100; C: T=4, s=2; Z: T=0 (dropped). Σs=102,
+    // budget=10200 → quota_A = 10200·100 div 102 = 10000 → 1 epoch,
+    // planned 10000; quota_C = 200 → ceil(200/4)=50 capped at 4 →
+    // planned min(200, 16) = 16.
+    val df = Seq(("A", 10000L), ("C", 4L), ("Z", 0L)).toDF("lang", "nt")
+    val got = Sampling.epochPlan(df, "lang", col("nt"), budget = 10200L,
+        maxEpochs = 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      "A" -> ((10000L, 10000L, 1L, 10000L)),
+      "C" -> ((4L, 200L, 4L, 16L))))
+    // sum over multiple rows per stratum, order-free
+    val multi = Seq(("A", 6000L), ("A", 4000L), ("C", 1L), ("C", 3L))
+      .toDF("lang", "nt").repartition(5)
+    val got2 = Sampling.epochPlan(multi, "lang", col("nt"), 10200L, 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got2 === got)
+  }
 }

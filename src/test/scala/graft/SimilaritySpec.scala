@@ -129,6 +129,52 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(byCell === prof)
   }
 
+  test("sign-pack codes: packed hamming == unpacked sign-disagreement count") {
+    import graft.functions.VectorFunctions.{hammingDist, signPack}
+    // 64-dim corpus pairs: hammingDist over the packed longs must equal a
+    // direct (unpacked) count of per-dim sign disagreements
+    val e = table(spark, sfDir, "embeddings").limit(50)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = e.crossJoin(
+        e.select(col("id").as("id2"), col("vec").as("vec2")))
+      .filter(col("id") < col("id2"))
+    val unpacked = aggregate(
+      zip_with(col("vec"), col("vec2"),
+        (x, y) => when((x >= 0) =!= (y >= 0), 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    val checked = pairs.select(
+      hammingDist(signPack(col("vec"), 64), signPack(col("vec2"), 64)).as("h"),
+      unpacked.as("u"))
+    assert(checked.filter(col("h") =!= col("u")).count() === 0)
+    // multi-word packing: a 130-dim vector spans 3 longs; flipping the
+    // sign of dims 0, 64, and 129 (one per word) gives hamming exactly 3
+    val v = Array.fill(130)(1.0f)
+    val w = v.clone(); w(0) = -1f; w(64) = -1f; w(129) = -1f
+    val two = Seq((v, w)).toDF("a", "b")
+      .select(hammingDist(signPack(col("a"), 130), signPack(col("b"), 130)).as("h"))
+    assert(two.head().getLong(0) === 3L)
+  }
+
+  test("hamming ANN: planted duplicate is rank 1, recall >= 0.5 vs brute force") {
+    val (corpus, queries) = corpusAndQueries()
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.hammingTopK(corpus, queries, k = 10, dim = 64,
+      shortlist = 50)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"hamming recall@10 = $recall")
+    assert(recall >= 0.5)
+    // an exact duplicate has hamming 0 and cosine 1 -> must surface at rank 1
+    val planted = corpus.unionAll(
+      corpus.filter(col("id") === 0).select((col("id") + 777777L).as("id"), col("vec")))
+    val dup = Similarity.hammingTopK(planted,
+        queries.filter(col("qid") === 0), k = 10, dim = 64, shortlist = 50)
+      .filter(col("rank") === 1)
+      .select("neighbor_id", "hamming").as[(Long, Long)].head()
+    assert(dup === ((777777L, 0L)))
+  }
+
   test("int8 scalar quantization: codes are fixed points, recall stays high") {
     import graft.functions.VectorFunctions.{sqDequantize, sqQuantize}
     val e = table(spark, sfDir, "embeddings")
