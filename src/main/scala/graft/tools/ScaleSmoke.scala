@@ -326,6 +326,18 @@ object ScaleSmoke {
       Dedup.lshTuningReport(docs, "text", "doc_id")
         .queryExecution.toRdd.count()
     }
+    // binary-quantized ANN: |Q| fixed, so the XOR+popcount candidate pass
+    // is linear in corpus; the rerank is |Q|·shortlist broadcast rows
+    time(s"hamming ann corpus x$factor") {
+      Similarity.hammingTopK(emb, q, k = 10, dim = 64, shortlist = 50)
+        .queryExecution.toRdd.count()
+    }
+    // snapshot CDC: two digest scans + one slim full-outer shuffle
+    time(s"snapshot cdc x$factor") {
+      graft.ops.Snapshot.diff(
+        docs, docs.filter(col("doc_id") % 17 =!= 0),
+        "doc_id", Seq("text")).queryExecution.toRdd.count()
+    }
     println(jsonLine("scale_smoke", Seq(
       "factor" -> factor.toString, "shapes" -> shapesJson(results))))
     spark.stop()

@@ -202,6 +202,21 @@ class PlanSpec extends SparkSessionSpec {
       s"v11 plans $exchanges hash exchanges; corpus is leaking into a shuffle")
   }
 
+  test("v16: packed codes scored in codegen; rerank fetches broadcast") {
+    val p = finalPlan("v16_ann_hamming")
+    // the Hamming kernel must be the codegen'd builtin pair, never a UDF
+    assert(p.contains("bit_count"), "packed-code popcount missing from plan")
+    // shortlist + query-vector fetches are broadcast joins; the only
+    // hash exchanges are the two qid-keyed rank windows (Hamming
+    // shortlist + final top-k) — the corpus never shuffles
+    assert(p.contains("BroadcastHashJoin"))
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(exchanges <= 2,
+      s"v16 plans $exchanges hash exchanges; corpus is leaking into a shuffle")
+  }
+
   test("no query plans a CartesianProduct; NLJ only where designed") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
