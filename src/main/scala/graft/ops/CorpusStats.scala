@@ -548,4 +548,53 @@ object CorpusStats {
       .filter(col("rank") <= m)
       .select(col(idCol), col("term"), col("score"), col("rank"))
   }
+
+  /** Corpus-level collocation mining: top-`k` bigrams by pointwise
+    * mutual information among bigrams occurring ≥ `minCount` times —
+    * the multi-word-expression detector (phrase vocab candidates,
+    * tokenizer-merge seeds) over the t15 bigram stream. All marginals
+    * come from the bigram stream itself (P(w₁,·), P(·,w₂), N = bigram
+    * count), so PMI = ln(c₁₂·N / (c₁·c₂)) is one IEEE division of two
+    * exact int64 products and one ln — the t11 single-ln portability
+    * discipline; the top-k orders by the ROUNDED score (t10's rule:
+    * ulp drift cannot flip ranks).
+    *
+    * Scale: two partially-aggregated counts on the bigram stream, two
+    * co-partitioned join-backs keyed w₁/w₂ (the t15 shape — a bigram
+    * vocabulary is assumed past broadcast budget), N on a 1-row
+    * broadcast, and the global top-k is `orderBy.limit` —
+    * TakeOrderedAndProject, never a full sort. The minCount filter
+    * drops the hapax-bigram tail BEFORE the join-backs.
+    *
+    * Output: (w1, w2, c12, pmi, rank).
+    */
+  def collocations(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 20, minCount: Int = 5): DataFrame = {
+    val big = widen(df.select(col(idCol), col(textCol)))
+      .select(lowerTokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__ws) - 2), i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"))
+        .as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val c12 = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val c2 = big.groupBy(col("w2")).agg(count(lit(1)).as("__c2"))
+    val n = big.agg(count(lit(1)).as("__n"))
+    val scored = c12
+      .join(c1, Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(log(
+        (col("c12") * col("__n")).cast("double")
+          / (col("__c1") * col("__c2")).cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    scored
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"), col("rank"))
+  }
 }

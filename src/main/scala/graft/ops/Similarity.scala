@@ -957,6 +957,42 @@ object Similarity {
         col("rank"), round(col("dist"), 6).as("dist"))
   }
 
+  /** Incremental IVF index maintenance (the FAISS train-once/add-many
+    * path): a batch of new arrivals is assigned to the FROZEN trained
+    * centroids — no retrain, no touch of the existing postings — and the
+    * report shows the per-cell posting-list growth. At 100 TB this is
+    * how the index absorbs a daily ingest: assignment is a narrow
+    * per-row pass over the arrivals only (existing cell counts come from
+    * the index's own catalog; here both sides are recomputed so the
+    * report is self-contained and oracle-able), one partially-aggregated
+    * cell count each side, and a |cells|-sized full-outer merge.
+    *
+    * Assignment is the shared deterministic argmax-cosine cell rule
+    * ([[withCellCosines]]/[[argmaxCell]]), so an arrival lands exactly
+    * where a full rebuild would put it — adds never skew results, only
+    * cell balance (which this report is for).
+    *
+    * Output: (cell, n_before, n_added, n_after).
+    */
+  def ivfAddReport(
+      existing: DataFrame, arrivals: DataFrame,
+      trained: Array[Array[Float]],
+      idCol: String = "id", vecCol: String = "vec",
+      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
+    require(trained.nonEmpty, "trained centroids must be non-empty")
+    def cellCounts(df: DataFrame, name: String): DataFrame =
+      withCellCosines(df, trained, vecCol, maxLiteralCells)
+        .withColumn("cell", argmaxCell)
+        .groupBy(col("cell")).agg(count(lit(1)).as(name))
+    cellCounts(existing, "__nb")
+      .join(cellCounts(arrivals, "__na"), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("__nb"), lit(0L)).as("n_before"),
+        coalesce(col("__na"), lit(0L)).as("n_added"),
+        (coalesce(col("__nb"), lit(0L)) + coalesce(col("__na"), lit(0L)))
+          .as("n_after"))
+  }
+
   /** Binary-quantized ANN: sign-bit codes + Hamming shortlist + exact
     * cosine rerank — the 1-bit endpoint of the quantization family
     * (v08 int8 SQ → v09/v11 PQ → this). The production pattern for

@@ -168,7 +168,27 @@ object PipelineQueries {
     "p13_epoch_plan" -> ((s, dir) =>
       Sampling.epochPlan(
         table(s, dir, "documents"), stratumCol = "lang",
-        tokens = tokenCount(col("text")), budget = 200000L, maxEpochs = 4))
+        tokens = tokenCount(col("text")), budget = 200000L, maxEpochs = 4)),
+
+    // Dataset card: the per-(source, lang) ingest report — doc/token
+    // counts, token range, mean quality, and declared-vs-predicted
+    // language agreement — in ONE narrow scan + one partially-aggregated
+    // groupBy. The readout a curation review starts from.
+    "p14_dataset_card" -> ((s, dir) => {
+      val nTok = tokenCount(col("text")).cast("long")
+      table(s, dir, "documents")
+        .select(col("source"), col("lang"), nTok.as("__nt"),
+          qualityScore(col("text")).as("__q"),
+          (langId(col("text")) === col("lang")).cast("long").as("__agree"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          min(col("__nt")).as("min_tokens"),
+          max(col("__nt")).as("max_tokens"),
+          round(avg(col("__q")), 6).as("mean_quality"),
+          round(sum(col("__agree")).cast("double") / count(lit(1)), 6)
+            .as("lang_agree_frac"))
+    })
   )
 
   // Stage mirrors come from the same shared snippets the per-stage
@@ -197,6 +217,20 @@ object PipelineQueries {
                  WHEN ofp <> nfp THEN 'update' END AS op
           FROM j
           WHERE ofp IS NULL OR nfp IS NULL OR ofp <> nfp""",
+    // Mirrors p14 from the shared stage fragments (nTokens / qualitySql /
+    // langCase); mean_quality rides the t11 avg+round-6 contract, the
+    // agreement fraction is one exact int/int division.
+    "p14_dataset_card" -> {
+      import TextQueries.{langCase, nTokens, qualitySql}
+      s"""SELECT source, lang, count(*) AS n_docs,
+            CAST(sum($nTokens) AS BIGINT) AS n_tokens,
+            CAST(min($nTokens) AS BIGINT) AS min_tokens,
+            CAST(max($nTokens) AS BIGINT) AS max_tokens,
+            round(avg($qualitySql), 6) AS mean_quality,
+            round(CAST(sum(CASE WHEN ($langCase) = lang THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*), 6) AS lang_agree_frac
+          FROM documents GROUP BY source, lang"""
+    },
     // Mirrors p13: floor(sqrt) weights, integer // quotas against the
     // whole-frame weight sum, ceil as (q+T-1)//T capped at 4. Every
     // output CAST to BIGINT (the p08 HUGEINT lesson).

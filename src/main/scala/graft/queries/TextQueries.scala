@@ -163,6 +163,14 @@ object TextQueries {
       CorpusStats.lexicalDiversity(
         table(s, dir, "documents"), "text", "doc_id")),
 
+    // PMI collocation mining: corpus-level top-20 bigrams by pointwise
+    // mutual information (min count 5) — multi-word-expression /
+    // phrase-vocabulary candidates over the t15 bigram stream
+    // (CorpusStats.collocations).
+    "t19_collocations" -> ((s, dir) =>
+      CorpusStats.collocations(
+        table(s, dir, "documents"), "text", "doc_id", k = 20, minCount = 5)),
+
     // Document-sharded inverted index (token → per-shard posting
     // segment): the classic build-the-index MR workload in its
     // distributed layout — a stopword's postings split across shards
@@ -455,6 +463,29 @@ object TextQueries {
               END, 6) AS ttr
           FROM documents d LEFT JOIN s USING (doc_id)""",
 
+    // Mirrors CorpusStats.collocations: bigram-stream marginals, PMI as
+    // one ln of a ratio of exact int64 products (the t11 single-ln
+    // discipline), rank over the ROUNDED score (the t10 rule), minCount
+    // filter before the joins.
+    "t19_collocations" ->
+      s"""WITH t AS (SELECT $lowToks AS toks FROM documents),
+          bp AS (SELECT unnest(list_transform(range(1, len(toks)),
+                   i -> [toks[i], toks[i + 1]])) AS p
+                 FROM t WHERE len(toks) >= 2),
+          bg AS (SELECT p[1] AS w1, p[2] AS w2 FROM bp),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+          cc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                 FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+          c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+          c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+          s AS (SELECT cc.w1, cc.w2, cc.c12,
+                  round(ln(CAST(cc.c12 * n.n AS DOUBLE)
+                    / CAST(c1.c1 * c2.c2 AS DOUBLE)), 6) AS pmi
+                FROM cc JOIN c1 USING (w1) JOIN c2 USING (w2), n)
+          SELECT w1, w2, c12, pmi, CAST(rank AS INT) AS rank
+          FROM (SELECT *, row_number() OVER
+                  (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank FROM s)
+          WHERE rank <= 20""",
     // Mirrors CorpusStats.unigramNll: same single ln form
     // ln(T/c) on both sides; avg-of-doubles summation order may drift
     // ulps between engines, absorbed by round 6 (same accepted class as

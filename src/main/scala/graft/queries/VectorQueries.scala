@@ -341,6 +341,20 @@ object VectorQueries {
         .filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.hammingTopK(e, q, k = 10, dim = 64, shortlist = 50)
+    }),
+
+    // Incremental IVF add: arrivals (vec_id % 10 == 0) assigned to the
+    // FROZEN trained centroids (the shared v04 memo — train once, add
+    // many); per-cell posting growth report. Dynamic oracle: same
+    // centroid literals, same argmax-cell rule, counts split by the
+    // same arrival predicate.
+    "v17_ivf_add" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfAddReport(
+        existing = e.filter(pmod(col("id"), lit(10)) =!= 0),
+        arrivals = e.filter(pmod(col("id"), lit(10)) === 0),
+        trained = centroids(s, dir, 16))
     })
   )
 
@@ -712,7 +726,27 @@ object VectorQueries {
         $union"""
   }
 
+  /** v17's oracle: the [[centroidCellCte]] assignment (identical
+    * centroid decimal literals and first-max tie-break), counts split by
+    * the arrival predicate, |cells|-sized full-outer merge. All counts
+    * CAST BIGINT.
+    */
+  private def v17OracleSql(s: SparkSession, dir: String): String = {
+    val cents = centroids(s, dir, 16)
+    s"""${centroidCellCte(cents)},
+        b AS (SELECT cell, count(*) AS n FROM cb
+              WHERE id % 10 <> 0 GROUP BY cell),
+        a AS (SELECT cell, count(*) AS n FROM cb
+              WHERE id % 10 = 0 GROUP BY cell)
+        SELECT coalesce(b.cell, a.cell) AS cell,
+          CAST(coalesce(b.n, 0) AS BIGINT) AS n_before,
+          CAST(coalesce(a.n, 0) AS BIGINT) AS n_added,
+          CAST(coalesce(b.n, 0) + coalesce(a.n, 0) AS BIGINT) AS n_after
+        FROM b FULL OUTER JOIN a ON b.cell = a.cell"""
+  }
+
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
+    "v17_ivf_add" -> (v17OracleSql(_, _)),
     "v13_ann_recall" -> (v13OracleSql(_, _)),
     "v09_ann_pq" -> (v09OracleSql(_, _)),
     "v11_ann_ivfpq" -> (v11OracleSql(_, _)),

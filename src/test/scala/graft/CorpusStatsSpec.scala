@@ -315,4 +315,31 @@ class CorpusStatsSpec extends SparkSessionSpec {
 
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("collocations: hand-computed PMI, minCount cut, rank tie-break") {
+    // bigram stream: "x y" ×3 (docs 1-3), "x z" ×2, "z z" ×2 (doc 4:
+    // z z z → (z,z),(z,z); doc 5: x z x z → (x,z),(z,x),(x,z))
+    val df = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x y"),
+      (4L, "z z z"), (5L, "x z x z"))
+      .toDF("doc_id", "text")
+    // N = 8 bigrams: xy,xy,xy,zz,zz,xz,zx,xz
+    // c1: x→5, z→3; c2: y→3, z→5 (zz,zz,xz,xz,zx→x... recount:)
+    //   firsts: x,x,x,z,z,x,z,x → x=5, z=3
+    //   seconds: y,y,y,z,z,z,x,z → y=3, z=4, x=1
+    // (x,y): c12=3, pmi=ln(3·8/(5·3))=ln(1.6)
+    // (x,z): c12=2, pmi=ln(2·8/(5·4))=ln(0.8)
+    // minCount=2 keeps (x,y),(x,z),(z,z); (z,z): ln(2·8/(3·4))=ln(4/3)
+    val got = CorpusStats.collocations(df, "text", "doc_id",
+        k = 10, minCount = 2)
+      .as[(String, String, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.keySet === Set(("x", "y"), ("x", "z"), ("z", "z")))
+    assert(got(("x", "y")) === ((3L, round6(math.log(1.6)), 1)))
+    assert(got(("z", "z")) === ((2L, round6(math.log(4.0 / 3.0)), 2)))
+    assert(got(("x", "z")) === ((2L, round6(math.log(0.8)), 3)))
+    // minCount=4 cuts everything below (x,y)... which is 3 → empty
+    assert(CorpusStats.collocations(df, "text", "doc_id",
+      k = 10, minCount = 4).count() === 0)
+  }
 }

@@ -175,6 +175,27 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(dup === ((777777L, 0L)))
   }
 
+  test("ivfAddReport: add == rebuild (cell totals), counts partition the corpus") {
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val trained = Similarity.ivfCentroids(e, nCentroids = 8)
+    val report = Similarity.ivfAddReport(
+      existing = e.filter(col("id") % 10 =!= 0),
+      arrivals = e.filter(col("id") % 10 === 0),
+      trained = trained)
+      .as[(Int, Long, Long, Long)].collect()
+    // n_after per cell must equal a full rebuild's assignment counts —
+    // incremental add lands every arrival where the rebuild would
+    val rebuild = Similarity.ivfAddReport(e.limit(0), e, trained)
+      .select("cell", "n_after").as[(Int, Long)].collect().toMap
+    assert(report.map(r => r._1 -> r._4).toMap === rebuild)
+    // and the split partitions every cell exactly
+    report.foreach { case (cell, nb, na, nt) =>
+      assert(nb + na === nt, s"cell $cell")
+    }
+    assert(report.map(_._4).sum === e.count())
+  }
+
   test("int8 scalar quantization: codes are fixed points, recall stays high") {
     import graft.functions.VectorFunctions.{sqDequantize, sqQuantize}
     val e = table(spark, sfDir, "embeddings")
