@@ -69,6 +69,23 @@ object DedupQueries {
       Dedup.components(pairs)
     }),
 
+    // Duplication-severity histogram: dup-cluster sizes → cluster counts
+    // (the "how bad is it" readout a dedup review starts from). A
+    // variable-multiplicity plant (every doc mirrored once; every 3rd doc
+    // twice) gives the histogram real shape: sizes {2, 3}. Two
+    // partially-aggregated groupBys on top of the d06 component chain.
+    "d15_cluster_sizes" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted3 = d
+        .unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(d.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val pairs = Dedup.minhashPairs(planted3, "text", "doc_id", threshold = 1.0)
+      Dedup.components(pairs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // Cross-document duplicated-span coverage (the exact-substring-dedup
     // signal): per doc, token positions inside an 8-gram shared with at
     // least one other document. Natural corpus — the shared spans are
@@ -487,6 +504,22 @@ object DedupQueries {
           FROM (SELECT doc_id, $normFp AS fp FROM $plantedSql d)
           QUALIFY count(*) OVER (PARTITION BY fp) > 1"""
     ,
+    // Mirrors d15: the d06 exact-cluster oracle over the
+    // variable-multiplicity plant, then size → count histogram. On this
+    // corpus signature equality ⟺ normalized-text equality (the d06
+    // argument), so minhash components == fp clusters.
+    "d15_cluster_sizes" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id + 10000, text FROM documents
+                     UNION ALL SELECT doc_id + 20000, text FROM documents
+                     WHERE doc_id % 3 = 0),
+          c AS (SELECT min(doc_id) OVER (PARTITION BY fp) AS cluster_id
+                FROM (SELECT doc_id, $normFp AS fp FROM u)
+                QUALIFY count(*) OVER (PARTITION BY fp) > 1),
+          s AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM c GROUP BY cluster_id)
+          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+          FROM s GROUP BY cluster_size""",
     // Mirrors CorpusStats.dupSpanCoverage (k=8): 1-based gram positions,
     // covered token indices p..p+7 de-duplicated per doc, BIGINT parity.
     "d07_dup_spans" ->

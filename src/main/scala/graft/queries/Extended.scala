@@ -16,6 +16,30 @@ import graft.ops.TemporalJoins
 object Extended {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Distribution-position window suite: lead / first_value /
+    // percent_rank / cume_dist over the per-customer order history —
+    // the remaining ANSI window family members (q08 covers rank, q25
+    // running frames, q32 RANGE frames, q41 ntile). The unique
+    // o_orderkey tie-break makes every rank deterministic, so
+    // percent_rank/cume_dist are exact integer ratios (round-6 of the
+    // same IEEE division on both engines). Single-order customers are
+    // dropped (percent_rank's n−1 denominator is degenerate there).
+    "q48_order_momentum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val cnt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+      table(s, dir, "orders")
+        .withColumn("__n", count(lit(1)).over(cnt))
+        .filter(col("__n") >= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+    }),
+
     // Referential-integrity audit: orphan counts per FK edge, with
     // planted violations in disjoint negative key spaces (every 50th
     // order re-keyed to a phantom customer; every 100th order's
@@ -613,6 +637,20 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors q48: same window spec (unique tie-break), same >= 2
+    // partition filter; lead/first_value copy doubles bit-exact and the
+    // two position ratios are exact int divisions rounded 6.
+    "q48_order_momentum" ->
+      """WITH o AS (SELECT *, count(*) OVER (PARTITION BY o_custkey) AS n
+                    FROM orders)
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+         FROM o WHERE n >= 2
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC)""",
     // Mirrors q47: same planted phantom keys, one LEFT JOIN per edge,
     // orphan = NULL parent key. Sums CAST to BIGINT (the p08 lesson).
     "q47_fk_orphans" ->
