@@ -187,4 +187,29 @@ object TextFunctions {
     */
   def hashedShinglesComposed(text: Column, k: Int): Column =
     sort_array(array_distinct(transform(shingles(text, k), s => xxhash64(s))))
+
+  /** Alphabetic words ([a-z]+ runs of the lowercased text) — the counting
+    * unit for readability metrics; digits and punctuation never form
+    * words, so "3.5%" contributes zero words while "it's" contributes two
+    * ("it", "s"). Same [a-z]+ class under Java regex and RE2.
+    */
+  def alphaWords(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Heuristic syllable count of one LOWERCASE word: the number of vowel
+    * groups ([aeiouy]+ runs), floored at 1 — the standard cheap
+    * approximation Flesch-style readability scores are built on ("data"
+    * → 2, "queue" → 2, "rhythm" → 1 via the floor).
+    */
+  def syllableCount(word: Column): Column =
+    greatest(lit(1), size(regexp_extract_all(word, lit("[aeiouy]+"), lit(0))))
+
+  /** Sentence count: non-blank segments between [.!?]+ runs, floored at 1
+    * so fragment-only documents still divide (readability ratios need
+    * sentences >= 1). Trailing-empty handling is irrelevant because
+    * blanks are filtered on both the Spark and oracle sides.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1),
+      size(filter(split(text, "[.!?]+"), s => trim(s) =!= lit(""))))
 }

@@ -597,4 +597,74 @@ object CorpusStats {
       .withColumn("rank", row_number().over(w))
       .select(col("w1"), col("w2"), col("c12"), col("pmi"), col("rank"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are
+    * maximal runs of content words between breaks (stopwords,
+    * punctuation/digit tokens), each word scores degree/frequency over
+    * the candidate-phrase co-occurrence graph (degree = Σ lengths of
+    * phrases containing it, frequency = its occurrence count), and a
+    * phrase scores the sum of its words' scores. Output: top `topK`
+    * phrases per document with occurrence counts.
+    *
+    * Determinism contract: word scores are exact-int divisions; the
+    * phrase score sums them in WORD-POSITION ORDER via an ordered-list
+    * fold (a groupBy sum would be partition-order-dependent in the last
+    * ulp), so the doubles — and therefore the rank order, tie-broken on
+    * phrase — hash-match the oracle bit for bit.
+    *
+    * Scale shape: one token explode (linear in corpus tokens, the
+    * t10/t14 family), per-DOC windows for run grouping (doc-bounded
+    * tasks), one word-keyed shuffle for the degree/frequency table and
+    * one word-keyed join back — per-word state is two longs, phrase
+    * folds are ≤ `maxPhraseLen` elements. No global sort anywhere; the
+    * only windows are doc- and doc-phrase-partitioned.
+    */
+  def rakeKeyphrases(df: DataFrame, textCol: String, idCol: String,
+      maxPhraseLen: Int = 4, topK: Int = 3): DataFrame = {
+    val stops = graft.functions.TextFunctions.stopwords.toMap.apply("en")
+    // token stream keeps punctuation/digit runs — they are phrase breaks
+    val toks = widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+|[^a-z \\t\\n\\u000B\\f\\r]+"), lit(0)))
+          .as(Seq("pos", "tok")))
+      .withColumn("is_break",
+        !col("tok").rlike("^[a-z]+$") || col("tok").isin(stops: _*))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val runs = toks
+      .withColumn("run_id", sum(col("is_break").cast("long")).over(wDoc))
+      .filter(!col("is_break"))
+    val phrases = runs.groupBy(col("doc_id"), col("run_id"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+        s => s("tok")).as("words"))
+      .filter(size(col("words")) <= maxPhraseLen)
+      .withColumn("phrase", concat_ws(" ", col("words")))
+    val pw = phrases.select(col("doc_id"), col("run_id"), col("phrase"),
+      size(col("words")).cast("long").as("plen"),
+      posexplode(col("words")).as(Seq("wpos", "w")))
+    val wstats = pw.groupBy(col("w")).agg(
+      count(lit(1)).as("__freq"), sum(col("plen")).as("__deg"))
+    val scored = pw.join(wstats, Seq("w"))
+      .withColumn("__wscore",
+        col("__deg").cast("double") / col("__freq").cast("double"))
+      .groupBy(col("doc_id"), col("run_id"), col("phrase"))
+      .agg(sort_array(collect_list(struct(col("wpos"), col("__wscore"))))
+        .as("__ws"))
+      .withColumn("score",
+        aggregate(col("__ws"), lit(0.0), (a, s) => a + s("__wscore")))
+    // same phrase, same words ⇒ identical score: max is a dedup, not a pick
+    val perPhrase = scored.groupBy(col("doc_id"), col("phrase"))
+      .agg(max(col("score")).as("__score"),
+        count(lit(1)).as("n_occurrences"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("__score").desc, col("phrase").asc)
+    perPhrase.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("phrase"),
+        round(col("__score"), 6).as("score"), col("n_occurrences"),
+        col("rank"))
+  }
 }

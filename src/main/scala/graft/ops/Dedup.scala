@@ -643,6 +643,125 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
+  // ---------------------------------------------------------- containment
+
+  /** Directed k-gram-set CONTAINMENT pairs: (a, b) with
+    * |A∩B| / |A| ≥ num/den over each doc's DISTINCT token-k-gram set —
+    * the asymmetric complement of [[ngramJaccardPairs]]. Symmetric
+    * Jaccard misses subset duplication (a doc that IS the first half of
+    * another scores union-diluted: J = |A|/|B| ≈ ½ while C(A→B) = 1), so
+    * corpus pipelines run containment alongside it to catch
+    * quote-expansions and truncated mirrors. The unit is a k-gram, not a
+    * token, because small closed vocabularies make unigram sets
+    * near-universal (on the 31-word test corpus EVERY doc pair is
+    * unigram-contained — a measured degeneracy, not a theoretical one);
+    * k-grams keep the sets sparse at any vocabulary size.
+    *
+    * Prefix filtering still applies, but asymmetrically: order A's
+    * grams by global rarity and index the first
+    * `|A| − ⌈t·|A|⌉ + 1`; if B misses ALL of A's prefix then
+    * |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A|, so a qualifying pair must hit the
+    * prefix — exact, no false negatives. Unlike the Jaccard case the
+    * probe side is B's FULL gram set (containment puts no lower bound
+    * on |B|'s overlap fraction), so candidates come from
+    * prefix(A) ⋈ grams(B): per-pair work is bounded by how RARE A's
+    * rarest grams are — the rarity sort is what keeps the stream
+    * sub-quadratic, a boilerplate gram never probes anything. Candidates
+    * dedup to bare (a, b) ids BEFORE the hashed sets are fetch-joined, so
+    * exact verification (integer inter·den ≥ sz_a·num) runs once per
+    * pair. The heavy exchanges are all id- or gram-keyed; AQE's skew
+    * split handles hot probe grams.
+    */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      num: Int, den: Int, gramK: Int = 4): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val gramList =
+      if (gramK <= 1) array_distinct(toks)
+      else when(size(toks) >= gramK,
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - (gramK - 1)),
+          i => array_join(slice(toks, i, lit(gramK)), " "))))
+        .otherwise(array().cast("array<string>"))
+    val tok = df.repartition(expansionParallelism(df))
+      .select(col(idCol).as("id"), explode(gramList).as("w"))
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfreq"))
+    val docs = tok.join(dfreq, "w")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("w")))).as("byRarity"),
+        count(lit(1)).as("sz"))
+      .withColumn("hs",
+        sort_array(transform(col("byRarity"), s => xxhash64(s("w")))))
+      .withColumn("preflen",
+        (col("sz") - ((col("sz") * num + (den - 1)) / den).cast("long") + 1)
+          .cast("int"))
+    val pref = docs.select(col("id").as("id_a"),
+      explode(slice(transform(col("byRarity"), s => s("w")), lit(1),
+        col("preflen"))).as("w"))
+    val cand = pref
+      .join(tok.select(col("id").as("id_b"), col("w")), Seq("w"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val sets = docs.select(col("id"), col("hs"), col("sz"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter", intersectCard(col("hs_a"), col("hs_b")))
+      // containment >= num/den  ⇔  inter*den >= sz_a*num (integer-exact)
+      .filter(col("inter") * den >= col("sz_a") * lit(num))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        col("sz_b"))
+  }
+
+  // ------------------------------------------------------- edit distance
+
+  /** Edit-distance-1 key pairs by SYMMETRIC-DELETE blocking (the
+    * SymSpell family): every key generates itself plus each
+    * single-character deletion; two keys within Levenshtein distance 1
+    * ALWAYS share a variant (equal → the key itself; substitution at i →
+    * both delete i; indel → the longer deletes the inserted char and
+    * meets the shorter's own full key), so the variant-equijoin candidate
+    * set is exact — no false negatives — and the only shuffle is
+    * (L+1)-fold linear on variant hash, never a length/sliding-window
+    * scan. Candidates are verified with the codegen'd `levenshtein`
+    * builtin; false positives (variant-sharing keys at distance 2) are
+    * filtered there. The classic fuzzy-match primitive for titles, URLs,
+    * and near-identical boilerplate headers where token-set methods
+    * ([[ngramJaccardPairs]]) can't see a one-character typo.
+    *
+    * Variant buckets are near-dup clusters by construction: a cluster of
+    * n identical keys costs n²/2 output pairs — inherent to the exact
+    * pair semantics (same caveat as [[exactGroups]] listing its copies),
+    * not a blocking artifact.
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b and dist ≤ 1 over
+    * `lower(substr(text, 1, keyLen))`.
+    */
+  def symDeletePairs(
+      df: DataFrame, textCol: String, idCol: String,
+      keyLen: Int = 24): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      lower(substring(col(textCol), 1, keyLen)).as("k"))
+    val v = base.select(col("id"), col("k"),
+      explode(array_union(
+        array(col("k")),
+        transform(sequence(lit(1), length(col("k"))), i =>
+          concat(col("k").substr(lit(1), i - 1),
+            col("k").substr(i + 1, length(col("k")) - i))))).as("v"))
+      .repartition(expansionParallelism(df), col("v"))
+    v.as("a").join(v.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.k").as("k_a"), col("b.k").as("k_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   // ------------------------------------------------------- LSH tuning
 
   /** LSH parameter-tuning report: for each (bands, rowsPerBand) cut of

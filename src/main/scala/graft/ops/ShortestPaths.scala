@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source BFS levels — unweighted shortest-path distance from a
+  * source set, depth-capped. With PageRank (q30), connected components
+  * (d06), and triangles (q35), the fourth canonical iterative-graph
+  * workload of the reference's engine family (iterate = the mr.exec
+  * re-invocation loop its tests drive by hand; SURVEY §2.6).
+  *
+  * Algorithm: frontier expansion (the Pregel shape). Each round joins
+  * the CURRENT FRONTIER (not the whole visited set) against the edge
+  * list, anti-joins out already-visited nodes, and unions the
+  * survivors in at level d — so a node's recorded level is by
+  * construction the FIRST round that reached it, i.e. the minimum
+  * distance. Termination: depth cap or empty frontier.
+  *
+  * Scale shape: per round, one key-shuffle join frontier⋈edges (the
+  * frontier is the small side and shrinks as the wave saturates) plus
+  * one anti-join against visited, both on the node key. `visited` and
+  * `frontier` are localCheckpointed every round — the d06/q30 discipline:
+  * each iteration's plan starts from materialized partitions, not a
+  * lineage chain that re-runs all prior rounds. Depth is bounded
+  * (maxDepth rounds total), so the driver loop is O(maxDepth) actions
+  * regardless of graph size.
+  */
+object ShortestPaths {
+
+  /** BFS levels from `sources` over a DIRECTED edge list (feed both
+    * orientations for an undirected graph). Output: (node, level) for
+    * every node within `maxDepth` hops of any source; sources are level
+    * 0. Nodes unreachable within the cap are absent.
+    */
+  def bfsLevels(
+      edges: DataFrame, sources: DataFrame, maxDepth: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node"): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val e = edges
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .filter(col("__src") =!= col("__dst"))
+      .distinct()
+      .localCheckpoint()
+    var visited = sources
+      .select(col(nodeCol).cast("long").as("node"))
+      .distinct()
+      .select(col("node"), lit(0).as("level"))
+      .localCheckpoint()
+    var frontier = visited
+    var d = 0
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      val next = frontier
+        .join(e, col("node") === col("__src"))
+        .select(col("__dst").as("node"))
+        .distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(d).as("level"))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+}

@@ -331,6 +331,92 @@ object Similarity {
     rankTopK(scored, k, idCol, qidCol)
   }
 
+  /** Filtered ANN: [[ivfTopK]] under a metadata predicate — each query
+    * sees only corpus rows whose `catCol` equals its `qcatCol` (the
+    * production "search within a tenant / category / license bucket"
+    * shape). The predicate rides the CANDIDATE JOIN KEY (cell, cat),
+    * not a post-rank filter: post-filtering an unfiltered top-k throws
+    * away recall (mismatched neighbors leave < k survivors), while here
+    * candidates are pruned inside the shuffle itself before any cosine
+    * is scored. Cells are trained once on the FULL corpus (the FAISS
+    * IDSelector discipline), so one index serves every predicate value
+    * and adding a new category re-trains nothing.
+    */
+  def filteredIvfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      catCol: String, qcatCol: String,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      sampleSize: Int = 2048, iters: Int = 10,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      maxLiteralCells: Int = IvfLiteralCellGate,
+      trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(
+      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol))
+    if (centroids.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as(qidCol), lit(0L).as("neighbor_id"),
+          lit(0).as("rank"), lit(0.0).as("sim")).limit(0)
+    val nCells = centroids.length
+    val probes = math.min(nProbe, nCells)
+    val cb = withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
+      .withColumn("cell", argmaxCell)
+      .drop("__cos", "__cents")
+    val qb = withCellCosines(queries, centroids, qvecCol, maxLiteralCells)
+      .withColumn("__ranked", sort_array(zip_with(
+        col("__cos"), sequence(lit(1), lit(nCells)),
+        (c, i) => struct((-c).as("negc"), i.as("idx")))))
+      .withColumn("cell",
+        explode(slice(transform(col("__ranked"), s => s("idx").cast("int")),
+          1, probes)))
+      .drop("__cos", "__ranked", "__cents")
+      .withColumnRenamed(qcatCol, catCol)
+    val scored = cb.join(qb, Seq("cell", catCol))
+      .filter(col(idCol) =!= col(qidCol))
+      .dropDuplicates(qidCol, idCol)
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    rankTopK(scored, k, idCol, qidCol)
+  }
+
+  /** Matryoshka ANN (MRL prefix truncation, Kusupati et al. 2022):
+    * coarse ranking on the FIRST `coarseDim` dimensions — matryoshka-
+    * trained embeddings pack the most signal into the prefix, so the
+    * truncated vector is a usable low-cost index — then an exact
+    * full-width re-rank of the per-query shortlist. The third
+    * compression family next to SQ (v08, fewer bits/dim) and PQ (v09,
+    * codebook codes): fewer DIMS per vector.
+    *
+    * Scale shape: the coarse pass streams the corpus once against a
+    * broadcast |Q| query set with a coarseDim-wide kernel (at dim 64 →
+    * 16 that is 4× less arithmetic and — in a production layout where
+    * the prefix is stored as its own column/file — 4× less I/O); only
+    * |Q|·shortlist ids come back, and the re-rank joins them to the
+    * corpus as a BROADCAST (the corpus never shuffles, the v09/v16
+    * refine discipline).
+    */
+  def matryoshkaTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      coarseDim: Int = 16, shortlist: Int = 50,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val wCoarse = Window.partitionBy(col(qidCol))
+      .orderBy(col("__csim").desc, col(idCol).asc)
+    val short = corpus
+      .select(col(idCol), slice(col(vecCol), 1, coarseDim).as("__cv"))
+      .crossJoin(broadcast(queries.select(col(qidCol),
+        slice(col(qvecCol), 1, coarseDim).as("__cq"))))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("__csim", cosine(col("__cv"), col("__cq")))
+      .withColumn("__crank", row_number().over(wCoarse))
+      .filter(col("__crank") <= shortlist)
+      .select(col(qidCol), col(idCol))
+    val rescored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(short), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    rankTopK(rescored, k, idCol, qidCol)
+  }
+
   /** Salted triangular-tile all-pairs within equal-key blocks — the
     * shared skew bound under [[semanticDedup]] (blocks = k-means cells)
     * and [[cosineNearDupPairs]] (blocks = hyperplane buckets).

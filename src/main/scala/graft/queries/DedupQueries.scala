@@ -10,17 +10,17 @@ import graft.ops.{CorpusStats, Dedup}
   *
   * The driver corpus contains no duplicates (verified: 0 exact-dup groups,
   * max pairwise embedding cosine 0.51), so dup-finding queries run over a
-  * planted corpus: `documents UNION ALL documents with doc_id+10000` —
+  * planted corpus: `documents UNION ALL documents with doc_id+1000000000000` —
   * fully SQL-expressible, so the DuckDB oracle sees the same dups.
   */
 object DedupQueries {
 
-  /** documents ∪ (documents ⊕ id+10000): every doc has exactly one exact
+  /** documents ∪ (documents ⊕ id+1000000000000): every doc has exactly one exact
     * duplicate — deterministic ground truth for dup queries.
     */
   private def planted(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
-    d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    d.unionAll(d.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -77,13 +77,45 @@ object DedupQueries {
     "d15_cluster_sizes" -> ((s, dir) => {
       val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
       val planted3 = d
-        .unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(d.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
         .unionAll(d.filter(pmod(col("doc_id"), lit(3)) === 0)
-          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 2000000000000L).as("doc_id"), col("text")))
       val pairs = Dedup.minhashPairs(planted3, "text", "doc_id", threshold = 1.0)
       Dedup.components(pairs)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // Directed 4-gram containment ≥ 9/10 — the truncated-mirror catcher
+    // symmetric Jaccard dilutes away. The plant: every 3rd doc mirrored
+    // as its first ⌊n/2⌋ TOKENS (word-boundary cut, so every half-gram
+    // is a full-doc gram and containment is exactly 1); organic ≥0.9
+    // whole-set containment is absent from this corpus, so the output is
+    // precisely the plant echoes plus their (failing) reverses.
+    "d16_containment" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val planted = d.unionAll(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
+            array_join(slice(toks, lit(1), (size(toks) / 2).cast("int")), " ")
+              .as("text")))
+      Dedup.containmentPairs(planted, "text", "doc_id",
+        num = 9, den = 10, gramK = 4)
+    }),
+
+    // Edit-distance-1 prefix-key pairs by symmetric-delete (SymSpell)
+    // blocking: one-character typos token-set methods can't see. The
+    // plant: every 5th doc mirrored with its first character replaced by
+    // 'x' — a substitution the 24-char key catches at distance 1; the 23
+    // organic shared-prefix clusters surface at distance 0.
+    "d17_edit1_pairs" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.unionAll(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
+            concat(lit("x"), expr("substr(text, 2)")).as("text")))
+      Dedup.symDeletePairs(planted, "text", "doc_id", keyLen = 24)
     }),
 
     // Cross-document duplicated-span coverage (the exact-substring-dedup
@@ -250,7 +282,7 @@ object DedupQueries {
 
   private val plantedSql =
     """(SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents)"""
+        UNION ALL SELECT doc_id + 1000000000000 AS doc_id, text FROM documents)"""
 
   private val normFp = """md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g')))"""
 
@@ -504,14 +536,60 @@ object DedupQueries {
           FROM (SELECT doc_id, $normFp AS fp FROM $plantedSql d)
           QUALIFY count(*) OVER (PARTITION BY fp) > 1"""
     ,
+    // Mirrors d16: same half-token plant (word-boundary cut), same
+    // distinct-4-gram sets, ALL-PAIRS gram join + integer containment
+    // filter — naive where the Spark side prefix-filters, identical
+    // verdicts.
+    "d16_containment" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000000000,
+             array_to_string(toks[1:len(toks)//2], ' ')
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+                     t -> t <> '') AS toks
+                 FROM documents)
+           WHERE doc_id % 3 = 0),
+         t AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+                   x -> x <> '') AS toks
+               FROM u),
+         g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+3], ' ')))) AS w
+               FROM t WHERE len(toks) >= 4),
+         sizes AS (SELECT doc_id AS id, count(*) AS sz FROM g GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter
+                   FROM g a JOIN g b ON a.w = b.w AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+         FROM inter
+         JOIN sizes sa ON id_a = sa.id
+         JOIN sizes sb ON id_b = sb.id
+         WHERE inter * 10 >= sa.sz * 9""",
+    // Mirrors d17: same first-char-substitution plant, naive all-pairs
+    // levenshtein over the 24-char lowercase keys where the Spark side
+    // blocks by symmetric deletes — identical pair set (blocking is
+    // exact at distance 1).
+    "d17_edit1_pairs" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000000000, 'x' || substr(text, 2)
+           FROM documents WHERE doc_id % 5 = 0),
+         k AS (SELECT doc_id AS id, lower(substr(text, 1, 24)) AS k FROM u)
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
+         FROM k a JOIN k b ON a.id < b.id
+         WHERE levenshtein(a.k, b.k) <= 1""",
     // Mirrors d15: the d06 exact-cluster oracle over the
     // variable-multiplicity plant, then size → count histogram. On this
     // corpus signature equality ⟺ normalized-text equality (the d06
     // argument), so minhash components == fp clusters.
     "d15_cluster_sizes" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents
-                     UNION ALL SELECT doc_id + 10000, text FROM documents
-                     UNION ALL SELECT doc_id + 20000, text FROM documents
+                     UNION ALL SELECT doc_id + 1000000000000, text FROM documents
+                     UNION ALL SELECT doc_id + 2000000000000, text FROM documents
                      WHERE doc_id % 3 = 0),
           c AS (SELECT min(doc_id) OVER (PARTITION BY fp) AS cluster_id
                 FROM (SELECT doc_id, $normFp AS fp FROM u)

@@ -16,6 +16,144 @@ import graft.ops.TemporalJoins
 object Extended {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Market-basket co-occurrence (support / confidence / lift) over the
+    // distinct (order, part) bipartite set — the association-rule readout.
+    // Pair generation is a per-order self-join (bounded by max basket
+    // size, ~7 items in this schema — NEVER corpus-quadratic), then one
+    // partially-aggregated groupBy per pair; part frequencies ride a
+    // key-join and the single corpus scalar (order count) rides a 1-row
+    // broadcast (the t16 discipline, NLJ-allowlisted). All ratios are
+    // integer-count divisions in an identical IEEE chain, round-6.
+    "q54_market_basket" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val n = lp.select(countDistinct(col("l_orderkey")).as("__n"))
+      val freq = lp.groupBy(col("l_partkey")).agg(count(lit(1)).as("__c"))
+      val pairs = lp.as("a").join(lp.as("b"), "l_orderkey")
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 2)
+      pairs
+        .join(freq.select(col("l_partkey").as("part_a"),
+          col("__c").as("c_a")), "part_a")
+        .join(freq.select(col("l_partkey").as("part_b"),
+          col("__c").as("c_b")), "part_b")
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("c_ab"), col("c_a"),
+          col("c_b"),
+          round(col("c_ab").cast("double") / col("__n").cast("double"), 6)
+            .as("support"),
+          round(col("c_ab").cast("double") / col("c_a").cast("double"), 6)
+            .as("confidence"),
+          round((col("c_ab") * col("__n")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double"), 6).as("lift"))
+    }),
+
+    // Daily peak concurrency by sweep line: each event opens a 600 s
+    // interval (clipped to its day), interval edges become ±1 deltas, and
+    // the DAY-PARTITIONED running sum's maximum is the peak — the classic
+    // max-overlap algorithm as one union + one partitioned window + two
+    // key-grouped aggregations, all integer (epoch seconds), no global
+    // sort at any scale. Tie order (ends before starts at the same
+    // second) is pinned by the (t, delta) sort key; intra-tie row order
+    // is free but every output quantity is tie-group-deterministic.
+    "q55_peak_concurrency" -> ((s, dir) => {
+      val iv = table(s, dir, "events")
+        .select(unix_timestamp(col("ts")).as("__t"))
+        .withColumn("__day", expr("__t div 86400"))
+        .withColumn("__te",
+          least(col("__t") + 600L, (col("__day") + 1L) * 86400L))
+      val sweep = iv.select(col("__day"), col("__t").as("__e"),
+          lit(1).as("__d"))
+        .unionAll(iv.select(col("__day"), col("__te").as("__e"),
+          lit(-1).as("__d")))
+      val w = Window.partitionBy(col("__day"))
+        .orderBy(col("__e").asc, col("__d").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = sweep.withColumn("__run", sum(col("__d")).over(w))
+      val peaks = run.groupBy(col("__day")).agg(max(col("__run")).as("peak"))
+      run.join(peaks, "__day")
+        .filter(col("__run") === col("peak"))
+        .groupBy(col("__day"), col("peak"))
+        .agg(min(col("__e")).as("first_peak_t"))
+        .select(col("__day").as("day"), col("peak"), col("first_peak_t"))
+    }),
+
+    // Exact interpolated quantiles (the percentile_cont family — q27 is
+    // the sampled path, q19 the sketch path; this is the exact one).
+    // Instead of trusting two engines' percentile_cont internals to
+    // agree at the last ulp, both sides compute the SAME explicit
+    // formula: integer-rank bracket rows lo = 1 + (n−1)·p div 100,
+    // hi = lo + (1 iff (n−1)·p mod 100 > 0), then
+    // lo + (hi − lo)·(rem/100.0) — every step either integer-exact or
+    // the identical IEEE operation chain, so the doubles hash-match
+    // without rounding. One sort-shuffle per group; at 100 TB the
+    // rank-pick is the exact-quantile floor and q19's KLL is the sketch
+    // alternative.
+    "q49_quantiles_interp" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value").asc)
+      val wn = Window.partitionBy(col("event_type"))
+      val r = table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      def lo(p: Int) = max(when(
+        col("rn") === lit(1) + expr(s"((n - 1) * $p) div 100"),
+        col("value"))).as(s"__lo$p")
+      def hi(p: Int) = max(when(
+        col("rn") === lit(1) + expr(s"((n - 1) * $p) div 100")
+          + when(expr(s"((n - 1) * $p) % 100") > 0, 1).otherwise(0),
+        col("value"))).as(s"__hi$p")
+      val agged = r.groupBy(col("event_type")).agg(
+        max(col("n")).as("n"),
+        lo(25), hi(25), lo(50), hi(50), lo(75), hi(75), lo(90), hi(90))
+      def interp(p: Int) = col(s"__lo$p") +
+        (col(s"__hi$p") - col(s"__lo$p")) *
+          (expr(s"((n - 1) * $p) % 100").cast("double") / lit(100.0))
+      agged.select(col("event_type"), col("n"),
+        interp(25).as("p25"), interp(50).as("p50"),
+        interp(75).as("p75"), interp(90).as("p90"))
+    }),
+
+    // Robust outlier detection: median / MAD (median absolute deviation)
+    // per group, flagging |x − med| > 3·MAD. Both medians use the q19
+    // discrete integer-rank rule (rank 1 + (n−1)·50 div 100 of the
+    // ascending sort), so med and MAD are VALUES PICKED FROM THE DATA —
+    // bit-identical across engines — and the threshold comparison is the
+    // same IEEE |x−med| vs 3.0·mad chain on both sides: exact parity, no
+    // rounding anywhere. Two windowed sorts + two tiny broadcast
+    // join-backs (one row per group); the group-local sort is the exact-
+    // median floor at any scale.
+    "q50_mad_outliers" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      def discMedian(df: DataFrame, vcol: String, outCol: String) = {
+        val w = Window.partitionBy(col("event_type")).orderBy(col(vcol).asc)
+        val wn = Window.partitionBy(col("event_type"))
+        df.withColumn("__rn", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(wn))
+          .filter(col("__rn") === lit(1) + expr("((__n - 1) * 50) div 100"))
+          .select(col("event_type"), col(vcol).as(outCol))
+      }
+      val med = discMedian(e, "value", "med")
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("__adev", abs(col("value") - col("med")))
+      val mad = discMedian(
+        dev.select(col("event_type"), col("__adev")), "__adev", "mad")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          min(col("med")).as("med"),
+          min(col("mad")).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("__adev") > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }),
+
     // Distribution-position window suite: lead / first_value /
     // percent_rank / cume_dist over the per-customer order history —
     // the remaining ANSI window family members (q08 covers rank, q25
@@ -397,6 +535,89 @@ object Extended {
       graft.ops.Triangles.triangleCount(edges)
     }),
 
+    // Per-group least-squares trend (drift detection): slope/intercept
+    // of quantized value (micros, the v10 floor-quantization idiom)
+    // against hour-resolution time, one partially-aggregated groupBy
+    // carrying five EXACT int64 sums (n, Σx, Σy, Σxy, Σx²) — the
+    // mergeable-statistics shape (q46) applied to regression, so the
+    // same five numbers combine across shards/days at any scale. The
+    // closed-form assembly runs in doubles over the exact sums in an
+    // identical IEEE chain on both engines; outputs round-6.
+    "q53_value_trend" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("(CAST(ts AS BIGINT) - 1704067200) div 3600").as("__x"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("__y"))
+      val g = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      val den = g("n").cast("double") * col("__sxx").cast("double") -
+        col("__sx").cast("double") * col("__sx").cast("double")
+      val withSlope = g.withColumn("__den", den)
+        .withColumn("__slope",
+          when(col("__den") === 0.0, lit(0.0))
+            .otherwise((col("n").cast("double") * col("__sxy").cast("double")
+              - col("__sx").cast("double") * col("__sy").cast("double"))
+              / col("__den")))
+      withSlope.select(col("event_type"), col("n"),
+        round(col("__slope"), 6).as("slope"),
+        round((col("__sy").cast("double")
+          - col("__slope") * col("__sx").cast("double"))
+          / col("n").cast("double"), 6).as("intercept"))
+    }),
+
+    // Per-quarter Pareto skyline on (price ↓, date ↓): orders no other
+    // same-quarter order beats on both price and date (ties on both
+    // dims survive — no strict dimension). Not expressible as a
+    // groupBy/topk — dominance needs the 2-D frontier. Shape: one
+    // partial-agg groupBy to (qtr, price, min_date), one PARTITIONED
+    // window over that pre-aggregate for the strictly-cheaper prefix
+    // min (group-bounded — never a global sort; distinct prices per
+    // quarter, not rows, bound the task), one key-join back. Dominance
+    // tests are exact timestamp/double comparisons on both engines.
+    "q52_price_date_skyline" -> ((s, dir) => {
+      val o = table(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_trunc("quarter", col("o_orderdate")).as("qtr"),
+        col("o_totalprice"), col("o_orderdate"))
+      val pp = o.groupBy(col("qtr"), col("o_totalprice"))
+        .agg(min(col("o_orderdate")).as("__grp_min_date"))
+      val wq = Window.partitionBy(col("qtr"))
+        .orderBy(col("o_totalprice").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pm = pp.withColumn("__cheaper_min_date",
+        min(col("__grp_min_date")).over(wq))
+      o.join(pm, Seq("qtr", "o_totalprice"))
+        .filter((col("__cheaper_min_date").isNull ||
+          col("__cheaper_min_date") > col("o_orderdate")) &&
+          col("__grp_min_date") === col("o_orderdate"))
+        .select(col("qtr"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate"))
+    }),
+
+    // Multi-source BFS levels (unweighted shortest paths, depth-capped):
+    // distance from the part-key sources {p < 10} over the q35
+    // co-order part graph, Pregel-style frontier expansion
+    // (ShortestPaths.bfsLevels). The oracle is a DuckDB RECURSIVE CTE
+    // whose UNION-dedup'd (node, level) walk min-aggregates to the same
+    // BFS levels — two entirely different executions of the same
+    // fixpoint.
+    "q51_bfs_levels" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      val sources = table(s, dir, "lineitem")
+        .filter(col("l_partkey") < 10)
+        .select(col("l_partkey").as("node")).distinct()
+      graft.ops.ShortestPaths.bfsLevels(edges, sources, maxDepth = 3)
+    }),
+
     // Weekly cohort retention: users bucketed by the calendar week of
     // their first event; n_users active per (cohort_week, week_offset).
     // ALL-integer week arithmetic (epoch-microsecond division), so the
@@ -637,6 +858,187 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors q54: distinct bipartite set, per-order pair self-join with
+    // HAVING >= 2, BIGINT counts everywhere (the p08 HUGEINT lesson),
+    // and the identical cast-then-divide IEEE chain rounded 6.
+    "q54_market_basket" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+               FROM lp),
+         f AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+               FROM lp GROUP BY 1),
+         p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS c_ab
+               FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT part_a, part_b, c_ab, fa.c AS c_a, fb.c AS c_b,
+           round(CAST(c_ab AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS support,
+           round(CAST(c_ab AS DOUBLE) / CAST(fa.c AS DOUBLE), 6)
+             AS confidence,
+           round(CAST(c_ab * n.n AS DOUBLE) / CAST(fa.c * fb.c AS DOUBLE), 6)
+             AS lift
+         FROM p
+         JOIN f fa ON part_a = fa.l_partkey
+         JOIN f fb ON part_b = fb.l_partkey
+         CROSS JOIN n""",
+    // Mirrors q55: same epoch-second intervals, day clip, ±1 sweep with
+    // the (e, d) tie order, BIGINT running sum (HUGEINT lesson), and the
+    // same peak / first-time aggregation.
+    "q55_peak_concurrency" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 1000000 AS t FROM events),
+         iv AS (SELECT t, t // 86400 AS day,
+                  least(t + 600, (t // 86400 + 1) * 86400) AS te
+                FROM ev),
+         sw AS (SELECT day, t AS e, 1 AS d FROM iv
+                UNION ALL SELECT day, te AS e, -1 AS d FROM iv),
+         r AS (SELECT day, e,
+                 CAST(sum(d) OVER (PARTITION BY day
+                   ORDER BY e ASC, d ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS run
+               FROM sw),
+         p AS (SELECT day, max(run) AS peak FROM r GROUP BY day)
+         SELECT r.day AS day, p.peak AS peak, min(r.e) AS first_peak_t
+         FROM r JOIN p ON r.day = p.day AND r.run = p.peak
+         GROUP BY 1, 2""",
+    // Mirrors q49: the identical explicit interpolation — integer-rank
+    // bracket picks, then lo + (hi−lo)·(rem/100.0) in the same IEEE
+    // operation order (100.0 CAST to DOUBLE; DuckDB parses bare
+    // decimal literals as DECIMAL — the t16 lesson). No rounding: every
+    // output double is either a picked data value or the same
+    // arithmetic chain.
+    "q49_quantiles_interp" ->
+      """WITH r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value ASC)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL),
+         a AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rn = 1 + ((n-1)*25)//100 THEN value END) AS lo25,
+             max(CASE WHEN rn = 1 + ((n-1)*25)//100
+               + (CASE WHEN ((n-1)*25) % 100 > 0 THEN 1 ELSE 0 END)
+               THEN value END) AS hi25,
+             max(CASE WHEN rn = 1 + ((n-1)*50)//100 THEN value END) AS lo50,
+             max(CASE WHEN rn = 1 + ((n-1)*50)//100
+               + (CASE WHEN ((n-1)*50) % 100 > 0 THEN 1 ELSE 0 END)
+               THEN value END) AS hi50,
+             max(CASE WHEN rn = 1 + ((n-1)*75)//100 THEN value END) AS lo75,
+             max(CASE WHEN rn = 1 + ((n-1)*75)//100
+               + (CASE WHEN ((n-1)*75) % 100 > 0 THEN 1 ELSE 0 END)
+               THEN value END) AS hi75,
+             max(CASE WHEN rn = 1 + ((n-1)*90)//100 THEN value END) AS lo90,
+             max(CASE WHEN rn = 1 + ((n-1)*90)//100
+               + (CASE WHEN ((n-1)*90) % 100 > 0 THEN 1 ELSE 0 END)
+               THEN value END) AS hi90
+           FROM r GROUP BY event_type)
+         SELECT event_type, n,
+           lo25 + (hi25 - lo25) * (CAST(((n-1)*25) % 100 AS DOUBLE)
+             / CAST(100.0 AS DOUBLE)) AS p25,
+           lo50 + (hi50 - lo50) * (CAST(((n-1)*50) % 100 AS DOUBLE)
+             / CAST(100.0 AS DOUBLE)) AS p50,
+           lo75 + (hi75 - lo75) * (CAST(((n-1)*75) % 100 AS DOUBLE)
+             / CAST(100.0 AS DOUBLE)) AS p75,
+           lo90 + (hi90 - lo90) * (CAST(((n-1)*90) % 100 AS DOUBLE)
+             / CAST(100.0 AS DOUBLE)) AS p90
+         FROM a""",
+    // Mirrors q50: same discrete integer-rank medians (picked data
+    // values — bit-identical), same |x−med| > 3.0·mad threshold chain.
+    "q50_mad_outliers" ->
+      """WITH e AS (SELECT event_type, value FROM events
+                    WHERE value IS NOT NULL),
+         m AS (SELECT event_type, value AS med FROM (
+             SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM e)
+           WHERE rn = 1 + ((n-1)*50)//100),
+         d AS (SELECT e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS adev
+               FROM e JOIN m USING (event_type)),
+         md AS (SELECT event_type, adev AS mad FROM (
+             SELECT event_type, adev,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY adev ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM d)
+           WHERE rn = 1 + ((n-1)*50)//100)
+         SELECT d.event_type, min(d.med) AS med, min(md.mad) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.adev > CAST(3.0 AS DOUBLE) * md.mad
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM d JOIN md USING (event_type)
+         GROUP BY d.event_type""",
+    // Mirrors q53: same hour x / floor-micro y quantization, the five
+    // sums CAST to BIGINT (the p08 HUGEINT lesson), and the identical
+    // double assembly chain (n·Σxy − Σx·Σy)/(n·Σx² − Σx·Σx) with the
+    // den=0 guard; round-6 outputs.
+    "q53_value_trend" ->
+      """WITH e AS (SELECT event_type,
+             (epoch_us(ts) // 1000000 - 1704067200) // 3600 AS x,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy,
+             CAST(sum(x*x) AS BIGINT) AS sxx
+           FROM e GROUP BY event_type),
+         s AS (SELECT event_type, n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+             sx, sy, sxy FROM g),
+         sl AS (SELECT event_type, n, sx, sy,
+             CASE WHEN den = 0.0 THEN 0.0
+               ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den
+             END AS slope
+           FROM s)
+         SELECT event_type, n, round(slope, 6) AS slope,
+           round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept
+         FROM sl""",
+    // Mirrors q52: same pre-aggregate + strictly-cheaper prefix-min
+    // window + join-back; survival = not beaten by a cheaper-or-equal
+    // earlier order (exact timestamp comparisons).
+    "q52_price_date_skyline" ->
+      """WITH o AS (SELECT o_orderkey,
+             CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr,
+             o_totalprice, o_orderdate FROM orders),
+         pp AS (SELECT qtr, o_totalprice,
+             min(o_orderdate) AS grp_min_date
+           FROM o GROUP BY qtr, o_totalprice),
+         pm AS (SELECT qtr, o_totalprice, grp_min_date,
+             min(grp_min_date) OVER (PARTITION BY qtr
+               ORDER BY o_totalprice ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cheaper_min_date
+           FROM pp)
+         SELECT o.qtr, o.o_orderkey, o.o_totalprice, o.o_orderdate
+         FROM o JOIN pm ON o.qtr = pm.qtr
+           AND o.o_totalprice = pm.o_totalprice
+         WHERE (pm.cheaper_min_date IS NULL
+             OR pm.cheaper_min_date > o.o_orderdate)
+           AND pm.grp_min_date = o.o_orderdate""",
+    // Mirrors q51: recursive-CTE BFS — the UNION (distinct) recursion
+    // carries (node, level) rows, the level < 3 guard caps the walk,
+    // and min(level) per node equals the frontier algorithm's
+    // first-reached level. Level is INTEGER on both sides.
+    "q51_bfs_levels" ->
+      """WITH RECURSIVE
+           lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                 FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey <> b.l_partkey),
+           walk(node, level) AS (
+             SELECT DISTINCT l_partkey, 0 FROM lineitem
+             WHERE l_partkey < 10
+             UNION
+             SELECT e.dst, w.level + 1
+             FROM walk w JOIN e ON w.node = e.src
+             WHERE w.level < 3)
+         SELECT node, CAST(min(level) AS INTEGER) AS level
+         FROM walk GROUP BY node""",
     // Mirrors q48: same window spec (unique tie-break), same >= 2
     // partition filter; lead/first_value copy doubles bit-exact and the
     // two position ratios are exact int divisions rounded 6.

@@ -39,7 +39,7 @@ object MMQueries {
     "m04_media_dedup" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val planted = d.unionAll(
-        d.select((col("doc_id") + 10000).as("doc_id"), col("text"),
+        d.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text"),
           col("lang"), col("source"), col("n_chars")))
       Multimodal.mediaDedupGroups(Multimodal.asMediaTable(planted))
     }),
@@ -234,7 +234,7 @@ object MMQueries {
     // md5(BINARY) on the Spark side == md5(text VARCHAR) here.
     "m04_media_dedup" ->
       """WITH u AS (SELECT doc_id, text FROM documents
-              UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents)
+              UNION ALL SELECT doc_id + 1000000000000 AS doc_id, text FROM documents)
          SELECT md5(text) AS fp, min(doc_id) AS keeper_id,
                 count(*) AS n_copies
          FROM u GROUP BY 1"""

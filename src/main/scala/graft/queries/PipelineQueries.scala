@@ -23,7 +23,7 @@ object PipelineQueries {
       // planted corpus (the dedup family's ground truth: one exact dup
       // per doc) so the dedup stage has real work to do
       val planted = d.unionAll(
-        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        d.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
       val filtered = planted
         .filter(qualityScore(col("text")) >= 0.7)
         .filter(langId(col("text")) === "en")
@@ -110,6 +110,58 @@ object PipelineQueries {
         stratumCol = "lang", keyCol = "doc_id",
         tokens = tokenCount(col("text")), budget = 5000L)),
 
+    // Systematic probability-proportional-to-size sampling: one sampled
+    // doc per 1000-token stride of the per-source cumulative token
+    // stream — the deterministic PPS design (every doc's selection
+    // probability ∝ its token count, heavy docs count once per stride
+    // crossed). ALL-integer: cumsum + integer-division boundary test, no
+    // RNG, no transcendental keys — bit-portable to any engine. One
+    // per-source sort window; sources are the parallel unit (the p08
+    // stratum discipline), never a global sort.
+    "p16_systematic_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id").asc)
+      table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        .withColumn("picks",
+          expr("cum div 1000 - (cum - ntok) div 1000"))
+        .filter(col("picks") > 0)
+        .select(col("source"), col("doc_id"), col("ntok"), col("cum"),
+          col("picks"))
+    }),
+
+    // Length-bucketed batch plan: docs binned to power-of-two token
+    // capacities (16..2048, longer docs truncate to the 2048 cap), and
+    // per bucket the padding economics a sequence-packing trainer needs:
+    // batch count at B=16, kept tokens, padding tokens (every doc pads
+    // to its bucket cap), padding fraction. Pure map + one partially
+    // aggregated groupBy on an 8-value key — no sort, no window, no
+    // shuffle beyond the 8-row aggregate at ANY corpus size (contrast
+    // p04, which packs greedily and must order within bins).
+    "p15_length_buckets" -> ((s, dir) => {
+      val nt = tokenCount(col("text")).cast("long")
+      val cap = when(nt <= 16, 16L).when(nt <= 32, 32L)
+        .when(nt <= 64, 64L).when(nt <= 128, 128L)
+        .when(nt <= 256, 256L).when(nt <= 512, 512L)
+        .when(nt <= 1024, 1024L).otherwise(2048L)
+      table(s, dir, "documents")
+        .select(cap.as("bucket_cap"), least(nt, cap).as("__kept"))
+        .groupBy(col("bucket_cap"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__kept")).as("tokens_kept"))
+        .select(col("bucket_cap"), col("n_docs"),
+          expr("(n_docs + 15) div 16").as("n_batches"),
+          col("tokens_kept"),
+          (col("bucket_cap") * col("n_docs") - col("tokens_kept"))
+            .as("padding_tokens"),
+          round((col("bucket_cap") * col("n_docs") - col("tokens_kept"))
+            .cast("double")
+            / (col("bucket_cap") * col("n_docs")).cast("double"), 6)
+            .as("padding_frac"))
+    }),
+
     // Deterministic seeded global shuffle + shard export plan: every doc
     // gets (shard, pos, rank_key) from a two-round integer LCG on its id
     // — the data-order-reproducibility step a training export needs
@@ -130,10 +182,10 @@ object PipelineQueries {
       val d = table(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("source"))
       val mirrorDup = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text"),
           lit("mirror").as("source"))
       val mirrorOnly = d.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 20000).as("doc_id"),
+        .select((col("doc_id") + 2000000000000L).as("doc_id"),
           concat(col("text"), lit(" mirror only")).as("text"),
           lit("mirror").as("source"))
       Dedup.precedenceSurvivors(
@@ -195,6 +247,46 @@ object PipelineQueries {
   // oracles use (TextQueries.qualitySql/langCase/nTokens), so the
   // pipeline oracle cannot drift from the stage oracles.
   val oracles: Map[String, String] = Map(
+    // Mirrors p16: same per-source doc_id-ordered BIGINT cumsum (HUGEINT
+    // lesson: both sum and the // quotients cast), same stride-crossing
+    // integer test.
+    "p16_systematic_sample" -> {
+      import TextQueries.nTokens
+      s"""WITH d AS (SELECT source, doc_id,
+              CAST($nTokens AS BIGINT) AS ntok FROM documents),
+          c AS (SELECT source, doc_id, ntok,
+                  CAST(sum(ntok) OVER (PARTITION BY source
+                    ORDER BY doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM d)
+          SELECT source, doc_id, ntok, cum,
+            CAST(cum // 1000 - (cum - ntok) // 1000 AS BIGINT) AS picks
+          FROM c
+          WHERE cum // 1000 - (cum - ntok) // 1000 > 0"""
+    },
+    // Mirrors p15: same power-of-two CASE ladder, same least(nt, cap)
+    // truncation, integer // batch count, round-6 padding ratio over
+    // the identical BIGINT products.
+    "p15_length_buckets" -> {
+      import TextQueries.nTokens
+      s"""WITH d AS (SELECT CAST($nTokens AS BIGINT) AS nt FROM documents),
+          b AS (SELECT nt, CAST(CASE WHEN nt <= 16 THEN 16
+                  WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64
+                  WHEN nt <= 128 THEN 128 WHEN nt <= 256 THEN 256
+                  WHEN nt <= 512 THEN 512 WHEN nt <= 1024 THEN 1024
+                  ELSE 2048 END AS BIGINT) AS bucket_cap
+                FROM d),
+          g AS (SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(least(nt, bucket_cap)) AS BIGINT) AS tokens_kept
+                FROM b GROUP BY bucket_cap)
+          SELECT bucket_cap, n_docs, (n_docs + 15) // 16 AS n_batches,
+            tokens_kept,
+            bucket_cap * n_docs - tokens_kept AS padding_tokens,
+            round(CAST(bucket_cap * n_docs - tokens_kept AS DOUBLE)
+              / CAST(bucket_cap * n_docs AS DOUBLE), 6) AS padding_frac
+          FROM g"""
+    },
     // Mirrors p12: same refresh derivation, same chr(1)-joined md5
     // digest, full outer join on the key, same three-way op verdict.
     "p12_snapshot_cdc" ->
@@ -256,7 +348,7 @@ object PipelineQueries {
     "p01_curation_pipeline" -> {
       import TextQueries.{langCase, nTokens, qualitySql}
       s"""WITH u AS (SELECT doc_id, text FROM documents
-              UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+              UNION ALL SELECT doc_id + 1000000000000 AS doc_id, text FROM documents),
           q AS (SELECT doc_id, text, $qualitySql AS quality,
                   CAST($nTokens AS BIGINT) AS n_toks,
                   $langCase AS pred_lang
@@ -404,10 +496,10 @@ object PipelineQueries {
       """WITH u AS (
            SELECT doc_id, text, source FROM documents
            UNION ALL
-           SELECT doc_id + 10000, text, 'mirror' FROM documents
+           SELECT doc_id + 1000000000000, text, 'mirror' FROM documents
            WHERE doc_id % 3 = 0
            UNION ALL
-           SELECT doc_id + 20000, text || ' mirror only', 'mirror'
+           SELECT doc_id + 2000000000000, text || ' mirror only', 'mirror'
            FROM documents WHERE doc_id % 7 = 0),
          f AS (SELECT doc_id, source,
                  CASE WHEN source = 'mirror' THEN 1 ELSE 0 END AS pri,

@@ -66,7 +66,7 @@ object StreamQueries {
       val d = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
       val planted = d.unionAll(d.select(
-        (col("doc_id") + 10000).as("doc_id"), col("lang"), col("text")))
+        (col("doc_id") + 1000000000000L).as("doc_id"), col("lang"), col("text")))
       graft.streaming.DedupStream.stats(planted, "text", "doc_id", "lang")
     }),
 
@@ -172,7 +172,7 @@ object StreamQueries {
     // planted union doubles every doc, so n_dups >= n_distinct per lang.
     "s06_dedup_stats" ->
       """WITH u AS (SELECT doc_id, lang, text FROM documents
-              UNION ALL SELECT doc_id + 10000, lang, text FROM documents),
+              UNION ALL SELECT doc_id + 1000000000000, lang, text FROM documents),
           g AS (SELECT lang,
                   md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fp,
                   count(*) AS n_copies

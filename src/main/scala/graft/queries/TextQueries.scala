@@ -171,6 +171,15 @@ object TextQueries {
       CorpusStats.collocations(
         table(s, dir, "documents"), "text", "doc_id", k = 20, minCount = 5)),
 
+    // RAKE keyphrases: top-3 stopword-delimited candidate phrases per
+    // document, scored degree/frequency over the corpus-wide phrase
+    // word graph (CorpusStats.rakeKeyphrases — ordered-fold doubles,
+    // bit-parity with the oracle's list_reduce).
+    "t21_rake_keyphrases" -> ((s, dir) =>
+      CorpusStats.rakeKeyphrases(
+        table(s, dir, "documents"), "text", "doc_id",
+        maxPhraseLen = 4, topK = 3)),
+
     // Document-sharded inverted index (token → per-shard posting
     // segment): the classic build-the-index MR workload in its
     // distributed layout — a stopword's postings split across shards
@@ -196,6 +205,35 @@ object TextQueries {
         piiCount(plantedText, EmailRegex).as("n_emails"),
         piiCount(plantedText, Ipv4Regex).as("n_ips"),
         md5(redactPii(plantedText).cast("binary")).as("redacted_fp"))
+    }),
+
+    // Flesch reading-ease readability: vowel-group syllables over
+    // alphabetic words, [.!?]-delimited sentences, the classic
+    // 206.835 − 1.015·(W/S) − 84.6·(Syl/W) score. All three counts are
+    // exact integers computed inside the scan (no shuffle, no UDF); the
+    // score follows the round-6 double contract with the formula written
+    // in the identical operation order on both sides.
+    "t20_readability" -> ((s, dir) => {
+      val words = alphaWords(col("text"))
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          sentenceCount(col("text")).cast("long").as("n_sentences"),
+          size(words).cast("long").as("n_words"),
+          aggregate(words, lit(0L),
+            (acc, w) => acc + syllableCount(w).cast("long"))
+            .as("n_syllables"))
+        .select(
+          col("doc_id"), col("n_sentences"), col("n_words"),
+          col("n_syllables"),
+          round(
+            when(col("n_words") > 0,
+              lit(206.835)
+                - lit(1.015) * (col("n_words").cast("double")
+                  / col("n_sentences").cast("double"))
+                - lit(84.6) * (col("n_syllables").cast("double")
+                  / col("n_words").cast("double")))
+              .otherwise(lit(0.0)), 6).as("flesch"))
     })
   )
 
@@ -580,7 +618,90 @@ object TextQueries {
            md5(regexp_replace(
              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')) AS redacted_fp
-         FROM p"""
+         FROM p""",
+
+    // Mirrors t21: same token stream (content [a-z]+ runs vs
+    // break runs over the explicit whitespace class), same stopword
+    // break set, run ids from the same break-prefix-sum window, word
+    // degree/frequency over candidate phrases, and the phrase score as
+    // an ordered left fold (list_reduce over the wpos-ordered list ==
+    // Spark's aggregate fold starting at 0.0 — IEEE 0.0 + x = x, so
+    // the chains are identical). Rank orders on the UNROUNDED score.
+    "t21_rake_keyphrases" ->
+      """WITH ts AS (SELECT doc_id,
+             regexp_extract_all(lower(text),
+               '[a-z]+|[^a-z \t\n\u000B\f\r]+') AS ts
+           FROM documents),
+         tp AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)+1),
+             i -> struct_pack(pos := i, tok := ts[i]))) AS s FROM ts),
+         tk AS (SELECT doc_id, s.pos AS pos, s.tok AS tok,
+             ((NOT regexp_full_match(s.tok, '[a-z]+'))
+               OR s.tok IN ('the','a','and','of','to','in','is','that','it'))
+               AS is_break
+           FROM tp),
+         runs AS (SELECT doc_id, pos, tok, is_break,
+             sum(CASE WHEN is_break THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+           FROM tk),
+         ph AS (SELECT doc_id, run_id, list(tok ORDER BY pos) AS words
+           FROM runs WHERE NOT is_break GROUP BY doc_id, run_id
+           HAVING count(*) <= 4),
+         ph2 AS (SELECT doc_id, run_id,
+             array_to_string(words, ' ') AS phrase,
+             CAST(len(words) AS BIGINT) AS plen, words FROM ph),
+         pw AS (SELECT doc_id, run_id, phrase, plen,
+             unnest(list_transform(range(1, len(words)+1),
+               i -> struct_pack(wpos := i, w := words[i]))) AS ws
+           FROM ph2),
+         pw2 AS (SELECT doc_id, run_id, phrase, plen,
+             ws.wpos AS wpos, ws.w AS w FROM pw),
+         wstats AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg FROM pw2 GROUP BY w),
+         sw AS (SELECT pw2.doc_id, pw2.run_id, pw2.phrase, pw2.wpos,
+             CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS wscore
+           FROM pw2 JOIN wstats USING (w)),
+         ps AS (SELECT doc_id, run_id, phrase,
+             list_reduce(list(wscore ORDER BY wpos),
+               (a, b) -> a + b) AS score
+           FROM sw GROUP BY doc_id, run_id, phrase),
+         pp AS (SELECT doc_id, phrase, max(score) AS score,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+           FROM ps GROUP BY doc_id, phrase)
+         SELECT doc_id, phrase, round(score, 6) AS score,
+           n_occurrences, rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, phrase ASC) AS rank FROM pp)
+         WHERE rank <= 3""",
+
+    // Mirrors t20_readability: same [a-z]+ words, same vowel-group
+    // syllables floored at 1, same [.!?]+ sentence segments with blanks
+    // dropped and a floor of 1. Doubles are CAST — DuckDB parses bare
+    // numeric literals as DECIMAL (the t16 lesson) — and the score is
+    // built in the identical a − b·x − c·y operation order as the Spark
+    // side, then round-6. list_sum of an empty list is NULL → coalesce.
+    "t20_readability" ->
+      """WITH w AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+') AS words,
+             greatest(1, len(list_filter(
+               regexp_split_to_array(text, '[.!?]+'),
+               s -> trim(s) <> ''))) AS n_sentences
+           FROM documents),
+         c AS (SELECT doc_id,
+             CAST(n_sentences AS BIGINT) AS n_sentences,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(words,
+               x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))),
+               0) AS BIGINT) AS n_syllables
+           FROM w)
+         SELECT doc_id, n_sentences, n_words, n_syllables,
+           round(CASE WHEN n_words > 0 THEN
+               CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE)
+                   / CAST(n_sentences AS DOUBLE))
+                 - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE)
+                   / CAST(n_words AS DOUBLE))
+             ELSE 0.0 END, 6) AS flesch
+         FROM c"""
   )
 
 }

@@ -67,13 +67,13 @@ object VectorQueries {
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         m = m, k = k))
 
-  /** embeddings ∪ (embeddings ⊕ id+10000): plants one exact duplicate per
+  /** embeddings ∪ (embeddings ⊕ id+1000000000000): plants one exact duplicate per
     * vector (natural max pairwise cosine in the corpus is 0.51, so dup
     * queries need ground truth).
     */
   private def planted(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    e.unionAll(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    e.unionAll(e.select((col("vec_id") + 1000000000000L).as("vec_id"), col("embedding")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -116,6 +116,42 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(e, q, k = 10, nCentroids = 16, nProbe = 6,
         trained = Some(centroids(s, dir, 16)))
+    }),
+
+    // Filtered ANN: IVF top-k under a metadata equality predicate
+    // (category = vec_id mod 4 as the metadata stand-in) — the
+    // "search within a tenant/category" production shape. Pre-filter
+    // semantics: the predicate joins as a candidate key alongside the
+    // probed cell, so recall is computed within the category rather
+    // than post-filtering a global top-k. Same deterministic full-corpus
+    // centroids as v04 (one index serves every predicate), so the
+    // oracle inlines them as literals — see [[dynamicOracles]].
+    "v18_ann_filtered" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          pmod(col("vec_id"), lit(4L)).as("cat"))
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          pmod(col("vec_id"), lit(4L)).as("qcat"))
+      Similarity.filteredIvfTopK(e, q, k = 10,
+        catCol = "cat", qcatCol = "qcat", nCentroids = 16, nProbe = 6,
+        trained = Some(centroids(s, dir, 16)))
+    }),
+
+    // Matryoshka ANN: coarse rank on the first 16 of 64 dims (the MRL
+    // prefix-truncation path — dimension compression next to v08's bit
+    // compression and v09's codebook compression), exact full-width
+    // re-rank of a 50-deep shortlist. Static SQL oracle (no trained
+    // state): same slice, same cosine kernel contract as v01.
+    "v19_ann_matryoshka" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.matryoshkaTopK(e, q, k = 10, coarseDim = 16,
+        shortlist = 50)
     }),
 
     // ANN recall report — "measure, don't guess" as a first-class
@@ -401,6 +437,35 @@ object VectorQueries {
     * the four centroid oracles (v04/v05/v06/p03) cannot drift on the
     * byte-exactness contract.
     */
+  /** v18's oracle: the v04 IVF oracle with the category equality folded
+    * into the candidate join — cb.id % 4 = qp.qcat mirrors the Spark
+    * side's (cell, cat) join key exactly.
+    */
+  private def v18OracleSql(s: SparkSession, dir: String): String = {
+    val cents = centroids(s, dir, 16)
+    val nCells = cents.length
+    val probes = math.min(6, nCells)
+    s"""${centroidCellCte(cents)},
+        qp AS (
+          SELECT vec_id AS qid, embedding AS qvec, vec_id % 4 AS qcat,
+            gs.i AS cell
+          FROM base, generate_series(1, $nCells) gs(i)
+          WHERE vec_id < 5
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cosl[gs.i] DESC, gs.i ASC) <= $probes),
+        scored AS (
+          SELECT qp.qid, cb.id AS neighbor_id,
+            list_cosine_similarity(cb.vec::DOUBLE[], qp.qvec::DOUBLE[]) AS sim
+          FROM cb JOIN qp ON cb.cell = qp.cell AND cb.id % 4 = qp.qcat
+            AND cb.id <> qp.qid),
+        ranked AS (
+          SELECT qid, neighbor_id, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT qid, neighbor_id, rank, round(sim, 6) AS sim
+        FROM ranked WHERE rank <= 10"""
+  }
+
   private def centroidCellCte(cents: Array[Array[Float]]): String = {
     def exact(f: Float): String =
       new java.math.BigDecimal(f.toDouble).toPlainString
@@ -752,6 +817,7 @@ object VectorQueries {
     "v11_ann_ivfpq" -> (v11OracleSql(_, _)),
     "p09_bitext_candidates" -> (p09OracleSql(_, _)),
     "v04_ann_ivf" -> (v04OracleSql(_, _)),
+    "v18_ann_filtered" -> (v18OracleSql(_, _)),
     "v05_semantic_dedup" -> (v05OracleSql(_, _)),
     "v07_semdedup_exhaustive" -> (v07OracleSql(_, _)),
     "v06_cluster_profile" -> (v06OracleSql(_, _)),
@@ -923,6 +989,36 @@ object VectorQueries {
            FROM scored)
          SELECT qid, neighbor_id, rank, round(sim, 6) AS sim
          FROM ranked WHERE rank <= 10""",
+    // Mirrors v19: same prefix slice (1-based inclusive list slicing ==
+    // Spark's slice(vec, 1, 16)), same cosine kernel (v01 contract),
+    // same coarse-shortlist → exact-re-rank two-phase with identical
+    // tie-breaks; the final sim rides the v01 round-6 rule.
+    "v19_ann_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+              FROM embeddings WHERE vec_id < 5),
+         coarse AS (
+           SELECT q.qid, e.vec_id AS neighbor_id,
+             list_cosine_similarity((e.embedding::DOUBLE[])[1:16],
+               (q.qvec::DOUBLE[])[1:16]) AS csim
+           FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         short AS (SELECT qid, neighbor_id FROM (
+             SELECT qid, neighbor_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY csim DESC, neighbor_id ASC) AS crank
+             FROM coarse) WHERE crank <= 50),
+         rescored AS (
+           SELECT s.qid, s.neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[],
+               q2.qvec::DOUBLE[]) AS sim
+           FROM short s
+           JOIN embeddings e ON e.vec_id = s.neighbor_id
+           JOIN q q2 ON q2.qid = s.qid),
+         ranked AS (SELECT qid, neighbor_id, sim,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM rescored)
+         SELECT qid, neighbor_id, rank, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 10""",
     // v01's oracle with the label exclusion in the same scan filter.
     "v12_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
@@ -940,7 +1036,7 @@ object VectorQueries {
          FROM ranked WHERE rank <= 10""",
     "v03_cosine_neardups" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings
-                    UNION ALL SELECT vec_id + 10000, embedding FROM embeddings)
+                    UNION ALL SELECT vec_id + 1000000000000, embedding FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
          FROM u a JOIN u b ON a.vec_id < b.vec_id

@@ -338,6 +338,50 @@ object ScaleSmoke {
         docs, docs.filter(col("doc_id") % 17 =!= 0),
         "doc_id", Seq("text")).queryExecution.toRdd.count()
     }
+    // RAKE keyphrases: token explode (linear) + word-keyed degree/freq
+    // shuffle + join-back; per-doc windows bound run grouping
+    time(s"rake keyphrases x$factor") {
+      CorpusStats.rakeKeyphrases(docs, "text", "doc_id")
+        .queryExecution.toRdd.count()
+    }
+    // filtered ANN: the IVF candidate join with the predicate folded into
+    // the join key — candidate volume must TRACK the category fraction
+    val catEmb = emb.withColumn("cat", pmod(col("id"), lit(4L)))
+    val catQ = q.withColumn("qcat", pmod(col("qid"), lit(4L)))
+    time(s"filtered ivf ann x$factor") {
+      Similarity.filteredIvfTopK(catEmb, catQ, k = 10,
+        catCol = "cat", qcatCol = "qcat", nCentroids = 16, nProbe = 6)
+        .queryExecution.toRdd.count()
+    }
+    // skyline: pre-agg to (qtr, price) + quarter-partitioned prefix-min
+    // window over the aggregate + key join-back — no global sort
+    time(s"price-date skyline x$factor") {
+      val oo = o.select(col("o_orderkey"),
+        date_trunc("quarter", col("o_orderdate")).as("qtr"),
+        col("o_totalprice"), col("o_orderdate"))
+      val pp = oo.groupBy(col("qtr"), col("o_totalprice"))
+        .agg(min(col("o_orderdate")).as("gmd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qtr")).orderBy(col("o_totalprice").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      oo.join(pp.withColumn("cmd", min(col("gmd")).over(w)),
+          Seq("qtr", "o_totalprice"))
+        .filter((col("cmd").isNull || col("cmd") > col("o_orderdate")) &&
+          col("gmd") === col("o_orderdate"))
+        .queryExecution.toRdd.count()
+    }
+    // BFS levels: maxDepth frontier joins; frontier/visited stay
+    // node-bounded, each round one key join + one anti-join
+    time(s"bfs levels x$factor") {
+      val lp = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      val sources = li.filter(col("l_partkey") < 10)
+        .select(col("l_partkey").as("node")).distinct()
+      graft.ops.ShortestPaths.bfsLevels(edges, sources, maxDepth = 3)
+        .queryExecution.toRdd.count()
+    }
     println(jsonLine("scale_smoke", Seq(
       "factor" -> factor.toString, "shapes" -> shapesJson(results))))
     spark.stop()

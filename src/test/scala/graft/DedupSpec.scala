@@ -328,4 +328,49 @@ class DedupSpec extends SparkSessionSpec {
     // Pairs are lexicographic (a < b), never mirrored.
     assert(got === Set(("s1", "s2", 1L), ("s1", "s3", 1L)))
   }
+
+  test("containmentPairs: half-doc contained; reverse and unrelated are not") {
+    val docs = Seq(
+      (1L, "a1 b2 c3 d4 e5 f6 g7 h8 i9 j10 k11 l12"), // full: 9 4-grams
+      (2L, "a1 b2 c3 d4 e5 f6"),                      // its first half
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")                 // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id",
+        num = 9, den = 10, gramK = 4)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // all 3 of doc 2's grams live in doc 1 → containment 1; the reverse
+    // direction is 3/9 and fails; the unrelated doc shares nothing
+    assert(got === Set((2L, 1L, 3L, 3L, 9L)))
+  }
+
+  test("symDeletePairs: substitution, indel, exact — and nothing past 1") {
+    val docs = Seq(
+      (1L, "hello world"), (2L, "hxllo world"), (3L, "hello worl"),
+      (4L, "hello world"), (5L, "totally different")
+    ).toDF("doc_id", "text")
+    val got = Dedup.symDeletePairs(docs, "text", "doc_id", keyLen = 24)
+      .as[(Long, Long, Int)].collect().toSet
+    // (2,3) is distance 2 — variant blocking surfaces it as a candidate
+    // but verification must drop it
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 0),
+      (2L, 4L, 1), (3L, 4L, 1)))
+  }
+
+  test("symDeletePairs == brute-force levenshtein <= 1 (blocking is exact)") {
+    val docs = (0L until 80L)
+      .map(i => (i, s"prefix ${i % 9} tail ${(i / 9) % 5}"))
+      .toDF("doc_id", "text")
+    val got = Dedup.symDeletePairs(docs, "text", "doc_id", keyLen = 24)
+      .as[(Long, Long, Int)].collect().toSet
+    val k = docs.select(col("doc_id"),
+      lower(substring(col("text"), 1, 24)).as("k"))
+    val brute = k.as("a").crossJoin(k.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        levenshtein(col("a.k"), col("b.k")) <= 1)
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.k"), col("b.k")))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute)
+  }
 }

@@ -154,8 +154,10 @@ class PlanSpec extends SparkSessionSpec {
     "t16_bm25",                     // 1-row (N, total-length) cross join
     "q31_gap_fill",                 // 1-row (h0, h1) range cross join
     "q46_mergeable_stats",          // 1-row (scalar stats × KMV) joins
+    "q54_market_basket",            // 1-row order-count cross join
     "v15_mmr_rerank",               // query set broadcast (v01 shape)
-    "v16_ann_hamming")              // query CODES broadcast vs corpus codes
+    "v16_ann_hamming",              // query CODES broadcast vs corpus codes
+    "v19_ann_matryoshka")           // coarse prefix pass: v01 shape on a slice
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
     // the staged-CTE SQL shape scans events per stage; the typed-MR
@@ -172,7 +174,9 @@ class PlanSpec extends SparkSessionSpec {
     // windowspecdefinition starts with an order expr (" ASC"/" DESC") or
     // goes straight to the frame; a partitioned one leads with plain
     // partition columns.
-    Seq("p07_shuffle_shards", "p08_token_budget", "q38_hourly_anomaly")
+    Seq("p07_shuffle_shards", "p08_token_budget", "q38_hourly_anomaly",
+      "q49_quantiles_interp", "q50_mad_outliers", "q52_price_date_skyline",
+      "t21_rake_keyphrases")
       .foreach { q =>
         val p = finalPlan(q)
         val specs = "windowspecdefinition\\(([^,)]*)".r

@@ -74,6 +74,51 @@ class SimilaritySpec extends SparkSessionSpec {
     assert(full === exact)
   }
 
+  test("matryoshka ANN: full-width shortlist is exact; recall >= 0.5 at 16 dims") {
+    val (corpus, queries) = corpusAndQueries()
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    // coarseDim = full width: the coarse ranking IS the exact ranking, so
+    // any shortlist >= k reproduces brute force exactly
+    val full = Similarity.matryoshkaTopK(corpus, queries, k = 10,
+      coarseDim = 64, shortlist = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+    // truncated prefix: recall must stay useful (synthetic gaussians have
+    // no MRL training, so a 16-dim prefix carries only 1/4 of the signal —
+    // the shortlist is what buys recall back, exactly as in production)
+    val mrl = Similarity.matryoshkaTopK(corpus, queries, k = 10,
+      coarseDim = 16, shortlist = 100)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & mrl).size.toDouble / exact.size
+    info(s"matryoshka recall@10 (16/64 dims, shortlist 100) = $recall")
+    assert(recall >= 0.5)
+  }
+
+  test("filtered IVF: every neighbor satisfies the predicate; exact within category when probing all cells") {
+    val (corpus, queries) = corpusAndQueries()
+    val cCorpus = corpus.withColumn("cat", pmod(col("id"), lit(4L)))
+    val cQueries = queries.withColumn("qcat", pmod(col("qid"), lit(4L)))
+    val res = Similarity.filteredIvfTopK(cCorpus, cQueries, k = 5,
+      catCol = "cat", qcatCol = "qcat", nCentroids = 8, nProbe = 8)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect()
+    // predicate honored: neighbor category == query category, never self
+    assert(res.nonEmpty)
+    res.foreach { case (q, n) =>
+      assert(n % 4 === q % 4); assert(n !== q)
+    }
+    // probing all cells ⇒ identical to brute force over the pre-filtered
+    // category slice (pre-filter semantics, not post-filter)
+    for (c <- 0L until 4L) {
+      val exact = Similarity.bruteForceTopK(
+        cCorpus.filter(col("cat") === c).drop("cat"),
+        cQueries.filter(col("qcat") === c).drop("qcat"), k = 5)
+        .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+      val got = res.filter(_._1 % 4 == c).toSet
+      assert(got === exact, s"category $c")
+    }
+  }
+
   test("IVF broadcast centroid path == literal path, plan O(1) in cells") {
     val (corpus, queries) = corpusAndQueries()
     val lit = Similarity.ivfTopK(corpus, queries, k = 10,

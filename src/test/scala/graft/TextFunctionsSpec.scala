@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{aggregate, col, lit, size}
 import graft.functions.TextFunctions._
 
 /** Hand-planted ground truth for the PII family (the oracled t-queries
@@ -93,5 +93,31 @@ class TextFunctionsSpec extends SparkSessionSpec {
     // the gate must actually split the corpus (keeps AND multi-rule drops)
     assert(rows.exists(_._3))
     assert(rows.exists(r => r._2.contains(",")))
+  }
+
+  test("readability counts: words, vowel-group syllables, sentences (t20)") {
+    import graft.functions.TextFunctions._
+    val df = Seq(
+      (1L, "The queue data. Is it real? Yes!"),
+      (2L, "no enders here"),
+      (3L, "3.5% !!!"), // zero words; "3" / "5% " segments -> 2 sentences
+      (4L, "Rhythm.")
+    ).toDF("doc_id", "text")
+    val words = alphaWords(col("text"))
+    val m = df.select(col("doc_id"),
+      size(words).as("w"),
+      aggregate(words, lit(0L), (a, x) => a + syllableCount(x).cast("long"))
+        .as("syl"),
+      sentenceCount(col("text")).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    // the(1) queue(1: "ueue") data(2) is(1) it(1) real(1: "ea") yes(1) = 8
+    assert(m(1L) === ((7, 8L, 3)))
+    // no(1) enders(2) here(2); no [.!?] -> one whole-text segment
+    assert(m(2L) === ((3, 5L, 1)))
+    assert(m(3L) === ((0, 0L, 2))) // decimal point splits; word count floors
+    // rhythm: the y group -> 1 syllable
+    assert(m(4L) === ((1, 1L, 1)))
   }
 }
