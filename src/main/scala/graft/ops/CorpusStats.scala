@@ -247,6 +247,42 @@ object CorpusStats {
     * all; chunk count per doc is ⌈n/chunkSize⌉ so output volume ≈ input
     * token volume. Embarrassingly parallel at any scale.
     */
+  /** Per-document k-gram NOVELTY against everything earlier (by id) in
+    * the corpus: the fraction of a doc's distinct k-grams whose FIRST
+    * corpus occurrence is the doc itself. The saturation readout a
+    * curation loop watches — novelty decaying toward 0 as a source is
+    * ingested means additional docs stop contributing new content, the
+    * aggregate view of what [[dupSpanCoverage]] measures pairwise.
+    *
+    * Output: (id, n_grams, n_novel, novelty) for every doc with ≥ k
+    * tokens; novelty is the RAW IEEE division of the two exact integers
+    * (correctly rounded in every engine — the d03 jaccard discipline).
+    *
+    * Shape: one gram-hash explode (8-byte keys, the [[dupSpanCoverage]]
+    * discipline — no gram string ever rides a shuffle), one gram-keyed
+    * partial-aggregated min(id), one join-back, one per-doc groupBy.
+    * First-occurrence is a pure min — no sort, no window, no iteration;
+    * a boilerplate gram's postings collapse map-side to one (gram,
+    * min_id) row per partition.
+    */
+  def ngramNovelty(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(kgramHashes(lowerTokens(col(textCol)), k)))
+          .as("g"))
+    val first = grams.groupBy(col("g")).agg(min(col("id")).as("__first"))
+    grams.join(first, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+        col("novelty"))
+  }
+
   def chunkByTokens(
       df: DataFrame, textCol: String, idCol: String, chunkSize: Int): DataFrame = {
     val toks = lowerTokens(col(textCol))

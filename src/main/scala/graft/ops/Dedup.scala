@@ -317,6 +317,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** CROSS-corpus minhash near-dup pairs: LSH candidates strictly between
+    * `left` and `right` (never within either side) — the fuzzy
+    * decontamination primitive. [[graft.ops.CorpusStats.contamination]]
+    * catches exact 8-gram overlap; an eval item paraphrased by one word
+    * sails through it, and running [[minhashPairs]] over the union wastes
+    * the whole right×right candidate budget to find pairs that get
+    * discarded. Here each band bucket joins left rows against right rows
+    * only, so candidate volume is the cross term alone — at a typical
+    * eval:train ratio of 1:10⁶ that is the difference between a lookup
+    * and a self-join. Same signature machinery, same exact-verification
+    * contract: output pairs carry TRUE shingle Jaccard (raw IEEE division
+    * of exact integers), LSH only gates recall (miss probability
+    * (1−j^rows)^bands — 3e-12 at j=0.9 with 16×2).
+    */
+  def crossMinhashPairs(
+      left: DataFrame, right: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val p = expansionParallelism(right)
+    def sh(df: DataFrame) = df.repartition(p).select(
+      col(idCol).as("id"), hashedShingles(col(textCol), k).as("shingles"))
+    def banded(s: DataFrame) = s.select(col("id"),
+      explode(lshBandKeys(minhashFromShingles(col("shingles"), numHashes),
+        bands, rowsPerBand)).as("bucket"))
+      .repartition(p, col("bucket"))
+    val shL = sh(left)
+    val shR = sh(right)
+    val cand = banded(shL).as("a").join(banded(shR).as("b"),
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(shL.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        Seq("id_a"))
+      .join(shR.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("inter", intersectCard(col("sh_a"), col("sh_b")))
+      .withColumn("uni",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: bit j of the result is 1 iff

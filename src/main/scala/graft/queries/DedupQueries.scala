@@ -86,6 +86,24 @@ object DedupQueries {
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // NEAR-dup decontamination: minhash LSH candidates strictly BETWEEN
+    // eval (doc_id < 50) and train — the fuzzy complement of d08's exact
+    // 8-gram contamination. The plant: every eval doc re-enters train
+    // with its first character replaced ('x' || rest) — a one-token edit
+    // d08's exact grams mostly keep but shingle Jaccard ≈ (n−3)/(n−1)
+    // ≈ 0.95 catches. Output is exact verified Jaccard, so the oracle is
+    // the all-pairs cross filter; LSH gates only recall (miss ≈ 3e-12
+    // at j = 0.9 with 16 bands × 2 rows).
+    "d18_near_decontamination" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ev = d.filter(col("doc_id") < 50)
+      val train = d.filter(col("doc_id") >= 50)
+        .unionAll(ev.select((col("doc_id") + 1000000000000L).as("doc_id"),
+          concat(lit("x"), expr("substr(text, 2)")).as("text")))
+      Dedup.crossMinhashPairs(ev, train, "text", "doc_id",
+        k = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
+    }),
+
     // Directed 4-gram containment ≥ 9/10 — the truncated-mirror catcher
     // symmetric Jaccard dilutes away. The plant: every 3rd doc mirrored
     // as its first ⌊n/2⌋ TOKENS (word-boundary cut, so every half-gram
@@ -536,6 +554,48 @@ object DedupQueries {
           FROM (SELECT doc_id, $normFp AS fp FROM $plantedSql d)
           QUALIFY count(*) OVER (PARTITION BY fp) > 1"""
     ,
+    // Mirrors d18: the d03 shingle construction on each side, the same
+    // first-char plant into train, all-pairs CROSS join (no a.id < b.id
+    // — sides are disjoint), identical integer-division Jaccard.
+    "d18_near_decontamination" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         tr AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50
+                UNION ALL
+                SELECT doc_id + 1000000000000, 'x' || substr(text, 2)
+                FROM documents WHERE doc_id < 50),
+         t1 AS (SELECT doc_id AS id,
+                  trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))
+                    AS norm
+                FROM ev),
+         t2 AS (SELECT doc_id AS id,
+                  trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))
+                    AS norm
+                FROM tr),
+         s1 AS (SELECT id, unnest(CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE [norm] END) AS s
+                FROM (SELECT id, norm,
+                        list_filter(string_split(norm, ' '), x -> x <> '')
+                          AS toks FROM t1)),
+         s2 AS (SELECT id, unnest(CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE [norm] END) AS s
+                FROM (SELECT id, norm,
+                        list_filter(string_split(norm, ' '), x -> x <> '')
+                          AS toks FROM t2)),
+         z1 AS (SELECT id, count(*) AS sz FROM s1 GROUP BY id),
+         z2 AS (SELECT id, count(*) AS sz FROM s2 GROUP BY id),
+         inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                   FROM s1 a JOIN s2 b ON a.s = b.s GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b,
+                 CAST(inter AS DOUBLE)
+                   / CAST(za.sz + zb.sz - inter AS DOUBLE) AS jaccard
+               FROM inter
+               JOIN z1 za ON id_a = za.id
+               JOIN z2 zb ON id_b = zb.id)
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""",
     // Mirrors d16: same half-token plant (word-boundary cut), same
     // distinct-4-gram sets, ALL-PAIRS gram join + integer containment
     // filter — naive where the Spark side prefix-filters, identical

@@ -81,6 +81,43 @@ object Extended {
         .select(col("__day").as("day"), col("peak"), col("first_peak_t"))
     }),
 
+    // Time-to-convert histogram: hours between a user's FIRST signup and
+    // their first purchase at-or-after it, bucketed to whole hours — the
+    // latency readout next to q34's stage counts. Two key-grouped
+    // aggregations + one user-keyed join; all integer epoch-second
+    // arithmetic.
+    "q56_conversion_latency" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("__t"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("__t")).as("__s"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("__t"))
+      su.join(pu, "user_id")
+        .filter(col("__t") >= col("__s"))
+        .groupBy(col("user_id"), col("__s")).agg(min(col("__t")).as("__p"))
+        .select(expr("(__p - __s) div 3600").as("hours_to_convert"))
+        .groupBy(col("hours_to_convert"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Degree distribution of the co-order part graph (the q30/q35/q51
+    // graph family's structural readout): distinct-neighbor degree per
+    // node, then degree → node-count histogram. Two partially-aggregated
+    // key groupBys over the distinct edge set — no iteration.
+    "q57_degree_histogram" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .distinct()
+        .groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        .groupBy(col("__deg")).agg(count(lit(1)).as("n_nodes"))
+        .select(col("__deg").as("degree"), col("n_nodes"))
+    }),
+
     // Exact interpolated quantiles (the percentile_cont family — q27 is
     // the sampled path, q19 the sketch path; this is the exact one).
     // Instead of trusting two engines' percentile_cont internals to
@@ -858,6 +895,31 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors q56: same first-signup / first-purchase-after derivation,
+    // integer epoch-second hours, BIGINT counts.
+    "q56_conversion_latency" ->
+      """WITH ev AS (SELECT user_id, event_type,
+             epoch_us(ts) // 1000000 AS t FROM events),
+         su AS (SELECT user_id, min(t) AS s FROM ev
+                WHERE event_type = 'signup' GROUP BY user_id),
+         fp AS (SELECT ev.user_id, su.s, min(ev.t) AS p
+                FROM ev JOIN su ON ev.user_id = su.user_id
+                WHERE ev.event_type = 'purchase' AND ev.t >= su.s
+                GROUP BY ev.user_id, su.s)
+         SELECT (p - s) // 3600 AS hours_to_convert,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM fp GROUP BY 1""",
+    // Mirrors q57: distinct edge set, per-src degree, degree histogram,
+    // BIGINT counts everywhere.
+    "q57_degree_histogram" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+               FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey <> b.l_partkey),
+         d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+               FROM e GROUP BY src)
+         SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM d GROUP BY deg""",
     // Mirrors q54: distinct bipartite set, per-order pair self-join with
     // HAVING >= 2, BIGINT counts everywhere (the p08 HUGEINT lesson),
     // and the identical cast-then-divide IEEE chain rounded 6.

@@ -132,6 +132,30 @@ object PipelineQueries {
           col("picks"))
     }),
 
+    // Temperature-weighted language mixture (T = 0.5): per-language
+    // quotas ∝ sqrt(token count), the standard up-weighting of low-
+    // resource languages in multilingual pretraining. sqrt is the ONE
+    // IEEE-exact transcendental-free temperature (correctly rounded in
+    // every engine — pow(x, 0.7) would not be bit-portable), and the
+    // weight normalizer is an ORDERED fold over the lang-sorted list
+    // (the t21 discipline: Spark's aggregate from 0.0 == DuckDB's
+    // list_reduce, since 0.0 + x = x exactly). Per-lang partial agg +
+    // a 1-row broadcast of the normalizer (t16 discipline).
+    "p17_temperature_mixture" -> ((s, dir) => {
+      val g = table(s, dir, "documents")
+        .select(col("lang"), tokenCount(col("text")).cast("long").as("__nt"))
+        .groupBy(col("lang")).agg(sum(col("__nt")).as("n_tokens"))
+        .withColumn("w", sqrt(col("n_tokens").cast("double")))
+      val tot = g.agg(aggregate(
+        sort_array(collect_list(struct(col("lang"), col("w")))),
+        lit(0.0), (acc, x) => acc + x("w")).as("__tot"))
+      g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_tokens"),
+          round(col("w") / col("__tot"), 6).as("share"),
+          floor(lit(100000.0) * (col("w") / col("__tot"))).cast("long")
+            .as("quota_tokens"))
+    }),
+
     // Length-bucketed batch plan: docs binned to power-of-two token
     // capacities (16..2048, longer docs truncate to the 2048 cap), and
     // per bucket the padding economics a sequence-packing trainer needs:
@@ -264,6 +288,24 @@ object PipelineQueries {
             CAST(cum // 1000 - (cum - ntok) // 1000 AS BIGINT) AS picks
           FROM c
           WHERE cum // 1000 - (cum - ntok) // 1000 > 0"""
+    },
+    // Mirrors p17: BIGINT token sums, IEEE-exact sqrt, the lang-ordered
+    // list_reduce fold (== Spark's aggregate from 0.0), the same
+    // divide-then-scale chain with the 100000 literal CAST to DOUBLE
+    // (t16 lesson), floor quota.
+    "p17_temperature_mixture" -> {
+      import TextQueries.nTokens
+      s"""WITH d AS (SELECT lang,
+              CAST(sum(CAST($nTokens AS BIGINT)) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang),
+          w AS (SELECT lang, n_tokens,
+                  sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM d),
+          t AS (SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b)
+                  AS tot FROM w)
+          SELECT lang, n_tokens, round(w / t.tot, 6) AS share,
+            CAST(floor(CAST(100000 AS DOUBLE) * (w / t.tot)) AS BIGINT)
+              AS quota_tokens
+          FROM w CROSS JOIN t"""
     },
     // Mirrors p15: same power-of-two CASE ladder, same least(nt, cap)
     // truncation, integer // batch count, round-6 padding ratio over

@@ -171,6 +171,14 @@ object TextQueries {
       CorpusStats.collocations(
         table(s, dir, "documents"), "text", "doc_id", k = 20, minCount = 5)),
 
+    // Corpus-saturation novelty curve: per doc, the fraction of its
+    // distinct 4-grams first seen (by min doc_id) in the doc itself —
+    // the aggregate readout of whether a source still contributes new
+    // content. Raw IEEE division of exact integers (d03 discipline).
+    "t22_ngram_novelty" -> ((s, dir) =>
+      CorpusStats.ngramNovelty(
+        table(s, dir, "documents"), "text", "doc_id", k = 4)),
+
     // RAKE keyphrases: top-3 stopword-delimited candidate phrases per
     // document, scored degree/frequency over the corpus-wide phrase
     // word graph (CorpusStats.rakeKeyphrases — ordered-fold doubles,
@@ -363,6 +371,26 @@ object TextQueries {
         FROM base GROUP BY lang"""
 
   val oracles: Map[String, String] = Map(
+    // Mirrors t22: gram STRINGS where the Spark side shuffles 8-byte
+    // xxhash64 keys (the d07 hash-vs-string equivalence, collision-
+    // negligible), min-doc_id first occurrence, raw IEEE division.
+    "t22_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+3], ' ')))) AS w
+               FROM t WHERE len(toks) >= 4),
+         f AS (SELECT w, min(doc_id) AS first_id FROM g GROUP BY w)
+         SELECT g.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         FROM g JOIN f USING (w)
+         GROUP BY g.doc_id""",
     "t13_bpe_tokens" -> t13OracleSql,
     "t18_tokenizer_fertility" -> t18OracleSql,
     "t01_token_stats" ->

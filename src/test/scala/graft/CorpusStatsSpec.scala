@@ -44,6 +44,21 @@ class CorpusStatsSpec extends SparkSessionSpec {
     assert(got(2) === Row(3L, 5L, 0L, 0.0))
   }
 
+  test("ngramNovelty: first occurrence novel, repeats stale, short docs absent") {
+    val df = Seq(
+      (1L, "a b c d e"),   // grams "a b c d","b c d e" — both first here
+      (2L, "a b c d e"),   // exact repeat: 0 novel
+      (3L, "a b c d x"),   // "a b c d" seen, "b c d x" new: 1/2
+      (4L, "a b c")        // < 4 tokens: no grams, absent
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.ngramNovelty(df, "text", "doc_id", k = 4)
+      .orderBy("doc_id").collect()
+    assert(got.length === 3)
+    assert(got(0) === Row(1L, 2L, 2L, 1.0))
+    assert(got(1) === Row(2L, 2L, 0L, 0.0))
+    assert(got(2) === Row(3L, 2L, 1L, 0.5))
+  }
+
   test("dupSpanCoverage: overlapping shared grams merge their coverage") {
     // both docs contain "a b c d" AND "b c d e": spans [1..4] and [2..5]
     // merge to 5 covered tokens, not 8

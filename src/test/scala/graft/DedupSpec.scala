@@ -329,6 +329,25 @@ class DedupSpec extends SparkSessionSpec {
     assert(got === Set(("s1", "s2", 1L), ("s1", "s3", 1L)))
   }
 
+  test("crossMinhashPairs: cross-side pairs only; within-side dups invisible") {
+    val left = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "spark catalyst optimizer rewrites logical plans into physical plans")
+    ).toDF("doc_id", "text")
+    val right = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog near the river"),
+      (4L, "completely unrelated text about database engines and queries"),
+      (5L, "identical twin lives on the right side of the corpus only"),
+      (6L, "identical twin lives on the right side of the corpus only")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossMinhashPairs(left, right, "text", "doc_id",
+        threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 1↔3 is the only cross-side near-dup; the 5↔6 twins are same-side
+    // and must never surface
+    assert(got === Set((1L, 3L)))
+  }
+
   test("containmentPairs: half-doc contained; reverse and unrelated are not") {
     val docs = Seq(
       (1L, "a1 b2 c3 d4 e5 f6 g7 h8 i9 j10 k11 l12"), // full: 9 4-grams
