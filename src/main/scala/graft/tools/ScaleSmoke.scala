@@ -382,6 +382,30 @@ object ScaleSmoke {
       graft.ops.ShortestPaths.bfsLevels(edges, sources, maxDepth = 3)
         .queryExecution.toRdd.count()
     }
+    // containment: asymmetric prefix filter — candidate stream tracks
+    // prefix-gram rarity, fetch-join verification once per pair
+    time(s"containment pairs x$factor") {
+      Dedup.containmentPairs(docs, "text", "doc_id",
+        num = 9, den = 10, gramK = 4).queryExecution.toRdd.count()
+    }
+    // symmetric-delete fuzzy pairs: (L+1)-fold linear variant shuffle,
+    // in-bucket expansion bounded by near-dup cluster sizes
+    time(s"symdelete pairs x$factor") {
+      Dedup.symDeletePairs(docs, "text", "doc_id", keyLen = 24)
+        .queryExecution.toRdd.count()
+    }
+    // cross-corpus minhash: candidates are the eval×train cross term
+    // inside buckets only — must scale with the small side
+    time(s"cross minhash x$factor") {
+      Dedup.crossMinhashPairs(
+        docs.filter(col("doc_id") % 100 === 0), docs, "text", "doc_id")
+        .queryExecution.toRdd.count()
+    }
+    // novelty: one gram-hash shuffle, min partial agg, per-doc groupBy
+    time(s"ngram novelty x$factor") {
+      CorpusStats.ngramNovelty(docs, "text", "doc_id", k = 4)
+        .queryExecution.toRdd.count()
+    }
     println(jsonLine("scale_smoke", Seq(
       "factor" -> factor.toString, "shapes" -> shapesJson(results))))
     spark.stop()
