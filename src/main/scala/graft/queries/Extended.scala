@@ -81,6 +81,33 @@ object Extended {
         .select(col("__day").as("day"), col("peak"), col("first_peak_t"))
     }),
 
+    // ABC (Pareto) classification: parts ranked by exact DECIMAL revenue,
+    // cumulative-share classes A (≤ 50% of total), B (≤ 80%), C. The
+    // ranked cumsum runs over the PART-LEVEL AGGREGATE — three orders of
+    // magnitude below the fact table; a single post-agg sort is the
+    // standard ABC shape (the dimension, not the data, is what's
+    // ordered). Revenue sums are exact DECIMAL; shares and class
+    // boundaries go through the identical exact-decimal→double cast and
+    // IEEE division on both engines.
+    "q58_abc_classes" -> ((s, dir) => {
+      val pr = table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("__p"))
+        .groupBy(col("l_partkey")).agg(sum(col("__p")).as("__rev"))
+      val ord = Window.orderBy(col("__rev").desc, col("l_partkey").asc)
+      val share = col("__cum").cast("double") / col("__tot").cast("double")
+      pr.withColumn("__cum", sum(col("__rev")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__tot", sum(col("__rev")).over(
+          ord.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("l_partkey"),
+          col("__rev").cast("double").as("revenue"),
+          round(share, 6).as("cum_share"),
+          when(share <= 0.5, "A").when(share <= 0.8, "B")
+            .otherwise("C").as("abc"))
+    }),
+
     // Time-to-convert histogram: hours between a user's FIRST signup and
     // their first purchase at-or-after it, bucketed to whole hours — the
     // latency readout next to q34's stage counts. Two key-grouped
@@ -895,6 +922,28 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors q58: exact DECIMAL revenue sums, same (rev DESC, partkey)
+    // ranked cumsum over the part aggregate, identical decimal→double
+    // casts, IEEE division, and double class-boundary compares.
+    "q58_abc_classes" ->
+      """WITH pr AS (SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS rev
+           FROM lineitem GROUP BY 1),
+         w AS (SELECT l_partkey, rev,
+                 CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(38,2)) AS cum,
+                 CAST(sum(rev) OVER () AS DECIMAL(38,2)) AS tot
+               FROM pr)
+         SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.5
+                  THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8
+                  THEN 'B'
+                ELSE 'C' END AS abc
+         FROM w""",
     // Mirrors q56: same first-signup / first-purchase-after derivation,
     // integer epoch-second hours, BIGINT counts.
     "q56_conversion_latency" ->

@@ -81,10 +81,36 @@ object StreamQueries {
       graft.streaming.StatsStream.statsFromEvents(
         graft.streaming.StatsStream.statEvents(
           table(s, dir, "events"), bucketKeyCol = "event_id",
-          columns = Seq("event_id", "user_id"), nBuckets = 8)))
+          columns = Seq("event_id", "user_id"), nBuckets = 8))),
+
+    // Event-transition (Markov) matrix: per-user lag pairing → from→to
+    // counts + per-source probabilities. Registered as the batch lag
+    // form; StreamingSpec proves the flatMapGroupsWithState per-user
+    // fold (streaming/TransitionStream.scala) converges to it under
+    // arbitrary in-order micro-batch splits, s10-style.
+    "s11_transitions" -> ((s, dir) =>
+      graft.streaming.TransitionStream.transitionMatrix(
+        table(s, dir, "events")))
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors s11: same (ts, event_id) lag ordering, BIGINT counts,
+    // round-6 of the identical integer division (the window total is
+    // DuckDB HUGEINT but both engines divide the same exact integers
+    // cast to DOUBLE — p08 lesson applied).
+    "s11_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS prev
+           FROM events),
+         g AS (SELECT prev AS from_type, event_type AS to_type,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM p WHERE prev IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+             AS p
+         FROM g""",
     "s01_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n_events,

@@ -397,6 +397,63 @@ class StreamingSpec extends SparkSessionSpec {
     assert(fromShards === merged)
   }
 
+  test("streaming transition fold == batch lag matrix under in-order splits (s11)") {
+    import graft.streaming.TransitionStream
+    val events = table(spark, sfDir, "events")
+    val batch = TransitionStream.transitionMatrix(events)
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Long, Long, String)](spark)
+    val streamDf = mem.toDF()
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    // in-order arrival (the documented contract), split across batches
+    val rows = TransitionStream.transEvents(events).collect()
+      .sortBy(e => (e.ts_us, e.event_id))
+      .map(e => (e.user_id, e.ts_us, e.event_id, e.event_type))
+    val thirds = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val out = TransitionStream.userTransitions(
+      streamDf.as[TransitionStream.TransEvent])
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("s11_out").start()
+    thirds.foreach { part =>
+      mem.addData(part.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // last emission per (user, from, to) is the quiet-period state
+    val sink = spark.table("s11_out")
+      .withColumn("__seq", monotonically_increasing_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("from_type"), col("to_type"))
+      .orderBy(col("__seq").desc)
+    val finalUsers = sink.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__seq", "__rn")
+    val got = TransitionStream.matrixFromUsers(finalUsers)
+      .collect().map(_.toSeq).toSet
+    assert(got === batch)
+  }
+
+  test("s11 late regressions are refused, never folded backward") {
+    import graft.streaming.TransitionStream
+    val mem = MemoryStream[(Long, Long, Long, String)](spark)
+    val streamDf = mem.toDF()
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = TransitionStream.userTransitions(
+      streamDf.as[TransitionStream.TransEvent])
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("s11_late_out").start()
+    mem.addData(Seq((7L, 1L, 1L, "a"), (7L, 3L, 3L, "b")))
+    q.processAllAvailable()
+    // t=2 arrives AFTER t=3 was folded: dropped, no a→c / c→b invented
+    mem.addData(Seq((7L, 2L, 2L, "c")))
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table("s11_late_out")
+      .select("from_type", "to_type", "n")
+      .as[(String, String, Long)].collect().toSet
+    assert(sink === Set(("a", "b", 1L)))
+  }
+
   implicit class Tup3Ops[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
