@@ -81,6 +81,51 @@ object Extended {
         .select(col("__day").as("day"), col("peak"), col("first_peak_t"))
     }),
 
+    // Order-fill latency histogram: days from order date to the LAST
+    // line shipment, bucketed by week — the fulfillment-SLA readout.
+    // One key join + per-order max + histogram groupBy. The synthetic
+    // dates run NEGATIVE, where integer division semantics diverge
+    // (Spark div truncates, DuckDB // floors) — so the week bucket is
+    // floor(days / 7.0): IEEE-exact at these magnitudes and identical
+    // on both engines for either sign.
+    "q59_fill_latency" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(max(col("l_shipdate")).as("__last"))
+        .select(floor(datediff(col("__last"), col("o_orderdate"))
+          .cast("double") / lit(7.0)).cast("long").as("weeks_to_fill"))
+        .groupBy(col("weeks_to_fill"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // Top brand per quarter by ARGMAX (one-pass max-of-struct — no
+    // rank window, no self-join): quarterly brand revenue in exact
+    // DECIMAL, then max(struct(rev, brand)) per quarter; revenue ties
+    // break to the lexicographically larger brand in BOTH engines.
+    // Two partially-aggregated groupBys; the argmax is a pure agg.
+    "q60_top_brand_quarter" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("__p"))
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        date_trunc("quarter", col("o_orderdate")).as("qtr"))
+      val p = table(s, dir, "part").select(col("p_partkey"),
+        col("p_brand"))
+      val br = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("qtr"), col("p_brand"))
+        .agg(sum(col("__p")).as("__rev"))
+      br.groupBy(col("qtr"))
+        .agg(max(struct(col("__rev"), col("p_brand"))).as("__top"))
+        .select(col("qtr"), col("__top.p_brand").as("brand"),
+          col("__top.__rev").cast("double").as("revenue"))
+    }),
+
     // ABC (Pareto) classification: parts ranked by exact DECIMAL revenue,
     // cumulative-share classes A (≤ 50% of total), B (≤ 80%), C. The
     // ranked cumsum runs over the PART-LEVEL AGGREGATE — three orders of
@@ -922,6 +967,38 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors q59: same per-order last-ship max, calendar-day diff, and
+    // the sign-safe floor(days / 7.0) week bucket (CAST to DOUBLE — the
+    // decimal-literal lesson).
+    "q59_fill_latency" ->
+      """WITH f AS (SELECT o.o_orderkey, o.o_orderdate,
+             max(l.l_shipdate) AS lastd
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2)
+         SELECT CAST(floor(CAST(date_diff('day', o_orderdate, lastd)
+             AS DOUBLE) / CAST(7 AS DOUBLE)) AS BIGINT) AS weeks_to_fill,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM f GROUP BY 1""",
+    // Mirrors q60: same three-way join and DECIMAL brand revenue; the
+    // argmax's (rev, brand) struct order replays as (rev DESC, brand
+    // DESC) row_number — ties to the lexicographically larger brand on
+    // both engines (binary collation).
+    "q60_top_brand_quarter" ->
+      """WITH br AS (SELECT
+             CAST(date_trunc('quarter', o.o_orderdate) AS TIMESTAMP) AS qtr,
+             p.p_brand,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS rev
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2),
+         r AS (SELECT qtr, p_brand, rev,
+                 row_number() OVER (PARTITION BY qtr
+                   ORDER BY rev DESC, p_brand DESC) AS rn
+               FROM br)
+         SELECT qtr, p_brand AS brand, CAST(rev AS DOUBLE) AS revenue
+         FROM r WHERE rn = 1""",
     // Mirrors q58: exact DECIMAL revenue sums, same (rev DESC, partkey)
     // ranked cumsum over the part aggregate, identical decimal→double
     // casts, IEEE division, and double class-boundary compares.
