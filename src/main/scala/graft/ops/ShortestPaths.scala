@@ -16,14 +16,17 @@ import org.apache.spark.sql.functions._
   * construction the FIRST round that reached it, i.e. the minimum
   * distance. Termination: depth cap or empty frontier.
   *
-  * Scale shape: per round, one key-shuffle join frontier⋈edges (the
-  * frontier is the small side and shrinks as the wave saturates) plus
-  * one anti-join against visited, both on the node key. `visited` and
-  * `frontier` are localCheckpointed every round — the d06/q30 discipline:
-  * each iteration's plan starts from materialized partitions, not a
-  * lineage chain that re-runs all prior rounds. Depth is bounded
-  * (maxDepth rounds total), so the driver loop is O(maxDepth) actions
-  * regardless of graph size.
+  * Scale shape: the edge list is hash-partitioned by source ONCE and
+  * checkpointed in that layout, so every round's frontier⋈edges join
+  * exchanges only the FRONTIER (small, and shrinking as the wave
+  * saturates) — the edge set, the 100 TB object here, never re-shuffles
+  * after setup (the q30 co-partitioning discipline; ShortestPathsSpec
+  * pins the single-exchange plan). The per-round anti-join against
+  * visited is also node-keyed. `visited` and `frontier` are
+  * localCheckpointed every round — each iteration's plan starts from
+  * materialized partitions, not a lineage chain that re-runs all prior
+  * rounds. Depth is bounded (maxDepth rounds total), so the driver loop
+  * is O(maxDepth) actions regardless of graph size.
   */
 object ShortestPaths {
 
@@ -42,6 +45,10 @@ object ShortestPaths {
         col(dstCol).cast("long").as("__dst"))
       .filter(col("__src") =!= col("__dst"))
       .distinct()
+      // source-keyed layout, materialized once: every round's join then
+      // satisfies its distribution requirement from the checkpoint and
+      // only the frontier side exchanges
+      .repartition(col("__src"))
       .localCheckpoint()
     var visited = sources
       .select(col(nodeCol).cast("long").as("node"))

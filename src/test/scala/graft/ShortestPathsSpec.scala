@@ -67,4 +67,30 @@ class ShortestPathsSpec extends SparkSessionSpec {
       assert(levels(edges, sources, depth) === expect)
     }
   }
+
+  test("per-round join exchanges only the frontier — edges read from the checkpointed layout") {
+    import org.apache.spark.sql.functions._
+    // the round shape bfsLevels builds: a source-keyed checkpointed edge
+    // table joined by a small frontier. The edge side must satisfy the
+    // join's distribution from its materialized layout — exactly one
+    // hash exchange (the frontier's) in the final plan.
+    val e = (1L to 400L).map(i => (i % 50, (i * 7) % 50))
+      .toDF("__src", "__dst")
+      .filter(col("__src") =!= col("__dst")).distinct()
+      .repartition(col("__src")).localCheckpoint()
+    val frontier = Seq(1L, 2L, 3L).toDF("node")
+    val joined = frontier.join(e, col("node") === col("__src"))
+      .select(col("__dst").as("node")).distinct()
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    // one exchange for the frontier side of the join, one for the
+    // distinct's own aggregate — the EDGE side contributes none
+    assert(exchanges <= 2, s"edge side re-shuffles: $exchanges exchanges\n$p")
+    assert(!finalSection.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(__src")),
+      "edge table re-exchanged on __src despite checkpointed layout")
+  }
 }
