@@ -503,6 +503,11 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      // src-keyed layout, materialized once: every round's label join
+      // then satisfies its distribution from the checkpoint — only the
+      // (node-sized) label table exchanges per round, never the edges
+      // (the q30/bfsLevels co-partitioning discipline)
+      .repartition(col("src"))
       .localCheckpoint()
     // seed with the FIRST neighbor-min pass fused into initialization:
     // label₀(v) = min(v, min over neighbors u of u) — exactly what round
