@@ -132,6 +132,27 @@ object PipelineQueries {
           col("picks"))
     }),
 
+    // Shard-balance report over the p07 seeded permutation: per-shard
+    // doc/token counts and each shard's token share — the skew audit an
+    // export runs before shipping (a shard 2× its peers doubles some
+    // trainer's step time). Key join + one 8-key groupBy; the share
+    // window runs over the 8-row aggregate.
+    "p18_shard_balance" -> ((s, dir) => {
+      val sh = graft.ops.Sharding.shuffleShards(
+        table(s, dir, "documents"), nShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"))
+      val nt = table(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("__nt"))
+      val g = sh.join(nt, "doc_id")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      g.withColumn("token_share",
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(w).cast("double"), 6))
+    }),
+
     // Temperature-weighted language mixture (T = 0.5): per-language
     // quotas ∝ sqrt(token count), the standard up-weighting of low-
     // resource languages in multilingual pretraining. sqrt is the ONE
@@ -288,6 +309,26 @@ object PipelineQueries {
             CAST(cum // 1000 - (cum - ntok) // 1000 AS BIGINT) AS picks
           FROM c
           WHERE cum // 1000 - (cum - ntok) // 1000 > 0"""
+    },
+    // Mirrors p18: the p07 LCG shard key, BIGINT counts/sums, identical
+    // exact-integer division for the share.
+    "p18_shard_balance" -> {
+      import TextQueries.nTokens
+      val seedC = 42L + 12345L
+      s"""WITH h AS (
+            SELECT doc_id,
+              CAST(((((doc_id % 2147483648) * 1103515245 + $seedC)
+                % 2147483648) * 1103515245 + 12345) % 2147483648 % 8
+                AS INTEGER) AS shard,
+              CAST($nTokens AS BIGINT) AS nt
+            FROM documents),
+          g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(nt) AS BIGINT) AS n_tokens
+                FROM h GROUP BY shard)
+          SELECT shard, n_docs, n_tokens,
+            round(CAST(n_tokens AS DOUBLE)
+              / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+          FROM g"""
     },
     // Mirrors p17: BIGINT token sums, IEEE-exact sqrt, the lang-ordered
     // list_reduce fold (== Spark's aggregate from 0.0), the same

@@ -171,6 +171,25 @@ object TextQueries {
       CorpusStats.collocations(
         table(s, dir, "documents"), "text", "doc_id", k = 20, minCount = 5)),
 
+    // Language confusion matrix: declared × predicted doc counts plus
+    // per-declared-language row fractions — the full-matrix readout
+    // behind p14's scalar agreement number (which declared languages the
+    // n-gram classifier confuses, and with what). One narrow scan + one
+    // partially-aggregated groupBy; the fraction window runs over the
+    // ≤|langs|² aggregate.
+    "t23_lang_confusion" -> ((s, dir) => {
+      val g = table(s, dir, "documents")
+        .select(col("lang").as("declared_lang"),
+          langId(col("text")).as("pred_lang"))
+        .groupBy(col("declared_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("declared_lang"))
+      g.withColumn("frac",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"), 6))
+    }),
+
     // Corpus-saturation novelty curve: per doc, the fraction of its
     // distinct 4-grams first seen (by min doc_id) in the doc itself —
     // the aggregate readout of whether a source still contributes new
@@ -371,6 +390,20 @@ object TextQueries {
         FROM base GROUP BY lang"""
 
   val oracles: Map[String, String] = Map(
+    // Mirrors t23: the shared langCase classifier, BIGINT counts, and
+    // the identical integer division (window total is HUGEINT in DuckDB
+    // but both engines divide the same exact integers cast DOUBLE).
+    "t23_lang_confusion" ->
+      s"""WITH d AS (SELECT lang AS declared_lang, $langCase AS pred_lang
+            FROM documents),
+          g AS (SELECT declared_lang, pred_lang,
+                  CAST(count(*) AS BIGINT) AS n_docs
+                FROM d GROUP BY 1, 2)
+          SELECT declared_lang, pred_lang, n_docs,
+            round(CAST(n_docs AS DOUBLE)
+              / CAST(sum(n_docs) OVER (PARTITION BY declared_lang)
+                  AS DOUBLE), 6) AS frac
+          FROM g""",
     // Mirrors t22: gram STRINGS where the Spark side shuffles 8-byte
     // xxhash64 keys (the d07 hash-vs-string equivalence, collision-
     // negligible), min-doc_id first occurrence, raw IEEE division.

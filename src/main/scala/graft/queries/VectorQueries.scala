@@ -182,6 +182,36 @@ object VectorQueries {
       }.reduce(_ unionAll _)
     }),
 
+    // IVF probe-recall curve: recall@10 vs the exact baseline at
+    // nProbe ∈ {1, 2, 4, 8} — the ANN analog of d14's LSH banding
+    // report, measuring the probe/recall tradeoff on the ACTUAL corpus
+    // (what picks v04's production nProbe). Each leg is the v04 plan at
+    // a different probe count against ONE checkpointed exact baseline;
+    // the oracle composes the probe-parameterized IVF oracle per leg,
+    // v13-style, so the curve is verified with zero new formulations.
+    "v20_ivf_probe_curve" -> ((s, dir) => {
+      val bf = queries("v01_ann_bruteforce")(s, dir)
+        .select(col("qid"), col("neighbor_id")).localCheckpoint()
+      val qids = bf.select(col("qid")).distinct()
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Seq(1, 2, 4, 8).map { p =>
+        val hits = Similarity.ivfTopK(e, q, k = 10, nCentroids = 16,
+            nProbe = p, trained = Some(centroids(s, dir, 16)))
+          .select(col("qid"), col("neighbor_id"))
+          .join(bf, Seq("qid", "neighbor_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("__n"))
+        qids.join(hits, Seq("qid"), "left")
+          .select(lit(p).as("n_probe"), col("qid"),
+            coalesce(col("__n"), lit(0L)).as("n_hits"),
+            round(coalesce(col("__n"), lit(0L)).cast("double") / 10.0, 6)
+              .as("recall_at_10"))
+      }.reduce(_ unionAll _)
+    }),
+
     // Hard-negative mining: per query, the top-10 most-similar vectors
     // with a DIFFERENT label — the contrastive-training negatives picker
     // (Similarity.hardNegatives: v01's exact scorer with the label
@@ -499,10 +529,16 @@ object VectorQueries {
     * `list_position(list_aggregate 'max')` both pick the FIRST max; probe
     * ranking orders by (cos DESC, idx ASC) on both sides.
     */
-  private def v04OracleSql(s: SparkSession, dir: String): String = {
+  private def v04OracleSql(s: SparkSession, dir: String): String =
+    ivfOracleSql(s, dir, 6)
+
+  /** [[v04OracleSql]] generalized over the probe count — one body serves
+    * v04 (6 probes) and every leg of the v20 probe-recall curve.
+    */
+  private def ivfOracleSql(s: SparkSession, dir: String, nProbe: Int): String = {
     val cents = centroids(s, dir, 16)
     val nCells = cents.length
-    val probes = math.min(6, nCells)
+    val probes = math.min(nProbe, nCells)
     s"""${centroidCellCte(cents)},
         qp AS (
           SELECT vec_id AS qid, embedding AS qvec, gs.i AS cell
@@ -810,7 +846,29 @@ object VectorQueries {
         FROM b FULL OUTER JOIN a ON b.cell = a.cell"""
   }
 
+  /** v20's oracle: the v13 composition scheme with the SAME ivf oracle
+    * body at each probe count.
+    */
+  private def v20OracleSql(s: SparkSession, dir: String): String = {
+    val union = Seq(1, 2, 4, 8).map { p =>
+      val sql = ivfOracleSql(s, dir, p)
+      s"""SELECT $p AS n_probe, q.qid,
+            CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+            round(CAST(coalesce(h.n, 0) AS DOUBLE) / 10.0, 6)
+              AS recall_at_10
+          FROM qids q LEFT JOIN (
+            SELECT m.qid, count(*) AS n
+            FROM ($sql) m
+            JOIN bf ON bf.qid = m.qid AND bf.neighbor_id = m.neighbor_id
+            GROUP BY m.qid) h ON q.qid = h.qid"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH bf AS (${oracles("v01_ann_bruteforce")}),
+        qids AS (SELECT DISTINCT qid FROM bf)
+        $union"""
+  }
+
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
+    "v20_ivf_probe_curve" -> (v20OracleSql(_, _)),
     "v17_ivf_add" -> (v17OracleSql(_, _)),
     "v13_ann_recall" -> (v13OracleSql(_, _)),
     "v09_ann_pq" -> (v09OracleSql(_, _)),
