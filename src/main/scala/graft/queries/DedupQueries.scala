@@ -86,6 +86,23 @@ object DedupQueries {
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // Dedup threshold-sensitivity curve: pair counts at Jaccard ≥
+    // {0.7, 0.8, 0.9, 1.0} from ONE prefix-filtered pair computation at
+    // the loosest threshold (the d14/v20 tuning-report discipline applied
+    // to d05 — what picks the production cut before committing to a
+    // corpus-wide dedup). The pair set is checkpointed once; each
+    // threshold is an integer-exact filter + count over it.
+    "d19_threshold_curve" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        table(s, dir, "documents"), "text", "doc_id", num = 7, den = 10)
+        .localCheckpoint()
+      Seq((7, 10), (4, 5), (9, 10), (1, 1)).map { case (nu, de) =>
+        pairs.filter(col("inter") * de >= col("uni") * nu)
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(lit(nu).as("num"), lit(de).as("den"), col("n_pairs"))
+      }.reduce(_ unionAll _)
+    }),
+
     // NEAR-dup decontamination: minhash LSH candidates strictly BETWEEN
     // eval (doc_id < 50) and train — the fuzzy complement of d08's exact
     // 8-gram contamination. The plant: every eval doc re-enters train
@@ -554,6 +571,33 @@ object DedupQueries {
           FROM (SELECT doc_id, $normFp AS fp FROM $plantedSql d)
           QUALIFY count(*) OVER (PARTITION BY fp) > 1"""
     ,
+    // Mirrors d19: the d05 all-pairs token-set machinery once, then the
+    // four integer threshold counts (BIGINT).
+    "d19_threshold_curve" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id AS id,
+             unnest(list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), t -> t <> ''))) AS w
+           FROM documents),
+         sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+         inter AS (
+           SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+           FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id
+           GROUP BY 1, 2),
+         jj AS (SELECT inter, (sa.sz + sb.sz - inter) AS uni
+                FROM inter
+                JOIN sizes sa ON id_a = sa.id
+                JOIN sizes sb ON id_b = sb.id)
+         SELECT 7 AS num, 10 AS den, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM jj WHERE inter * 10 >= uni * 7
+         UNION ALL
+         SELECT 4, 5, CAST(count(*) AS BIGINT)
+         FROM jj WHERE inter * 5 >= uni * 4
+         UNION ALL
+         SELECT 9, 10, CAST(count(*) AS BIGINT)
+         FROM jj WHERE inter * 10 >= uni * 9
+         UNION ALL
+         SELECT 1, 1, CAST(count(*) AS BIGINT)
+         FROM jj WHERE inter >= uni""",
     // Mirrors d18: the d03 shingle construction on each side, the same
     // first-char plant into train, all-pairs CROSS join (no a.id < b.id
     // — sides are disjoint), identical integer-division Jaccard.

@@ -126,6 +126,41 @@ object Extended {
           col("__top.__rev").cast("double").as("revenue"))
     }),
 
+    // Share-of-parent contribution analysis: each nation's exact-DECIMAL
+    // revenue as a fraction of its region, and each region's as a
+    // fraction of the total — the ratio-to-parent readout a rollup (q16)
+    // doesn't give. The q06 join chain feeds one (region, nation)
+    // partial agg; both share windows run over the ≤|nations| aggregate
+    // (dimension-sized, never data-sized). Exact decimal sums → the
+    // identical decimal→double cast + IEEE division on both engines.
+    "q61_share_of_parent" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+      val rev = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount"))))
+          .as("__rev"))
+      val wR = Window.partitionBy(col("r_name"))
+      val wT = Window.partitionBy(lit(1))
+      rev
+        .withColumn("__rtot", sum(col("__rev")).over(wR))
+        .withColumn("__gtot", sum(col("__rev")).over(wT))
+        .select(col("r_name"), col("n_name"),
+          col("__rev").cast("double").as("revenue"),
+          round(col("__rev").cast("double") /
+            col("__rtot").cast("double"), 6).as("share_of_region"),
+          round(col("__rtot").cast("double") /
+            col("__gtot").cast("double"), 6).as("region_share"))
+    }),
+
     // ABC (Pareto) classification: parts ranked by exact DECIMAL revenue,
     // cumulative-share classes A (≤ 50% of total), B (≤ 80%), C. The
     // ranked cumsum runs over the PART-LEVEL AGGREGATE — three orders of
@@ -967,6 +1002,32 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors q61: the q06 decimal discipline for the revenue sums, the
+    // same region/total share windows over the aggregate, identical
+    // decimal→double casts + IEEE divisions, round-6.
+    "q61_share_of_parent" ->
+      """WITH rev AS (SELECT r_name, n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (CAST(1 AS DECIMAL(18,6))
+                  - CAST(l_discount AS DECIMAL(18,6))))
+               AS DECIMAL(38,6)) AS rv
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name),
+         w AS (SELECT r_name, n_name, rv,
+                 CAST(sum(rv) OVER (PARTITION BY r_name)
+                   AS DECIMAL(38,6)) AS rtot,
+                 CAST(sum(rv) OVER () AS DECIMAL(38,6)) AS gtot
+               FROM rev)
+         SELECT r_name, n_name, CAST(rv AS DOUBLE) AS revenue,
+           round(CAST(rv AS DOUBLE) / CAST(rtot AS DOUBLE), 6)
+             AS share_of_region,
+           round(CAST(rtot AS DOUBLE) / CAST(gtot AS DOUBLE), 6)
+             AS region_share
+         FROM w""",
     // Mirrors q59: same per-order last-ship max, calendar-day diff, and
     // the sign-safe floor(days / 7.0) week bucket (CAST to DOUBLE — the
     // decimal-literal lesson).
