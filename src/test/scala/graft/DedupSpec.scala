@@ -376,6 +376,28 @@ class DedupSpec extends SparkSessionSpec {
       (2L, 4L, 1), (3L, 4L, 1)))
   }
 
+  test("symDeletePairs: degenerate short/empty keys stay exact") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, ""), (4L, "ab"))
+      .toDF("doc_id", "text")
+    val got = Dedup.symDeletePairs(docs, "text", "doc_id", keyLen = 24)
+      .as[(Long, Long, Int)].collect().toSet
+    // every 1-char/empty combination is within distance 1 except ""↔"ab"
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1),
+      (1L, 4L, 1), (2L, 4L, 1)))
+  }
+
+  test("containmentPairs: docs below the gram size are absent, not erroneous") {
+    val docs = Seq(
+      (1L, "a1 b2 c3 d4 e5 f6 g7 h8"),
+      (2L, "a1 b2 c3 d4"),  // exactly one 4-gram, contained in 1
+      (3L, "x y")           // < 4 tokens: no grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id",
+        num = 1, den = 1, gramK = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 1L)))
+  }
+
   test("symDeletePairs == brute-force levenshtein <= 1 (blocking is exact)") {
     val docs = (0L until 80L)
       .map(i => (i, s"prefix ${i % 9} tail ${(i / 9) % 5}"))
