@@ -703,4 +703,107 @@ object CorpusStats {
         round(col("__score"), 6).as("score"), col("n_occurrences"),
         col("rank"))
   }
+
+  /** Zipf's-law fit: least-squares slope/intercept of ln(freq) against
+    * ln(rank) over the top `maxRank` word frequencies — the classic
+    * corpus-health scalar (natural language sits near slope −1; heavily
+    * templated or deduplicated-to-death corpora drift off it).
+    *
+    * Scale shape: one token scan to a partially-aggregated word-count
+    * table, then the top-`maxRank` cut via orderBy+limit (per-partition
+    * top-K + a `maxRank`-row driver merge — TakeOrderedAndProject,
+    * never a global sort), so the ranked set entering the window is
+    * `maxRank` rows at ANY vocabulary size. The regression runs over
+    * those ≤`maxRank` (ln r, ln f) points via the closed normal-
+    * equation form; cross-row double sums land in the t11 accepted
+    * class (ulp drift absorbed by round-6).
+    *
+    * Output: one row (n_ranks, slope, intercept).
+    */
+  def zipfSlope(
+      df: DataFrame, textCol: String, maxRank: Int = 200): DataFrame = {
+    require(maxRank >= 2, s"maxRank must be >= 2, got $maxRank")
+    val counts = widen(df.select(col(textCol)))
+      .select(explode(lowerTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("w").asc)
+      .limit(maxRank)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc, col("w").asc)
+    val pts = counts
+      .withColumn("__r", row_number().over(wRank).cast("long"))
+      .select(log(col("__r").cast("double")).as("__x"),
+        log(col("__c").cast("double")).as("__y"))
+    val n = col("__n").cast("double")
+    val slope = (n * col("__sxy") - col("__sx") * col("__sy")) /
+      (n * col("__sxx") - col("__sx") * col("__sx"))
+    pts
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("__n").as("n_ranks"),
+        round(slope, 6).as("slope"),
+        round((col("__sy") - slope * col("__sx")) / n, 6).as("intercept"))
+  }
+
+  /** Heaps'-law vocabulary-growth curve: distinct-BIGRAM vocabulary and
+    * total bigram count at power-of-two corpus-size checkpoints — the
+    * saturation readout that says whether doubling a source still buys
+    * new content (the aggregate companion to [[ngramNovelty]]'s per-doc
+    * fractions). Bigrams because this corpus's unigram vocabulary
+    * saturates within the first handful of docs.
+    *
+    * The scalable trick: no checkpoint is ever materialized as a prefix
+    * scan. A bigram first seen in doc f enters the vocabulary at the
+    * smallest checkpoint 2^⌈log₂(f+1)⌉, so vocab(c) is a running sum
+    * over a ≤log₂(N)-row bucket aggregate — one (gram → min doc)
+    * aggregation, one bucket rollup, one tiny cumsum window; the corpus
+    * is scanned once regardless of how many checkpoints exist. Bigrams
+    * ride the shuffle as 8-byte xxhash64 keys (the d07/t22 hash-vs-
+    * string equivalence); the bucket index comes from the INTEGER bit
+    * length of the doc id (no float log2 edge hazards at exact powers).
+    *
+    * Requires non-negative ids where id d means "the (d+1)-th document"
+    * (the generator's dense 0-based doc_id contract).
+    *
+    * Output: (checkpoint_docs, vocab_size, n_bigrams), cumulative.
+    */
+  def heapsCurve(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val docs = widen(df.select(col(idCol).cast("long").as("__id"),
+      lowerTokens(col(textCol)).as("__toks")))
+    // smallest power-of-two checkpoint covering doc f: 1 for f = 0,
+    // else 1 << bitlength(f) (bin() is exact integer work)
+    def bucket(name: String): Column =
+      when(col(name) === 0, lit(1L))
+        .otherwise(expr(s"shiftleft(CAST(1 AS BIGINT), length(bin($name)))"))
+    val grams = docs.filter(size(col("__toks")) >= 2)
+      .select(col("__id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("__toks")) - 1),
+          i => xxhash64(concat_ws(" ",
+            element_at(col("__toks"), i),
+            element_at(col("__toks"), i + 1)))))).as("__g"))
+    val vocabBuckets = grams
+      .groupBy(col("__g")).agg(min(col("__id")).as("__fid"))
+      .groupBy(bucket("__fid").as("__cp"))
+      .agg(count(lit(1)).as("__nv"))
+    val tokenBuckets = docs
+      .groupBy(bucket("__id").as("__cp"))
+      .agg(sum(greatest(size(col("__toks")).cast("long") - 1, lit(0L)))
+        .as("__nt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__cp").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    vocabBuckets
+      .join(tokenBuckets, Seq("__cp"), "full_outer")
+      .select(col("__cp"),
+        coalesce(col("__nv"), lit(0L)).as("__nv"),
+        coalesce(col("__nt"), lit(0L)).as("__nt"))
+      .select(col("__cp").as("checkpoint_docs"),
+        sum(col("__nv")).over(wCum).as("vocab_size"),
+        sum(col("__nt")).over(wCum).as("n_bigrams"))
+  }
 }

@@ -188,6 +188,110 @@ object Extended {
             .otherwise("C").as("abc"))
     }),
 
+    // Year-over-year growth: each nation's exact-DECIMAL annual revenue
+    // next to the prior year's, with the growth ratio — the lag-window
+    // trend readout beside q61's share-of-parent. One q06-chain partial
+    // agg to a (nation, year) table, then a dimension-sized lag window;
+    // first year's growth is NULL by contract on both engines.
+    "q62_yoy_growth" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+      val rev = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount"))))
+          .as("__rev"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("yr").asc)
+      rev
+        .withColumn("__prev", lag(col("__rev"), 1).over(w))
+        .select(col("n_name"), col("yr"),
+          col("__rev").cast("double").as("revenue"),
+          round((col("__rev") - col("__prev")).cast("double") /
+            col("__prev").cast("double"), 6).as("yoy_growth"))
+    }),
+
+    // Gini coefficient of customer lifetime spend per nation — the
+    // inequality readout over the q06 dimension chain. Per-customer
+    // spend sums are exact DECIMAL; the rank-weighted form
+    // G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) (xᵢ ascending, i = 1-based
+    // rank) keeps every sum exact-decimal until the single final IEEE
+    // division. The sort runs over the CUSTOMER aggregate (dimension-
+    // sized), partitioned by nation — never the fact table.
+    "q63_gini_spend" -> ((s, dir) => {
+      val spend = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 6)).as("__x"))
+      val j = spend
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_custkey").as("__ck"), col("__x"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("__x").asc, col("__ck").asc)
+      j.withColumn("__i", row_number().over(w).cast("long"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("__x")).cast(DecimalType(38, 6)).as("__s0"),
+          sum(col("__i") * col("__x")).cast(DecimalType(38, 6)).as("__s1"))
+        .select(col("n_name"), col("n_customers"),
+          col("__s0").cast("double").as("total_spend"),
+          round((lit(2) * col("__s1") -
+            (col("n_customers") + lit(1)) * col("__s0")).cast("double") /
+            (col("n_customers") * col("__s0")).cast("double"), 6)
+            .as("gini"))
+    }),
+
+    // Longest rising-revenue streaks (gaps-and-islands): maximal runs of
+    // consecutive order days with strictly increasing daily revenue,
+    // reported when >= 3 days long. Daily revenue is an exact-DECIMAL
+    // aggregate (so the strict > compare is exact on both engines); the
+    // break-flag cumsum assigns island ids over the DAY-LEVEL aggregate
+    // — the q58 single-post-agg-sort shape, never a data-sized window.
+    "q64_revenue_streaks" -> ((s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("__day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("__rev"))
+      val byDay = Window.orderBy(col("__day").asc)
+      daily
+        .withColumn("__brk",
+          when(col("__rev") > lag(col("__rev"), 1).over(byDay), lit(0))
+            .otherwise(lit(1)))
+        .withColumn("__grp", sum(col("__brk")).over(
+          byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("__grp"))
+        .agg(min(col("__day")).as("streak_start"),
+          max(col("__day")).as("streak_end"),
+          count(lit(1)).as("n_days"),
+          (max_by(col("__rev"), col("__day")) -
+            min_by(col("__rev"), col("__day"))).cast("double").as("gain"))
+        .filter(col("n_days") >= 3)
+        .select(col("streak_start"), col("streak_end"), col("n_days"),
+          col("gain"))
+    }),
+
+    // k-core of the co-order part graph (the q57 edge set): the unique
+    // maximal subgraph of minimum degree >= k, by decremental parallel
+    // peeling (ops/KCore.scala). Peeling is confluent — batch removal,
+    // sequential removal, and the oracle's full-recompute rounds all
+    // reach the same fixpoint — which is what lets an iterative
+    // algorithm hash-match a 12-round unrolled SQL oracle exactly.
+    "q65_kcore" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.ops.KCore.kCore(e, k = 60, maxRounds = 32)
+    }),
+
     // Time-to-convert histogram: hours between a user's FIRST signup and
     // their first purchase at-or-after it, bucketed to whole hours — the
     // latency readout next to q34's stage counts. Two key-grouped
@@ -1082,6 +1186,104 @@ object Extended {
                   THEN 'B'
                 ELSE 'C' END AS abc
          FROM w""",
+    // Mirrors q62: q61's decimal revenue discipline at (nation, year),
+    // the same nation-partitioned lag, decimal subtraction before the
+    // single double division, round-6; first year NULL on both engines.
+    "q62_yoy_growth" ->
+      """WITH rev AS (SELECT n_name,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (CAST(1 AS DECIMAL(18,6))
+                  - CAST(l_discount AS DECIMAL(18,6))))
+               AS DECIMAL(38,6)) AS rv
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         w AS (SELECT n_name, yr, rv,
+                 lag(rv) OVER (PARTITION BY n_name ORDER BY yr) AS pv
+               FROM rev)
+         SELECT n_name, yr, CAST(rv AS DOUBLE) AS revenue,
+           round(CAST(rv - pv AS DOUBLE) / CAST(pv AS DOUBLE), 6)
+             AS yoy_growth
+         FROM w""",
+    // Mirrors q63: exact-decimal per-customer spend, identical
+    // (x ASC, custkey ASC) 1-based rank, the same rank-weighted Gini
+    // form with every sum exact decimal and one final IEEE division.
+    "q63_gini_spend" ->
+      """WITH sp AS (SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,6)) AS x
+           FROM orders GROUP BY 1),
+         j AS (SELECT n_name, o_custkey AS ck, x FROM sp
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey),
+         rk AS (SELECT n_name, x,
+                  CAST(row_number() OVER (PARTITION BY n_name
+                    ORDER BY x ASC, ck ASC) AS BIGINT) AS i
+                FROM j),
+         g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS DECIMAL(38,6)) AS s0,
+                 CAST(sum(i * x) AS DECIMAL(38,6)) AS s1
+               FROM rk GROUP BY 1)
+         SELECT n_name, n AS n_customers, CAST(s0 AS DOUBLE) AS total_spend,
+           round(CAST(2*s1 - (n+1)*s0 AS DOUBLE)
+             / CAST(n*s0 AS DOUBLE), 6) AS gini
+         FROM g""",
+    // Mirrors q64: exact-decimal daily revenue (strict > compare is
+    // exact), the same break-flag cumsum island ids over the day-level
+    // aggregate, min_by/max_by endpoints, decimal gain cast double.
+    "q64_revenue_streaks" ->
+      """WITH d AS (SELECT
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS rv
+           FROM orders GROUP BY 1),
+         f AS (SELECT day, rv,
+                 CASE WHEN rv > lag(rv) OVER (ORDER BY day)
+                   THEN 0 ELSE 1 END AS brk
+               FROM d),
+         g AS (SELECT day, rv,
+                 sum(brk) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS grp
+               FROM f),
+         s AS (SELECT grp, min(day) AS streak_start,
+                 max(day) AS streak_end,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(max_by(rv, day) - min_by(rv, day) AS DOUBLE) AS gain
+               FROM g GROUP BY grp)
+         SELECT streak_start, streak_end, n_days, gain
+         FROM s WHERE n_days >= 3""",
+    // Mirrors q65: the q57 edge set, then 12 unrolled full-recompute
+    // peeling rounds (fixpoint at sf0.001/sf0.01 is round 2 at
+    // k=60, chosen so the core is non-empty at BOTH scales; peeling is
+    // confluent, so the recompute schedule meets the Spark side's
+    // decremental schedule at the same unique k-core). MATERIALIZED
+    // CTEs: DuckDB re-expands plain CTEs per reference — 12 rounds of
+    // double self-reference would re-plan the edge build 2^12 times.
+    "q65_kcore" -> {
+      val pre =
+        """WITH lp AS MATERIALIZED (
+             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           e AS MATERIALIZED (
+             SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey <> b.l_partkey),
+           s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)"""
+      val rounds = (1 to 12).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT e.src AS node FROM e
+           JOIN s${i - 1} a ON e.src = a.node
+           JOIN s${i - 1} b ON e.dst = b.node
+           GROUP BY 1 HAVING count(*) >= 60)"""
+      }.mkString(",\n")
+      s"""$pre,
+         $rounds
+         SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_degree
+         FROM e JOIN s12 a ON e.src = a.node
+         JOIN s12 b ON e.dst = b.node
+         GROUP BY 1"""
+    },
     // Mirrors q56: same first-signup / first-purchase-after derivation,
     // integer epoch-second hours, BIGINT counts.
     "q56_conversion_latency" ->

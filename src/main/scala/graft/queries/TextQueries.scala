@@ -198,6 +198,23 @@ object TextQueries {
       CorpusStats.ngramNovelty(
         table(s, dir, "documents"), "text", "doc_id", k = 4)),
 
+    // Zipf's-law fit: ln(freq) ~ ln(rank) least-squares over the top-200
+    // word frequencies — the corpus-health scalar (natural text ≈ −1).
+    // Top-K via orderBy+limit (TakeOrderedAndProject), so the ranked set
+    // is 200 rows at any vocabulary size; regression sums are the t11
+    // accepted round-6 double class.
+    "t24_zipf_slope" -> ((s, dir) =>
+      CorpusStats.zipfSlope(table(s, dir, "documents"), "text",
+        maxRank = 200)),
+
+    // Heaps'-law growth curve: distinct-bigram vocabulary and bigram
+    // totals at power-of-two corpus checkpoints, via the first-
+    // occurrence bucket trick — one corpus scan for ALL checkpoints,
+    // cumsum over a ≤log₂(N)-row bucket aggregate (no prefix scans).
+    "t25_heaps_curve" -> ((s, dir) =>
+      CorpusStats.heapsCurve(table(s, dir, "documents"), "text",
+        "doc_id")),
+
     // RAKE keyphrases: top-3 stopword-delimited candidate phrases per
     // document, scored degree/frequency over the corpus-wide phrase
     // word graph (CorpusStats.rakeKeyphrases — ordered-fold doubles,
@@ -404,6 +421,56 @@ object TextQueries {
               / CAST(sum(n_docs) OVER (PARTITION BY declared_lang)
                   AS DOUBLE), 6) AS frac
           FROM g""",
+    // Mirrors t24: same tokenizer, same (count DESC, word ASC) rank cut
+    // at 200, ln on exact integer ratios' doubles, the identical normal-
+    // equation form; cross-row double sums are the t11 round-6 class.
+    "t24_zipf_slope" ->
+      s"""WITH t AS (SELECT $lowToks AS toks FROM documents),
+          tok AS (SELECT unnest(toks) AS w FROM t),
+          c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok
+                GROUP BY w),
+          rk AS (SELECT w, c, CAST(row_number() OVER
+                   (ORDER BY c DESC, w ASC) AS BIGINT) AS r FROM c),
+          xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+                   ln(CAST(c AS DOUBLE)) AS y
+                 FROM rk WHERE r <= 200),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+                  sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy)
+          SELECT n AS n_ranks,
+            round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+            round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+              AS intercept
+          FROM s""",
+    // Mirrors t25: bigram strings where the Spark side buckets 8-byte
+    // xxhash64 keys (the d07/t22 equivalence), min-doc_id first
+    // occurrence, the same integer bit-length checkpoint bucket
+    // (1 << length(bin(f)) — no float log2), BIGINT casts around the
+    // cumsum windows (DuckDB sums BIGINT into HUGEINT — the p08 lesson).
+    "t25_heaps_curve" ->
+      s"""WITH t AS (SELECT doc_id, $lowToks AS toks FROM documents),
+          b AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1]))) AS w
+                FROM t WHERE len(toks) >= 2),
+          f AS (SELECT w, min(doc_id) AS fid FROM b GROUP BY w),
+          vb AS (SELECT CASE WHEN fid = 0 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(1 AS BIGINT) << length(bin(fid)) END AS cp,
+                   CAST(count(*) AS BIGINT) AS nv
+                 FROM f GROUP BY 1),
+          tb AS (SELECT CASE WHEN doc_id = 0 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(1 AS BIGINT) << length(bin(doc_id)) END
+                     AS cp,
+                   CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS nt
+                 FROM t GROUP BY 1),
+          m AS (SELECT coalesce(vb.cp, tb.cp) AS cp,
+                  coalesce(nv, 0) AS nv, coalesce(nt, 0) AS nt
+                FROM vb FULL OUTER JOIN tb ON vb.cp = tb.cp)
+          SELECT cp AS checkpoint_docs,
+            CAST(sum(nv) OVER (ORDER BY cp ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size,
+            CAST(sum(nt) OVER (ORDER BY cp ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS n_bigrams
+          FROM m""",
     // Mirrors t22: gram STRINGS where the Spark side shuffles 8-byte
     // xxhash64 keys (the d07 hash-vs-string equivalence, collision-
     // negligible), min-doc_id first occurrence, raw IEEE division.
