@@ -806,4 +806,42 @@ object CorpusStats {
         sum(col("__nv")).over(wCum).as("vocab_size"),
         sum(col("__nt")).over(wCum).as("n_bigrams"))
   }
+
+  /** Flesch reading-ease per group (e.g. language): 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words) over GROUP-level
+    * integer totals — the corpus-curation readability gate (a filter on
+    * "too hard / too templated" sources). Syllables use the standard
+    * vowel-group heuristic: max(1, number of maximal `[aeiouy]+` runs)
+    * per word; sentences are `[.!?]+` runs with a per-doc floor of 1.
+    *
+    * Every per-doc statistic is an integer (the syllable fold is an
+    * integer `aggregate` over the token array — no doubles until the
+    * final formula), so the group sums are exact and the one IEEE
+    * expression per output row is bit-deterministic at any partitioning.
+    * One scan, one partial-agg groupBy; output is |groups| rows.
+    *
+    * Output: (group, n_docs, n_words, n_sentences, n_syllables, flesch).
+    */
+  def fleschReadability(
+      df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val toks = lowerTokens(col(textCol))
+    val sylls = aggregate(
+      transform(toks, w => greatest(lit(1), regexp_count(w, lit("[aeiouy]+")))),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    val perDoc = widen(df.select(col(groupCol).as("group"),
+      size(toks).cast("long").as("__w"),
+      greatest(lit(1L),
+        regexp_count(col(textCol), lit("[.!?]+")).cast("long")).as("__s"),
+      sylls.as("__y")))
+    val words = col("n_words").cast("double")
+    perDoc.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__s")).as("n_sentences"), sum(col("__y")).as("n_syllables"))
+      .select(col("group"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * (words / col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") / words), 6)
+          .as("flesch"))
+  }
 }

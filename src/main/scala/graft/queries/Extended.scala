@@ -292,6 +292,35 @@ object Extended {
       graft.ops.KCore.kCore(e, k = 60, maxRounds = 32)
     }),
 
+    // Chi-square independence cells: observed vs expected counts of
+    // order priority × line return flag, with each cell's (O−E)²/E
+    // contribution — the categorical-drift significance readout (sums of
+    // chi2_term against a χ² table answer "did the mix shift?"). One
+    // fact-table partial-agg count; the row/col/total sums are windows
+    // over the ≤|priorities|·|flags| aggregate (the q58 post-agg window
+    // discipline — 'No Partition Defined' over ~15 rows is by design).
+    // Integer observed everywhere; expected and the term are single
+    // per-row IEEE expressions ((O−E)·(O−E), not pow — pow(x,2) is not
+    // guaranteed bit-equal to x·x across engines).
+    "q66_chi_square" -> ((s, dir) => {
+      val obs = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(count(lit(1)).as("observed"))
+      val expected =
+        (sum(col("observed")).over(Window.partitionBy(col("o_orderpriority")))
+          .cast("double") *
+          sum(col("observed")).over(Window.partitionBy(col("l_returnflag")))
+            .cast("double")) /
+          sum(col("observed")).over(Window.partitionBy()).cast("double")
+      val diff = col("observed").cast("double") - col("__e")
+      obs.withColumn("__e", expected)
+        .select(col("o_orderpriority"), col("l_returnflag"), col("observed"),
+          round(col("__e"), 6).as("expected"),
+          round(diff * diff / col("__e"), 6).as("chi2_term"))
+    }),
+
     // Time-to-convert histogram: hours between a user's FIRST signup and
     // their first purchase at-or-after it, bucketed to whole hours — the
     // latency readout next to q34's stage counts. Two key-grouped
@@ -1284,6 +1313,31 @@ object Extended {
          JOIN s12 b ON e.dst = b.node
          GROUP BY 1"""
     },
+    // Mirrors q66: BIGINT observed counts, the same row/col/total window
+    // sums over the cell aggregate (CAST BIGINT — DuckDB widens to
+    // HUGEINT), expected as (rt·ct)/t in doubles, and (O−E)·(O−E)/E
+    // written as explicit multiplication, never pow.
+    "q66_chi_square" ->
+      """WITH obs AS (SELECT o_orderpriority, l_returnflag,
+             CAST(count(*) AS BIGINT) AS observed
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         w AS (SELECT o_orderpriority, l_returnflag, observed,
+                 CAST(sum(observed) OVER (PARTITION BY o_orderpriority)
+                   AS BIGINT) AS rt,
+                 CAST(sum(observed) OVER (PARTITION BY l_returnflag)
+                   AS BIGINT) AS ct,
+                 CAST(sum(observed) OVER () AS BIGINT) AS t
+               FROM obs),
+         e AS (SELECT o_orderpriority, l_returnflag, observed,
+                 (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                   / CAST(t AS DOUBLE) AS ex
+               FROM w)
+         SELECT o_orderpriority, l_returnflag, observed,
+           round(ex, 6) AS expected,
+           round((CAST(observed AS DOUBLE) - ex)
+             * (CAST(observed AS DOUBLE) - ex) / ex, 6) AS chi2_term
+         FROM e""",
     // Mirrors q56: same first-signup / first-purchase-after derivation,
     // integer epoch-second hours, BIGINT counts.
     "q56_conversion_latency" ->

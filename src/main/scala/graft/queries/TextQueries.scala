@@ -215,6 +215,14 @@ object TextQueries {
       CorpusStats.heapsCurve(table(s, dir, "documents"), "text",
         "doc_id")),
 
+    // Flesch reading-ease per language: the curation readability gate.
+    // Every per-doc statistic is an integer (syllables = integer fold of
+    // vowel-group counts over the token array), so group sums are exact
+    // and the single IEEE formula per output row is partitioning-proof.
+    "t26_readability" -> ((s, dir) =>
+      CorpusStats.fleschReadability(table(s, dir, "documents"), "text",
+        "lang").withColumnRenamed("group", "lang")),
+
     // RAKE keyphrases: top-3 stopword-delimited candidate phrases per
     // document, scored degree/frequency over the corpus-wide phrase
     // word graph (CorpusStats.rakeKeyphrases — ordered-fold doubles,
@@ -471,6 +479,34 @@ object TextQueries {
             CAST(sum(nt) OVER (ORDER BY cp ROWS BETWEEN UNBOUNDED
               PRECEDING AND CURRENT ROW) AS BIGINT) AS n_bigrams
           FROM m""",
+    // Mirrors t26: same tokenizer, the same max(1, vowel-group-count)
+    // syllable heuristic and [.!?]+ sentence runs, BIGINT casts around
+    // every sum (DuckDB list_sum/sum widen — the p08 lesson), and the
+    // identical double formula over exact group totals (decimal literals
+    // cast DOUBLE so both engines round the same constants once).
+    "t26_readability" ->
+      s"""WITH t AS (SELECT lang, text, $lowToks AS toks FROM documents),
+          d AS (SELECT lang, CAST(len(toks) AS BIGINT) AS w,
+                  greatest(CAST(1 AS BIGINT),
+                    CAST(len(regexp_extract_all(text, '[.!?]+'))
+                      AS BIGINT)) AS s,
+                  CAST(coalesce(list_sum(list_transform(toks,
+                    x -> greatest(1, len(regexp_extract_all(x,
+                      '[aeiouy]+'))))), 0) AS BIGINT) AS y
+                FROM t),
+          g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(w) AS BIGINT) AS n_words,
+                  CAST(sum(s) AS BIGINT) AS n_sentences,
+                  CAST(sum(y) AS BIGINT) AS n_syllables
+                FROM d GROUP BY 1)
+          SELECT lang, n_docs, n_words, n_sentences, n_syllables,
+            round(CAST(206.835 AS DOUBLE)
+              - CAST(1.015 AS DOUBLE)
+                * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+              - CAST(84.6 AS DOUBLE)
+                * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+              6) AS flesch
+          FROM g""",
     // Mirrors t22: gram STRINGS where the Spark side shuffles 8-byte
     // xxhash64 keys (the d07 hash-vs-string equivalence, collision-
     // negligible), min-doc_id first occurrence, raw IEEE division.
