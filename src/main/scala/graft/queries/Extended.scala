@@ -321,6 +321,54 @@ object Extended {
           round(diff * diff / col("__e"), 6).as("chi2_term"))
     }),
 
+    // Benford first-digit audit: observed vs theoretical log10(1+1/d)
+    // share of order-total leading digits — the classic fabricated-data
+    // / generator-sanity screen. The digit comes from the BIGINT floor's
+    // string head (integer formatting is engine-identical; float log10
+    // at exact powers of ten is not), observed counts are integers, and
+    // the share window runs over the 9-row digit aggregate.
+    "q67_benford" -> ((s, dir) => {
+      val obs = table(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val total = sum(col("n_obs")).over(Window.partitionBy())
+      obs.select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / total.cast("double"), 6)
+          .as("obs_share"),
+        round(log(10.0, lit(1.0) + lit(1.0) /
+          col("digit").cast("double")), 6).as("benford_share"))
+    }),
+
+    // Spearman rank correlation between daily shipped quantity and
+    // daily revenue — the monotone-association readout (Pearson on
+    // ranks, robust to the revenue distribution's tail). Daily sums are
+    // exact DECIMAL; ranks are row_number permutations with a (value,
+    // day) tiebreak, so Σd² is an exact integer and the whole statistic
+    // is integer arithmetic until the single 1 − 6Σd²/(n(n²−1))
+    // division. All windows run over the day-level aggregate.
+    "q68_spearman_qty_rev" -> ((s, dir) => {
+      val daily = table(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("__day"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("__q"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("__r"))
+      val rq = row_number().over(
+        Window.orderBy(col("__q").asc, col("__day").asc)).cast("long")
+      val rr = row_number().over(
+        Window.orderBy(col("__r").asc, col("__day").asc)).cast("long")
+      val n = col("n_days")
+      daily.select((rq - rr).as("__d"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("__d") * col("__d")).as("sum_d2"))
+        .select(n, col("sum_d2"),
+          round(lit(1.0) - (lit(6.0) * col("sum_d2").cast("double")) /
+            (n.cast("double") *
+              (n.cast("double") * n.cast("double") - lit(1.0))), 6)
+            .as("spearman_rho"))
+    }),
+
     // Time-to-convert histogram: hours between a user's FIRST signup and
     // their first purchase at-or-after it, bucketed to whole hours — the
     // latency readout next to q34's stage counts. Two key-grouped
@@ -1338,6 +1386,51 @@ object Extended {
            round((CAST(observed AS DOUBLE) - ex)
              * (CAST(observed AS DOUBLE) - ex) / ex, 6) AS chi2_term
          FROM e""",
+    // Mirrors q67: the same BIGINT-floor string-head digit, BIGINT
+    // counts, the 9-row share window (CAST BIGINT around the HUGEINT
+    // widen), and log10 on the identical 1+1/d doubles.
+    "q67_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+             AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders),
+         obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+                 FROM d GROUP BY 1)
+         SELECT digit, n_obs,
+           round(CAST(n_obs AS DOUBLE)
+             / CAST(CAST(sum(n_obs) OVER () AS BIGINT) AS DOUBLE), 6)
+             AS obs_share,
+           round(log10(CAST(1.0 AS DOUBLE)
+             + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 6)
+             AS benford_share
+         FROM obs""",
+    // Mirrors q68: exact-DECIMAL daily sums, identical (value, day)
+    // row_number tiebreaks so Σd² is the same exact integer, and the
+    // single 1 − 6Σd²/(n(n²−1)) double division written in the same
+    // association order.
+    "q68_spearman_qty_rev" ->
+      """WITH daily AS (SELECT
+             CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS q,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS r
+           FROM lineitem GROUP BY 1),
+         rk AS (SELECT
+                 CAST(row_number() OVER (ORDER BY q ASC, day ASC)
+                   AS BIGINT)
+                 - CAST(row_number() OVER (ORDER BY r ASC, day ASC)
+                   AS BIGINT) AS d
+               FROM daily),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(d * d) AS BIGINT) AS sum_d2
+               FROM rk)
+         SELECT n_days, sum_d2,
+           round(CAST(1.0 AS DOUBLE)
+             - (CAST(6.0 AS DOUBLE) * CAST(sum_d2 AS DOUBLE))
+             / (CAST(n_days AS DOUBLE)
+                * (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                   - CAST(1.0 AS DOUBLE))), 6) AS spearman_rho
+         FROM s""",
     // Mirrors q56: same first-signup / first-purchase-after derivation,
     // integer epoch-second hours, BIGINT counts.
     "q56_conversion_latency" ->
