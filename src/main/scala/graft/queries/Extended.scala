@@ -321,6 +321,42 @@ object Extended {
           round(diff * diff / col("__e"), 6).as("chi2_term"))
     }),
 
+    // Herfindahl–Hirschman concentration index per region: Σ(share²) of
+    // nation revenue within its region, plus the top nation's share —
+    // the market-concentration readout beside q61's share-of-parent.
+    // Algebra keeps it exact: HHI = Σrevᵢ²/(Σrevᵢ)², so every sum and
+    // square stays DECIMAL (revᵢ ≤ 16 digits at scale 6 ⇒ squares fit
+    // DECIMAL(38,12)) and only the final ratio is one IEEE division —
+    // no cross-row double sums. Aggregation is nation-level (≤25 rows).
+    "q69_hhi_concentration" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+      val nrev = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount"))))
+          .cast(DecimalType(18, 6)).as("__rev"))
+      nrev.groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("__rev") * col("__rev")).cast(DecimalType(38, 12))
+            .as("__sq"),
+          sum(col("__rev")).cast(DecimalType(38, 6)).as("__tot"),
+          max(col("__rev")).cast(DecimalType(38, 6)).as("__top"))
+        .select(col("r_name"), col("n_nations"),
+          round(col("__sq").cast("double") /
+            (col("__tot").cast("double") * col("__tot").cast("double")), 6)
+            .as("hhi"),
+          round(col("__top").cast("double") / col("__tot").cast("double"),
+            6).as("top_share"))
+    }),
+
     // Benford first-digit audit: observed vs theoretical log10(1+1/d)
     // share of order-total leading digits — the classic fabricated-data
     // / generator-sanity screen. The digit comes from the BIGINT floor's
@@ -1386,6 +1422,35 @@ object Extended {
            round((CAST(observed AS DOUBLE) - ex)
              * (CAST(observed AS DOUBLE) - ex) / ex, 6) AS chi2_term
          FROM e""",
+    // Mirrors q69: exact-DECIMAL nation revenue (the q62 discipline),
+    // decimal squares/sums at the same precisions, and the identical
+    // double ratios — sq/(tot·tot) and top/tot — rounded 6.
+    "q69_hhi_concentration" ->
+      """WITH nrev AS (SELECT r_name, n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (CAST(1 AS DECIMAL(18,6))
+                  - CAST(l_discount AS DECIMAL(18,6))))
+               AS DECIMAL(18,6)) AS rev
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+           GROUP BY 1, 2),
+         g AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+                 -- DECIMAL(19) operands force DuckDB's int128 multiply
+                 -- (18×18 stays int64 and overflows); 19+19=38 ≤ max
+                 CAST(sum(CAST(rev AS DECIMAL(19,6))
+                   * CAST(rev AS DECIMAL(19,6))) AS DECIMAL(38,12)) AS sq,
+                 CAST(sum(rev) AS DECIMAL(38,6)) AS tot,
+                 CAST(max(rev) AS DECIMAL(38,6)) AS top
+               FROM nrev GROUP BY 1)
+         SELECT r_name, n_nations,
+           round(CAST(sq AS DOUBLE)
+             / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
+           round(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             AS top_share
+         FROM g""",
     // Mirrors q67: the same BIGINT-floor string-head digit, BIGINT
     // counts, the 9-row share window (CAST BIGINT around the HUGEINT
     // widen), and log10 on the identical 1+1/d doubles.

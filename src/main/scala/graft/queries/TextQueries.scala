@@ -215,6 +215,37 @@ object TextQueries {
       CorpusStats.heapsCurve(table(s, dir, "documents"), "text",
         "doc_id")),
 
+    // Per-source unigram drift: each source's KL-divergence CONTRIBUTION
+    // p·ln(p/q) against the corpus distribution, per top-20 corpus word
+    // — the mixture-health report that flags a source whose language no
+    // longer looks like the blend (contributions sum to a KL estimate;
+    // emitting per-word terms keeps every double a per-row expression on
+    // exact integer counts — no cross-row double sums). The top-20 cut
+    // is TakeOrderedAndProject; the drift join is |sources|·20 rows.
+    // p/q collapses to one division (sc·ct)/(st·cc) — integer products
+    // < 2^53, so both engines ln() the identical double.
+    "t27_unigram_drift" -> ((s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(col("source"), explode(tokens(lower(col("text")))).as("w"))
+      val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("n_corpus"))
+        .orderBy(col("n_corpus").desc, col("w").asc).limit(20)
+      val ctot = tok.agg(count(lit(1)).as("__ct"))
+      val stot = tok.groupBy(col("source")).agg(count(lit(1)).as("__st"))
+      val sw = tok.join(broadcast(corpus.select(col("w"))), Seq("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("n_source"))
+      val p = col("n_source").cast("double") / col("__st").cast("double")
+      val ratio = (col("n_source").cast("double") * col("__ct").cast("double")) /
+        (col("__st").cast("double") * col("n_corpus").cast("double"))
+      stot.crossJoin(broadcast(corpus))
+        .join(sw, Seq("source", "w"), "left")
+        .na.fill(0L, Seq("n_source"))
+        .crossJoin(broadcast(ctot))
+        .select(col("source"), col("w"), col("n_source"), col("n_corpus"),
+          when(col("n_source") === 0, lit(0.0))
+            .otherwise(round(p * log(ratio), 6)).as("kl_term"))
+    }),
+
     // Flesch reading-ease per language: the curation readability gate.
     // Every per-doc statistic is an integer (syllables = integer fold of
     // vowel-group counts over the token array), so group sums are exact
@@ -479,6 +510,31 @@ object TextQueries {
             CAST(sum(nt) OVER (ORDER BY cp ROWS BETWEEN UNBOUNDED
               PRECEDING AND CURRENT ROW) AS BIGINT) AS n_bigrams
           FROM m""",
+    // Mirrors t27: same tokenizer, the same (count DESC, w ASC) top-20
+    // cut, BIGINT counts, and the identical single-division p·ln((sc·ct)
+    // /(st·cc)) per-row term (integer products < 2^53 — exact doubles).
+    "t27_unigram_drift" ->
+      s"""WITH tok AS (SELECT source, unnest($lowToks) AS w
+            FROM documents),
+          corpus AS (SELECT w, CAST(count(*) AS BIGINT) AS n_corpus
+                     FROM tok GROUP BY 1
+                     ORDER BY n_corpus DESC, w ASC LIMIT 20),
+          ctot AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM tok),
+          stot AS (SELECT source, CAST(count(*) AS BIGINT) AS st
+                   FROM tok GROUP BY 1),
+          sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n_source
+                 FROM tok WHERE w IN (SELECT w FROM corpus)
+                 GROUP BY 1, 2)
+          SELECT stot.source, c.w,
+            coalesce(sw.n_source, 0) AS n_source, c.n_corpus,
+            CASE WHEN coalesce(sw.n_source, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE round(
+                (CAST(sw.n_source AS DOUBLE) / CAST(stot.st AS DOUBLE))
+                * ln((CAST(sw.n_source AS DOUBLE) * CAST(ctot.ct AS DOUBLE))
+                     / (CAST(stot.st AS DOUBLE)
+                        * CAST(c.n_corpus AS DOUBLE))), 6) END AS kl_term
+          FROM stot CROSS JOIN corpus c CROSS JOIN ctot
+          LEFT JOIN sw ON sw.source = stot.source AND sw.w = c.w""",
     // Mirrors t26: same tokenizer, the same max(1, vowel-group-count)
     // syllable heuristic and [.!?]+ sentence runs, BIGINT casts around
     // every sum (DuckDB list_sum/sum widen — the p08 lesson), and the

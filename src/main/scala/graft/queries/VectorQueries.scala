@@ -421,6 +421,28 @@ object VectorQueries {
         existing = e.filter(pmod(col("id"), lit(10)) =!= 0),
         arrivals = e.filter(pmod(col("id"), lit(10)) === 0),
         trained = centroids(s, dir, 16))
+    }),
+
+    // Embedding-norm QA audit: per-label histogram of L2-norm tenth
+    // buckets plus each bucket's norm range and dimension check — the
+    // ingest gate that catches unnormalized, zero, or truncated vectors
+    // before they poison cosine ANN. Norms ride the established
+    // left-fold double contract (VectorFunctions.norm ≡ the oracle's
+    // list_aggregate sum); buckets are floor(norm·10) integers, and the
+    // only cross-row aggregates are counts and min/max (order-safe — no
+    // cross-row double sums anywhere). One scan, one partial-agg
+    // groupBy over ≤ |labels|·|buckets| cells.
+    "v21_norm_audit" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.norm
+      val e = table(s, dir, "embeddings")
+        .select(col("label"), size(col("embedding")).as("__d"),
+          norm(col("embedding")).as("__n"))
+      e.groupBy(col("label"),
+        floor(col("__n") * lit(10.0)).cast("long").as("norm_bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min(col("__n")), 6).as("min_norm"),
+          round(max(col("__n")), 6).as("max_norm"),
+          min(col("__d")).as("min_dim"), max(col("__d")).as("max_dim"))
     })
   )
 
@@ -940,6 +962,22 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "v02_ann_lsh" -> v02OracleSql,
     "v15_mmr_rerank" -> v15OracleSql,
+    // Mirrors v21: the same left-fold Σx² (list_aggregate 'sum' over the
+    // per-element double squares — the established norm parity
+    // contract), floor(norm·10) BIGINT buckets, and only order-safe
+    // count/min/max cross-row aggregates.
+    "v21_norm_audit" ->
+      """WITH n AS (SELECT label, len(embedding) AS d,
+             sqrt(list_aggregate(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE)), 'sum')) AS nrm
+           FROM embeddings)
+         SELECT label, CAST(floor(nrm * 10.0) AS BIGINT) AS norm_bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
+           CAST(min(d) AS INTEGER) AS min_dim,
+           CAST(max(d) AS INTEGER) AS max_dim
+         FROM n GROUP BY 1, 2""",
     // Mirrors hammingTopK: sign-disagreement count per dim (integer —
     // exactly the popcount of the XORed packed codes), shortlist by
     // (hamming, id), rerank by list_cosine_similarity (the established

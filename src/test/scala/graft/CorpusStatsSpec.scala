@@ -357,4 +357,49 @@ class CorpusStatsSpec extends SparkSessionSpec {
     assert(CorpusStats.collocations(df, "text", "doc_id",
       k = 10, minCount = 4).count() === 0)
   }
+
+  test("zipfSlope: exact −1 slope on a hand-built power-law, rank cut") {
+    // counts a=4, b=2 → (x,y) = (0, ln4), (ln2, ln2):
+    // slope = (2·ln2² − ln2·ln8)/(2·ln2² − ln2²) = −1 exactly;
+    // intercept = (ln8 + ln2)/2 = 2·ln2. "c"×1 must fall to the cut.
+    val df = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = CorpusStats.zipfSlope(df, "text", maxRank = 2)
+      .as[(Long, Double, Double)].collect()
+    assert(got.length === 1)
+    assert(got(0)._1 === 2L)
+    assert(got(0)._2 === -1.0)
+    assert(got(0)._3 === round6(2.0 * math.log(2.0)))
+    // vocabulary smaller than maxRank: regression over what exists
+    val tiny = CorpusStats.zipfSlope(df, "text", maxRank = 200)
+      .as[(Long, Double, Double)].collect()
+    assert(tiny(0)._1 === 3L)
+  }
+
+  test("heapsCurve: power-of-two checkpoints, sub-bigram doc, cumsum") {
+    // doc0 "x y" → gram (x y) first at 0 → cp 1; doc1 "q" contributes
+    // no bigrams (nt 0) but owns checkpoint 2; docs 2/3 add one new
+    // gram each at cp 4; doc4 repeats old grams (nt 2, vocab +0, cp 8)
+    val df = Seq((0L, "x y"), (1L, "q"), (2L, "y z"), (3L, "z w"),
+      (4L, "x y z")).toDF("doc_id", "text")
+    val got = CorpusStats.heapsCurve(df, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1L, 1L), (2L, 1L, 1L),
+      (4L, 3L, 3L), (8L, 3L, 5L)))
+  }
+
+  test("fleschReadability: integer syllable/sentence floors, formula") {
+    // en: "Hello world." (2 words, 1 sentence run, syllables 2+1) +
+    // "Go!" (1, 1, 1) → W=3 S=2 Y=4 →
+    // 206.835 − 1.015·(3/2) − 84.6·(4/3); xx: vowel-less "zzz" floors
+    // syllables at 1 and the missing terminator floors sentences at 1
+    val df = Seq(("en", "Hello world."), ("en", "Go!"), ("xx", "zzz"))
+      .toDF("lang", "text")
+    val got = CorpusStats.fleschReadability(df, "text", "lang")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") === (("en", 2L, 3L, 2L, 4L,
+      round6(206.835 - 1.015 * (3.0 / 2.0) - 84.6 * (4.0 / 3.0)))))
+    assert(got("xx") === (("xx", 1L, 1L, 1L, 1L,
+      round6(206.835 - 1.015 - 84.6))))
+  }
 }
