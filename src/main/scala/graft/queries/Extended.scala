@@ -321,6 +321,26 @@ object Extended {
           round(diff * diff / col("__e"), 6).as("chi2_term"))
     }),
 
+    // Order inter-arrival histogram: calendar-day gaps between each
+    // customer's consecutive orders, bucketed — the repeat-purchase
+    // cadence readout (and the Poisson-ness check for the generator).
+    // Integer epoch-day arithmetic end to end; the lag window is
+    // partitioned by customer (never global), then one partial-agg
+    // histogram groupBy.
+    "q70_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("__d").asc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("__t"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("__t div 86400").as("__d"))
+        .withColumn("__gap", col("__d") - lag(col("__d"), 1).over(w))
+        .filter(col("__gap").isNotNull)
+        .groupBy(col("__gap").as("gap_days"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Herfindahl–Hirschman concentration index per region: Σ(share²) of
     // nation revenue within its region, plus the top nation's share —
     // the market-concentration readout beside q61's share-of-parent.
@@ -1422,6 +1442,18 @@ object Extended {
            round((CAST(observed AS DOUBLE) - ex)
              * (CAST(observed AS DOUBLE) - ex) / ex, 6) AS chi2_term
          FROM e""",
+    // Mirrors q70: the q56 integer epoch-day idiom (// floors, div
+    // truncates — identical on these positive epochs), the same
+    // (day, orderkey) lag tiebreak, BIGINT counts.
+    "q70_interarrival" ->
+      """WITH d AS (SELECT o_custkey, o_orderkey,
+             epoch_us(o_orderdate) // 1000000 // 86400 AS day
+           FROM orders),
+         g AS (SELECT day - lag(day) OVER (PARTITION BY o_custkey
+                 ORDER BY day, o_orderkey) AS gap
+               FROM d)
+         SELECT gap AS gap_days, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM g WHERE gap IS NOT NULL GROUP BY 1""",
     // Mirrors q69: exact-DECIMAL nation revenue (the q62 discipline),
     // decimal squares/sums at the same precisions, and the identical
     // double ratios — sq/(tot·tot) and top/tot — rounded 6.

@@ -85,7 +85,15 @@ object ScaleSmoke {
           .queryExecution.toRdd.count(), false),
       ("semantic_dedup_one_cell", () =>
         Similarity.semanticDedup(emb, threshold = 0.35, nCentroids = 1,
-          maxCellRows = 2048).queryExecution.toRdd.count(), true))
+          maxCellRows = 2048).queryExecution.toRdd.count(), true),
+      // the r7 corpus-law shapes: bigram explode → groupBy (heaps) and
+      // token explode → top-K cut (zipf) — both must stay linear
+      ("heaps_curve", () =>
+        CorpusStats.heapsCurve(docs, "text", "doc_id")
+          .queryExecution.toRdd.count(), false),
+      ("zipf_slope", () =>
+        CorpusStats.zipfSlope(docs, "text", maxRank = 200)
+          .queryExecution.toRdd.count(), false))
   }
 
   /** Gate mode: wall-time ratio between factors must stay ≤ bound.
