@@ -321,6 +321,44 @@ object Extended {
           round(diff * diff / col("__e"), 6).as("chi2_term"))
     }),
 
+    // RFM segmentation: per-nation recency/frequency/monetary terciles
+    // of the customer base, with segment populations — the classic
+    // marketing cut (3×3×3 cells per nation). All three ntiles run over
+    // the CUSTOMER aggregate partitioned by nation (never global, never
+    // the fact table), ordered with a custkey tiebreak so bucket edges
+    // are deterministic; recency is integer epoch-day, spend exact
+    // DECIMAL — ntile never touches a double.
+    "q71_rfm_segments" -> ((s, dir) => {
+      val cust = table(s, dir, "orders")
+        .select(col("o_custkey"),
+          unix_timestamp(col("o_orderdate")).as("__t"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("__p"))
+        .select(col("o_custkey"), expr("__t div 86400").as("__d"),
+          col("__p"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("__d")).as("__last"), count(lit(1)).as("__n"),
+          sum(col("__p")).cast(DecimalType(38, 2)).as("__spend"))
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_custkey").as("__ck"),
+          col("__last"), col("__n"), col("__spend"))
+      def tercile(order: Seq[org.apache.spark.sql.Column]) =
+        ntile(3).over(Window.partitionBy(col("n_name"))
+          .orderBy(order: _*))
+      cust
+        .withColumn("r_tercile",
+          tercile(Seq(col("__last").desc, col("__ck").asc)))
+        .withColumn("f_tercile",
+          tercile(Seq(col("__n").desc, col("__ck").asc)))
+        .withColumn("m_tercile",
+          tercile(Seq(col("__spend").desc, col("__ck").asc)))
+        .groupBy(col("n_name"), col("r_tercile"), col("f_tercile"),
+          col("m_tercile"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
     // Order inter-arrival histogram: calendar-day gaps between each
     // customer's consecutive orders, bucketed — the repeat-purchase
     // cadence readout (and the Poisson-ness check for the generator).
@@ -1442,6 +1480,32 @@ object Extended {
            round((CAST(observed AS DOUBLE) - ex)
              * (CAST(observed AS DOUBLE) - ex) / ex, 6) AS chi2_term
          FROM e""",
+    // Mirrors q71: the same integer epoch-day recency, BIGINT order
+    // counts, exact-DECIMAL spend, and ntile(3) with identical
+    // (metric DESC, custkey ASC) deterministic orderings — ntile's
+    // equal-fill remainder rule is standard SQL on both engines.
+    "q71_rfm_segments" ->
+      """WITH c AS (SELECT o_custkey,
+             max(epoch_us(o_orderdate) // 1000000 // 86400) AS last_day,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS spend
+           FROM orders GROUP BY 1),
+         j AS (SELECT n_name, o_custkey AS ck, last_day, n_orders, spend
+               FROM c
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey),
+         t AS (SELECT n_name,
+                 ntile(3) OVER (PARTITION BY n_name
+                   ORDER BY last_day DESC, ck ASC) AS r_tercile,
+                 ntile(3) OVER (PARTITION BY n_name
+                   ORDER BY n_orders DESC, ck ASC) AS f_tercile,
+                 ntile(3) OVER (PARTITION BY n_name
+                   ORDER BY spend DESC, ck ASC) AS m_tercile
+               FROM j)
+         SELECT n_name, r_tercile, f_tercile, m_tercile,
+           CAST(count(*) AS BIGINT) AS n_customers
+         FROM t GROUP BY 1, 2, 3, 4""",
     // Mirrors q70: the q56 integer epoch-day idiom (// floors, div
     // truncates — identical on these positive epochs), the same
     // (day, orderkey) lag tiebreak, BIGINT counts.
