@@ -164,4 +164,62 @@ object Multimodal {
     features.select(col("doc_id"), col("media_type"), col("n_bytes"),
       reasons.as("reasons"), (reasons === "").as("kept"))
   }
+
+  /** Perceptual near-dup candidates over BINARY media payloads — the
+    * pHash-shaped complement of [[mediaDedupGroups]]' exact fingerprints
+    * (catches re-encoded / truncated / suffix-mutated copies an exact
+    * hash never groups). The signature is a `nBlocks`-bit block-parity
+    * code: bit i = high bit of md5(payload bytes [i·blockLen,
+    * (i+1)·blockLen)), so a local edit flips only the touched blocks'
+    * bits and near-copies land at small Hamming distance. A REAL
+    * perceptual hash (DCT over decoded pixels) plugs into the same seam
+    * by replacing the bit function; the banding/verification plumbing —
+    * the part that matters at 100 TB — is unchanged.
+    *
+    * Candidates come from LSH banding (`nBands` bands of nBlocks/nBands
+    * bits; equal band value → candidate), NEVER all pairs. Bands whose
+    * first block starts beyond the payload are skipped — otherwise every
+    * short payload shares identical all-padding trailing bands and the
+    * bucket join degenerates quadratic. Buckets run through
+    * [[graft.ops.Similarity.saltedBlockPairs]], so a hot bucket's
+    * quadratic work is tiled across tasks with a hard per-task bound.
+    * Verification (exact Hamming over the full code) happens inside the
+    * pair stage; only pairs ≤ `maxHamming` reach the output exchange.
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b, distinct.
+    */
+  def perceptualHashPairs(media: DataFrame, nBlocks: Int = 64,
+      blockLen: Int = 32, nBands: Int = 8, maxHamming: Int = 6,
+      maxBucketRows: Int = 4096): DataFrame = {
+    require(nBlocks % nBands == 0, "nBands must divide nBlocks")
+    val bandBits = nBlocks / nBands
+    require(bandBits <= 30, "band value must fit an int")
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bits = transform(sequence(lit(0), lit(nBlocks - 1)), i =>
+      when(md5(col("media").substr(i * lit(blockLen) + lit(1),
+        lit(blockLen))).substr(lit(1), lit(1)).isin(hexHigh: _*), lit(1))
+        .otherwise(lit(0)))
+    val sig = media.select(col("doc_id").as("id"), bits.as("vec"),
+      length(col("media")).as("__len"))
+    val bandStructs = array((0 until nBands).map { b =>
+      val bv = (0 until bandBits).map { j =>
+        element_at(col("vec"), b * bandBits + j + 1) * lit(1 << j)
+      }.reduce(_ + _)
+      struct(lit(b).as("bi"), bv.as("bv"))
+    }: _*)
+    val banded = sig.withColumn("__band", explode(bandStructs))
+      .filter(col("__band.bi") * lit(bandBits * blockLen) < col("__len"))
+      .select(col("id"), col("vec"),
+        (col("__band.bi") * lit(1 << bandBits) + col("__band.bv"))
+          .as("bucket"))
+    val ham = aggregate(
+      zip_with(col("a_vec"), col("b_vec"), (x, y) => abs(x - y)),
+      lit(0), (acc, x) => acc + x)
+    graft.ops.Similarity.saltedBlockPairs(banded, "bucket", maxBucketRows)
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming && col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("id_a"),
+        greatest(col("a_id"), col("b_id")).as("id_b"), col("hamming"))
+      .distinct()
+  }
 }

@@ -321,6 +321,26 @@ object Extended {
           round(diff * diff / col("__e"), 6).as("chi2_term"))
     }),
 
+    // Last-touch attribution: each purchase credited to the user's most
+    // recent preceding non-purchase event type ('direct' when none) —
+    // the marketing-attribution readout beside q34's funnel counts. One
+    // user-partitioned ignore-nulls running last_value with an
+    // (ts, event_id) deterministic order, then a tiny histogram groupBy.
+    "q72_last_touch" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("__touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("__touch"), lit("direct")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"))
+    }),
+
     // RFM segmentation: per-nation recency/frequency/monetary terciles
     // of the customer base, with segment populations — the classic
     // marketing cut (3×3×3 cells per nation). All three ntiles run over
@@ -1480,6 +1500,20 @@ object Extended {
            round((CAST(observed AS DOUBLE) - ex)
              * (CAST(observed AS DOUBLE) - ex) / ex, 6) AS chi2_term
          FROM e""",
+    // Mirrors q72: the identical user-partitioned ignore-nulls running
+    // last_value with the (ts, event_id) order, 'direct' fallback,
+    // BIGINT counts.
+    "q72_last_touch" ->
+      """WITH t AS (SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+           FROM events)
+         SELECT coalesce(touch, 'direct') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases
+         FROM t WHERE event_type = 'purchase' GROUP BY 1""",
     // Mirrors q71: the same integer epoch-day recency, BIGINT order
     // counts, exact-DECIMAL spend, and ntile(3) with identical
     // (metric DESC, custkey ASC) deterministic orderings — ntile's

@@ -92,8 +92,22 @@ object MMQueries {
     "m08_media_gate" -> ((s, dir) =>
       Multimodal.qualityGate(
         Multimodal.decodeFeatures(
-          s, Multimodal.asMediaTable(table(s, dir, "documents"))).toDF()))
-  )
+          s, Multimodal.asMediaTable(table(s, dir, "documents"))).toDF())),
+
+    // Perceptual media near-dup: block-parity signature + LSH banding +
+    // exact-Hamming verify over the binary payloads — what exact m04
+    // fingerprints can't catch (suffix-mutated copies). The plant:
+    // every 7th doc re-enters with 'xx' appended — only the blocks at
+    // the old tail change, so the mirror lands at Hamming ≤ 2 while
+    // unrelated payloads scatter. (m09 in the family map.)
+    "m09_perceptual_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.unionAll(
+        d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
+            concat(col("text"), lit("xx")).as("text")))
+      Multimodal.perceptualHashPairs(Multimodal.asMediaTable(planted))
+    }))
 
   // a def, not a val: the queries map above initializes first, and a
   // forward val reference would be null at object-init time
@@ -109,6 +123,40 @@ object MMQueries {
   private val nBytes = "octet_length(encode(text))"
 
   val oracles: Map[String, String] = Map(
+    // Mirrors m09: the corpus is pure ASCII (verified: octet_length ==
+    // length at every sf), so VARCHAR substr/md5 here equals the Spark
+    // side's BYTE slicing of the text-cast payload — the d07/t22
+    // hash-vs-string equivalence extended to block content. Same plant,
+    // same covered-band rule (first block offset < length), same band
+    // values, all-pairs over band collisions, exact Hamming ≤ 6.
+    "m09_perceptual_dedup" ->
+      """WITH m AS (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000000000, text || 'xx'
+             FROM documents WHERE doc_id % 7 = 0),
+         sig AS (SELECT doc_id, length(text) AS len,
+                   list_transform(range(0, 64), i ->
+                     CASE WHEN substr(md5(substr(text, i*32 + 1, 32)),
+                         1, 1) IN ('8','9','a','b','c','d','e','f')
+                       THEN 1 ELSE 0 END) AS bits
+                 FROM m),
+         band AS (SELECT doc_id, b,
+                    list_sum(list_transform(range(0, 8),
+                      j -> bits[b*8 + j + 1] * (1 << j))) AS bv
+                  FROM sig, range(0, 8) t(b)
+                  WHERE b * 256 < len),
+         cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+                  FROM band x JOIN band y
+                    ON x.b = y.b AND x.bv = y.bv
+                   AND x.doc_id < y.doc_id),
+         h AS (SELECT ia AS id_a, ib AS id_b,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> abs(sa.bits[i] - sb.bits[i]))) AS INTEGER)
+                   AS hamming
+               FROM cand
+               JOIN sig sa ON ia = sa.doc_id
+               JOIN sig sb ON ib = sb.doc_id)
+         SELECT id_a, id_b, hamming FROM h WHERE hamming <= 6""",
     // Mirrors m08: the m01 stub-dimension fragments feeding the same
     // fixed-order rule set; concat_ws skips NULL branches identically on
     // both engines (the p06 contract), and kept is '' equality on the
