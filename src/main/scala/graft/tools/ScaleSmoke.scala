@@ -93,6 +93,12 @@ object ScaleSmoke {
           .queryExecution.toRdd.count(), false),
       ("zipf_slope", () =>
         CorpusStats.zipfSlope(docs, "text", maxRank = 200)
+          .queryExecution.toRdd.count(), false),
+      // banded binary-signature pair expansion (m09): hot buckets are
+      // salt-tiled, so growth must stay near-linear like the LSH shapes
+      ("perceptual_pairs", () =>
+        graft.mm.Multimodal.perceptualHashPairs(
+          graft.mm.Multimodal.asMediaTable(docs))
           .queryExecution.toRdd.count(), false))
   }
 
