@@ -90,6 +90,16 @@ object StreamQueries {
     // arbitrary in-order micro-batch splits, s10-style.
     "s11_transitions" -> ((s, dir) =>
       graft.streaming.TransitionStream.transitionMatrix(
+        table(s, dir, "events"))),
+
+    // Last-touch REVENUE attribution: each purchase's value credited to
+    // the most recent preceding non-purchase event type (q72's counts
+    // plus exact-DECIMAL money). Registered as the batch window form;
+    // StreamingSpec proves the flatMapGroupsWithState integer-micros
+    // fold (streaming/AttributionStream.scala) converges to it under
+    // in-order micro-batch splits, s11-style.
+    "s12_attribution" -> ((s, dir) =>
+      graft.streaming.AttributionStream.lastTouchAttribution(
         table(s, dir, "events")))
   )
 
@@ -111,6 +121,22 @@ object StreamQueries {
              / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
              AS p
          FROM g""",
+    // Mirrors s12: the q72 ignore-nulls running last_value plus the
+    // established double→DECIMAL(18,6) cast parity on value; BIGINT
+    // counts, one closing double division.
+    "s12_attribution" ->
+      """WITH t AS (SELECT user_id, event_id, ts, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+           FROM events)
+         SELECT coalesce(touch, 'direct') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
+             AS DECIMAL(38,6)) AS DOUBLE), 6) AS attributed_value
+         FROM t WHERE event_type = 'purchase' GROUP BY 1""",
     "s01_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n_events,

@@ -454,6 +454,65 @@ class StreamingSpec extends SparkSessionSpec {
     assert(sink === Set(("a", "b", 1L)))
   }
 
+  test("streaming attribution fold == batch window form under in-order splits (s12)") {
+    import graft.streaming.AttributionStream
+    val events = table(spark, sfDir, "events")
+    val batch = AttributionStream.lastTouchAttribution(events)
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val streamDf = mem.toDF()
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val rows = AttributionStream.attrEvents(events).collect()
+      .sortBy(e => (e.ts_us, e.event_id))
+      .map(e => (e.user_id, e.ts_us, e.event_id, e.event_type, e.value))
+    val thirds = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val out = AttributionStream.userAttributions(
+      streamDf.as[AttributionStream.AttrEvent])
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("s12_out").start()
+    thirds.foreach { part =>
+      mem.addData(part.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val sink = spark.table("s12_out")
+      .withColumn("__seq", monotonically_increasing_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("touch_type"))
+      .orderBy(col("__seq").desc)
+    val finalUsers = sink.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__seq", "__rn")
+    val got = AttributionStream.reportFromUsers(finalUsers)
+      .collect().map(_.toSeq).toSet
+    assert(got === batch)
+  }
+
+  test("s12 late purchases are refused, never credited backward") {
+    import graft.streaming.AttributionStream
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val streamDf = mem.toDF()
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val out = AttributionStream.userAttributions(
+      streamDf.as[AttributionStream.AttrEvent])
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("s12_late_out").start()
+    mem.addData(Seq((7L, 1L, 1L, "click", 0.0), (7L, 3L, 3L, "view", 0.0)))
+    q.processAllAvailable()
+    // a purchase at t=2 arrives AFTER t=3 folded: refused, not credited
+    // to the click (and no view credit invented either)
+    mem.addData(Seq((7L, 2L, 2L, "purchase", 9.5)))
+    q.processAllAvailable()
+    // an in-order purchase then credits the view
+    mem.addData(Seq((7L, 4L, 4L, "purchase", 2.25)))
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table("s12_late_out")
+      .select("touch_type", "n", "value_micros")
+      .as[(String, Long, Long)].collect().toSet
+    assert(sink === Set(("view", 1L, 2250000L)))
+  }
+
   implicit class Tup3Ops[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
