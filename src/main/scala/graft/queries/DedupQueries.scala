@@ -93,14 +93,25 @@ object DedupQueries {
     // corpus-wide dedup). The pair set is checkpointed once; each
     // threshold is an integer-exact filter + count over it.
     "d19_threshold_curve" -> ((s, dir) => {
+      // ONE pass over the loosest-cut pair set: the four thresholds are
+      // conditional sums inside a single aggregation, so the pair set is
+      // never materialized and never re-scanned (the checkpoint + 4-pass
+      // form this replaces cost ~2.5s of d19's ~5s at sf0.1)
       val pairs = Dedup.ngramJaccardPairs(
         table(s, dir, "documents"), "text", "doc_id", num = 7, den = 10)
-        .localCheckpoint()
-      Seq((7, 10), (4, 5), (9, 10), (1, 1)).map { case (nu, de) =>
-        pairs.filter(col("inter") * de >= col("uni") * nu)
-          .agg(count(lit(1)).as("n_pairs"))
-          .select(lit(nu).as("num"), lit(de).as("den"), col("n_pairs"))
-      }.reduce(_ unionAll _)
+      val cuts = Seq((7, 10), (4, 5), (9, 10), (1, 1))
+      val agged = pairs.agg(
+        sum(when(col("inter") * cuts.head._2 >= col("uni") * cuts.head._1,
+          1L).otherwise(0L)).as("__c0"),
+        cuts.tail.zipWithIndex.map { case ((nu, de), i) =>
+          sum(when(col("inter") * de >= col("uni") * nu, 1L)
+            .otherwise(0L)).as(s"__c${i + 1}")
+        }: _*)
+      agged.select(explode(array(cuts.zipWithIndex.map { case ((nu, de), i) =>
+        struct(lit(nu).as("num"), lit(de).as("den"),
+          col(s"__c$i").as("n_pairs"))
+      }: _*)).as("__r")).select(col("__r.num"), col("__r.den"),
+        col("__r.n_pairs"))
     }),
 
     // NEAR-dup decontamination: minhash LSH candidates strictly BETWEEN
