@@ -215,6 +215,38 @@ object TextQueries {
       CorpusStats.heapsCurve(table(s, dir, "documents"), "text",
         "doc_id")),
 
+    // TextRank keywords: PageRank over the adjacent-word co-occurrence
+    // graph (undirected, distinct edges, self-pairs dropped), top-20
+    // words by rank — the graph-centrality complement of RAKE's
+    // degree/frequency scores. Reuses the q30 fixed-point BIGINT
+    // recurrence (bit-exact on both engines — float PageRank can never
+    // hash-match), with words carried as the established 52-bit md5 ids
+    // (the q26/q46 idiom — DuckDB replays them exactly; collisions
+    // negligible at any vocabulary). Deterministic (r DESC, word ASC)
+    // top-K via TakeOrderedAndProject.
+    "t28_textrank" -> ((s, dir) => {
+      def wid(w: org.apache.spark.sql.Column) =
+        conv(substring(md5(w), 1, 13), 16, 10).cast("long")
+      val toks = table(s, dir, "documents")
+        .select(tokens(lower(col("text"))).as("__ts"))
+        .filter(size(col("__ts")) >= 2)
+      val ap = toks.select(explode(filter(
+          transform(sequence(lit(1), size(col("__ts")) - 1),
+            i => struct(element_at(col("__ts"), i).as("a"),
+              element_at(col("__ts"), i + 1).as("b"))),
+          p => p("a") =!= p("b"))).as("__p"))
+        .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      val edges = ap.select(wid(col("a")).as("src"), wid(col("b")).as("dst"))
+        .unionAll(ap.select(wid(col("b")).as("src"), wid(col("a")).as("dst")))
+      val vocab = ap.select(col("a").as("word"))
+        .unionAll(ap.select(col("b").as("word"))).distinct()
+        .select(col("word"), wid(col("word")).as("__wid"))
+      graft.ops.PageRank.fixedPointPageRank(edges, iterations = 5)
+        .join(vocab, col("vertex") === col("__wid"))
+        .orderBy(col("r").desc, col("word").asc).limit(20)
+        .select(col("word"), col("r"))
+    }),
+
     // Per-source unigram drift: each source's KL-divergence CONTRIBUTION
     // p·ln(p/q) against the corpus distribution, per top-20 corpus word
     // — the mixture-health report that flags a source whose language no
@@ -510,6 +542,44 @@ object TextQueries {
             CAST(sum(nt) OVER (ORDER BY cp ROWS BETWEEN UNBOUNDED
               PRECEDING AND CURRENT ROW) AS BIGINT) AS n_bigrams
           FROM m""",
+    // Mirrors t28: same tokenizer, distinct undirected edge set minus
+    // self-pairs, identical 52-bit md5 word ids, and the q30 recurrence
+    // replayed round for round (// floor == div trunc on all-positive
+    // ranks; scaled-BIGINT sums are order-invariant). Same top-20 cut.
+    "t28_textrank" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (SELECT d.dst AS vertex,
+             CAST(150000000000 + (85 * sum(r${i - 1}.r // d.outdeg)) // 100
+               AS BIGINT) AS r
+           FROM d JOIN r${i - 1} ON d.src = r${i - 1}.vertex
+           GROUP BY d.dst)"""
+      }.mkString(",\n           ")
+      s"""WITH t AS (SELECT $lowToks AS toks FROM documents),
+           bg AS (SELECT unnest(list_distinct(list_filter(list_transform(
+                    range(1, len(toks)),
+                    i -> CASE WHEN toks[i] <> toks[i+1]
+                      THEN toks[i] || ' ' || toks[i+1] END),
+                    x -> x IS NOT NULL))) AS g
+                  FROM t WHERE len(toks) >= 2),
+           ap AS (SELECT DISTINCT string_split(g, ' ')[1] AS a,
+                    string_split(g, ' ')[2] AS b FROM bg),
+           e0 AS (SELECT a, b FROM ap UNION SELECT b, a FROM ap),
+           id AS (SELECT word, CAST(concat('0x',
+                    substring(md5(word), 1, 13)) AS BIGINT) AS wid
+                  FROM (SELECT DISTINCT a AS word FROM e0)),
+           e AS (SELECT ia.wid AS src, ib.wid AS dst
+                 FROM e0
+                 JOIN id ia ON e0.a = ia.word
+                 JOIN id ib ON e0.b = ib.word),
+           d AS (SELECT src, dst,
+                   count(*) OVER (PARTITION BY src) AS outdeg
+                 FROM e),
+           r0 AS (SELECT DISTINCT src AS vertex,
+                    CAST(1000000000000 AS BIGINT) AS r FROM e),
+           $rounds
+         SELECT id.word, r5.r FROM r5 JOIN id ON r5.vertex = id.wid
+         QUALIFY row_number() OVER (ORDER BY r5.r DESC, id.word ASC) <= 20"""
+    },
     // Mirrors t27: same tokenizer, the same (count DESC, w ASC) top-20
     // cut, BIGINT counts, and the identical single-division p·ln((sc·ct)
     // /(st·cc)) per-row term (integer products < 2^53 — exact doubles).
