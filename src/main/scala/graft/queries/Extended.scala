@@ -321,6 +321,37 @@ object Extended {
           round(diff * diff / col("__e"), 6).as("chi2_term"))
     }),
 
+    // Exact inter-event latency percentiles per event type (p50/p90/p99
+    // of the seconds since the user's previous action), via the
+    // integer-HISTOGRAM form: counts partially aggregate on (type, gap),
+    // then the cumulative pick runs over that bounded aggregate — the
+    // scale-correct exact-percentile shape (no per-type sort of the
+    // event stream, no interpolation doubles; the p-th percentile is the
+    // smallest gap with 100·cum ≥ p·n, pure BIGINT ⇔ ceil-rank pick).
+    "q73_latency_percentiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("__t").asc, col("event_id").asc)
+      val gaps = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("__t"))
+        .withColumn("__prev", lag(col("__t"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("event_type"), (col("__t") - col("__prev")).as("__g"))
+      val h = gaps.groupBy(col("event_type"), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+      val wCum = Window.partitionBy(col("event_type"))
+        .orderBy(col("__g").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      def pick(k: Int) =
+        min(when(col("__cum") * 100 >= col("__n") * k, col("__g")))
+      h.withColumn("__cum", sum(col("__c")).over(wCum))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(sum(col("__c")).as("n_gaps"), pick(50).as("p50_s"),
+          pick(90).as("p90_s"), pick(99).as("p99_s"))
+    }),
+
     // Last-touch attribution: each purchase credited to the user's most
     // recent preceding non-purchase event type ('direct' when none) —
     // the marketing-attribution readout beside q34's funnel counts. One
@@ -1500,6 +1531,30 @@ object Extended {
            round((CAST(observed AS DOUBLE) - ex)
              * (CAST(observed AS DOUBLE) - ex) / ex, 6) AS chi2_term
          FROM e""",
+    // Mirrors q73: the same integer epoch-second lag gaps, the same
+    // (type, gap) histogram, and the identical 100·cum ≥ p·n pick —
+    // BIGINT casts around every windowed sum (the p08 lesson).
+    "q73_latency_percentiles" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) // 1000000 AS t FROM events),
+         g AS (SELECT event_type,
+                 t - lag(t) OVER (PARTITION BY user_id
+                   ORDER BY t, event_id) AS gap
+               FROM ev),
+         h AS (SELECT event_type, gap, CAST(count(*) AS BIGINT) AS c
+               FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+         cw AS (SELECT event_type, gap, c,
+                  CAST(sum(c) OVER (PARTITION BY event_type ORDER BY gap
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+                  CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+                    AS n
+                FROM h)
+         SELECT event_type, CAST(sum(c) AS BIGINT) AS n_gaps,
+           min(CASE WHEN cum * 100 >= n * 50 THEN gap END) AS p50_s,
+           min(CASE WHEN cum * 100 >= n * 90 THEN gap END) AS p90_s,
+           min(CASE WHEN cum * 100 >= n * 99 THEN gap END) AS p99_s
+         FROM cw GROUP BY 1""",
     // Mirrors q72: the identical user-partitioned ignore-nulls running
     // last_value with the (ts, event_id) order, 'direct' fallback,
     // BIGINT counts.
