@@ -127,6 +127,61 @@ object GraftExpressions {
       })
   }
 
+  /** min(A ∩ B) for two SORTED-ascending distinct `array<bigint>`
+    * columns, by merge walk that STOPS at the first match — the
+    * PPJoin-style emit-once key: a candidate pair produced once per
+    * shared prefix token keeps only the meeting whose token hash equals
+    * this minimum, so the pair-dedup exchange receives each pair once.
+    * Long.MinValue sentinel when disjoint (callers join on a shared
+    * element, so it never fires in practice; a hash collision can at
+    * worst double-emit a pair, which the downstream dropDuplicates
+    * absorbs — correctness never depends on this filter).
+    */
+  case class MinCommonSorted(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "min_common_sorted"
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): MinCommonSorted =
+      copy(left = newLeft, right = newRight)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n1 = x.numElements(); val n2 = y.numElements()
+      var i = 0; var j = 0
+      while (i < n1 && j < n2) {
+        val u = x.getLong(i); val v = y.getLong(j)
+        if (u < v) i += 1
+        else if (u > v) j += 1
+        else return u
+      }
+      Long.MinValue
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val r = ctx.freshName("r")
+        val n1 = ctx.freshName("n1")
+        val n2 = ctx.freshName("n2")
+        val u = ctx.freshName("u")
+        val v = ctx.freshName("v")
+        s"""
+           |int $n1 = $a.numElements(); int $n2 = $b.numElements();
+           |int $i = 0; int $j = 0; long $r = java.lang.Long.MIN_VALUE;
+           |while ($i < $n1 && $j < $n2) {
+           |  long $u = $a.getLong($i); long $v = $b.getLong($j);
+           |  if ($u < $v) { $i++; } else if ($u > $v) { $j++; }
+           |  else { $r = $u; break; }
+           |}
+           |${ev.value} = $r;
+         """.stripMargin
+      })
+  }
+
   /** Extract a required foldable int argument (the kernel shape
     * parameters — k, band counts — are plan constants by design).
     */
@@ -151,6 +206,8 @@ object GraftExpressions {
         es => CosineSim(es(0), es(1))),
       d("intersect_card_sorted", classOf[IntersectCardSorted],
         es => IntersectCardSorted(es(0), es(1))),
+      d("min_common_sorted", classOf[MinCommonSorted],
+        es => MinCommonSorted(es(0), es(1))),
       d("hashed_shingle_set", classOf[HashedShingleSet],
         es => HashedShingleSet(es(0), intArg(es(1), "hashed_shingle_set", 2))),
       d("minhash_sig", classOf[MinHashSig],

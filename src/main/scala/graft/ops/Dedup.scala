@@ -40,6 +40,13 @@ object Dedup {
     graft.expr.nat(graft.expr.GraftExpressions.IntersectCardSorted(
       graft.expr.toExpr(a), graft.expr.toExpr(b)))
 
+  /** min(A∩B) of sorted distinct long arrays (early-exit merge walk) —
+    * the PPJoin emit-once key for prefix-filtered pair joins.
+    */
+  private def minCommonSorted(a: Column, b: Column): Column =
+    graft.expr.nat(graft.expr.GraftExpressions.MinCommonSorted(
+      graft.expr.toExpr(a), graft.expr.toExpr(b)))
+
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicate groups by normalized-content fingerprint.
@@ -635,13 +642,18 @@ object Dedup {
       .select(col("id"), col("hs"), col("sz"),
         slice(transform(col("byRarity"), s => s("w")), lit(1), col("preflen"))
           .as("prefix"))
+      // sorted prefix HASHES ride both join sides so each qualifying
+      // pair can be emitted at exactly ONE meeting (the min common
+      // prefix hash) — without this a pair passes the exchange once per
+      // shared prefix token (measured 6.6× inflation at the 0.7 cut)
+      .withColumn("ph", sort_array(transform(col("prefix"), w => xxhash64(w))))
     // The prefix index rows carry the doc's full hashed set: the heavy
     // candidate stream is then produced AND verified inside one codegen'd
     // join stage — no candidate-pair shuffle, no fetch-joins. Only pairs
     // that pass the threshold reach the final dedup exchange. (For corpora
     // with huge per-doc sets, flip to bare-id candidates + fetch-joins; for
     // typical document token sets this payload-on-index shape is cheaper.)
-    val pref = docs.select(col("id"), col("hs"), col("sz"),
+    val pref = docs.select(col("id"), col("hs"), col("sz"), col("ph"),
       explode(col("prefix")).as("w"))
     // Join strategy is SIZE-GATED: the prefix index grows linearly with
     // the corpus, so an unconditional broadcast would blow the driver at
@@ -684,6 +696,10 @@ object Dedup {
             col("a.id") < col("b.id"))
       }
     joined
+      // PPJoin emit-once: keep only the meeting at the pair's minimum
+      // shared prefix hash, so the dedup exchange sees each pair once
+      // (a hash collision can double-emit; dropDuplicates absorbs it)
+      .filter(xxhash64(col("a.w")) === minCommonSorted(col("a.ph"), col("b.ph")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         intersectCard(col("a.hs"), col("b.hs")).as("inter"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))

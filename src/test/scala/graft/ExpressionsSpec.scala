@@ -43,6 +43,27 @@ class ExpressionsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("min_common_sorted matches array_min(array_intersect), sentinel on disjoint") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(300)((
+      Array.fill(rnd.nextInt(40) + 1)(rnd.nextInt(50).toLong)
+        .distinct.sorted.toSeq,
+      Array.fill(rnd.nextInt(40) + 1)(rnd.nextInt(50).toLong)
+        .distinct.sorted.toSeq))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      call_function("min_common_sorted", col("a"), col("b")).as("fast"),
+      coalesce(array_min(array_intersect(col("a"), col("b"))),
+        lit(Long.MinValue)).as("slow"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // interpreted path too (driver-side filter eval)
+    val one = Seq((Seq(1L, 5L, 9L), Seq(3L, 5L, 9L))).toDF("a", "b")
+    assert(one.filter(
+      call_function("min_common_sorted", col("a"), col("b")) === 5L)
+      .count() === 1L)
+  }
+
   test("native expressions survive interpreted (non-codegen) eval") {
     val df = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
     // force interpreted path by evaluating through a filter on the driver
