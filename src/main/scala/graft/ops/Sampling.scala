@@ -217,4 +217,53 @@ object Sampling {
       .select(col(stratumCol), col("n_tokens"), col("quota"),
         col("epochs"), col("planned_tokens"))
   }
+
+  /** Temporal holdout with an embargo gap — the leakage-safe split for
+    * TIME-ordered data, where hash splits ([[split]]) silently leak the
+    * future into training. The cutoff is DATA-DERIVED by the exact
+    * histogram-pick rule (smallest epoch-day with 100·cum ≥ trainPct·n
+    * over the per-day count aggregate — the q73 percentile shape, pure
+    * BIGINT): rows on days ≤ cutoff−embargoDays train; days > cutoff
+    * test; the embargo band between is DROPPED, so no training example
+    * sits within `embargoDays` of any test example (label-horizon
+    * leakage at the boundary).
+    *
+    * One partial-agg day histogram (the cutoff pick runs over ≤ #days
+    * rows), then one stateless scan assigns splits — nothing data-sized
+    * is ever sorted or windowed.
+    *
+    * Output: per split (train/embargo/test): n_rows, n_keys (distinct
+    * `keyCol`), day_min, day_max — the audit a pipeline logs before
+    * training on a temporal split.
+    */
+  def temporalHoldout(
+      df: DataFrame, tsCol: String, keyCol: String,
+      trainPct: Int = 80, embargoDays: Int = 7): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99,
+      s"trainPct must be in [1, 99], got $trainPct")
+    require(embargoDays >= 0, s"embargoDays must be >= 0, got $embargoDays")
+    val days = df.select(col(keyCol).as("__k"),
+        unix_timestamp(col(tsCol)).as("__t"))
+      .select(col("__k"), expr("__t div 86400").as("__d"))
+    val hist = days.groupBy(col("__d")).agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__d").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cutoff = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .agg(min(when(col("__cum") * 100 >= col("__n") * trainPct,
+        col("__d"))).as("__cut"))
+    days.crossJoin(broadcast(cutoff))
+      .select(col("__k"), col("__d"),
+        when(col("__d") <= col("__cut") - embargoDays, "train")
+          .when(col("__d") > col("__cut"), "test")
+          .otherwise("embargo").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("__k")).as("n_keys"),
+        min(col("__d")).as("day_min"), max(col("__d")).as("day_max"))
+  }
 }

@@ -267,6 +267,16 @@ object PipelineQueries {
         table(s, dir, "documents"), stratumCol = "lang",
         tokens = tokenCount(col("text")), budget = 200000L, maxEpochs = 4)),
 
+    // Temporal holdout with a 7-day embargo: the leakage-safe split for
+    // time-ordered data (p11 guards CONTENT leakage, this guards TIME
+    // leakage) — cutoff = the exact 80th-percentile event day via the
+    // q73 histogram-pick rule, embargo band dropped so no training row
+    // sits within 7 days of any test row. Integer end to end.
+    "p19_temporal_split" -> ((s, dir) =>
+      Sampling.temporalHoldout(
+        table(s, dir, "events"), tsCol = "ts", keyCol = "user_id",
+        trainPct = 80, embargoDays = 7)),
+
     // Dataset card: the per-(source, lang) ingest report — doc/token
     // counts, token range, mean quality, and declared-vs-predicted
     // language agreement — in ONE narrow scan + one partially-aggregated
@@ -292,6 +302,29 @@ object PipelineQueries {
   // oracles use (TextQueries.qualitySql/langCase/nTokens), so the
   // pipeline oracle cannot drift from the stage oracles.
   val oracles: Map[String, String] = Map(
+    // Mirrors p19: the q73 integer epoch-day + histogram-pick cutoff,
+    // identical split predicate, BIGINT casts around the windowed sums.
+    "p19_temporal_split" ->
+      """WITH d AS (SELECT user_id AS k,
+             epoch_us(ts) // 1000000 // 86400 AS day FROM events),
+         h AS (SELECT day, CAST(count(*) AS BIGINT) AS c
+               FROM d GROUP BY 1),
+         cw AS (SELECT day, c,
+                  CAST(sum(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(sum(c) OVER () AS BIGINT) AS n
+                FROM h),
+         cut AS (SELECT min(CASE WHEN cum * 100 >= n * 80 THEN day END)
+                   AS cutd FROM cw),
+         a AS (SELECT k, day,
+                 CASE WHEN day <= cutd - 7 THEN 'train'
+                      WHEN day > cutd THEN 'test'
+                      ELSE 'embargo' END AS split
+               FROM d CROSS JOIN cut)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           min(day) AS day_min, max(day) AS day_max
+         FROM a GROUP BY 1""",
     // Mirrors p16: same per-source doc_id-ordered BIGINT cumsum (HUGEINT
     // lesson: both sum and the // quotients cast), same stride-crossing
     // integer test.

@@ -159,7 +159,8 @@ class PlanSpec extends SparkSessionSpec {
     "v15_mmr_rerank",               // query set broadcast (v01 shape)
     "v16_ann_hamming",              // query CODES broadcast vs corpus codes
     "v19_ann_matryoshka",           // coarse prefix pass: v01 shape on a slice
-    "t27_unigram_drift")            // 20-row top-word + 1-row total cross joins
+    "t27_unigram_drift",            // 20-row top-word + 1-row total cross joins
+    "p19_temporal_split")           // 1-row cutoff-day broadcast cross join
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
     // the staged-CTE SQL shape scans events per stage; the typed-MR
