@@ -215,6 +215,17 @@ object TextQueries {
       CorpusStats.heapsCurve(table(s, dir, "documents"), "text",
         "doc_id")),
 
+    // BPE merge TRAINING (the learning side of t13's tokenizer): 8
+    // rounds of count-adjacent-pairs → merge-argmax on the aggregated
+    // word-frequency vocabulary — corpus pays ONE token groupBy,
+    // training cost is then corpus-size-independent (the production
+    // trainer shape). Greedy left-to-right merge selection is the
+    // run-parity rule, so the 8-round SQL oracle replays training
+    // exactly. Output: the learned merge table.
+    "t29_bpe_train" -> ((s, dir) =>
+      graft.ops.BpeTrain.trainMerges(
+        table(s, dir, "documents"), "text", rounds = 8)),
+
     // TextRank keywords: PageRank over the adjacent-word co-occurrence
     // graph (undirected, distinct edges, self-pairs dropped), top-20
     // words by rank — the graph-centrality complement of RAKE's
@@ -542,6 +553,60 @@ object TextQueries {
             CAST(sum(nt) OVER (ORDER BY cp ROWS BETWEEN UNBOUNDED
               PRECEDING AND CURRENT ROW) AS BIGINT) AS n_bigrams
           FROM m""",
+    // Mirrors t29: the identical per-round relational formulation —
+    // weighted pair counts from the (word, pos) self-join, the same
+    // (pc DESC, l, r) argmax, the same run-parity greedy selection, the
+    // same row_number rebuild — so training replays round for round.
+    // MATERIALIZED CTEs (the q65 lesson: plain CTEs re-expand per
+    // reference and 8 self-referencing rounds would blow up planning).
+    "t29_bpe_train" -> {
+      val rounds = (1 to 8).map { r =>
+        val p = r - 1
+        s"""p$r AS (SELECT s1.sym AS l, s2.sym AS r2,
+               CAST(sum(s1.c) AS BIGINT) AS pc
+             FROM s$p s1 JOIN s$p s2
+               ON s1.word = s2.word AND s2.pos = s1.pos + 1
+             GROUP BY 1, 2),
+           m$r AS MATERIALIZED (SELECT l, r2, pc FROM p$r
+             ORDER BY pc DESC, l ASC, r2 ASC LIMIT 1),
+           t$r AS (SELECT *,
+               CASE WHEN m = 1 AND (row_number() OVER
+                   (PARTITION BY word, m, grp ORDER BY pos)) % 2 = 1
+                 THEN 1 ELSE 0 END AS take
+             FROM (SELECT *,
+                 CASE WHEN m = 1 THEN pos - row_number() OVER
+                     (PARTITION BY word, m ORDER BY pos) END AS grp
+               FROM (SELECT *,
+                   CASE WHEN sym = l AND nxt = r2 THEN 1 ELSE 0 END AS m
+                 FROM (SELECT s.word, s.c, s.pos, s.sym,
+                     lead(s.sym) OVER (PARTITION BY s.word
+                       ORDER BY s.pos) AS nxt, mm.l, mm.r2
+                   FROM s$p s CROSS JOIN m$r mm)))),
+           s$r AS MATERIALIZED (
+             SELECT word, c,
+               row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+               CASE WHEN take = 1 THEN sym || nxt ELSE sym END AS sym
+             FROM (SELECT *, lag(take, 1, 0) OVER (PARTITION BY word
+                 ORDER BY pos) AS dropped FROM t$r)
+             WHERE dropped = 0)"""
+      }.mkString(",\n           ")
+      val sel = (1 to 8).map { r =>
+        s"""SELECT $r AS round, l AS l_sym, r2 AS r_sym,
+             l || r2 AS merged, pc AS pair_count FROM m$r"""
+      }.mkString("\n           UNION ALL\n           ")
+      s"""WITH w AS MATERIALIZED (
+             SELECT word, CAST(count(*) AS BIGINT) AS c
+             FROM (SELECT unnest($lowToks) AS word FROM documents)
+             GROUP BY 1),
+           s0 AS MATERIALIZED (
+             SELECT word, c,
+               unnest(range(1, len(word) + 1)) AS pos,
+               unnest(list_transform(range(1, len(word) + 1),
+                 i -> word[i])) AS sym
+             FROM w),
+           $rounds
+           $sel"""
+    },
     // Mirrors t28: same tokenizer, distinct undirected edge set minus
     // self-pairs, identical 52-bit md5 word ids, and the q30 recurrence
     // replayed round for round (// floor == div trunc on all-positive

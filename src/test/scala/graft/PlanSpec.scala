@@ -160,6 +160,7 @@ class PlanSpec extends SparkSessionSpec {
     "v16_ann_hamming",              // query CODES broadcast vs corpus codes
     "v19_ann_matryoshka",           // coarse prefix pass: v01 shape on a slice
     "t27_unigram_drift",            // 20-row top-word + 1-row total cross joins
+    "t29_bpe_train",                // 1-row per-round merge-argmax cross joins
     "p19_temporal_split")           // 1-row cutoff-day broadcast cross join
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
