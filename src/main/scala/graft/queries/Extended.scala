@@ -1209,6 +1209,26 @@ object Extended {
         table(s, dir, "events"), keyCol = "user_id", tsCol = "ts",
         tieCol = "event_id", gapSeconds = 1800L)),
 
+    // Daily bounce rate: sessions opened per calendar day, how many
+    // were single-event bounces, and the bounce fraction — the q42
+    // session table rolled to the engagement KPI. Integer epoch-day
+    // bucketing over the SESSION aggregate (already user-keyed and
+    // bounded), one histogram groupBy, one closing division.
+    "q74_bounce_rate" -> ((s, dir) =>
+      graft.ops.Sessions.sessionize(
+        table(s, dir, "events"), keyCol = "user_id", tsCol = "ts",
+        tieCol = "event_id", gapSeconds = 1800L)
+        .select(expr("t_start_s div 86400").as("day"),
+          col("n_events"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .as("n_bounces"),
+          sum(col("n_events")).as("total_events"))
+        .withColumn("bounce_rate",
+          round(col("n_bounces").cast("double") /
+            col("n_sessions").cast("double"), 6))),
+
     // Correlated scalar subqueries through the SQL surface — the shape
     // Catalyst DECORRELATES into aggregate + join (no per-row re-scan
     // ever executes; the q40 spark.sql + temp-view precedent). The
@@ -1988,6 +2008,35 @@ object Extended {
     // Replays Sessions.sessionize step for step: same integer epoch
     // seconds, same (es, event_id) total order, same lag/running-sum
     // break chain — every step integer, so equality is exact.
+    // Mirrors q74: the q42 session chain verbatim, then the identical
+    // epoch-day rollup (// floors == div truncates on positive epochs),
+    // BIGINT counts, one closing double division.
+    "q74_bounce_rate" ->
+      """WITH e AS (SELECT user_id, event_id,
+              epoch_us(ts) // 1000000 AS es FROM events),
+          l AS (SELECT user_id, event_id, es,
+                  lag(es) OVER (PARTITION BY user_id
+                    ORDER BY es, event_id) AS prev FROM e),
+          s AS (SELECT user_id, event_id, es,
+                  CASE WHEN prev IS NULL OR es - prev > 1800
+                    THEN 1 ELSE 0 END AS brk FROM l),
+          g AS (SELECT user_id, es,
+                  CAST(sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY es, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM s),
+          sess AS (SELECT user_id, session_id,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     min(es) AS t_start_s
+                   FROM g GROUP BY 1, 2),
+          d AS (SELECT t_start_s // 86400 AS day, n_events FROM sess)
+          SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+            CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_bounces,
+            CAST(sum(n_events) AS BIGINT) AS total_events,
+            round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+          FROM d GROUP BY 1""",
     "q42_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
               epoch_us(ts) // 1000000 AS es FROM events),

@@ -443,6 +443,26 @@ object VectorQueries {
           round(min(col("__n")), 6).as("min_norm"),
           round(max(col("__n")), 6).as("max_norm"),
           min(col("__d")).as("min_dim"), max(col("__d")).as("max_dim"))
+    }),
+
+    // Int8 scalar-quantization reconstruction-error audit: per-label
+    // histogram of L2(original, dequantized) milli-buckets — the
+    // quality gate that decides whether the 4× storage cut of the v08
+    // path is safe for a corpus (errors concentrate near the clamp
+    // boundary if vectors aren't normalized — v21's job to catch).
+    // Per-row doubles ride the established l2 fold parity; cross-row
+    // aggregates are count/min/max only.
+    "v22_sq_error_audit" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.{l2Distance, sqDequantize, sqQuantize}
+      val e = table(s, dir, "embeddings")
+        .select(col("label"),
+          l2Distance(col("embedding"),
+            sqDequantize(sqQuantize(col("embedding")))).as("__e"))
+      e.groupBy(col("label"),
+        floor(col("__e") * lit(1000.0)).cast("long").as("err_milli_bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min(col("__e")), 6).as("min_err"),
+          round(max(col("__e")), 6).as("max_err"))
     })
   )
 
@@ -966,6 +986,27 @@ object VectorQueries {
     // per-element double squares — the established norm parity
     // contract), floor(norm·10) BIGINT buckets, and only order-safe
     // count/min/max cross-row aggregates.
+    // Mirrors v22: the v08 quantize/dequantize expression verbatim,
+    // the same (x − x̂)·(x − x̂) left-fold and sqrt, floor(err·1000)
+    // BIGINT buckets, order-safe count/min/max only.
+    "v22_sq_error_audit" ->
+      """WITH dq AS (
+           SELECT label, embedding,
+             list_transform(embedding, x ->
+               CAST(CAST(floor(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127.0 + 0.5) AS INTEGER) / 127.0 AS REAL)) AS v8
+           FROM embeddings),
+         er AS (SELECT label,
+                  sqrt(list_aggregate(list_transform(range(1, 65),
+                    i -> (CAST(embedding[i] AS DOUBLE)
+                           - CAST(v8[i] AS DOUBLE))
+                         * (CAST(embedding[i] AS DOUBLE)
+                           - CAST(v8[i] AS DOUBLE))), 'sum')) AS e
+                FROM dq)
+         SELECT label,
+           CAST(floor(e * 1000.0) AS BIGINT) AS err_milli_bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(min(e), 6) AS min_err, round(max(e), 6) AS max_err
+         FROM er GROUP BY 1, 2""",
     "v21_norm_audit" ->
       """WITH n AS (SELECT label, len(embedding) AS d,
              sqrt(list_aggregate(list_transform(range(1, 65),
