@@ -57,12 +57,24 @@ object PageRank {
       s"iterations must be in [1, 50], got $iterations")
     require(scale >= 100L && scale % 100L == 0L,
       s"scale must be a positive multiple of 100, got $scale")
-    val e = edges
-      .select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .distinct()
+    // WEIGHTED edges: a `w` column (positive integer weights) makes each
+    // contribution `(r·w) div wsum(src)` — for w ≡ 1 and wsum = outdeg
+    // that is bit-identical to the unweighted `r div outdeg`, so both
+    // cases share one code path (and q30's oracle is untouched).
+    // Parallel (src, dst) rows canonicalize by summing their weights.
+    val weighted = edges.columns.contains("w")
+    val e =
+      if (weighted) edges
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+        .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      else edges
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .distinct()
+        .withColumn("w", lit(1L))
     val withDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .join(e.groupBy("src").agg(sum(col("w")).as("wsum")), "src")
       .localCheckpoint()
     // One setup pass over the materialized edges classifies every vertex
     // (appears-as-src, appears-as-dst). This single job replaces the old
@@ -81,6 +93,16 @@ object PageRank {
     val (nV, nSrc, nDst) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     require(nV <= Long.MaxValue / 100L / scale,
       s"85*N*scale must fit a long: N=$nV needs scale <= ${Long.MaxValue / 100L / nV}")
+    if (weighted) {
+      // the weighted contribution computes r·w BEFORE the floor-div; the
+      // worst-case r is the whole rank mass ≈ N·scale, so N·scale·maxW
+      // must fit a long (same 1-job setup pass as the vertex stats)
+      val maxW = withDeg.agg(max(col("w"))).collect()(0).getLong(0)
+      require(maxW >= 1L, s"edge weights must be positive, got max $maxW")
+      require(maxW <= Long.MaxValue / nV / scale,
+        s"N*scale*maxW must fit a long: N=$nV, scale=$scale, maxW=$maxW" +
+          s" — lower scale (e.g. 100000000L) for heavy weights")
+    }
     // complete = every vertex has out- AND in-edges: no dangling mass, no
     // contribution-less vertices — the per-round plan needs only the
     // contribution join+shuffle (the historical q30 plan, unchanged)
@@ -127,7 +149,7 @@ object PageRank {
     withDeg
       .join(if (useBroadcast) broadcast(ranks) else ranks,
         col("src") === col("vertex"))
-      .select(col("dst"), expr("r div outdeg").as("c"))
+      .select(col("dst"), expr("(r * w) div wsum").as("c"))
       .groupBy(col("dst"))
       .agg(expr(s"$base + (85 * sum(c)) div 100").as("r"))
       .select(col("dst").as("vertex"), col("r"))
@@ -147,7 +169,7 @@ object PageRank {
     val contrib = withDeg
       .join(if (useBroadcast) broadcast(ranks) else ranks,
         col("src") === col("vertex"))
-      .select(col("dst"), expr("r div outdeg").as("c"))
+      .select(col("dst"), expr("(r * w) div wsum").as("c"))
       .groupBy(col("dst"))
       .agg(sum(col("c")).as("__s"))
       .select(col("dst").as("vertex"), col("__s"))

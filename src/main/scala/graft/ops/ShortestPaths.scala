@@ -71,4 +71,64 @@ object ShortestPaths {
     }
     visited
   }
+
+  /** Weighted multi-source shortest paths — `rounds` Bellman–Ford
+    * relaxations over a DIRECTED edge list with POSITIVE integer
+    * lengths (feed both orientations for an undirected graph). Output:
+    * (node, dist) where dist is the exact length of the shortest
+    * source→node path using at most `rounds` edges; sources are dist 0,
+    * nodes unreachable within the hop cap are absent. All arithmetic is
+    * long integer, so an unrolled SQL oracle replays every round
+    * bit-for-bit (the q30/q75 fixed-round discipline).
+    *
+    * Parallel (src, dst) edges collapse to their MINIMUM length during
+    * setup — the only one a shortest path could use.
+    *
+    * Scale shape: the bfsLevels discipline — edges are hash-partitioned
+    * by src once and checkpointed; each round exchanges only the dist
+    * frontier (join on src, then a min-groupBy whose partial aggregation
+    * caps the shuffle at nodes·partitions). Unlike bfsLevels there is no
+    * shrinking frontier: a weighted relax can improve an already-settled
+    * node, so every round folds the full dist table — the textbook
+    * Bellman–Ford round, O(rounds) actions total.
+    */
+  def bellmanFord(
+      edges: DataFrame, sources: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      lenCol: String = "len", nodeCol: String = "node"): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    val e = edges
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"),
+        col(lenCol).cast("long").as("__len"))
+      .filter(col("__src") =!= col("__dst"))
+      .groupBy(col("__src"), col("__dst"))
+      .agg(min(col("__len")).as("__len"))
+      .repartition(col("__src"))
+      .localCheckpoint()
+    // one agg over the already-materialized checkpoint (null ⇔ no edges,
+    // which is trivially valid: dist stays the source set)
+    val minRow = e.agg(min(col("__len"))).collect()(0)
+    val minLen = if (minRow.isNullAt(0)) 1L else minRow.getLong(0)
+    require(minLen >= 1L, s"edge lengths must be positive, got $minLen")
+    var dist = sources
+      .select(col(nodeCol).cast("long").as("node"))
+      .distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var d = 0
+    while (d < rounds) {
+      d += 1
+      dist = dist
+        .unionAll(dist
+          .join(e, col("node") === col("__src"))
+          .select(col("__dst").as("node"),
+            (col("dist") + col("__len")).as("dist")))
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }

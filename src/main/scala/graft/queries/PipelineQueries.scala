@@ -295,6 +295,33 @@ object PipelineQueries {
           round(avg(col("__q")), 6).as("mean_quality"),
           round(sum(col("__agree")).cast("double") / count(lit(1)), 6)
             .as("lang_agree_frac"))
+    }),
+
+    // Seeded weighted sample WITHOUT replacement (Efraimidis–Spirakis
+    // A-Res): per source, the top-50 documents by priority ln(u)/w with
+    // u = (lcg_rank+1)/2³¹ and w = token count — longer documents
+    // proportionally more likely, yet the pick is a pure deterministic
+    // function of (doc_id, seed) the oracle replays. The priority is
+    // round-6 (the established double class; ln of an identical dyadic
+    // rational both sides) and the rank orders by (rounded priority,
+    // doc_id), so selection is engine-portable. One narrow scan, one
+    // source-keyed window — per-source sorts are the parallel unit, no
+    // global order exists (the p07 export discipline).
+    "p20_weighted_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("priority").desc, col("doc_id").asc)
+      table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          tokenCount(col("text")).cast("long").as("ntok"),
+          graft.ops.Sharding.lcgRank(col("doc_id"), seed = 7L).as("__rk"))
+        .withColumn("priority",
+          round(log((col("__rk").cast("double") + 1.0d) / 2147483648.0d)
+            / col("ntok").cast("double"), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("source"), col("doc_id"), col("ntok"), col("priority"),
+          col("rk"))
     })
   )
 
@@ -302,6 +329,27 @@ object PipelineQueries {
   // oracles use (TextQueries.qualitySql/langCase/nTokens), so the
   // pipeline oracle cannot drift from the stage oracles.
   val oracles: Map[String, String] = Map(
+    // Mirrors p20: the p07/p18 LCG replayed verbatim (seed 7 ⇒ first
+    // increment 7+12345), the identical ln((rk+1)/2³¹)/ntok priority
+    // round-6 both sides, rank over (rounded priority, doc_id).
+    "p20_weighted_sample" -> {
+      import TextQueries.nTokens
+      s"""WITH h AS (
+            SELECT source, doc_id, CAST($nTokens AS BIGINT) AS ntok,
+              ((((doc_id % 2147483648) * 1103515245 + 12352)
+                % 2147483648) * 1103515245 + 12345) % 2147483648 AS rk
+            FROM documents),
+          p AS (SELECT source, doc_id, ntok,
+                  round(ln((CAST(rk AS DOUBLE) + 1.0) / 2147483648.0)
+                    / CAST(ntok AS DOUBLE), 6) AS priority
+                FROM h),
+          r AS (SELECT source, doc_id, ntok, priority,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY priority DESC, doc_id ASC) AS rk
+                FROM p)
+          SELECT source, doc_id, ntok, priority, CAST(rk AS BIGINT) AS rk
+          FROM r WHERE rk <= 50"""
+    },
     // Mirrors p19: the q73 integer epoch-day + histogram-pick cutoff,
     // identical split predicate, BIGINT casts around the windowed sums.
     "p19_temporal_split" ->

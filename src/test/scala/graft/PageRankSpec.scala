@@ -118,9 +118,9 @@ class PageRankSpec extends SparkSessionSpec {
 
   test("gated round plans a non-broadcast join; broadcast round broadcasts") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
-    val e = edges.distinct()
+    val e = edges.distinct().withColumn("w", lit(1L))
     val withDeg = e.join(
-      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      e.groupBy("src").agg(sum(col("w")).as("wsum")), "src")
     val ranks = withDeg.select(col("src").as("vertex"))
       .distinct().withColumn("r", lit(1000000000000L))
     def plan(useBroadcast: Boolean): String = {
@@ -150,8 +150,9 @@ class PageRankSpec extends SparkSessionSpec {
     val oneWay = Seq.fill(250)((rnd.nextInt(40).toLong, 40L + rnd.nextInt(40)))
     val both = (oneWay ++ oneWay.map(_.swap)).distinct
     val e = both.toDF("src", "dst").repartition(8).distinct()
+      .withColumn("w", lit(1L))
     val withDeg = e.join(
-      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      e.groupBy("src").agg(sum(col("w")).as("wsum")), "src")
       .repartition(col("src")).localCheckpoint()
     val ranks = withDeg.select(col("src").as("vertex")).distinct()
       .withColumn("r", lit(Scale)).localCheckpoint()

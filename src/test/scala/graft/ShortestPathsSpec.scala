@@ -68,6 +68,65 @@ class ShortestPathsSpec extends SparkSessionSpec {
     }
   }
 
+  private def dists(
+      edges: Seq[(Long, Long, Long)], sources: Seq[Long],
+      rounds: Int): Map[Long, Long] =
+    ShortestPaths.bellmanFord(
+      edges.toDF("src", "dst", "len"), sources.toDF("node"), rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("bellmanFord: weighted path — cheap detour beats the direct hop") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5. One round only sees the
+    // direct edge; two rounds find the detour.
+    val g = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(dists(g, Seq(1L), 1) === Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+    assert(dists(g, Seq(1L), 2) === Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("bellmanFord: parallel edges collapse to the minimum length") {
+    val g = Seq((1L, 2L, 7L), (1L, 2L, 4L), (1L, 2L, 9L))
+    assert(dists(g, Seq(1L), 1) === Map(1L -> 0L, 2L -> 4L))
+  }
+
+  test("bellmanFord: multi-source takes the nearest source; unreached absent") {
+    val g = Seq((1L, 2L, 5L), (9L, 2L, 1L), (2L, 3L, 1L), (50L, 51L, 1L))
+    assert(dists(g, Seq(1L, 9L), 3) ===
+      Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bellmanFord: property — random weighted graphs match local Bellman–Ford") {
+    val rnd = new scala.util.Random(777)
+    for (_ <- 1 to 5) {
+      val n = 5 + rnd.nextInt(12)
+      val edges = (1 to n * 3).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          1L + rnd.nextInt(20)))
+        .filter { case (a, b, _) => a != b }
+      val sources = Seq(0L)
+      val rounds = 4
+      // local reference: rounds relaxations over min-collapsed edges
+      val minE = edges.groupBy(e => (e._1, e._2))
+        .map { case (k, v) => (k._1, k._2, v.map(_._3).min) }
+      var expect: Map[Long, Long] = sources.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val relaxed = minE.flatMap { case (s, d, w) =>
+          expect.get(s).map(ds => d -> (ds + w)) }
+        expect = (expect.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, v) => (k, v.map(_._2).min) }
+      }
+      assert(dists(edges, sources, rounds) === expect)
+    }
+  }
+
+  test("bellmanFord: non-positive edge lengths are refused") {
+    intercept[IllegalArgumentException] {
+      dists(Seq((1L, 2L, 0L)), Seq(1L), 1)
+    }
+    intercept[IllegalArgumentException] {
+      dists(Seq((1L, 2L, 3L)), Seq(1L), 0)
+    }
+  }
+
   test("per-round join exchanges only the frontier — edges read from the checkpointed layout") {
     import org.apache.spark.sql.functions._
     // the round shape bfsLevels builds: a source-keyed checkpointed edge
