@@ -1209,6 +1209,231 @@ object Extended {
         table(s, dir, "events"), keyCol = "user_id", tsCol = "ts",
         tieCol = "event_id", gapSeconds = 1800L)),
 
+    // WEIGHTED PageRank over the co-purchase part graph: edge weight =
+    // co-order multiplicity, so a part's centrality reflects how OFTEN
+    // it co-sells, not just with how many partners (q30's unweighted
+    // recurrence can't distinguish a 100-order pairing from a 1-order
+    // one). Contribution = (r·w) div wsum — still pure integer, still
+    // bit-replayable; scale 10⁸ keeps r·w inside a long at any
+    // multiplicity (the op's overflow require).
+    "q75_weighted_pagerank" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pw = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.PageRank.fixedPointPageRank(pw, iterations = 5,
+        scale = 100000000L)
+    }),
+
+    // Mann–Kendall trend test over daily revenue: S = Σ_{i<j}
+    // sign(rvⱼ − rvᵢ) — the nonparametric "is revenue trending"
+    // statistic (robust to the distribution's tail, no slope fit).
+    // Daily sums are exact DECIMAL so every sign is exact; the pairwise
+    // pass runs over the DAY aggregate (≈n²/2 of a few-thousand-row
+    // frame — dimension-sized by contract, never the fact table).
+    "q76_mann_kendall" -> ((s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("__day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("__rv"))
+      daily.as("x").join(daily.as("y"),
+          col("x.__day") < col("y.__day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("y.__rv") > col("x.__rv"), 1L)
+            .when(col("y.__rv") < col("x.__rv"), -1L)
+            .otherwise(0L)).as("s_stat"),
+          sum(when(col("y.__rv") === col("x.__rv"), 1L).otherwise(0L))
+            .as("n_ties"))
+    }),
+
+    // Theil–Sen robust trend slope over daily revenue — the estimator
+    // behind q76's Mann–Kendall verdict: the MEDIAN of all pairwise
+    // slopes (rvⱼ−rvᵢ)/(dayⱼ−dayᵢ), immune to outlier days a
+    // least-squares fit would chase. Slopes are exact-DECIMAL revenue
+    // deltas over integer day gaps, one IEEE division each — bit-equal
+    // across engines — and the median is pure ORDER STATISTICS (the two
+    // middle ranks emitted separately, no averaging arithmetic), so the
+    // result hash-matches exactly. The rank window is global but runs
+    // over the day-PAIR aggregate (days², dimension-sized by contract —
+    // the q76 pairing, never the fact table); the count rides a 1-row
+    // broadcast (t16 discipline, NLJ-allowlisted).
+    "q77_theil_sen" -> ((s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("__day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("__rv"))
+      val slopes = daily.as("x").join(daily.as("y"),
+          col("x.__day") < col("y.__day"))
+        .select(((col("y.__rv") - col("x.__rv")).cast("double") /
+          datediff(col("y.__day"), col("x.__day")).cast("double"))
+          .as("slope"))
+      val n = slopes.agg(count(lit(1)).as("n_slopes"))
+      slopes
+        .withColumn("__rn", row_number().over(Window.orderBy(col("slope").asc)))
+        .crossJoin(broadcast(n))
+        .filter(col("__rn") === expr("(n_slopes + 1) div 2") ||
+          col("__rn") === expr("n_slopes div 2 + 1"))
+        .agg(max(col("n_slopes")).as("n_slopes"),
+          min(col("slope")).as("slope_lo"),
+          max(col("slope")).as("slope_hi"))
+    }),
+
+    // Weighted single-source shortest paths (4 Bellman–Ford rounds) over
+    // the co-purchase part graph: edge length 10⁶ div multiplicity, so
+    // frequently-co-sold parts are "close" and the dist readout is a
+    // part-affinity radius from the seed parts — the weighted complement
+    // of q51's hop-count BFS. Pure long arithmetic end to end; the
+    // oracle unrolls the identical four relax/min rounds.
+    "q78_sssp" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .agg(expr("1000000L div count(1)").as("len"))
+      val sources = table(s, dir, "lineitem")
+        .filter(col("l_partkey") < 10)
+        .select(col("l_partkey").as("node")).distinct()
+      graft.ops.ShortestPaths.bellmanFord(e, sources, rounds = 4)
+    }),
+
+    // Kolmogorov–Smirnov two-sample statistic: urgent vs non-urgent
+    // order price distributions — the exact form of distribution-drift
+    // detection. The price axis is integer CENTS and the ECDF compare is
+    // cross-multiplied (|F₁−F₂| as |c₁·n₂ − c₂·n₁|), so every
+    // intermediate is a long and the max is exact; only the final ks
+    // readout divides (round-6). Cumulative counts run over the cents
+    // HISTOGRAM in two levels — a $10k-bucket prefix (bucket-count-sized,
+    // broadcast) plus a within-bucket window — so no data-sized
+    // single-partition window exists (q73's histogram discipline made
+    // global); the argmax is the q07 TakeOrderedAndProject shape.
+    "q79_ks_two_sample" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("__v"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("__g"))
+      val h = o.groupBy(col("__v"))
+        .agg(sum(col("__g")).as("__c1"),
+          sum(lit(1L) - col("__g")).as("__c2"))
+        .withColumn("__b", expr("__v div 1000000"))
+      val wIn = Window.partitionBy(col("__b")).orderBy(col("__v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPre = Window.orderBy(col("__b").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pre = h.groupBy(col("__b"))
+        .agg(sum(col("__c1")).as("__t1"), sum(col("__c2")).as("__t2"))
+        .select(col("__b"),
+          coalesce(sum(col("__t1")).over(wPre), lit(0L)).as("__p1"),
+          coalesce(sum(col("__t2")).over(wPre), lit(0L)).as("__p2"))
+      val n = h.agg(sum(col("__c1")).as("n1"), sum(col("__c2")).as("n2"))
+      h.join(broadcast(pre), "__b")
+        .select(col("__v"),
+          (sum(col("__c1")).over(wIn) + col("__p1")).as("__f1"),
+          (sum(col("__c2")).over(wIn) + col("__p2")).as("__f2"))
+        .crossJoin(broadcast(n))
+        .select(col("n1"), col("n2"),
+          abs(col("__f1") * col("n2") - col("__f2") * col("n1"))
+            .as("ks_num"),
+          col("__v"))
+        .orderBy(col("ks_num").desc, col("__v").asc)
+        .limit(1)
+        .select(col("n1"), col("n2"), col("ks_num"),
+          col("__v").as("ks_at_cents"),
+          round(col("ks_num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")), 6)
+            .as("ks"))
+    }),
+
+    // Mann–Whitney U (Wilcoxon rank-sum) on the same urgent/non-urgent
+    // price split — q79's KS asks "do the distributions differ anywhere";
+    // this asks "is one stochastically larger". Tied ranks take the
+    // midrank, kept integer by carrying 2·rank: for a tie group of size
+    // c starting above cum_below items, 2·midrank = 2·cum_below + c + 1,
+    // so 2R₁ = Σ c₁·(2·cum≤ − c + 1) — all longs, no halves. Same
+    // two-level histogram cumsum as q79 (bucket prefix broadcast +
+    // within-bucket window); the effect-size readout (rank-biserial
+    // r = u1_x2/(n₁·n₂) − 1) is the one double.
+    "q80_mann_whitney" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("__v"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("__g"))
+      val h = o.groupBy(col("__v"))
+        .agg(sum(col("__g")).as("__c1"),
+          sum(lit(1L) - col("__g")).as("__c2"))
+        .withColumn("__c", col("__c1") + col("__c2"))
+        .withColumn("__b", expr("__v div 1000000"))
+      val wIn = Window.partitionBy(col("__b")).orderBy(col("__v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPre = Window.orderBy(col("__b").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pre = h.groupBy(col("__b")).agg(sum(col("__c")).as("__t"))
+        .select(col("__b"),
+          coalesce(sum(col("__t")).over(wPre), lit(0L)).as("__p"))
+      h.join(broadcast(pre), "__b")
+        .select(col("__c1"), col("__c"),
+          (sum(col("__c")).over(wIn) + col("__p")).as("__cum"))
+        .agg(sum(col("__c1")).as("n1"),
+          sum(col("__c") - col("__c1")).as("n2"),
+          sum(col("__c1") * (lit(2L) * col("__cum") - col("__c") + 1L))
+            .as("__r1x2"))
+        .select(col("n1"), col("n2"),
+          (col("__r1x2") - col("n1") * (col("n1") + 1L)).as("u1_x2"),
+          round((col("__r1x2") - col("n1") * (col("n1") + 1L))
+            .cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")) -
+            lit(1.0d), 6).as("rank_biserial"))
+    }),
+
+    // Autocorrelation function of daily revenue at lags 1..7 — the
+    // weekly-seasonality readout beside q76/q77's trend tests: each lag
+    // is the Pearson correlation of (dayₜ, dayₜ₊ₖ) revenue pairs.
+    // Revenue is exact integer CENTS; per lag the five Pearson sums
+    // (Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0) over
+    // DECIMAL(18,0) products — exact at any day count — and the closing
+    // r is a fixed double epilogue over those exact sums (each term cast
+    // once, identical op order both engines, round-6; the q68
+    // discipline). The lag join and windows run over the DAY aggregate
+    // only (dimension-sized by contract, never the fact table).
+    "q81_acf" -> ((s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("__day"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).cast(DecimalType(18, 0)).as("__x"))
+      val byDay = Window.orderBy(col("__day").asc)
+      val lagged = daily.select(
+        col("__x"),
+        array((1 to 7).map(k =>
+          struct(lit(k).as("lag"),
+            lag(col("__x"), k).over(byDay).as("y"))): _*).as("__ls"))
+        .select(col("__x"), explode(col("__ls")).as("__l"))
+        .select(col("__l.lag").as("lag"), col("__x"),
+          col("__l.y").as("__y"))
+        .filter(col("__y").isNotNull)
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      lagged.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("__x")).cast(DecimalType(38, 0)).as("__sx"),
+          sum(col("__y")).cast(DecimalType(38, 0)).as("__sy"),
+          sum(col("__x") * col("__y")).cast(DecimalType(38, 0)).as("__sxy"),
+          sum(col("__x") * col("__x")).cast(DecimalType(38, 0)).as("__sxx"),
+          sum(col("__y") * col("__y")).cast(DecimalType(38, 0)).as("__syy"))
+        .select(col("lag"), col("n_pairs"),
+          round((d(col("n_pairs")) * d(col("__sxy")) -
+            d(col("__sx")) * d(col("__sy"))) /
+            sqrt((d(col("n_pairs")) * d(col("__sxx")) -
+              d(col("__sx")) * d(col("__sx"))) *
+              (d(col("n_pairs")) * d(col("__syy")) -
+                d(col("__sy")) * d(col("__sy")))), 6).as("acf"))
+        .orderBy(col("lag").asc)
+    }),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -1347,7 +1572,162 @@ object Extended {
       .map(branch).mkString("\n UNION ALL \n")
   }
 
+  /** q75's oracle: the q30 unroll generalized to weights — the same
+    * floor-div parity argument, contribution (r·w) // wsum.
+    */
+  private val q75OracleSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (SELECT d.dst AS vertex,
+           CAST(15000000 + (85 * sum((r${i - 1}.r * d.w) // d.wsum)) // 100
+             AS BIGINT) AS r
+         FROM d JOIN r${i - 1} ON d.src = r${i - 1}.vertex GROUP BY d.dst)"""
+    }.mkString(",\n         ")
+    s"""WITH lp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+           FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey
+           GROUP BY 1, 2),
+         d AS (SELECT src, dst, w,
+                 CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS wsum
+               FROM e),
+         r0 AS (SELECT DISTINCT src AS vertex,
+                  CAST(100000000 AS BIGINT) AS r FROM e),
+         $rounds
+       SELECT vertex, r FROM r5"""
+  }
+
+  /** q78's oracle: four unrolled Bellman–Ford rounds — the same
+    * relax-then-min fold, pure integer, over the same min-collapsed
+    * co-purchase edge list.
+    */
+  private val q78OracleSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d${i - 1}
+           UNION ALL
+           SELECT e.dst, d${i - 1}.dist + e.len
+           FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node) GROUP BY node)"""
+    }.mkString(",\n         ")
+    s"""WITH lp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(1000000 // count(*) AS BIGINT) AS len
+           FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey
+           GROUP BY 1, 2),
+         d0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS node,
+                  CAST(0 AS BIGINT) AS dist
+                FROM lineitem WHERE l_partkey < 10),
+         $rounds
+       SELECT node, dist FROM d4"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q75_weighted_pagerank" -> q75OracleSql,
+    "q78_sssp" -> q78OracleSql,
+    // Mirrors q79: identical integer-cents histogram and cross-multiplied
+    // ECDF delta (pure longs — structure-independent, so the oracle uses
+    // one flat window where Spark runs the two-level form), the same
+    // (ks_num DESC, v ASC) top-1 pick, one closing double division.
+    "q79_ks_two_sample" ->
+      """WITH o AS (SELECT
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+           FROM orders),
+         h AS (SELECT v, CAST(sum(g) AS BIGINT) AS c1,
+                 CAST(sum(1 - g) AS BIGINT) AS c2
+               FROM o GROUP BY 1),
+         c AS (SELECT v,
+                 CAST(sum(c1) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS f1,
+                 CAST(sum(c2) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS f2
+               FROM h),
+         n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2 FROM h)
+       SELECT n1, n2, abs(f1 * n2 - f2 * n1) AS ks_num, v AS ks_at_cents,
+         round(CAST(abs(f1 * n2 - f2 * n1) AS DOUBLE) /
+           (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks
+       FROM c, n ORDER BY ks_num DESC, v ASC LIMIT 1""",
+    // Mirrors q80: the same histogram, the same 2·midrank identity
+    // (2R₁ = Σ c₁·(2·cum≤ − c + 1), all integer), one double epilogue.
+    "q80_mann_whitney" ->
+      """WITH o AS (SELECT
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+           FROM orders),
+         h AS (SELECT v, CAST(sum(g) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM o GROUP BY 1),
+         c AS (SELECT c1, c,
+                 CAST(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+               FROM h),
+         a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c - c1) AS BIGINT) AS n2,
+                 CAST(sum(c1 * (2 * cum - c + 1)) AS BIGINT) AS r1x2
+               FROM c)
+       SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u1_x2,
+         round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) /
+           (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - 1.0, 6)
+           AS rank_biserial
+       FROM a""",
+    // Mirrors q81: per-order integer cents summed as BIGINT then held as
+    // DECIMAL(18,0) per day, the identical five exact Pearson sums
+    // (DECIMAL(36→38,0) products), and the same fixed double epilogue —
+    // each exact sum cast to double once, identical op order, round-6.
+    "q81_acf" ->
+      """WITH d AS (SELECT
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS DECIMAL(18,0)) AS x
+           FROM orders GROUP BY 1),
+         r AS (SELECT x, row_number() OVER (ORDER BY day) AS rn FROM d),
+         l AS (SELECT k.lag AS lag, b.x AS x, a.x AS y
+               FROM (SELECT unnest(range(1, 8)) AS lag) k
+               JOIN r a ON true
+               JOIN r b ON b.rn = a.rn + k.lag),
+         p AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+                 CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                 CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+                 CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+                 CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+               FROM l WHERE y IS NOT NULL GROUP BY 1)
+       SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+         round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) -
+           CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) -
+               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+       FROM p ORDER BY lag""",
+    // Mirrors q77: identical day aggregate and DECIMAL-delta/IEEE-div
+    // slope, then order statistics only — the two middle ranks of the
+    // ascending slope order, no averaging — so every emitted double is
+    // one of the exact pairwise quotients both engines computed
+    // identically.
+    "q77_theil_sen" ->
+      """WITH d AS (SELECT
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS rv
+           FROM orders GROUP BY 1),
+         sl AS (SELECT CAST(y.rv - x.rv AS DOUBLE)
+                  / CAST(date_diff('day', x.day, y.day) AS DOUBLE) AS slope
+                FROM d x JOIN d y ON x.day < y.day),
+         r AS (SELECT slope, row_number() OVER (ORDER BY slope ASC) AS rn,
+                 count(*) OVER () AS n FROM sl)
+       SELECT CAST(max(n) AS BIGINT) AS n_slopes,
+         min(slope) AS slope_lo, max(slope) AS slope_hi
+       FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1""",
     // Mirrors q61: the q06 decimal discipline for the revenue sums, the
     // same region/total share windows over the aggregate, identical
     // decimal→double casts + IEEE divisions, round-6.
@@ -2008,6 +2388,21 @@ object Extended {
     // Replays Sessions.sessionize step for step: same integer epoch
     // seconds, same (es, event_id) total order, same lag/running-sum
     // break chain — every step integer, so equality is exact.
+    // Mirrors q76: exact-DECIMAL daily sums, the same i<j pairing and
+    // sign fold, BIGINT casts on the sums.
+    "q76_mann_kendall" ->
+      """WITH d AS (SELECT
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS rv
+           FROM orders GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN y.rv > x.rv THEN 1
+                         WHEN y.rv < x.rv THEN -1 ELSE 0 END)
+             AS BIGINT) AS s_stat,
+           CAST(sum(CASE WHEN y.rv = x.rv THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_ties
+         FROM d x JOIN d y ON x.day < y.day""",
     // Mirrors q74: the q42 session chain verbatim, then the identical
     // epoch-day rollup (// floors == div truncates on positive epochs),
     // BIGINT counts, one closing double division.

@@ -161,7 +161,10 @@ class PlanSpec extends SparkSessionSpec {
     "v19_ann_matryoshka",           // coarse prefix pass: v01 shape on a slice
     "t27_unigram_drift",            // 20-row top-word + 1-row total cross joins
     "t29_bpe_train",                // 1-row per-round merge-argmax cross joins
-    "p19_temporal_split")           // 1-row cutoff-day broadcast cross join
+    "p19_temporal_split",           // 1-row cutoff-day broadcast cross join
+    "q76_mann_kendall",             // day-aggregate non-equi self-pairing
+    "q77_theil_sen",                // day-pair self-pairing + 1-row count
+    "q79_ks_two_sample")            // 1-row (n1,n2) broadcast cross join
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
     // the staged-CTE SQL shape scans events per stage; the typed-MR
