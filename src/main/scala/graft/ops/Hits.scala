@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point-integer HITS (Kleinberg hubs & authorities) — the
+  * link-analysis complement to [[PageRank]]: PageRank asks "who receives
+  * mass from important senders"; HITS separates the two roles — a good
+  * HUB points at good authorities, a good AUTHORITY is pointed at by
+  * good hubs — the natural reading on BIPARTITE interaction graphs
+  * (customers→parts, queries→documents) where PageRank's single score
+  * conflates the sides.
+  *
+  * The same bit-exactness discipline as q30: floating-point HITS
+  * normalizes by an L2 norm (a sqrt — order-dependent, never
+  * hash-matchable), so here scores are scaled BIGINTs and each
+  * half-round normalizes by the MAX instead: `s' = (s · scale) div max`.
+  * Max-normalization is the standard power-iteration alternative (the
+  * principal eigenvector direction is unchanged; only the normalization
+  * constant differs), every step is integer arithmetic, and the DuckDB
+  * oracle unrolls the identical recurrence with a `max()` subquery per
+  * half-round (q82).
+  *
+  * Iteration shape (the 100 TB story): the edge list is projected,
+  * deduped, and localCheckpointed ONCE; each half-round pays one
+  * key-grouped partially-aggregated shuffle (sum of partner scores) —
+  * the data-sized edge table is joined on its own key, the vertex-sized
+  * score table rides the join, and the normalizing max is a 1-row
+  * broadcast (the t16 discipline). Rounds are fixed, not
+  * convergence-tested — deterministic cost, oracle-unrollable.
+  *
+  * Overflow contract: a half-round sum is at most maxDegree·scale and
+  * the normalization multiplies by scale before dividing, so
+  * `maxDegree · scale²` must fit a long — with the default scale 10⁶
+  * that admits degrees to ~9·10⁶; heavier graphs lower `scale`.
+  * (Checked per run from the materialized degree table — one agg over
+  * the checkpoint, no extra scan.)
+  *
+  * Output: (vertex, score, hub_side) — the authority score of every
+  * auth-side vertex (`hub_side = false`) and the hub score of every
+  * hub-side vertex (`hub_side = true`), both after `iterations` full
+  * rounds from a uniform `scale` start.
+  */
+object Hits {
+
+  def fixedPointHits(
+      edges: DataFrame, iterations: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(scale >= 100L, s"scale must be >= 100, got $scale")
+    val e = edges
+      .select(col("hub").cast("long").as("hub"),
+        col("auth").cast("long").as("auth"))
+      .distinct()
+      .localCheckpoint()
+    // two aggs over the already-materialized checkpoint (the PageRank
+    // weighted-guard idiom): bounded 1-row collects, annotated
+    val dh = e.groupBy(col("hub")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).collect()(0).getLong(0)
+    val da = e.groupBy(col("auth")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).collect()(0).getLong(0)
+    val maxDeg = math.max(dh, da)
+    require(maxDeg <= Long.MaxValue / scale / scale,
+      s"maxDegree*scale^2 must fit a long: maxDegree=$maxDeg, scale=$scale")
+    var a = e.select(col("auth").as("v")).distinct()
+      .withColumn("s", lit(scale)).localCheckpoint()
+    var h: DataFrame = null
+    var d = 0
+    while (d < iterations) {
+      d += 1
+      val hRaw = e.join(a, e("auth") === a("v"))
+        .groupBy(col("hub")).agg(sum(col("s")).as("__r"))
+      val hMax = hRaw.agg(max(col("__r")).as("__m"))
+      h = hRaw.crossJoin(broadcast(hMax))
+        .select(col("hub").as("v"),
+          expr(s"(__r * ${scale}L) div __m").as("s"))
+        .localCheckpoint()
+      val aRaw = e.join(h, e("hub") === h("v"))
+        .groupBy(col("auth")).agg(sum(col("s")).as("__r"))
+      val aMax = aRaw.agg(max(col("__r")).as("__m"))
+      a = aRaw.crossJoin(broadcast(aMax))
+        .select(col("auth").as("v"),
+          expr(s"(__r * ${scale}L) div __m").as("s"))
+        .localCheckpoint()
+    }
+    a.select(col("v").as("vertex"), col("s").as("score"),
+        lit(false).as("hub_side"))
+      .unionAll(h.select(col("v").as("vertex"), col("s").as("score"),
+        lit(true).as("hub_side")))
+  }
+}

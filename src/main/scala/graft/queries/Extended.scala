@@ -1434,6 +1434,57 @@ object Extended {
         .orderBy(col("lag").asc)
     }),
 
+    // HITS hubs & authorities over the customer→part purchase bipartite
+    // graph: a customer is a good HUB when they buy authoritative parts,
+    // a part a good AUTHORITY when bought by good hubs — the two-sided
+    // centrality PageRank's single score conflates (q30/q75's
+    // complement). Fixed-point integer recurrence, max-normalized per
+    // half-round; the oracle unrolls all four rounds with a max()
+    // subquery each (see ops/Hits.scala for the bit-exactness contract).
+    "q82_hits" -> ((s, dir) => {
+      val e = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("hub"), col("l_partkey").as("auth"))
+      graft.ops.Hits.fixedPointHits(e, iterations = 4)
+    }),
+
+    // CUSUM changepoint detection on daily revenue: the k maximizing
+    // |n·cum_k − k·total| — the cross-multiplied form of the classic
+    // max|cumsum − k·mean| statistic, so every intermediate is an exact
+    // long (cents) and the argmax day is deterministic (ties break to
+    // the earliest day; the q79 TakeOrderedAndProject pick). The cumsum
+    // window runs over the DAY aggregate (dimension-sized by contract);
+    // n and total ride a 1-row broadcast (t16 discipline).
+    "q83_cusum" -> ((s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("__day"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("__x"))
+      val byDay = Window.orderBy(col("__day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nt = daily.agg(count(lit(1)).as("n_days"),
+        sum(col("__x")).as("total_cents"))
+      daily
+        .withColumn("__k",
+          row_number().over(Window.orderBy(col("__day").asc)).cast("long"))
+        .withColumn("__cum", sum(col("__x")).over(byDay))
+        .crossJoin(broadcast(nt))
+        .select(col("__day").as("change_day"), col("n_days"),
+          col("total_cents"),
+          abs(col("n_days") * col("__cum") - col("__k") * col("total_cents"))
+            .as("s_num"))
+        .orderBy(col("s_num").desc, col("change_day").asc)
+        .limit(1)
+        .select(col("change_day"), col("n_days"), col("total_cents"),
+          col("s_num"),
+          round(col("s_num").cast("double") /
+            (col("n_days").cast("double") * col("total_cents").cast("double")),
+            6).as("cusum_stat"))
+    }),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -1599,6 +1650,34 @@ object Extended {
        SELECT vertex, r FROM r5"""
   }
 
+  /** q82's oracle: four unrolled HITS rounds — per half-round the same
+    * partner-score sum and (r·scale) // max(r) normalization, the max a
+    * scalar subquery over that half-round's CTE.
+    */
+  private val q82OracleSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""hr$i AS (SELECT hub, CAST(sum(s) AS BIGINT) AS r
+           FROM e JOIN a${i - 1} ON e.auth = a${i - 1}.v GROUP BY hub),
+         h$i AS (SELECT hub AS v,
+             CAST((r * 1000000) // (SELECT max(r) FROM hr$i) AS BIGINT) AS s
+           FROM hr$i),
+         ar$i AS (SELECT auth, CAST(sum(s) AS BIGINT) AS r
+           FROM e JOIN h$i ON e.hub = h$i.v GROUP BY auth),
+         a$i AS (SELECT auth AS v,
+             CAST((r * 1000000) // (SELECT max(r) FROM ar$i) AS BIGINT) AS s
+           FROM ar$i)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS hub, l_partkey AS auth
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         a0 AS (SELECT DISTINCT auth AS v,
+                  CAST(1000000 AS BIGINT) AS s FROM e),
+         $rounds
+       SELECT v AS vertex, s AS score, false AS hub_side FROM a4
+       UNION ALL
+       SELECT v AS vertex, s AS score, true AS hub_side FROM h4"""
+  }
+
   /** q78's oracle: four unrolled Bellman–Ford rounds — the same
     * relax-then-min fold, pure integer, over the same min-collapsed
     * co-purchase edge list.
@@ -1629,6 +1708,30 @@ object Extended {
   val oracles: Map[String, String] = Map(
     "q75_weighted_pagerank" -> q75OracleSql,
     "q78_sssp" -> q78OracleSql,
+    "q82_hits" -> q82OracleSql,
+    // Mirrors q83: identical integer-cents day sums, the same
+    // cross-multiplied |n·cum − k·total| over the day cumsum, the same
+    // (s DESC, day ASC) top-1 pick, one closing double division.
+    "q83_cusum" ->
+      """WITH d AS (SELECT
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         c AS (SELECT day,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+                 CAST(sum(x) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+               FROM d),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(x) AS BIGINT) AS total_cents FROM d)
+       SELECT day AS change_day, n_days, total_cents,
+         abs(n_days * cum - k * total_cents) AS s_num,
+         round(CAST(abs(n_days * cum - k * total_cents) AS DOUBLE) /
+           (CAST(n_days AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6)
+           AS cusum_stat
+       FROM c, n ORDER BY s_num DESC, change_day ASC LIMIT 1""",
     // Mirrors q79: identical integer-cents histogram and cross-multiplied
     // ECDF delta (pure longs — structure-independent, so the oracle uses
     // one flat window where Spark runs the two-level form), the same

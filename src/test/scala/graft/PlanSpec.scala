@@ -164,7 +164,9 @@ class PlanSpec extends SparkSessionSpec {
     "p19_temporal_split",           // 1-row cutoff-day broadcast cross join
     "q76_mann_kendall",             // day-aggregate non-equi self-pairing
     "q77_theil_sen",                // day-pair self-pairing + 1-row count
-    "q79_ks_two_sample")            // 1-row (n1,n2) broadcast cross join
+    "q79_ks_two_sample",            // 1-row (n1,n2) broadcast cross join
+    "q82_hits",                     // 1-row per-half-round max broadcast
+    "q83_cusum")                    // 1-row (n,total) broadcast cross join
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
     // the staged-CTE SQL shape scans events per stage; the typed-MR
