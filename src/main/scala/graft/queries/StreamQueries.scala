@@ -100,7 +100,15 @@ object StreamQueries {
     // in-order micro-batch splits, s11-style.
     "s12_attribution" -> ((s, dir) =>
       graft.streaming.AttributionStream.lastTouchAttribution(
-        table(s, dir, "events")))
+        table(s, dir, "events"))),
+
+    // Live inter-arrival gap histogram in power-of-two buckets (q70's
+    // streaming sibling): registered as the batch lag-window form;
+    // StreamingSpec proves the flatMapGroupsWithState fold
+    // (streaming/GapStream.scala — bounded last-event + ≤64 counters per
+    // user) converges to it under in-order micro-batch splits, s11-style.
+    "s13_gap_histogram" -> ((s, dir) =>
+      graft.streaming.GapStream.gapHistogram(table(s, dir, "events")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -108,6 +116,22 @@ object StreamQueries {
     // round-6 of the identical integer division (the window total is
     // DuckDB HUGEINT but both engines divide the same exact integers
     // cast to DOUBLE — p08 lesson applied).
+    // Mirrors s13: identical per-user second-floor lag gaps, the same
+    // zero-float bin-length bucket (len(bin(gap)) − 1 — Spark `bin` and
+    // DuckDB `bin` agree digit-for-digit), one closing share division.
+    "s13_gap_histogram" ->
+      """WITH ev AS (SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS t FROM events),
+         g AS (SELECT t - lag(t) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id) AS gap
+               FROM ev),
+         h AS (SELECT CAST(length(bin(gap)) - 1 AS INTEGER) AS gap_bucket,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+               FROM g WHERE gap IS NOT NULL GROUP BY 1)
+       SELECT gap_bucket, n_pairs,
+         round(CAST(n_pairs AS DOUBLE) /
+           CAST(sum(n_pairs) OVER () AS DOUBLE), 6) AS share
+       FROM h""",
     "s11_transitions" ->
       """WITH p AS (SELECT user_id, event_type,
              lag(event_type, 1) OVER (PARTITION BY user_id

@@ -513,6 +513,59 @@ class StreamingSpec extends SparkSessionSpec {
     assert(sink === Set(("view", 1L, 2250000L)))
   }
 
+  test("streaming gap fold == batch lag histogram under in-order splits (s13)") {
+    import graft.streaming.GapStream
+    val events = table(spark, sfDir, "events")
+    val batch = GapStream.gapHistogram(events)
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    val streamDf = mem.toDF().toDF("user_id", "ts_us", "event_id")
+    val rows = GapStream.gapEvents(events).collect()
+      .sortBy(e => (e.ts_us, e.event_id))
+      .map(e => (e.user_id, e.ts_us, e.event_id))
+    val thirds = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val out = GapStream.userGaps(streamDf.as[GapStream.GapEvent])
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("s13_out").start()
+    thirds.foreach { part =>
+      mem.addData(part.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val sink = spark.table("s13_out")
+      .withColumn("__seq", monotonically_increasing_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("gap_bucket"))
+      .orderBy(col("__seq").desc)
+    val finalUsers = sink.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__seq", "__rn")
+    val got = GapStream.histogramFromUsers(finalUsers)
+      .collect().map(_.toSeq).toSet
+    assert(got === batch)
+  }
+
+  test("s13 late regressions are refused; equal-second gaps land bucket 0") {
+    import graft.streaming.GapStream
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    val streamDf = mem.toDF().toDF("user_id", "ts_us", "event_id")
+    val out = GapStream.userGaps(streamDf.as[GapStream.GapEvent])
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("s13_late_out").start()
+    // 5s gap → bucket 2; same-second follow-up → bucket 0
+    mem.addData(Seq((7L, 1000000L, 1L), (7L, 6000000L, 2L),
+      (7L, 6400000L, 3L)))
+    q.processAllAvailable()
+    // t=2s arrives AFTER t=6.4s folded: dropped, no negative-gap bucket
+    mem.addData(Seq((7L, 2000000L, 4L)))
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table("s13_late_out")
+      .select("gap_bucket", "n")
+      .as[(Int, Long)].collect().toSet
+    assert(sink === Set((2, 1L), (0, 1L)))
+  }
+
   implicit class Tup3Ops[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
