@@ -99,7 +99,20 @@ object ScaleSmoke {
       ("perceptual_pairs", () =>
         graft.mm.Multimodal.perceptualHashPairs(
           graft.mm.Multimodal.asMediaTable(docs))
-          .queryExecution.toRdd.count(), false))
+          .queryExecution.toRdd.count(), false),
+      // the co-purchase edge build behind q54/q57/q75/q78: a per-order
+      // self-join whose expansion is bounded by basket size (≤7 here),
+      // so growth in ORDERS must stay linear — the graph-query hazard
+      ("copurchase_edges", () => {
+        val lp = scaled(spark, dir, "lineitem", Seq("l_orderkey"), factor)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        lp.as("x").join(lp.as("y"), "l_orderkey")
+          .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("src"),
+            col("y.l_partkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .queryExecution.toRdd.count()
+      }, false))
   }
 
   /** Gate mode: wall-time ratio between factors must stay ≤ bound.
