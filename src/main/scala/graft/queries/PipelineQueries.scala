@@ -322,6 +322,30 @@ object PipelineQueries {
         .filter(col("rk") <= 50)
         .select(col("source"), col("doc_id"), col("ntok"), col("priority"),
           col("rk"))
+    }),
+
+    // Upsampling-cap audit: to hit a uniform per-source share of a 10M
+    // token budget, how many EPOCHS of each source would be replayed —
+    // and which sources blow past the 4-epoch repetition cap the
+    // memorization literature warns about. Pure integer target/cap
+    // arithmetic (one round-6 epochs readout); the source table is the
+    // aggregate, the source count rides a 1-row broadcast (t16
+    // discipline, NLJ-allowlisted). The curation complement of p02's
+    // mixture weights and p13's epoch plan.
+    "p21_upsampling_caps" -> ((s, dir) => {
+      val src = table(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+      val n = src.agg(count(lit(1)).as("__ns"))
+      src.crossJoin(broadcast(n))
+        .select(col("source"), col("n_tokens"),
+          expr("10000000L div __ns").as("target_tokens"))
+        .select(col("source"), col("n_tokens"), col("target_tokens"),
+          round(col("target_tokens").cast("double") /
+            col("n_tokens").cast("double"), 6).as("epochs"),
+          least(col("target_tokens"), col("n_tokens") * 4L)
+            .as("capped_tokens"),
+          (col("target_tokens") > col("n_tokens") * 4L).as("truncated"))
     })
   )
 
@@ -349,6 +373,24 @@ object PipelineQueries {
                 FROM p)
           SELECT source, doc_id, ntok, priority, CAST(rk AS BIGINT) AS rk
           FROM r WHERE rk <= 50"""
+    },
+    // Mirrors p21: the same nTokens source aggregate, integer
+    // target/cap arithmetic, one round-6 division.
+    "p21_upsampling_caps" -> {
+      import TextQueries.nTokens
+      s"""WITH src AS (
+            SELECT source, CAST(sum(CAST($nTokens AS BIGINT)) AS BIGINT)
+              AS n_tokens
+            FROM documents GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM src)
+          SELECT source, n_tokens,
+            CAST(10000000 // ns AS BIGINT) AS target_tokens,
+            round(CAST(10000000 // ns AS DOUBLE) /
+              CAST(n_tokens AS DOUBLE), 6) AS epochs,
+            CAST(least(10000000 // ns, n_tokens * 4) AS BIGINT)
+              AS capped_tokens,
+            (10000000 // ns) > n_tokens * 4 AS truncated
+          FROM src, n"""
     },
     // Mirrors p19: the q73 integer epoch-day + histogram-pick cutoff,
     // identical split predicate, BIGINT casts around the windowed sums.

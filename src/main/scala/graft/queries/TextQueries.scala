@@ -267,6 +267,39 @@ object TextQueries {
     // is TakeOrderedAndProject; the drift join is |sources|·20 rows.
     // p/q collapses to one division (sc·ct)/(st·cc) — integer products
     // < 2^53, so both engines ln() the identical double.
+    // Per-document character-bigram Shannon entropy — the
+    // compression-ratio-style quality signal (boilerplate, keyboard
+    // mash, and template spam all sit at entropy extremes; Gopher-class
+    // filters cut on exactly this). Deterministic double discipline:
+    // H = log₂n − (Σ c·log₂c)/n, where each c·log₂c term is round-6 of
+    // one libm call and the cross-gram sum runs over DECIMAL(18,6)
+    // rounded terms — exact, order-independent — so only the fixed
+    // closing epilogue is IEEE (the t27 per-term contract, summed
+    // exactly). Gram explosion is linear in text bytes; the histogram
+    // groupBy is (doc, gram)-keyed and partially aggregated.
+    "t30_char_entropy" -> ((s, dir) => {
+      val g = table(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("__t"))
+        .filter(length(col("__t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(__t) - 1)," +
+            " i -> substring(__t, i, 2))")).as("__g"))
+      g.groupBy(col("doc_id"), col("__g")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__c")).as("n_grams"),
+          count(lit(1)).as("distinct_grams"),
+          sum(round(col("__c").cast("double") *
+            log2(col("__c").cast("double")), 6)
+            .cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(18, 6)))
+            .cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(38, 6)).as("__s"))
+        .select(col("doc_id"), col("n_grams"), col("distinct_grams"),
+          round(log2(col("n_grams").cast("double")) -
+            col("__s").cast("double") / col("n_grams").cast("double"), 6)
+            .as("entropy_bits"))
+    }),
+
     "t27_unigram_drift" -> ((s, dir) => {
       val tok = table(s, dir, "documents")
         .select(col("source"), explode(tokens(lower(col("text")))).as("w"))
@@ -648,6 +681,28 @@ object TextQueries {
     // Mirrors t27: same tokenizer, the same (count DESC, w ASC) top-20
     // cut, BIGINT counts, and the identical single-division p·ln((sc·ct)
     // /(st·cc)) per-row term (integer products < 2^53 — exact doubles).
+    // Mirrors t30: identical 1-based bigram slicing (range(1, len) =
+    // positions 1..len−1), the same round-6 c·log₂c terms summed as
+    // exact DECIMAL(18,6), the same closing epilogue.
+    "t30_char_entropy" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
+            WHERE length(text) >= 2),
+          pos AS (SELECT doc_id, t,
+                    unnest(range(1, length(t))) AS i FROM t),
+          g AS (SELECT doc_id,
+                  substr(t, CAST(i AS INTEGER), 2) AS gr FROM pos),
+          h AS (SELECT doc_id, gr, CAST(count(*) AS BIGINT) AS c
+                FROM g GROUP BY 1, 2),
+          d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                  CAST(count(*) AS BIGINT) AS distinct_grams,
+                  sum(CAST(round(CAST(c AS DOUBLE) *
+                    log2(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6))) AS s
+                FROM h GROUP BY 1)
+        SELECT doc_id, n_grams, distinct_grams,
+          round(log2(CAST(n_grams AS DOUBLE)) -
+            CAST(s AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+            AS entropy_bits
+        FROM d""",
     "t27_unigram_drift" ->
       s"""WITH tok AS (SELECT source, unnest($lowToks) AS w
             FROM documents),
