@@ -1485,6 +1485,30 @@ object Extended {
             6).as("cusum_stat"))
     }),
 
+    // Top event-type TRIGRAMS: the 20 most common 3-event behavioral
+    // sequences across users — sequence mining's first readout (s11's
+    // Markov matrix sees only pairwise steps; paths like
+    // view→view→purchase need the third order). One user-keyed sort
+    // window producing both lags in a single pass, one partially-
+    // aggregated triple groupBy, TakeOrderedAndProject for the top-20
+    // (n DESC, then lexicographic — fully deterministic).
+    "q84_event_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("__p1", lag(col("event_type"), 1).over(w))
+        .withColumn("__p2", lag(col("event_type"), 2).over(w))
+        .filter(col("__p2").isNotNull)
+        .groupBy(col("__p2").as("e1"), col("__p1").as("e2"),
+          col("event_type").as("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1").asc, col("e2").asc,
+          col("e3").asc)
+        .limit(20)
+    }),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -1709,6 +1733,19 @@ object Extended {
     "q75_weighted_pagerank" -> q75OracleSql,
     "q78_sssp" -> q78OracleSql,
     "q82_hits" -> q82OracleSql,
+    // Mirrors q84: the same (ts, event_id) user order, two lags, triple
+    // groupBy, identical (n DESC, lexicographic) top-20.
+    "q84_event_trigrams" ->
+      """WITH p AS (SELECT user_id, event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS p1,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS p2
+           FROM events)
+       SELECT p2 AS e1, p1 AS e2, event_type AS e3,
+         CAST(count(*) AS BIGINT) AS n
+       FROM p WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+       ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20""",
     // Mirrors q83: identical integer-cents day sums, the same
     // cross-multiplied |n·cum − k·total| over the day cumsum, the same
     // (s DESC, day ASC) top-1 pick, one closing double division.

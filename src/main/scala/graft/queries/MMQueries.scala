@@ -107,6 +107,37 @@ object MMQueries {
           .select((col("doc_id") + 1000000000000L).as("doc_id"),
             concat(col("text"), lit("xx")).as("text")))
       Multimodal.perceptualHashPairs(Multimodal.asMediaTable(planted))
+    }),
+
+    // Byte-entropy audit of the binary payload — the pre-decode health
+    // check: constant-fill or truncated media sit at near-zero entropy,
+    // encrypted/compressed payloads near 8 bits, so the readout flags
+    // both corrupt uploads and double-compressed inputs BEFORE the
+    // expensive codec stage (the m04 dedup-before-decode discipline).
+    // Bytes come off the payload via hex slicing (works for ANY binary,
+    // no charset assumption); entropy uses t30's exact-sum contract —
+    // round-6 c·log₂c terms summed as DECIMAL, one closing epilogue.
+    "m10_byte_entropy" -> ((s, dir) => {
+      val m = Multimodal.asMediaTable(table(s, dir, "documents"))
+        .select(col("doc_id"), hex(col("media")).as("__h"))
+        .filter(length(col("__h")) >= 2)
+      m.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(__h) div 2)," +
+            " i -> substring(__h, 2*i - 1, 2))")).as("__b"))
+        .groupBy(col("doc_id"), col("__b")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__c")).as("n_bytes"),
+          count(lit(1)).as("distinct_bytes"),
+          sum(round(col("__c").cast("double") *
+            log2(col("__c").cast("double")), 6)
+            .cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(18, 6)))
+            .cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(38, 6)).as("__s"))
+        .select(col("doc_id"), col("n_bytes"), col("distinct_bytes"),
+          round(log2(col("n_bytes").cast("double")) -
+            col("__s").cast("double") / col("n_bytes").cast("double"), 6)
+            .as("entropy_bits"))
     }))
 
   // a def, not a val: the queries map above initializes first, and a
@@ -123,6 +154,29 @@ object MMQueries {
   private val nBytes = "octet_length(encode(text))"
 
   val oracles: Map[String, String] = Map(
+    // Mirrors m10: the same hex-pair byte slicing (hex CASE differs per
+    // engine but bytes are only GROUP KEYS, never emitted — counts are
+    // case-blind), the same round-6 exact-DECIMAL entropy sum as t30.
+    "m10_byte_entropy" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS h FROM documents
+            WHERE length(text) >= 1),
+          pos AS (SELECT doc_id, h,
+                    unnest(range(1, length(h) // 2 + 1)) AS i FROM m),
+          b AS (SELECT doc_id,
+                  substr(h, CAST(2 * i - 1 AS INTEGER), 2) AS byte
+                FROM pos),
+          hh AS (SELECT doc_id, byte, CAST(count(*) AS BIGINT) AS c
+                 FROM b GROUP BY 1, 2),
+          d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bytes,
+                  CAST(count(*) AS BIGINT) AS distinct_bytes,
+                  sum(CAST(round(CAST(c AS DOUBLE) *
+                    log2(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6))) AS s
+                FROM hh GROUP BY 1)
+        SELECT doc_id, n_bytes, distinct_bytes,
+          round(log2(CAST(n_bytes AS DOUBLE)) -
+            CAST(s AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6)
+            AS entropy_bits
+        FROM d""",
     // Mirrors m09: the corpus is pure ASCII (verified: octet_length ==
     // length at every sf), so VARCHAR substr/md5 here equals the Spark
     // side's BYTE slicing of the text-cast payload — the d07/t22
