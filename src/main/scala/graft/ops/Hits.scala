@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   * deduped, and localCheckpointed ONCE; each half-round pays one
   * key-grouped partially-aggregated shuffle (sum of partner scores) —
   * the data-sized edge table is joined on its own key, the vertex-sized
-  * score table rides the join, and the normalizing max is a 1-row
-  * broadcast (the t16 discipline). Rounds are fixed, not
+  * score table rides the join. The raw sums are checkpointed, the
+  * normalizing max is a bounded 1-row collect over that materialized
+  * table folded in as a literal, and the normalized scores are a lazy
+  * projection read straight off the checkpoint — one shuffle per
+  * half-round, nothing computed twice. Rounds are fixed, not
   * convergence-tested — deterministic cost, oracle-unrollable.
   *
   * Overflow contract: a half-round sum is at most maxDegree·scale and
@@ -69,20 +72,24 @@ object Hits {
     var d = 0
     while (d < iterations) {
       d += 1
+      // each half-round pays its join+agg ONCE: the raw sums are
+      // checkpointed, the normalizing max is a cheap scan of that
+      // materialized table folded in as a literal (a bounded 1-row
+      // collect — the PageRank stats idiom), and the normalized view is
+      // a lazy projection the next join reads straight off the
+      // checkpoint (no second shuffle, no recompute)
       val hRaw = e.join(a, e("auth") === a("v"))
         .groupBy(col("hub")).agg(sum(col("s")).as("__r"))
-      val hMax = hRaw.agg(max(col("__r")).as("__m"))
-      h = hRaw.crossJoin(broadcast(hMax))
-        .select(col("hub").as("v"),
-          expr(s"(__r * ${scale}L) div __m").as("s"))
         .localCheckpoint()
+      val hm = hRaw.agg(max(col("__r"))).collect()(0).getLong(0)
+      h = hRaw.select(col("hub").as("v"),
+        expr(s"(__r * ${scale}L) div ${hm}L").as("s"))
       val aRaw = e.join(h, e("hub") === h("v"))
         .groupBy(col("auth")).agg(sum(col("s")).as("__r"))
-      val aMax = aRaw.agg(max(col("__r")).as("__m"))
-      a = aRaw.crossJoin(broadcast(aMax))
-        .select(col("auth").as("v"),
-          expr(s"(__r * ${scale}L) div __m").as("s"))
         .localCheckpoint()
+      val am = aRaw.agg(max(col("__r"))).collect()(0).getLong(0)
+      a = aRaw.select(col("auth").as("v"),
+        expr(s"(__r * ${scale}L) div ${am}L").as("s"))
     }
     a.select(col("v").as("vertex"), col("s").as("score"),
         lit(false).as("hub_side"))

@@ -165,7 +165,6 @@ class PlanSpec extends SparkSessionSpec {
     "q76_mann_kendall",             // day-aggregate non-equi self-pairing
     "q77_theil_sen",                // day-pair self-pairing + 1-row count
     "q79_ks_two_sample",            // 1-row (n1,n2) broadcast cross join
-    "q82_hits",                     // 1-row per-half-round max broadcast
     "q83_cusum",                    // 1-row (n,total) broadcast cross join
     "p21_upsampling_caps")          // 1-row source-count broadcast
 
