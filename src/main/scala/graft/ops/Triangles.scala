@@ -74,4 +74,64 @@ object Triangles {
       .select(intersectCard(col("un"), col("vn")).as("c"))
     perEdge.agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
   }
+
+  /** Per-vertex triangle participation — the inputs of the local
+    * clustering coefficient. Returns one row per vertex of the
+    * normalized undirected graph: (vertex, degree, triangles, wedges)
+    * where wedges = C(degree, 2); the coefficient triangles/wedges is
+    * left to the caller so the contract stays all-integer
+    * (bit-portable across engines).
+    *
+    * Same degree-ordered direction as [[triangleCount]], so each
+    * triangle {a≺b≺c} is discovered exactly once (on its a→b edge, as
+    * the common out-neighbor c) and credited to all three corners in
+    * ONE pass: the common-neighbor array explodes to credit each c,
+    * and `array_repeat(endpoint, |common|)` rides the same explode to
+    * credit u and v — 3·T credit rows total, no second traversal, no
+    * wedge materialization beyond the √|E|-bounded per-edge
+    * intersection. Vertices in no triangle are restored by a left
+    * join from the degree table (one vertex-keyed shuffle).
+    */
+  def vertexTriangles(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val deg = e.select(col("lo").as("v")).unionAll(e.select(col("hi").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val directed = e
+      .join(deg.withColumnRenamed("v", "lo").withColumnRenamed("deg", "dlo"), "lo")
+      .join(deg.withColumnRenamed("v", "hi").withColumnRenamed("deg", "dhi"), "hi")
+      .select(
+        when(col("dlo") < col("dhi") ||
+          (col("dlo") === col("dhi") && col("lo") < col("hi")), col("lo"))
+          .otherwise(col("hi")).as("u"),
+        when(col("dlo") < col("dhi") ||
+          (col("dlo") === col("dhi") && col("lo") < col("hi")), col("hi"))
+          .otherwise(col("lo")).as("v"))
+    val adj = directed.groupBy("u")
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val p = math.max(
+      edges.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    val credits = directed.repartition(p, col("u"))
+      .join(adj, Seq("u"))
+      .select(col("u"), col("v"), col("nbrs").as("un"))
+      .repartition(p, col("v"))
+      .join(adj.withColumnRenamed("u", "v").withColumnRenamed("nbrs", "vn"),
+        Seq("v"))
+      .select(col("u"), col("v"),
+        array_intersect(col("un"), col("vn")).as("__c"))
+      .filter(size(col("__c")) > 0)
+      .select(explode(concat(col("__c"),
+        array_repeat(col("u"), size(col("__c"))),
+        array_repeat(col("v"), size(col("__c"))))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("__t"))
+    deg.select(col("v").as("vertex"), col("deg").as("degree"))
+      .join(credits, Seq("vertex"), "left")
+      .select(col("vertex"), col("degree"),
+        coalesce(col("__t"), lit(0L)).as("triangles"),
+        expr("degree * (degree - 1) div 2").as("wedges"))
+  }
 }

@@ -1509,6 +1509,22 @@ object Extended {
         .limit(20)
     }),
 
+    // Per-vertex local clustering structure over the q35 co-order part
+    // graph: how many triangles each part participates in vs its wedge
+    // capacity C(deg,2) — the standard "how clique-like is each
+    // node's neighborhood" readout (coefficient = triangles/wedges,
+    // left as integers for bit-portability). One degree-ordered
+    // traversal credits all three corners of every triangle in a
+    // single pass (Triangles.vertexTriangles).
+    "q85_clustering" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.ops.Triangles.vertexTriangles(edges)
+    }),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -1746,6 +1762,34 @@ object Extended {
          CAST(count(*) AS BIGINT) AS n
        FROM p WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
        ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20""",
+    // Independent formulation of q85: triangles as ordered a<b<c edge
+    // triples (the q35 oracle form), each credited to its three
+    // corners by UNION ALL — no degree direction, no adjacency
+    // arrays.
+    "q85_clustering" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,
+                 CAST(b.l_partkey AS BIGINT) AS hi
+               FROM lp a JOIN lp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+         tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+                 FROM e e1
+                 JOIN e e2 ON e2.lo = e1.hi
+                 JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         tv AS (SELECT a AS vertex FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri),
+         t AS (SELECT vertex, CAST(count(*) AS BIGINT) AS triangles
+               FROM tv GROUP BY 1),
+         deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS degree
+                 FROM (SELECT lo AS vertex FROM e
+                       UNION ALL SELECT hi FROM e)
+                 GROUP BY 1)
+       SELECT d.vertex, d.degree,
+         COALESCE(t.triangles, CAST(0 AS BIGINT)) AS triangles,
+         CAST(d.degree * (d.degree - 1) // 2 AS BIGINT) AS wedges
+       FROM deg d LEFT JOIN t USING (vertex)""",
     // Mirrors q83: identical integer-cents day sums, the same
     // cross-multiplied |n·cum − k·total| over the day cumsum, the same
     // (s DESC, day ASC) top-1 pick, one closing double division.

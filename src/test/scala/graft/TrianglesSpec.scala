@@ -57,6 +57,43 @@ class TrianglesSpec extends SparkSessionSpec {
     }
   }
 
+  test("vertexTriangles: per-vertex credits on hand-built graphs") {
+    def vt(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+      Triangles.vertexTriangles(edges.toDF("src", "dst"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (v, d, t, w) => v -> (d, t, w) }.toMap
+
+    // triangle 1-2-3 with a pendant edge 3-4
+    val bow = vt(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(bow(1L) === ((2L, 1L, 1L)))
+    assert(bow(2L) === ((2L, 1L, 1L)))
+    assert(bow(3L) === ((3L, 1L, 3L)))
+    assert(bow(4L) === ((1L, 0L, 0L))) // degree-1: no wedge, no triangle
+
+    // K4: every vertex in C(3,2)=3 triangles, wedges C(3,2)=3
+    val k4 = vt(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+    assert(k4.values.toSet === Set((3L, 3L, 3L)))
+
+    // star: hub has wedges but zero triangles
+    val star = vt(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+    assert(star(1L) === ((4L, 0L, 6L)))
+    assert(star(2L) === ((1L, 0L, 0L)))
+  }
+
+  test("vertexTriangles credits sum to 3x the triangle count on real edges") {
+    val lp = Engine.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val total = Triangles.triangleCount(edges).as[Long].head()
+    val perVertex = Triangles.vertexTriangles(edges)
+    assert(perVertex.agg(sum(col("triangles"))).as[Long].head() === 3 * total)
+    // wedge bound: no vertex participates in more triangles than wedges
+    assert(perVertex.filter(col("triangles") > col("wedges")).count() === 0L)
+  }
+
   test("degree-ordered count == naive ordered-triple count on real edges") {
     val lp = Engine.table(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
