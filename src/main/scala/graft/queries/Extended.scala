@@ -1525,6 +1525,38 @@ object Extended {
       graft.ops.Triangles.vertexTriangles(edges)
     }),
 
+    // Kaplan–Meier risk table of customer engagement lifetimes —
+    // survival analysis's standard input. Lifetime = days between a
+    // customer's first and last order; the observation is an EVENT
+    // (churn) when the last order predates the corpus horizon by >90
+    // days, else right-CENSORED (still active at horizon). Output per
+    // distinct lifetime t: the at-risk count (lifetime ≥ t, a reverse
+    // cumsum), events at t, censored at t — all integers, so the
+    // estimator Π(1 − dᵢ/nᵢ) is derivable bit-exactly downstream.
+    // One customer-keyed partial agg, a 1-row horizon broadcast, and
+    // a window over the ≤|distinct days| aggregate (the q58/q83
+    // aggregate-sized global-window exception).
+    "q86_survival" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val life = o.groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("__d0"),
+          max(col("o_orderdate")).as("__d1"))
+      val horizon = o.agg(max(col("o_orderdate")).as("__dmax"))
+      val lab = life.crossJoin(broadcast(horizon))
+        .select(datediff(col("__d1"), col("__d0")).cast("long").as("t_days"),
+          when(col("__d1") < col("__dmax") - expr("INTERVAL 90 DAYS"), 1L)
+            .otherwise(0L).as("__ev"))
+      val byT = lab.groupBy(col("t_days"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("__ev")).as("n_events"),
+          (count(lit(1)) - sum(col("__ev"))).as("n_censored"))
+      val w = Window.orderBy(col("t_days").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.withColumn("n_risk", sum(col("__n")).over(w))
+        .select(col("t_days"), col("n_risk"), col("n_events"),
+          col("n_censored"))
+    }),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -1790,6 +1822,29 @@ object Extended {
          COALESCE(t.triangles, CAST(0 AS BIGINT)) AS triangles,
          CAST(d.degree * (d.degree - 1) // 2 AS BIGINT) AS wedges
        FROM deg d LEFT JOIN t USING (vertex)""",
+    // Mirrors q86: date_diff('day', …) on the midnight-UTC order
+    // timestamps is Spark's datediff (the q59 idiom); the 90-day
+    // horizon label, per-lifetime counts, and reverse cumsum are pure
+    // integer arithmetic.
+    "q86_survival" ->
+      """WITH l AS (SELECT o_custkey, min(o_orderdate) AS d0,
+                 max(o_orderdate) AS d1
+               FROM orders GROUP BY 1),
+         g AS (SELECT max(o_orderdate) AS dmax FROM orders),
+         lab AS (SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS t_days,
+                   CASE WHEN d1 < dmax - INTERVAL 90 DAY THEN 1 ELSE 0
+                     END AS ev
+                 FROM l, g),
+         byt AS (SELECT t_days, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(ev) AS BIGINT) AS n_events,
+                   CAST(count(*) - sum(ev) AS BIGINT) AS n_censored
+                 FROM lab GROUP BY 1)
+       SELECT t_days,
+         CAST(sum(n) OVER (ORDER BY t_days DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_risk,
+         n_events, n_censored
+       FROM byt""",
     // Mirrors q83: identical integer-cents day sums, the same
     // cross-multiplied |n·cum − k·total| over the day cumsum, the same
     // (s DESC, day ASC) top-1 pick, one closing double division.
