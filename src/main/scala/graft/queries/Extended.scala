@@ -1557,6 +1557,32 @@ object Extended {
           col("n_censored"))
     }),
 
+    // Pointwise mutual information between order priority and order
+    // status —
+    // the association readout q66's chi-square tests but localized per
+    // cell (which (mode, flag) pairs co-occur MORE than independence
+    // predicts, and by how many bits). Marginals and the total are
+    // derived FROM the joint table (one fact-scan groupBy; everything
+    // downstream is |X|·|Y|-bounded broadcast work). Counts stay
+    // exact integers; pmi is the one closing log₂ over exact ratios,
+    // round-6 (the t11 cross-engine double class).
+    "q87_mutual_info" -> ((s, dir) => {
+      val joint = table(s, dir, "orders")
+        .select(col("o_orderpriority").as("x"), col("o_orderstatus").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      val mx = joint.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+      val my = joint.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+      val nt = joint.agg(sum(col("n_xy")).as("n"))
+      joint.join(broadcast(mx), Seq("x"))
+        .join(broadcast(my), Seq("y"))
+        .crossJoin(broadcast(nt))
+        .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+          col("n"),
+          round(log2((col("n_xy").cast("double") * col("n").cast("double")) /
+            (col("n_x").cast("double") * col("n_y").cast("double"))), 6)
+            .as("pmi"))
+    }),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -1845,6 +1871,19 @@ object Extended {
            AS n_risk,
          n_events, n_censored
        FROM byt""",
+    // Mirrors q87: marginals/total recomputed from the joint counts,
+    // identical (n_xy·n)/(n_x·n_y) double chain under log2, round-6.
+    "q87_mutual_info" ->
+      """WITH j AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+                 CAST(count(*) AS BIGINT) AS n_xy
+               FROM orders GROUP BY 1, 2),
+         mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM j GROUP BY 1),
+         my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM j GROUP BY 1),
+         nt AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM j)
+       SELECT j.x, j.y, j.n_xy, mx.n_x, my.n_y, nt.n,
+         round(log2((CAST(j.n_xy AS DOUBLE) * CAST(nt.n AS DOUBLE)) /
+           (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE))), 6) AS pmi
+       FROM j JOIN mx USING (x) JOIN my USING (y), nt""",
     // Mirrors q83: identical integer-cents day sums, the same
     // cross-multiplied |n·cum − k·total| over the day cumsum, the same
     // (s DESC, day ASC) top-1 pick, one closing double division.

@@ -167,6 +167,7 @@ class PlanSpec extends SparkSessionSpec {
     "q79_ks_two_sample",            // 1-row (n1,n2) broadcast cross join
     "q83_cusum",                    // 1-row (n,total) broadcast cross join
     "q86_survival",                 // 1-row horizon-date broadcast cross join
+    "q87_mutual_info",              // 1-row grand-total broadcast cross join
     "p21_upsampling_caps")          // 1-row source-count broadcast
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
