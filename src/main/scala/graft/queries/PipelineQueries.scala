@@ -80,6 +80,36 @@ object PipelineQueries {
         idCol = "doc_id", groupCol = "lang",
         capacity = 256, numShards = 4)),
 
+    // Packing-efficiency CURVE: the p04 next-fit plan replayed at four
+    // context lengths, rolled up to (capacity, n_bins, n_docs,
+    // n_tokens, padding_frac) — the readout that picks a training
+    // sequence length (too short → doc truncation pressure elsewhere;
+    // too long → padding waste). The d19/v20 parameter-curve idiom:
+    // each capacity is an independent one-shuffle packing whose
+    // aggregate is a handful of rows; the union is 4 bounded legs.
+    // padding_frac is the one closing division, round-6 over exact
+    // integer token/capacity sums.
+    "p22_packing_curve" -> ((s, dir) => {
+      val legs = Seq(64L, 128L, 256L, 512L).map { cap =>
+        graft.ops.Packing.nextFitPack(
+            table(s, dir, "documents"), tokenCount(col("text")),
+            idCol = "doc_id", groupCol = "lang",
+            capacity = cap, numShards = 4)
+          .agg(
+            countDistinct(struct(col("lang"), col("shard"), col("bin")))
+              .as("n_bins"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .select(lit(cap).as("capacity"), col("n_bins"), col("n_docs"),
+            col("n_tokens"),
+            round((col("n_bins").cast("double") * lit(cap.toDouble) -
+              col("n_tokens").cast("double")) /
+              (col("n_bins").cast("double") * lit(cap.toDouble)), 6)
+              .as("padding_frac"))
+      }
+      legs.reduce(_ unionAll _)
+    }),
+
     // Composite quality gate with per-rule verdicts: every document
     // scored against the rule set (too_short / low_stopword /
     // non_english) in one narrow pass, keeping WHY a document fails —
@@ -639,6 +669,50 @@ object PipelineQueries {
             FROM pack p JOIN o
               ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1)
           SELECT doc_id, lang, shard, bin, n_tokens FROM pack"""
+    },
+    // Mirrors p22: the p04 next-fit recurrence replayed once per
+    // capacity (four recursive CTEs over the shared ordered doc
+    // stream), each rolled up to the same integer aggregate; the
+    // padding fraction repeats Spark's exact double chain.
+    "p22_packing_curve" -> {
+      import TextQueries.nTokens
+      val caps = Seq(64L, 128L, 256L, 512L)
+      def leg(cap: Long) =
+        s"""pack$cap(lang, shard, rn, n_tokens, bin, acc) AS (
+            SELECT lang, shard, rn, n_tokens, CAST(0 AS BIGINT), n_tokens
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.lang, o.shard, o.rn, o.n_tokens,
+              CASE WHEN p.acc + o.n_tokens > $cap THEN p.bin + 1
+                   ELSE p.bin END,
+              CASE WHEN p.acc + o.n_tokens > $cap THEN o.n_tokens
+                   ELSE p.acc + o.n_tokens END
+            FROM pack$cap p JOIN o
+              ON o.lang = p.lang AND o.shard = p.shard
+             AND o.rn = p.rn + 1)"""
+      def agg(cap: Long) =
+        s"""SELECT CAST($cap AS BIGINT) AS capacity,
+              (SELECT CAST(count(*) AS BIGINT) FROM
+                (SELECT DISTINCT lang, shard, bin FROM pack$cap))
+                AS n_bins,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM pack$cap"""
+      s"""WITH RECURSIVE
+          d AS (SELECT doc_id, lang, doc_id % 4 AS shard,
+                  CAST($nTokens AS BIGINT) AS n_tokens
+                FROM documents),
+          o AS (SELECT *, row_number() OVER (PARTITION BY lang, shard
+                  ORDER BY doc_id ASC) AS rn
+                FROM d),
+          ${caps.map(leg).mkString(",\n          ")},
+          a AS (${caps.map(agg).mkString("\n            UNION ALL\n            ")})
+          SELECT capacity, n_bins, n_docs, n_tokens,
+            round((CAST(n_bins AS DOUBLE) * CAST(capacity AS DOUBLE) -
+              CAST(n_tokens AS DOUBLE)) /
+              (CAST(n_bins AS DOUBLE) * CAST(capacity AS DOUBLE)), 6)
+              AS padding_frac
+          FROM a"""
     },
     // Mirrors p06 from the same shared fragments (nTokens/enHits/
     // langCase): identical rule predicates, identical fixed reason
