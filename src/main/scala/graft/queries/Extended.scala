@@ -1583,6 +1583,30 @@ object Extended {
             .as("pmi"))
     }),
 
+    // Day-of-week seasonal index of revenue — the multiplicative
+    // seasonality readout that pairs with q81's ACF (ACF says "there
+    // IS a weekly cycle"; this says which weekdays run hot/cold and by
+    // how much). Integer-cents day aggregate (the q81/q83 idiom)
+    // rolled to 7 dow rows; the index (dow mean / overall mean) is the
+    // one closing double chain over exact sums, round-6.
+    "q88_seasonality" -> ((s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("__day"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("__cents"))
+      val byDow = daily
+        .groupBy(dayofweek(col("__day")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("__cents")).as("total_cents"))
+      val g = byDow.agg(sum(col("n_days")).as("__gd"),
+        sum(col("total_cents")).as("__gt"))
+      byDow.crossJoin(broadcast(g))
+        .select(col("dow"), col("n_days"), col("total_cents"),
+          round((col("total_cents").cast("double") * col("__gd").cast("double")) /
+            (col("n_days").cast("double") * col("__gt").cast("double")), 6)
+            .as("seasonal_index"))
+    }),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -1884,6 +1908,25 @@ object Extended {
          round(log2((CAST(j.n_xy AS DOUBLE) * CAST(nt.n AS DOUBLE)) /
            (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE))), 6) AS pmi
        FROM j JOIN mx USING (x) JOIN my USING (y), nt""",
+    // Mirrors q88: identical integer-cents day sums; DuckDB dayofweek
+    // is 0=Sunday where Spark's is 1=Sunday, hence the +1.
+    "q88_seasonality" ->
+      """WITH d AS (SELECT
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         w AS (SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(cents) AS BIGINT) AS total_cents
+               FROM d GROUP BY 1),
+         g AS (SELECT CAST(sum(n_days) AS BIGINT) AS gd,
+                 CAST(sum(total_cents) AS BIGINT) AS gt FROM w)
+       SELECT dow, n_days, total_cents,
+         round((CAST(total_cents AS DOUBLE) * CAST(gd AS DOUBLE)) /
+           (CAST(n_days AS DOUBLE) * CAST(gt AS DOUBLE)), 6)
+           AS seasonal_index
+       FROM w, g""",
     // Mirrors q83: identical integer-cents day sums, the same
     // cross-multiplied |n·cum − k·total| over the day cumsum, the same
     // (s DESC, day ASC) top-1 pick, one closing double division.

@@ -168,6 +168,7 @@ class PlanSpec extends SparkSessionSpec {
     "q83_cusum",                    // 1-row (n,total) broadcast cross join
     "q86_survival",                 // 1-row horizon-date broadcast cross join
     "q87_mutual_info",              // 1-row grand-total broadcast cross join
+    "q88_seasonality",              // 1-row grand-mean broadcast cross join
     "p21_upsampling_caps")          // 1-row source-count broadcast
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
