@@ -1607,6 +1607,56 @@ object Extended {
             .as("seasonal_index"))
     }),
 
+    // Bootstrap 95% CI for MEAN DAILY REVENUE — distributed resampling
+    // inference, fully deterministic: B=200 replicates each redraw the
+    // N calendar days with replacement via the shared two-round LCG
+    // (seed 42, the p07/q43 recurrence, engine-portable), replicate
+    // sums stay exact integer cents, and the CI bounds are actual
+    // replicate values under the q49 integer-rank rule (rank
+    // 1+(B−1)·p‰ div 1000 of the (sum, b)-ordered replicates). Scale
+    // shape: the day table is dimension-sized (calendar-bounded), so
+    // the B·N draw fan-out is bounded too — the 200-row replicate axis
+    // broadcasts, draws join back on the day index, one partially-
+    // aggregated groupBy per replicate. Closing means are round-6
+    // doubles over exact sums.
+    "q89_bootstrap_ci" -> ((s, dir) => {
+      val B = 200L
+      val daily = table(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("__day"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("__cents"))
+      val idx = daily.select(col("__cents"),
+        row_number().over(Window.orderBy(col("__day").asc))
+          .cast("long").as("__k"))
+        .localCheckpoint() // calendar-bounded; reused for n/draws/join/point
+      val n = idx.count()
+      val draws = idx.select(col("__k"))
+        .crossJoin(broadcast(s.range(B).select(col("id").as("__b"))))
+        .select(col("__b"),
+          (pmod(graft.ops.Sharding.lcgRank(
+            col("__b") * lit(n) + col("__k") - 1), lit(n)) + 1).as("__kk"))
+      val reps = draws
+        .join(idx.select(col("__k").as("__kk"), col("__cents")), Seq("__kk"))
+        .groupBy(col("__b")).agg(sum(col("__cents")).as("__rs"))
+      val ranked = reps.select(col("__b"), col("__rs"),
+        row_number().over(Window.orderBy(col("__rs").asc, col("__b").asc))
+          .cast("long").as("__r"))
+      val lo = ranked.filter(col("__r") === lit(1 + (B - 1) * 25 / 1000))
+        .select(col("__rs").as("lo_sum"))
+      val hi = ranked.filter(col("__r") === lit(1 + (B - 1) * 975 / 1000))
+        .select(col("__rs").as("hi_sum"))
+      idx.agg(sum(col("__cents")).as("point_sum"))
+        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(lit(n).as("n_days"), lit(B).as("b_reps"),
+          col("point_sum"), col("lo_sum"), col("hi_sum"),
+          round(col("point_sum").cast("double") / lit(n.toDouble), 6)
+            .as("point_mean"),
+          round(col("lo_sum").cast("double") / lit(n.toDouble), 6)
+            .as("lo_mean"),
+          round(col("hi_sum").cast("double") / lit(n.toDouble), 6)
+            .as("hi_mean"))
+    }),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -1927,6 +1977,44 @@ object Extended {
            (CAST(n_days AS DOUBLE) * CAST(gt AS DOUBLE)), 6)
            AS seasonal_index
        FROM w, g""",
+    // Mirrors q89: identical integer-cents day sums and day-index
+    // order, the SAME two-round LCG recurrence (seed 42 → +12387, the
+    // q43 constants) over id = b·n + k − 1, the same (sum, b)-ordered
+    // integer-rank CI picks, the same round-6 closing divisions.
+    "q89_bootstrap_ci" ->
+      """WITH d AS (SELECT
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         i AS (SELECT cents,
+                 CAST(row_number() OVER (ORDER BY day ASC) AS BIGINT) AS k
+               FROM d),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         dr AS (SELECT b.range AS b,
+                  ((((b.range * nn.n + i.k - 1) % 2147483648)
+                    * 1103515245 + 12387)
+                    % 2147483648 * 1103515245 + 12345)
+                    % 2147483648 % nn.n + 1 AS kk
+                FROM range(200) b, i, nn),
+         reps AS (SELECT dr.b, CAST(sum(i2.cents) AS BIGINT) AS rs
+                  FROM dr JOIN i i2 ON i2.k = dr.kk GROUP BY 1),
+         rk AS (SELECT rs,
+                  CAST(row_number() OVER (ORDER BY rs ASC, b ASC)
+                    AS BIGINT) AS r
+                FROM reps),
+         lo AS (SELECT rs AS lo_sum FROM rk WHERE r = 1 + (199 * 25) // 1000),
+         hi AS (SELECT rs AS hi_sum FROM rk WHERE r = 1 + (199 * 975) // 1000),
+         pt AS (SELECT CAST(sum(cents) AS BIGINT) AS point_sum FROM d)
+       SELECT nn.n AS n_days, CAST(200 AS BIGINT) AS b_reps,
+         point_sum, lo_sum, hi_sum,
+         round(CAST(point_sum AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
+           AS point_mean,
+         round(CAST(lo_sum AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
+           AS lo_mean,
+         round(CAST(hi_sum AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
+           AS hi_mean
+       FROM pt, lo, hi, nn""",
     // Mirrors q83: identical integer-cents day sums, the same
     // cross-multiplied |n·cum − k·total| over the day cumsum, the same
     // (s DESC, day ASC) top-1 pick, one closing double division.

@@ -169,6 +169,7 @@ class PlanSpec extends SparkSessionSpec {
     "q86_survival",                 // 1-row horizon-date broadcast cross join
     "q87_mutual_info",              // 1-row grand-total broadcast cross join
     "q88_seasonality",              // 1-row grand-mean broadcast cross join
+    "q89_bootstrap_ci",             // 200-row replicate-axis + 1-row CI broadcasts
     "p21_upsampling_caps")          // 1-row source-count broadcast
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
