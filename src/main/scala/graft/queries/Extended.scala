@@ -1657,6 +1657,42 @@ object Extended {
             .as("hi_mean"))
     }),
 
+    // Degree ASSORTATIVITY of the co-order part graph — do high-degree
+    // parts co-occur with other hubs (r>0) or with the periphery
+    // (r<0)? Pearson over endpoint degrees with every undirected edge
+    // counted in both orientations, which makes the x/y marginals
+    // identical — so only (m, Σd, Σdd', Σd²) are needed, all EXACT
+    // int64 (the q46/q53 mergeable-sums shape: two vertex-keyed
+    // degree joins, one partial agg, combinable across shards at any
+    // scale). The closing r is one round-6 double chain.
+    "q90_assortativity" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("lo"),
+          col("y.l_partkey").cast("long").as("hi"))
+        .distinct()
+      val deg = e.select(col("lo").as("v"))
+        .unionAll(e.select(col("hi").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val both = e.select(col("lo").as("a"), col("hi").as("b"))
+        .unionAll(e.select(col("hi").as("a"), col("lo").as("b")))
+      both
+        .join(deg.select(col("v").as("a"), col("d").as("__da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("__db")), Seq("b"))
+        .agg(count(lit(1)).as("m_edges"),
+          sum(col("__da")).as("sx"),
+          sum(col("__da") * col("__db")).as("sxy"),
+          sum(col("__da") * col("__da")).as("sxx"))
+        .select(col("m_edges"), col("sx"), col("sxy"), col("sxx"),
+          round((col("m_edges").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+            (col("m_edges").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("assortativity"))
+    }),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -2015,6 +2051,35 @@ object Extended {
          round(CAST(hi_sum AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
            AS hi_mean
        FROM pt, lo, hi, nn""",
+    // Mirrors q90: same deduped edge set, same both-orientation degree
+    // pairing, identical exact sums and closing double chain.
+    "q90_assortativity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,
+                 CAST(b.l_partkey AS BIGINT) AS hi
+               FROM lp a JOIN lp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e)
+                 GROUP BY 1),
+         de AS (SELECT lo AS a, hi AS b FROM e
+                UNION ALL SELECT hi, lo FROM e),
+         j AS (SELECT da.d AS da, db.d AS db
+               FROM de JOIN deg da ON da.v = de.a
+               JOIN deg db ON db.v = de.b),
+         sums AS (SELECT CAST(count(*) AS BIGINT) AS m_edges,
+                    CAST(sum(da) AS BIGINT) AS sx,
+                    CAST(sum(da * db) AS BIGINT) AS sxy,
+                    CAST(sum(da * da) AS BIGINT) AS sxx
+                  FROM j)
+       SELECT m_edges, sx, sxy, sxx,
+         round((CAST(m_edges AS DOUBLE) * CAST(sxy AS DOUBLE) -
+           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+           (CAST(m_edges AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           AS assortativity
+       FROM sums""",
     // Mirrors q83: identical integer-cents day sums, the same
     // cross-multiplied |n·cum − k·total| over the day cumsum, the same
     // (s DESC, day ASC) top-1 pick, one closing double division.
