@@ -108,7 +108,17 @@ object StreamQueries {
     // (streaming/GapStream.scala — bounded last-event + ≤64 counters per
     // user) converges to it under in-order micro-batch splits, s11-style.
     "s13_gap_histogram" -> ((s, dir) =>
-      graft.streaming.GapStream.gapHistogram(table(s, dir, "events")))
+      graft.streaming.GapStream.gapHistogram(table(s, dir, "events"))),
+
+    // Live burst (rate-spike) detection: per user, the max events in
+    // any trailing 60-second window plus the ≥5 flag — the ingest
+    // abuse guard. Registered as the batch RANGE-window form over the
+    // per-second aggregate; StreamingSpec proves the
+    // flatMapGroupsWithState fold (streaming/BurstStream.scala —
+    // bounded last-event + ≤60 per-second counters per user)
+    // converges to it under in-order micro-batch splits, s11-style.
+    "s14_burst_flags" -> ((s, dir) =>
+      graft.streaming.BurstStream.burstBatch(table(s, dir, "events")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -132,6 +142,22 @@ object StreamQueries {
          round(CAST(n_pairs AS DOUBLE) /
            CAST(sum(n_pairs) OVER () AS DOUBLE), 6) AS share
        FROM h""",
+    // Mirrors s14: identical second-floor per-second counts, the same
+    // integer RANGE frame (59 preceding) and per-user max, the same
+    // ≥5 flag.
+    "s14_burst_flags" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t
+               FROM events),
+         ps AS (SELECT user_id, t, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY 1, 2),
+         w AS (SELECT user_id,
+                 CAST(sum(c) OVER (PARTITION BY user_id ORDER BY t
+                   RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS r
+               FROM ps)
+       SELECT user_id, CAST(max(r) AS BIGINT) AS max_burst,
+         max(r) >= 5 AS is_burst
+       FROM w GROUP BY 1""",
     "s11_transitions" ->
       """WITH p AS (SELECT user_id, event_type,
              lag(event_type, 1) OVER (PARTITION BY user_id

@@ -545,6 +545,64 @@ class StreamingSpec extends SparkSessionSpec {
     assert(got === batch)
   }
 
+  test("streaming burst fold == batch RANGE-window max under in-order splits (s14)") {
+    import graft.streaming.BurstStream
+    val events = table(spark, sfDir, "events")
+    val batch = BurstStream.burstBatch(events)
+      .select("user_id", "max_burst")
+      .as[(Long, Long)].collect().toSet
+
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    val streamDf = mem.toDF().toDF("user_id", "ts_us", "event_id")
+    val rows = BurstStream.burstEvents(events).collect()
+      .sortBy(e => (e.ts_us, e.event_id))
+      .map(e => (e.user_id, e.ts_us, e.event_id))
+    val thirds = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val out = BurstStream.userBursts(streamDf.as[BurstStream.BurstEvent])
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("s14_out").start()
+    thirds.foreach { part =>
+      mem.addData(part.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // latest emission per user is the final state
+    val sink = spark.table("s14_out")
+      .withColumn("__seq", monotonically_increasing_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__seq").desc)
+    val got = sink.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("user_id", "max_burst")
+      .as[(Long, Long)].collect().toSet
+    assert(got === batch)
+  }
+
+  test("s14 trailing window slides and late regressions are refused") {
+    import graft.streaming.BurstStream
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    val streamDf = mem.toDF().toDF("user_id", "ts_us", "event_id")
+    val out = BurstStream.userBursts(
+      streamDf.as[BurstStream.BurstEvent], windowSeconds = 60L)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("s14_late_out").start()
+    // three events inside one minute → burst 3; a fourth 61s after the
+    // first has slid past it → window holds 3 again, max stays 3
+    mem.addData(Seq((7L, 0L, 1L), (7L, 30000000L, 2L),
+      (7L, 59000000L, 3L), (7L, 61000000L, 4L)))
+    q.processAllAvailable()
+    // a regression to t=5s is refused — it cannot reopen the closed
+    // seconds and inflate the window to 4
+    mem.addData(Seq((7L, 5000000L, 5L)))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("s14_late_out")
+      .withColumn("__seq", monotonically_increasing_id())
+      .orderBy(col("__seq").desc).select("max_burst")
+      .as[Long].head()
+    assert(last === 3L)
+  }
+
   test("s13 late regressions are refused; equal-second gaps land bucket 0") {
     import graft.streaming.GapStream
     val mem = MemoryStream[(Long, Long, Long)](spark)
