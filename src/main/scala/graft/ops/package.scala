@@ -12,7 +12,7 @@ package object ops {
     * trivially cheap by construction; at 100 TB split count dwarfs core
     * count and this is the identity.
     */
-  private[ops] def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     // session conf override so the gate is testable at a FIXED width on
     // any runner (PlanSpec pins it; unset ⇒ the cluster's parallelism)

@@ -1265,15 +1265,33 @@ object Extended {
         .groupBy(date_trunc("day", col("o_orderdate")).as("__day"))
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
           .cast(DecimalType(38, 2)).as("__rv"))
-      val slopes = daily.as("x").join(daily.as("y"),
+      // explicit (AQE-exempt) width on the probe side: the day aggregate
+      // is tiny in BYTES, so AQE would coalesce it to one task and run
+      // the days² pairing single-threaded
+      val p = math.max(s.sparkContext.defaultParallelism, 8)
+      val slopes = daily.repartition(p).as("x").join(daily.as("y"),
           col("x.__day") < col("y.__day"))
         .select(((col("y.__rv") - col("x.__rv")).cast("double") /
           datediff(col("y.__day"), col("x.__day")).cast("double"))
           .as("slope"))
-      val n = slopes.agg(count(lit(1)).as("n_slopes"))
-      slopes
-        .withColumn("__rn", row_number().over(Window.orderBy(col("slope").asc)))
-        .crossJoin(broadcast(n))
+      // DISTRIBUTED order statistics — never a global sort window over
+      // the days² pair table: range-partition by slope, rank locally,
+      // add the broadcast partition-count prefix as the offset. The
+      // picked VALUES are tie-invariant, so local tie order is free.
+      val ranged = slopes.repartitionByRange(p, col("slope").asc)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint()
+      val counts = ranged.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__c"))
+      val offs = counts.withColumn("__off",
+        sum(col("__c")).over(Window.orderBy(col("__pid").asc)) - col("__c"))
+      val nS = counts.agg(sum(col("__c")).as("n_slopes"))
+      ranged
+        .join(broadcast(offs.select(col("__pid"), col("__off"))), Seq("__pid"))
+        .withColumn("__rn",
+          row_number().over(Window.partitionBy(col("__pid"))
+            .orderBy(col("slope").asc)).cast("long") + col("__off"))
+        .crossJoin(broadcast(nS))
         .filter(col("__rn") === expr("(n_slopes + 1) div 2") ||
           col("__rn") === expr("n_slopes div 2 + 1"))
         .agg(max(col("n_slopes")).as("n_slopes"),

@@ -118,7 +118,9 @@ object MMQueries {
     // no charset assumption); entropy uses t30's exact-sum contract —
     // round-6 c·log₂c terms summed as DECIMAL, one closing epilogue.
     "m10_byte_entropy" -> ((s, dir) => {
-      val m = Multimodal.asMediaTable(table(s, dir, "documents"))
+      // widen: the per-payload hex-gram kernel is the cost; a
+      // single-row-group scan would otherwise run it in one task
+      val m = graft.ops.widen(Multimodal.asMediaTable(table(s, dir, "documents")))
         .select(col("doc_id"), hex(col("media")).as("__h"))
         .filter(length(col("__h")) >= 2)
       m.select(col("doc_id"), explode(expr(

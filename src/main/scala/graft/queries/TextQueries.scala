@@ -278,7 +278,9 @@ object TextQueries {
     // exactly). Gram explosion is linear in text bytes; the histogram
     // groupBy is (doc, gram)-keyed and partially aggregated.
     "t30_char_entropy" -> ((s, dir) => {
-      val g = table(s, dir, "documents")
+      // widen: the per-doc bigram explode is the cost; a single-row-group
+      // scan would otherwise run it in one task
+      val g = graft.ops.widen(table(s, dir, "documents"))
         .select(col("doc_id"), lower(col("text")).as("__t"))
         .filter(length(col("__t")) >= 2)
         .select(col("doc_id"), explode(expr(
