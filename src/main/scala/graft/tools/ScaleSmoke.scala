@@ -112,6 +112,21 @@ object ScaleSmoke {
             col("y.l_partkey").as("dst"))
           .agg(count(lit(1)).as("w"))
           .queryExecution.toRdd.count()
+      }, false),
+      // per-vertex triangle crediting (q85): offsetting BOTH ids makes
+      // the factor copies disjoint subgraphs, so edges/triangles/credit
+      // rows all grow ×factor — the degree-ordered walk must stay
+      // linear in that regime
+      ("vertex_triangles", () => {
+        val lp = scaled(spark, dir, "lineitem",
+            Seq("l_orderkey", "l_partkey"), factor)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
+          .filter(col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"),
+            col("y.l_partkey").as("dst"))
+        graft.ops.Triangles.vertexTriangles(edges)
+          .queryExecution.toRdd.count()
       }, false))
   }
 
