@@ -110,6 +110,29 @@ object PipelineQueries {
       legs.reduce(_ unionAll _)
     }),
 
+    // Perplexity-gate impact report (the CCNet pipeline's statistical
+    // filter as a curation decision): documents whose t11 unigram mean
+    // NLL exceeds 3.41 nats are dropped as LM-implausible; the readout
+    // is the per-source doc/token impact — what a mixture owner checks
+    // before enabling the gate. Composes the already-oracled t11 score
+    // (the verdict compares its ROUND-6 value, so both engines gate
+    // identical doubles); one id equi-join + one source groupBy on top.
+    "p23_perplexity_gate" -> ((s, dir) => {
+      val nll = graft.ops.CorpusStats.unigramNll(
+        table(s, dir, "documents"), "text", "doc_id")
+      table(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(nll, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("avg_nll") <= 3.41, 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("avg_nll") <= 3.41, col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .withColumn("kept_frac",
+          round(col("n_kept").cast("double") / col("n_docs").cast("double"),
+            6))
+    }),
+
     // Composite quality gate with per-rule verdicts: every document
     // scored against the rule set (too_short / low_stopword /
     // non_english) in one narrow pass, keeping WHY a document fails —
@@ -669,6 +692,34 @@ object PipelineQueries {
             FROM pack p JOIN o
               ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1)
           SELECT doc_id, lang, shard, bin, n_tokens FROM pack"""
+    },
+    // Mirrors p23: the t11 NLL chain verbatim (same single-ln form,
+    // same round-6 score), then the identical <= 3.41 verdict on the
+    // rounded value — both engines gate the same doubles — and the
+    // per-source integer rollup.
+    "p23_perplexity_gate" -> {
+      import TextQueries.lowToks
+      s"""WITH t AS (SELECT doc_id, $lowToks AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+          c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+          tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+          sc AS (SELECT doc_id, ln(CAST(tt.t AS DOUBLE) / c.c) AS nll
+                 FROM tok JOIN c USING (w), tt),
+          st AS (SELECT doc_id, count(*) AS n_tokens, avg(nll) AS a
+                 FROM sc GROUP BY doc_id),
+          sd AS (SELECT d.doc_id, d.source,
+                   CAST(coalesce(st.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   round(coalesce(st.a, 0.0), 6) AS avg_nll
+                 FROM documents d LEFT JOIN st USING (doc_id))
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN avg_nll <= 3.41 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept,
+            CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+            CAST(sum(CASE WHEN avg_nll <= 3.41 THEN n_tokens ELSE 0 END)
+              AS BIGINT) AS tokens_kept,
+            round(CAST(sum(CASE WHEN avg_nll <= 3.41 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+          FROM sd GROUP BY 1"""
     },
     // Mirrors p22: the p04 next-fit recurrence replayed once per
     // capacity (four recursive CTEs over the shared ordered doc

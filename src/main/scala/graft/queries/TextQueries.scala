@@ -431,7 +431,7 @@ object TextQueries {
     * empties dropped) — keep in lockstep with CorpusStats.lowerTokens and
     * the d05 oracle (byte-identical regex class).
     */
-  private val lowToks =
+  private[queries] val lowToks =
     """list_filter(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+'), t -> t <> '')"""
 
   /** TextFunctions.qualityScore mirrored in SQL — shared by t02 and the

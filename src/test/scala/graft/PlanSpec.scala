@@ -150,6 +150,7 @@ class PlanSpec extends SparkSessionSpec {
     "v12_hard_negatives", // v01's scorer + non-equi label exclusion
     "v13_ann_recall",     // composes the v01/v08/v09 legs above
     "t10_tfidf", "t11_unigram_nll", // 1-row corpus-count cross join
+    "p23_perplexity_gate",          // t11's 1-row corpus-total cross join
     "t19_collocations",             // 1-row bigram-total cross join
     "t16_bm25",                     // 1-row (N, total-length) cross join
     "q31_gap_fill",                 // 1-row (h0, h1) range cross join
