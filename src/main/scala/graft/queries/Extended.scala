@@ -1675,6 +1675,34 @@ object Extended {
             .as("hi_mean"))
     }),
 
+    // Burstiness (Fano factor) per event type: variance/mean of hourly
+    // counts over the corpus's FULL hour span (zero hours included via
+    // the closed form — they never materialize as rows), the
+    // overdispersion readout that separates Poisson-like traffic
+    // (F≈1) from bursty types (F≫1). The q46 mergeable-sums shape:
+    // per-type (n_events, Σx² over active hours) partially aggregate;
+    // the span is a 1-row broadcast; F = (n·Σx² − Sx²)/(n·Sx) is one
+    // round-6 double chain over exact int64 products.
+    "q91_fano_burstiness" -> ((s, dir) => {
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("__h"))
+        .agg(count(lit(1)).as("__c"))
+      val span = table(s, dir, "events")
+        .agg((max(expr("unix_timestamp(ts) div 3600")) -
+          min(expr("unix_timestamp(ts) div 3600")) + 1L).as("n_hours"))
+      hourly.groupBy(col("event_type"))
+        .agg(sum(col("__c")).as("n_events"),
+          sum(col("__c") * col("__c")).as("sum_sq"))
+        .crossJoin(broadcast(span))
+        .select(col("event_type"), col("n_hours"), col("n_events"),
+          col("sum_sq"),
+          round((col("n_hours").cast("double") * col("sum_sq").cast("double") -
+            col("n_events").cast("double") * col("n_events").cast("double")) /
+            (col("n_hours").cast("double") * col("n_events").cast("double")),
+            6).as("fano"))
+    }),
+
     // Degree ASSORTATIVITY of the co-order part graph — do high-degree
     // parts co-occur with other hubs (r>0) or with the periphery
     // (r<0)? Pearson over endpoint degrees with every undirected edge
@@ -2069,6 +2097,27 @@ object Extended {
          round(CAST(hi_sum AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
            AS hi_mean
        FROM pt, lo, hi, nn""",
+    // Mirrors q91: epoch_us//3600000000 is Spark's unix_timestamp div
+    // 3600 for positive epochs; identical exact sums and closing
+    // double chain.
+    "q91_fano_burstiness" ->
+      """WITH h AS (SELECT event_type,
+                 epoch_us(ts) // 3600000000 AS hh,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+         sp AS (SELECT CAST(max(epoch_us(ts) // 3600000000) -
+                   min(epoch_us(ts) // 3600000000) + 1 AS BIGINT)
+                   AS n_hours
+                FROM events),
+         g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+                 CAST(sum(c * c) AS BIGINT) AS sum_sq
+               FROM h GROUP BY 1)
+       SELECT event_type, n_hours, n_events, sum_sq,
+         round((CAST(n_hours AS DOUBLE) * CAST(sum_sq AS DOUBLE) -
+           CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) /
+           (CAST(n_hours AS DOUBLE) * CAST(n_events AS DOUBLE)), 6)
+           AS fano
+       FROM g, sp""",
     // Mirrors q90: same deduped edge set, same both-orientation degree
     // pairing, identical exact sums and closing double chain.
     "q90_assortativity" ->

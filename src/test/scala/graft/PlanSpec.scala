@@ -171,6 +171,7 @@ class PlanSpec extends SparkSessionSpec {
     "q87_mutual_info",              // 1-row grand-total broadcast cross join
     "q88_seasonality",              // 1-row grand-mean broadcast cross join
     "q89_bootstrap_ci",             // 200-row replicate-axis + 1-row CI broadcasts
+    "q91_fano_burstiness",          // 1-row hour-span broadcast cross join
     "p21_upsampling_caps")          // 1-row source-count broadcast
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
