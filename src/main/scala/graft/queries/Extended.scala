@@ -1675,6 +1675,40 @@ object Extended {
             .as("hi_mean"))
     }),
 
+    // Entropy RATE of the event-type Markov chain — how predictable is
+    // the next user action given the current one, in bits (the
+    // information-theoretic roll-up of s11's transition matrix; q84's
+    // trigrams list WHICH paths dominate, this says how much room for
+    // surprise remains). H = −Σ n_ft·log₂(n_ft/n_f) / N over exact
+    // counts: one user-keyed lag window, a |types|²-bounded cell
+    // table, per-cell round-6 terms summed as exact DECIMAL (the t30
+    // order-independent class), one closing division.
+    "q92_transition_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val cells = table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("__f", lag(col("event_type"), 1).over(w))
+        .filter(col("__f").isNotNull)
+        .groupBy(col("__f"), col("event_type"))
+        .agg(count(lit(1)).as("__nft"))
+      val marg = cells.groupBy(col("__f")).agg(sum(col("__nft")).as("__nf"))
+      cells.join(broadcast(marg), Seq("__f"))
+        .select(col("__f"), col("__nft"),
+          round(col("__nft").cast("double") *
+            log2(col("__nft").cast("double") / col("__nf").cast("double")),
+            6)
+            .cast(DecimalType(18, 6)).as("__term"))
+        .agg(sum(col("__nft")).as("n_transitions"),
+          countDistinct(col("__f")).as("n_states"),
+          sum(col("__term")).cast(DecimalType(38, 6)).as("__s"))
+        .select(col("n_transitions"), col("n_states"),
+          round(-col("__s").cast("double") /
+            col("n_transitions").cast("double"), 6)
+            .as("entropy_rate_bits"))
+    }),
+
     // Burstiness (Fano factor) per event type: variance/mean of hourly
     // counts over the corpus's FULL hour span (zero hours included via
     // the closed form — they never materialize as rows), the
@@ -2097,6 +2131,29 @@ object Extended {
          round(CAST(hi_sum AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
            AS hi_mean
        FROM pt, lo, hi, nn""",
+    // Mirrors q92: same (ts, event_id) lag cells, identical
+    // n·log₂(n/m) double chain per cell, round-6 terms summed as
+    // exact DECIMAL, one closing division.
+    "q92_transition_entropy" ->
+      """WITH p AS (SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS f
+           FROM events),
+         c AS (SELECT f, event_type AS t2, CAST(count(*) AS BIGINT) AS n_ft
+               FROM p WHERE f IS NOT NULL GROUP BY 1, 2),
+         m AS (SELECT f, CAST(sum(n_ft) AS BIGINT) AS n_f
+               FROM c GROUP BY 1),
+         t AS (SELECT c.n_ft,
+                 CAST(round(CAST(c.n_ft AS DOUBLE) *
+                   log2(CAST(c.n_ft AS DOUBLE) / CAST(m.n_f AS DOUBLE)),
+                   6) AS DECIMAL(18,6)) AS term,
+                 c.f
+               FROM c JOIN m USING (f))
+       SELECT CAST(sum(n_ft) AS BIGINT) AS n_transitions,
+         CAST(count(DISTINCT f) AS BIGINT) AS n_states,
+         round(-CAST(CAST(sum(term) AS DECIMAL(38,6)) AS DOUBLE) /
+           CAST(sum(n_ft) AS DOUBLE), 6) AS entropy_rate_bits
+       FROM t""",
     // Mirrors q91: epoch_us//3600000000 is Spark's unix_timestamp div
     // 3600 for positive epochs; identical exact sums and closing
     // double chain.
