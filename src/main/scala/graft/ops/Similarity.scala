@@ -690,6 +690,65 @@ object Similarity {
         round(max(col("__sim")), 6).as("max_sim"))
   }
 
+  /** Nearest-other-centroid cosine per (1-based) cell — pure driver
+    * arithmetic over the ≤k trained centroids (normalized, so cosine =
+    * dot), rounded to 6 so the SAME literal is inlined in the plan and
+    * in the dynamic oracle: parity by construction.
+    */
+  private[graft] def nearestOtherCentroid(
+      centroids: Array[Array[Float]]): Array[Double] =
+    centroids.indices.map { i =>
+      val best = centroids.indices.filter(_ != i).map { j =>
+        var s = 0.0; var d = 0
+        while (d < centroids(i).length) {
+          s += centroids(i)(d).toDouble * centroids(j)(d).toDouble; d += 1
+        }
+        s
+      }.max
+      BigDecimal(best).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toArray
+
+  /** Cluster-SEPARATION audit over the shared deterministic cells (the
+    * Davies–Bouldin-style readout on top of v06's balance profile): per
+    * cell, the member count, the exact round-6 mean cosine to the own
+    * centroid (per-member round-6 terms summed as DECIMAL — the t30
+    * order-independent class, so the mean hash-matches), the
+    * nearest-other-centroid cosine (an inlined literal), and the
+    * cohesion-minus-confusability margin. A well-separated cell has
+    * mean_sim ≫ nn_sim. One scan, one cell-keyed partial agg; the
+    * centroid geometry is k²-bounded driver work.
+    */
+  def clusterSeparation(
+      corpus: DataFrame,
+      nCentroids: Int = 16, sampleSize: Int = 2048, iters: Int = 10,
+      idCol: String = "id", vecCol: String = "vec",
+      maxLiteralCells: Int = IvfLiteralCellGate,
+      trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(
+      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol))
+    if (centroids.length < 2)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0).as("cell"), lit(0L).as("n_vecs"),
+          lit(0.0).as("mean_sim"), lit(0.0).as("nn_sim"),
+          lit(0.0).as("margin")).limit(0)
+    val nn = nearestOtherCentroid(centroids)
+    withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
+      .withColumn("cell", argmaxCell)
+      .withColumn("__sim", array_max(col("__cos")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("__sim"), 6)
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6))
+          .as("__s"))
+      .withColumn("mean_sim",
+        round(col("__s").cast("double") / col("n_vecs").cast("double"), 6))
+      .withColumn("nn_sim",
+        element_at(array(nn.map(lit(_)): _*), col("cell")))
+      .select(col("cell"), col("n_vecs"), col("mean_sim"), col("nn_sim"),
+        round(col("mean_sim") - col("nn_sim"), 6).as("margin"))
+  }
+
   /** Deterministic Lloyd's k-means over a driver-side sample (cosine
     * geometry: points and centroids L2-normalized each round, so argmax
     * cosine = argmin L2). Seeded by taking every ⌈n/k⌉-th sample point.

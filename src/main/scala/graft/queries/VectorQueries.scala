@@ -273,6 +273,17 @@ object VectorQueries {
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         nCentroids = 16, trained = Some(centroids(s, dir, 16)))),
 
+    // Cluster-separation audit (Davies–Bouldin-style) over the same
+    // cells: per cell, exact round-6 mean cosine to the own centroid
+    // vs the nearest-other-centroid cosine, and the margin between
+    // them — the readout that says whether the shared k-means is
+    // actually partitioning the space (v05/v11 recall depends on it).
+    "v23_cluster_separation" -> ((s, dir) =>
+      Similarity.clusterSeparation(
+        table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        nCentroids = 16, trained = Some(centroids(s, dir, 16)))),
+
     // Scalar-quantized ANN: corpus AND queries quantized to int8 codes
     // (4x memory/bandwidth vs float32 — the capacity lever at 100 TB),
     // exact top-k over the dequantized floats. Every arithmetic step
@@ -661,6 +672,33 @@ object VectorQueries {
         FROM cb GROUP BY cell"""
   }
 
+  /** The v23 oracle: the shared cell CTE, per-member round-6 sims
+    * summed as exact DECIMAL (order-independent, so the mean
+    * hash-matches), and the SAME nearest-other-centroid literals the
+    * plan inlines (computed once driver-side — parity by
+    * construction).
+    */
+  private def v23OracleSql(s: SparkSession, dir: String): String = {
+    val cents = centroids(s, dir, 16)
+    val nn = graft.ops.Similarity.nearestOtherCentroid(cents)
+    val vals = nn.zipWithIndex.map { case (v, i) =>
+      s"(${i + 1}, CAST(${BigDecimal(v).bigDecimal.toPlainString} AS DOUBLE))"
+    }.mkString(", ")
+    s"""${centroidCellCte(cents)},
+        g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(sum(CAST(round(sim, 6) AS DECIMAL(18,6)))
+                  AS DECIMAL(38,6)) AS s
+              FROM cb GROUP BY cell),
+        nn AS (SELECT * FROM (VALUES $vals) AS t(cell, nn_sim))
+        SELECT g.cell, g.n_vecs,
+          round(CAST(g.s AS DOUBLE) / CAST(g.n_vecs AS DOUBLE), 6)
+            AS mean_sim,
+          nn.nn_sim,
+          round(round(CAST(g.s AS DOUBLE) / CAST(g.n_vecs AS DOUBLE), 6)
+            - nn.nn_sim, 6) AS margin
+        FROM g JOIN nn USING (cell)"""
+  }
+
   /** The p09 oracle: the shared cell-assignment CTE, within-cell pairs
     * at the threshold (v05's pair SQL), then the documents join for
     * languages and the cross-language filter — the metadata join adds
@@ -921,6 +959,7 @@ object VectorQueries {
     "v05_semantic_dedup" -> (v05OracleSql(_, _)),
     "v07_semdedup_exhaustive" -> (v07OracleSql(_, _)),
     "v06_cluster_profile" -> (v06OracleSql(_, _)),
+    "v23_cluster_separation" -> (v23OracleSql(_, _)),
     "p03_cluster_language_mix" -> (p03OracleSql(_, _)))
 
   /** v15's oracle: the v01 scored CTE cut to a top-20 shortlist, a

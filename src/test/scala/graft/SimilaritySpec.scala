@@ -8,6 +8,25 @@ import graft.ops.Similarity
 class SimilaritySpec extends SparkSessionSpec {
   import spark.implicits._
 
+  test("clusterSeparation: margins on hand-built orthogonal clusters") {
+    import graft.ops.Similarity
+    // two orthogonal unit centroids; members exactly on them
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    assert(Similarity.nearestOtherCentroid(cents).toSeq === Seq(0.0, 0.0))
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("id", "vec")
+    val out = Similarity.clusterSeparation(corpus, trained = Some(cents))
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1) === ((2L, 1.0, 0.0, 1.0))) // cohesive, far from cell 2
+    assert(out(2) === ((1L, 1.0, 0.0, 1.0)))
+    // degenerate: one centroid has no "other" — empty result, contract
+    assert(Similarity.clusterSeparation(corpus,
+      trained = Some(Array(Array(1.0f, 0.0f)))).count() === 0L)
+  }
+
   test("cosine column function matches manual computation") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
