@@ -34,12 +34,18 @@ object Triangles {
     graft.expr.nat(graft.expr.GraftExpressions.IntersectCardSorted(
       graft.expr.toExpr(a), graft.expr.toExpr(b)))
 
-  /** Count triangles in an undirected graph given as an edge list (any
-    * orientation, duplicates and self-loops tolerated — normalized
-    * away; node ids must be integral). Returns one row: (n_triangles).
+  /** The shared traversal preamble both counters consume: normalized
+    * undirected edges, per-vertex degrees, edges DIRECTED from the
+    * (degree, id)-smaller endpoint (the total order that makes each
+    * triangle discoverable exactly once), the sorted out-adjacency,
+    * and the explicit exchange width. One definition — q35 and q85
+    * can never drift on which triangles exist.
     */
-  def triangleCount(
-      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+  private case class DirectedGraph(
+      deg: DataFrame, directed: DataFrame, adj: DataFrame, p: Int)
+
+  private def directedAdjacency(
+      edges: DataFrame, srcCol: String, dstCol: String): DirectedGraph = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
@@ -63,13 +69,23 @@ object Triangles {
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
     val p = math.max(
       edges.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    DirectedGraph(deg, directed, adj, p)
+  }
+
+  /** Count triangles in an undirected graph given as an edge list (any
+    * orientation, duplicates and self-loops tolerated — normalized
+    * away; node ids must be integral). Returns one row: (n_triangles).
+    */
+  def triangleCount(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val g = directedAdjacency(edges, srcCol, dstCol)
     // a v with no out-edges intersects to 0 — the inner join dropping
     // its rows is the same sum
-    val perEdge = directed.repartition(p, col("u"))
-      .join(adj, Seq("u"))
+    val perEdge = g.directed.repartition(g.p, col("u"))
+      .join(g.adj, Seq("u"))
       .select(col("v"), col("nbrs").as("un"))
-      .repartition(p, col("v"))
-      .join(adj.withColumnRenamed("u", "v").withColumnRenamed("nbrs", "vn"),
+      .repartition(g.p, col("v"))
+      .join(g.adj.withColumnRenamed("u", "v").withColumnRenamed("nbrs", "vn"),
         Seq("v"))
       .select(intersectCard(col("un"), col("vn")).as("c"))
     perEdge.agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
@@ -94,32 +110,12 @@ object Triangles {
     */
   def vertexTriangles(
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val e = edges
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
-      .filter(col("lo") =!= col("hi"))
-      .distinct()
-    val deg = e.select(col("lo").as("v")).unionAll(e.select(col("hi").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-    val directed = e
-      .join(deg.withColumnRenamed("v", "lo").withColumnRenamed("deg", "dlo"), "lo")
-      .join(deg.withColumnRenamed("v", "hi").withColumnRenamed("deg", "dhi"), "hi")
-      .select(
-        when(col("dlo") < col("dhi") ||
-          (col("dlo") === col("dhi") && col("lo") < col("hi")), col("lo"))
-          .otherwise(col("hi")).as("u"),
-        when(col("dlo") < col("dhi") ||
-          (col("dlo") === col("dhi") && col("lo") < col("hi")), col("hi"))
-          .otherwise(col("lo")).as("v"))
-    val adj = directed.groupBy("u")
-      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    val p = math.max(
-      edges.sparkSession.sparkContext.defaultParallelism * 2, 16)
-    val credits = directed.repartition(p, col("u"))
-      .join(adj, Seq("u"))
+    val g = directedAdjacency(edges, srcCol, dstCol)
+    val credits = g.directed.repartition(g.p, col("u"))
+      .join(g.adj, Seq("u"))
       .select(col("u"), col("v"), col("nbrs").as("un"))
-      .repartition(p, col("v"))
-      .join(adj.withColumnRenamed("u", "v").withColumnRenamed("nbrs", "vn"),
+      .repartition(g.p, col("v"))
+      .join(g.adj.withColumnRenamed("u", "v").withColumnRenamed("nbrs", "vn"),
         Seq("v"))
       .select(col("u"), col("v"),
         array_intersect(col("un"), col("vn")).as("__c"))
@@ -128,7 +124,7 @@ object Triangles {
         array_repeat(col("u"), size(col("__c"))),
         array_repeat(col("v"), size(col("__c"))))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("__t"))
-    deg.select(col("v").as("vertex"), col("deg").as("degree"))
+    g.deg.select(col("v").as("vertex"), col("deg").as("degree"))
       .join(credits, Seq("vertex"), "left")
       .select(col("vertex"), col("degree"),
         coalesce(col("__t"), lit(0L)).as("triangles"),

@@ -78,16 +78,24 @@ object BurstStream {
             s.secs.zip(s.counts))
           var (lt, le, seen, late, mb) =
             (s.lastTs, s.lastEid, s.seen, s.lateDropped, s.maxBurst)
+          // running window total: rebuilt once per micro-batch (O(W)),
+          // then maintained incrementally — the fold stays O(1) per
+          // event instead of re-summing up to W counters each time
+          var wsum = m.valuesIterator.sum
           it.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
             if (seen && (e.ts_us < lt || (e.ts_us == lt && e.event_id < le)))
               late += 1
             else {
               val sec = e.ts_us / 1000000L
               // trailing prune keeps ≤ windowSeconds live counters
-              m.filterInPlace((k, _) => k > sec - windowSeconds)
+              m.filterInPlace { (k, c) =>
+                val keep = k > sec - windowSeconds
+                if (!keep) wsum -= c
+                keep
+              }
               m.update(sec, m.getOrElse(sec, 0L) + 1L)
-              val r = m.valuesIterator.sum
-              if (r > mb) mb = r
+              wsum += 1L
+              if (wsum > mb) mb = wsum
               lt = e.ts_us; le = e.event_id; seen = true
             }
           }

@@ -9,7 +9,6 @@ class SimilaritySpec extends SparkSessionSpec {
   import spark.implicits._
 
   test("clusterSeparation: margins on hand-built orthogonal clusters") {
-    import graft.ops.Similarity
     // two orthogonal unit centroids; members exactly on them
     val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
     assert(Similarity.nearestOtherCentroid(cents).toSeq === Seq(0.0, 0.0))
