@@ -110,6 +110,34 @@ object PipelineQueries {
       legs.reduce(_ unionAll _)
     }),
 
+    // Pipeline FUNNEL card: per-stage doc/token attrition through the
+    // canonical curation chain (ingest → quality → language → exact
+    // dedup → min-length) over the planted corpus — the headline table
+    // of every dataset paper, and the at-a-glance answer to "which
+    // stage is eating my tokens". Each stage is the composed
+    // declarative plan up to that point (the p01 stages, individually
+    // oracled as t02/t03/d02/t01) rolled to one (n_docs, n_tokens)
+    // row; five bounded aggregate legs union'd.
+    "p24_pipeline_funnel" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.unionAll(
+        d.select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
+      val nTok = tokenCount(col("text")).cast("long")
+      val s2 = planted.filter(qualityScore(col("text")) >= 0.7)
+      val s3 = s2.filter(langId(col("text")) === "en")
+      val s4 = Dedup.exactSurvivors(s3, "text", "doc_id")
+        .select(col("doc_id"), col("text"))
+      val s5 = s4.filter(nTok >= 25L)
+      def leg(ord: Long, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(nTok), lit(0L)).as("n_tokens"))
+          .select(lit(ord).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      Seq(leg(1L, "ingest", planted), leg(2L, "quality", s2),
+        leg(3L, "language", s3), leg(4L, "exact_dedup", s4),
+        leg(5L, "min_length", s5)).reduce(_ unionAll _)
+    }),
+
     // Perplexity-gate impact report (the CCNet pipeline's statistical
     // filter as a curation decision): documents whose t11 unigram mean
     // NLL exceeds 3.41 nats are dropped as LM-implausible; the readout
@@ -692,6 +720,37 @@ object PipelineQueries {
             FROM pack p JOIN o
               ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1)
           SELECT doc_id, lang, shard, bin, n_tokens FROM pack"""
+    },
+    // Mirrors p24: the p01 stage fragments verbatim (shared
+    // quality/langid/token SQL, the same normalized-md5 min-id dedup),
+    // each stage rolled to one integer row.
+    "p24_pipeline_funnel" -> {
+      import TextQueries.{langCase, nTokens, qualitySql}
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000000000 AS doc_id, text
+              FROM documents),
+          q AS (SELECT doc_id, text, $qualitySql AS quality,
+                  CAST($nTokens AS BIGINT) AS n_toks,
+                  $langCase AS pred_lang
+                FROM u),
+          s2 AS (SELECT * FROM q WHERE quality >= 0.7),
+          s3 AS (SELECT * FROM s2 WHERE pred_lang = 'en'),
+          k AS (SELECT min(doc_id) AS doc_id FROM s3
+                GROUP BY md5(trim(regexp_replace(lower(text),
+                  '[ \t\n\f\r]+', ' ', 'g')))),
+          s4 AS (SELECT s3.* FROM s3 JOIN k USING (doc_id)),
+          s5 AS (SELECT * FROM s4 WHERE n_toks >= 25)
+          SELECT CAST(1 AS BIGINT) AS stage, 'ingest' AS stage_name,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens FROM q
+          UNION ALL SELECT 2, 'quality', count(*),
+            CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s2
+          UNION ALL SELECT 3, 'language', count(*),
+            CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s3
+          UNION ALL SELECT 4, 'exact_dedup', count(*),
+            CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s4
+          UNION ALL SELECT 5, 'min_length', count(*),
+            CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s5"""
     },
     // Mirrors p23: the t11 NLL chain verbatim (same single-ln form,
     // same round-6 score), then the identical <= 3.41 verdict on the
