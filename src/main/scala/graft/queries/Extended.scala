@@ -1773,6 +1773,127 @@ object Extended {
             .as("assortativity"))
     }),
 
+    // Customer-revenue decile LIFT table per market segment — the
+    // gain/Lorenz chart of every targeting deck: who are the top-10%
+    // spenders and what share of segment revenue do they carry? Spend
+    // is an exact-DECIMAL per-customer aggregate; the ntile ranking
+    // runs over the CUSTOMER aggregate partitioned by segment (the q63
+    // dimension-sized window discipline — the fact table never sorts),
+    // and cumulative shares stay DECIMAL until the two closing round-6
+    // divisions.
+    "q93_decile_lift" -> ((s, dir) => {
+      val spend = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 6)).as("__rev"))
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_custkey"),
+          col("__rev"))
+      val rankW = Window.partitionBy(col("segment"))
+        .orderBy(col("__rev").desc, col("o_custkey").asc)
+      val per = spend.withColumn("decile", ntile(10).over(rankW))
+        .groupBy(col("segment"), col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("__rev")).cast(DecimalType(38, 6)).as("__drev"))
+      val cumW = Window.partitionBy(col("segment"))
+        .orderBy(col("decile").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("segment"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per
+        .withColumn("__cum",
+          sum(col("__drev")).over(cumW).cast(DecimalType(38, 6)))
+        .withColumn("__tot",
+          sum(col("__drev")).over(totW).cast(DecimalType(38, 6)))
+        .select(col("segment"), col("decile"), col("n_customers"),
+          col("__drev").cast("double").as("decile_revenue"),
+          round(col("__drev").cast("double") /
+            col("__tot").cast("double"), 6).as("revenue_share"),
+          round(col("__cum").cast("double") /
+            col("__tot").cast("double"), 6).as("cum_share"))
+    }),
+
+    // Newman MODULARITY of the brand partition over the co-order part
+    // graph — does the catalog's own brand taxonomy explain the
+    // co-purchase structure? Q = Σ_c [e_c/m − (d_c/2m)²] decomposed to
+    // its per-community terms (inspectable: which brands are genuine
+    // communities). Everything through the per-community (n_vertices,
+    // degree_sum, intra_edges) triple is EXACT int64 via vertex-keyed
+    // joins + partial aggs (the q90 mergeable-sums shape — the
+    // endpoint-community join is on the part DIMENSION, broadcast-
+    // sized); m rides a 1-row broadcast and each term is one round-6
+    // double chain.
+    "q94_modularity" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("lo"),
+          col("y.l_partkey").cast("long").as("hi"))
+        .distinct()
+      val brand = table(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("v"),
+          col("p_brand").as("__comm"))
+      val eb = e
+        .join(broadcast(brand.select(col("v").as("lo"),
+          col("__comm").as("__ca"))), Seq("lo"))
+        .join(broadcast(brand.select(col("v").as("hi"),
+          col("__comm").as("__cb"))), Seq("hi"))
+      val m = eb.agg(count(lit(1)).as("__m"))
+      val intra = eb.filter(col("__ca") === col("__cb"))
+        .groupBy(col("__ca").as("community"))
+        .agg(count(lit(1)).as("__intra"))
+      val dsum = e.select(col("lo").as("v"))
+        .unionAll(e.select(col("hi").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("__d"))
+        .join(broadcast(brand), Seq("v"))
+        .groupBy(col("__comm").as("community"))
+        .agg(count(lit(1)).as("n_vertices"),
+          sum(col("__d")).as("degree_sum"))
+      dsum.join(intra, Seq("community"), "left")
+        .select(col("community"), col("n_vertices"), col("degree_sum"),
+          coalesce(col("__intra"), lit(0L)).as("intra_edges"))
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("n_vertices"), col("degree_sum"),
+          col("intra_edges"),
+          round(col("intra_edges").cast("double") /
+            col("__m").cast("double") -
+            (col("degree_sum").cast("double") /
+              (lit(2.0) * col("__m").cast("double"))) *
+            (col("degree_sum").cast("double") /
+              (lit(2.0) * col("__m").cast("double"))), 6)
+            .as("modularity_term"))
+    }),
+
+    // Hill tail-index of the co-order part degree distribution — the
+    // MLE power-law exponent α̂ = 1 + n/Σln(dᵢ/x_min) over the heavy
+    // tail (d ≥ 8), the scale-free-or-not verdict on the q57
+    // histogram. Degrees are exact int64; each ln ratio is a round-6
+    // DECIMAL term so the cross-row sum is order-invariant (the q92
+    // entropy-term discipline), and the closing α is one double chain.
+    "q95_hill_tail" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("lo"),
+          col("y.l_partkey").cast("long").as("hi"))
+        .distinct()
+      e.select(col("lo").as("v"))
+        .unionAll(e.select(col("hi").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= 8L)
+        .select(round(log(col("__d").cast("double") / lit(8.0)), 6)
+          .cast(DecimalType(18, 6)).as("__t"))
+        .agg(count(lit(1)).as("n_tail"),
+          sum(col("__t")).cast(DecimalType(38, 6)).as("__s"))
+        .select(col("n_tail"),
+          col("__s").cast("double").as("sum_log_ratio"),
+          round(lit(1.0) + col("n_tail").cast("double") /
+            col("__s").cast("double"), 6).as("hill_alpha"))
+    }),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -2204,6 +2325,95 @@ object Extended {
              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
            AS assortativity
        FROM sums""",
+    // Mirrors q93: same DECIMAL-exact spend sums, the same
+    // (rev DESC, custkey ASC) tie-broken ntile (both engines hand the
+    // remainder to the leading tiles), the same DECIMAL cumsum/total
+    // windows, two closing round-6 divisions.
+    "q93_decile_lift" ->
+      """WITH spend AS (SELECT c_mktsegment AS segment, o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,6)) AS rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         b AS (SELECT segment, rev,
+                 ntile(10) OVER (PARTITION BY segment
+                   ORDER BY rev DESC, o_custkey ASC) AS decile
+               FROM spend),
+         per AS (SELECT segment, decile,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(rev) AS DECIMAL(38,6)) AS drev
+                 FROM b GROUP BY 1, 2),
+         w AS (SELECT segment, decile, n_customers, drev,
+                 CAST(sum(drev) OVER (PARTITION BY segment ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(38,6)) AS cum,
+                 CAST(sum(drev) OVER (PARTITION BY segment)
+                   AS DECIMAL(38,6)) AS tot
+               FROM per)
+       SELECT segment, CAST(decile AS INTEGER) AS decile, n_customers,
+         CAST(drev AS DOUBLE) AS decile_revenue,
+         round(CAST(drev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+           AS revenue_share,
+         round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+       FROM w""",
+    // Mirrors q94: the q90 edge set, the same endpoint-community joins
+    // and integer (n_vertices, degree_sum, intra_edges) triples, the
+    // identical e/m − (d/2m)² double chain per community.
+    "q94_modularity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,
+                 CAST(b.l_partkey AS BIGINT) AS hi
+               FROM lp a JOIN lp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+         br AS (SELECT CAST(p_partkey AS BIGINT) AS v, p_brand AS comm
+                FROM part),
+         eb AS (SELECT ba.comm AS ca, bb.comm AS cb
+                FROM e JOIN br ba ON ba.v = e.lo
+                JOIN br bb ON bb.v = e.hi),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM eb),
+         intra AS (SELECT ca AS community,
+                     CAST(count(*) AS BIGINT) AS intra_edges
+                   FROM eb WHERE ca = cb GROUP BY 1),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e)
+                 GROUP BY 1),
+         ds AS (SELECT br.comm AS community,
+                  CAST(count(*) AS BIGINT) AS n_vertices,
+                  CAST(sum(deg.d) AS BIGINT) AS degree_sum
+                FROM deg JOIN br ON br.v = deg.v GROUP BY 1)
+       SELECT ds.community, ds.n_vertices, ds.degree_sum,
+         coalesce(intra.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+         round(CAST(coalesce(intra.intra_edges, 0) AS DOUBLE) /
+             CAST(m.m_edges AS DOUBLE) -
+           (CAST(ds.degree_sum AS DOUBLE) /
+             (2.0 * CAST(m.m_edges AS DOUBLE))) *
+           (CAST(ds.degree_sum AS DOUBLE) /
+             (2.0 * CAST(m.m_edges AS DOUBLE))), 6) AS modularity_term
+       FROM ds LEFT JOIN intra USING (community), m""",
+    // Mirrors q95: the q90 degree table, the same d ≥ 8 tail, each
+    // ln(d/8) a round-6 DECIMAL term (division by 8 is exact in IEEE,
+    // so both engines hand ln the identical double), the same exact
+    // DECIMAL term sum, one closing double chain.
+    "q95_hill_tail" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,
+                 CAST(b.l_partkey AS BIGINT) AS hi
+               FROM lp a JOIN lp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e)
+                 GROUP BY 1),
+         t AS (SELECT CAST(round(ln(CAST(d AS DOUBLE) / 8.0), 6)
+                 AS DECIMAL(18,6)) AS t
+               FROM deg WHERE d >= 8),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+                 CAST(sum(t) AS DECIMAL(38,6)) AS s FROM t)
+       SELECT n_tail, CAST(s AS DOUBLE) AS sum_log_ratio,
+         round(1.0 + CAST(n_tail AS DOUBLE) / CAST(s AS DOUBLE), 6)
+           AS hill_alpha
+       FROM a""",
     // Mirrors q83: identical integer-cents day sums, the same
     // cross-multiplied |n·cum − k·total| over the day cumsum, the same
     // (s DESC, day ASC) top-1 pick, one closing double division.
