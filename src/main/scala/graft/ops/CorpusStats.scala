@@ -476,6 +476,39 @@ object CorpusStats {
             col("n_tokens").cast("double")), 6).as("ttr"))
   }
 
+  /** Per-document SENTENCE segmentation stats: segments split on
+    * terminator runs (`[.!?]+`), whitespace-only segments dropped, each
+    * surviving sentence measured in whitespace tokens — the
+    * run-on / telegraphic-style quality signal (mean words-per-sentence
+    * is a Gopher-family filter input alongside [[repetitionSignals]]).
+    *
+    * Scale shape: ONE narrow scan — the per-sentence token counts fold
+    * inside the row via array kernels (split / filter / transform /
+    * aggregate), so no explode, no shuffle, and codegen keeps the whole
+    * row pass fused. Counts are exact int64; the mean is one round-6
+    * division.
+    *
+    * Output: (id, n_sentences, sentence_tokens, max_sentence_tokens,
+    * avg_sentence_tokens).
+    */
+  def sentenceStats(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sents = filter(split(col(textCol), "[.!?]+"),
+      s => regexp_replace(s, WhitespaceRegex, "") =!= "")
+    val stoks = transform(sents,
+      s => size(filter(split(s, WhitespaceRegex), t => t =!= ""))
+        .cast("long"))
+    widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        size(sents).cast("long").as("n_sentences"),
+        aggregate(stoks, lit(0L), (a, x) => a + x).as("sentence_tokens"),
+        coalesce(array_max(stoks), lit(0L)).as("max_sentence_tokens"))
+      .withColumn("avg_sentence_tokens",
+        round(when(col("n_sentences") === 0L, 0.0)
+          .otherwise(col("sentence_tokens").cast("double") /
+            col("n_sentences").cast("double")), 6))
+  }
+
   def bm25(
       df: DataFrame, textCol: String, idCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {

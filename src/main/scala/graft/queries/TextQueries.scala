@@ -163,6 +163,15 @@ object TextQueries {
       CorpusStats.lexicalDiversity(
         table(s, dir, "documents"), "text", "doc_id")),
 
+    // Sentence segmentation stats: terminator-run split, blank segments
+    // dropped, per-sentence whitespace-token counts folded IN-ROW (array
+    // kernels, no explode/shuffle) — mean and max sentence length, the
+    // run-on/telegraphic style signal of the Gopher filter family
+    // (CorpusStats.sentenceStats).
+    "t31_sentence_stats" -> ((s, dir) =>
+      CorpusStats.sentenceStats(
+        table(s, dir, "documents"), "text", "doc_id")),
+
     // PMI collocation mining: corpus-level top-20 bigrams by pointwise
     // mutual information (min count 5) — multi-word-expression /
     // phrase-vocabulary candidates over the t15 bigram stream
@@ -760,7 +769,7 @@ object TextQueries {
     // negligible), min-doc_id first occurrence, raw IEEE division.
     "t22_ngram_novelty" ->
       """WITH t AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+'),
                x -> x <> '') AS toks
            FROM documents),
          g AS (SELECT doc_id,
@@ -912,6 +921,34 @@ object TextQueries {
               ELSE CAST(s.n_types AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
               END, 6) AS ttr
           FROM documents d LEFT JOIN s USING (doc_id)""",
+
+    // Mirrors CorpusStats.sentenceStats: the same terminator-run split
+    // and whitespace-blank drop, per-sentence token counts as list
+    // kernels, integer sums/max (list_sum's HUGEINT cast back down),
+    // one round-6 mean.
+    "t31_sentence_stats" ->
+      """WITH s AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '[.!?]+'),
+               x -> regexp_replace(x, '[ \t\n\f\r]+', '', 'g')
+                 <> '') AS sents
+           FROM documents),
+          t AS (SELECT doc_id,
+             CAST(len(sents) AS BIGINT) AS n_sentences,
+             list_transform(sents, x ->
+               CAST(len(list_filter(
+                 string_split_regex(x, '[ \t\n\f\r]+'),
+                 w -> w <> '')) AS BIGINT)) AS stoks
+           FROM s)
+          SELECT doc_id, n_sentences,
+            CAST(coalesce(list_sum(stoks), 0) AS BIGINT)
+              AS sentence_tokens,
+            CAST(coalesce(list_max(stoks), 0) AS BIGINT)
+              AS max_sentence_tokens,
+            round(CASE WHEN n_sentences > 0
+              THEN CAST(list_sum(stoks) AS DOUBLE) /
+                CAST(n_sentences AS DOUBLE)
+              ELSE 0.0 END, 6) AS avg_sentence_tokens
+          FROM t""",
 
     // Mirrors CorpusStats.collocations: bigram-stream marginals, PMI as
     // one ln of a ratio of exact int64 products (the t11 single-ln

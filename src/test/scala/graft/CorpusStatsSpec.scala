@@ -328,6 +328,27 @@ class CorpusStatsSpec extends SparkSessionSpec {
     assert(got(3L) === ((3L, 2L, 1L, 0L, 0.5)))
   }
 
+  test("sentence stats: terminator runs, blank segments, empty doc") {
+    val df = Seq(
+      // "Hi there. Go now! Ok?" → 3 sentences of 2/2/1 tokens
+      (1L, "Hi there. Go now! Ok?"),
+      // "Wait... what" → terminator RUN is one split: ["Wait", " what"]
+      (2L, "Wait... what"),
+      // trailing terminator + whitespace-only tail segment dropped
+      (3L, "One two three. "),
+      (4L, ""),       // no sentences at all
+      (5L, "...")     // terminators only → zero sentences
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.sentenceStats(df, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 5L, 2L, round6(5.0 / 3.0))))
+    assert(got(2L) === ((2L, 2L, 2L, 1L, 1.0)))
+    assert(got(3L) === ((3L, 1L, 3L, 3L, 3.0)))
+    assert(got(4L) === ((4L, 0L, 0L, 0L, 0.0)))
+    assert(got(5L) === ((5L, 0L, 0L, 0L, 0.0)))
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
