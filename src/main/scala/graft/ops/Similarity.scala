@@ -998,6 +998,43 @@ object Similarity {
         col("rank"), round(col("dist"), 6).as("dist"))
   }
 
+  /** PQ codebook-utilization audit — the quantization-health readout
+    * FAISS calls the imbalance factor: per sub-space, how many of the
+    * trained codewords the corpus actually uses, the hottest codeword's
+    * count, and K·Σ(nⱼ/N)² (1.0 = perfectly balanced; → K = every
+    * vector on one codeword, at which point the v09/v11 ADC shortlists
+    * degrade to near-random). Run it before trusting a trained index —
+    * a dead or collapsed sub-space is invisible in recall spot checks.
+    *
+    * Scale shape: encode fuses into the scan (the v09 pass), the ×m
+    * posexplode partially aggregates per partition, so the shuffle
+    * carries ≤ m·nCodes rows per partition at any corpus size; all
+    * counts exact int64, the imbalance is one round-6 double chain.
+    *
+    * Output: (subspace, n_used_codes, n_vecs, max_code_count,
+    * imbalance).
+    */
+  def pqUtilization(
+      corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val nCodes = codebooks(0).length
+    widen(corpus.select(col(idCol), col(vecCol)))
+      .select(posexplode(pqEncode(col(vecCol), codebooks))
+        .as(Seq("subspace", "code")))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_used_codes"),
+        sum(col("__c")).as("n_vecs"),
+        max(col("__c")).as("max_code_count"),
+        sum(col("__c") * col("__c")).as("__ss"))
+      .select(col("subspace"), col("n_used_codes"), col("n_vecs"),
+        col("max_code_count"),
+        round((lit(nCodes.toDouble) * col("__ss").cast("double")) /
+          (col("n_vecs").cast("double") * col("n_vecs").cast("double")),
+          6).as("imbalance"))
+  }
+
   /** IVF-PQ ANN with exact re-rank — the composition FAISS ships as its
     * production default (IndexIVFPQ + refine), and THE 100 TB ANN
     * architecture: the resident index state per corpus row is one cell

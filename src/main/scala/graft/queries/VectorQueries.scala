@@ -456,6 +456,18 @@ object VectorQueries {
           min(col("__d")).as("min_dim"), max(col("__d")).as("max_dim"))
     }),
 
+    // PQ codebook-utilization audit (FAISS's imbalance factor): per
+    // sub-space, used-codeword count, hottest codeword, and K·Σ(nⱼ/N)²
+    // — the trained-index health gate next to v21/v22 (a collapsed
+    // sub-space silently degrades every v09/v11 shortlist). Same
+    // trained codebooks as v09, so the dynamic oracle replays the enc
+    // CTE and re-aggregates — see [[dynamicOracles]].
+    "v24_pq_utilization" -> ((s, dir) =>
+      Similarity.pqUtilization(
+        table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        pqBooks(s, dir, 8, 16))),
+
     // Int8 scalar-quantization reconstruction-error audit: per-label
     // histogram of L2(original, dequantized) milli-buckets — the
     // quality gate that decides whether the 4× storage cut of the v08
@@ -947,7 +959,37 @@ object VectorQueries {
         $union"""
   }
 
+  /** The v24 oracle: the shared PQ enc CTE (same codebook literals, same
+    * argmin rule as v09), unpivoted to a (subspace, code) stream and
+    * re-aggregated — every count is exact int64, the imbalance replays
+    * the identical (K·Σn²)/(N·N) double chain.
+    */
+  private def v24OracleSql(s: SparkSession, dir: String): String = {
+    val cbs = pqBooks(s, dir, 8, 16)
+    val nCodes = cbs(0).length
+    val legs = cbs.indices
+      .map(mi => s"SELECT $mi AS subspace, c$mi AS code FROM enc")
+      .mkString("\n          UNION ALL ")
+    s"""WITH ${pqEncRecCtes(cbs)},
+        h AS ($legs),
+        g AS (SELECT subspace, code, CAST(count(*) AS BIGINT) AS c
+              FROM h GROUP BY 1, 2),
+        a AS (SELECT subspace,
+                CAST(count(*) AS BIGINT) AS n_used_codes,
+                CAST(sum(c) AS BIGINT) AS n_vecs,
+                CAST(max(c) AS BIGINT) AS max_code_count,
+                CAST(sum(c * c) AS BIGINT) AS ss
+              FROM g GROUP BY 1)
+        SELECT CAST(subspace AS INTEGER) AS subspace, n_used_codes,
+          n_vecs, max_code_count,
+          round(($nCodes.0 * CAST(ss AS DOUBLE)) /
+            (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE)), 6)
+            AS imbalance
+        FROM a"""
+  }
+
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
+    "v24_pq_utilization" -> (v24OracleSql(_, _)),
     "v20_ivf_probe_curve" -> (v20OracleSql(_, _)),
     "v17_ivf_add" -> (v17OracleSql(_, _)),
     "v13_ann_recall" -> (v13OracleSql(_, _)),
