@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label-propagation community detection (LPA) — the sixth
+  * member of the iterative-graph family (PageRank q30, components d06,
+  * triangles q35, BFS q51, k-core q65; the reference's `mr.exec`
+  * re-invocation loop per SURVEY §2.6), and the cheap first answer to
+  * "what communities does this graph have" when no taxonomy exists
+  * (q94's modularity scores a GIVEN partition; LPA DISCOVERS one).
+  *
+  * Algorithm: labels start as vertex ids; each synchronous round every
+  * vertex adopts the most frequent label among its neighbors, ties to
+  * the SMALLEST label. Raw LPA's tie-breaking is the classic source of
+  * irreproducibility — pinning ties to min-label plus a FIXED round
+  * count makes the whole run a deterministic function of the edge set,
+  * which is what lets a SQL oracle replay it round for round (the q30
+  * unrolled-recurrence discipline; float-free, so there is no
+  * summation-order question at all).
+  *
+  * Scale shape (the q30/q51 co-partitioning discipline): the
+  * both-orientations adjacency list is hash-partitioned by neighbor
+  * ONCE and checkpointed; each round is one key-join of the |V|-sized
+  * label table against it plus ONE partially-aggregated
+  * (vertex, label) shuffle — frequency counting combines map-side, so
+  * the exchange carries at most one row per (vertex, distinct
+  * neighbor label), never the edge stream. The argmax folds inside the
+  * same aggregation via a (count, −label) struct-max (no window, no
+  * second shuffle), and the label table is localCheckpointed per round
+  * so every iteration's plan is rooted at materialized partitions.
+  */
+object LabelProp {
+
+  /** Communities of an UNDIRECTED edge list (one row per edge, either
+    * orientation; self-loops dropped, duplicates collapsed) after
+    * `rounds` synchronous LPA rounds. Output: (node, community) — the
+    * node's label after the final round. Isolated vertices (absent
+    * from the edge list) are by definition not present.
+    */
+  def propagate(
+      edges: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, "LPA needs at least one round")
+    val e = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val adj = e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+      .repartition(col("n"))
+      .localCheckpoint()
+    var labels = adj.select(col("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("v").as("n"), col("label")), Seq("n"))
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("__c").as("c"), (-col("label")).as("nl")))
+          .as("__m"))
+        .select(col("v"), (-col("__m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("v").as("node"), col("label").as("community"))
+  }
+}

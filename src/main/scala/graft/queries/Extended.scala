@@ -1894,6 +1894,24 @@ object Extended {
             col("__s").cast("double"), 6).as("hill_alpha"))
     }),
 
+    // LPA community DISCOVERY over the co-order part graph: 3
+    // synchronous label-propagation rounds, ties pinned to min-label —
+    // q94 scores the GIVEN brand taxonomy; this finds the data's own
+    // partition. Integer labels + fixed rounds make the run a
+    // deterministic function of the edge set, so the oracle replays
+    // all three rounds unrolled (the q30 discipline; float-free —
+    // ops/LabelProp.scala for the co-partitioned round shape).
+    "q96_label_prop" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .distinct()
+      graft.ops.LabelProp.propagate(e, rounds = 3)
+    }),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -2391,6 +2409,42 @@ object Extended {
            (CAST(ds.degree_sum AS DOUBLE) /
              (2.0 * CAST(m.m_edges AS DOUBLE))), 6) AS modularity_term
        FROM ds LEFT JOIN intra USING (community), m""",
+    // Mirrors q96: the q90 edge set both-oriented, labels seeded as
+    // vertex ids, each round the identical neighbor-label frequency
+    // argmax with the same (count DESC, label ASC) tie rule, three
+    // rounds unrolled — all-integer, so equality is exact.
+    "q96_label_prop" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,
+                 CAST(b.l_partkey AS BIGINT) AS hi
+               FROM lp a JOIN lp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+         adj AS (SELECT lo AS v, hi AS n FROM e
+                 UNION ALL SELECT hi, lo FROM e),
+         r0 AS (SELECT DISTINCT v, v AS label FROM adj),
+         r1 AS (SELECT v, label FROM (
+             SELECT v, label, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, label ASC) AS rn
+             FROM (SELECT a.v AS v, l.label AS label,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM adj a JOIN r0 l ON l.v = a.n GROUP BY 1, 2))
+           WHERE rn = 1),
+         r2 AS (SELECT v, label FROM (
+             SELECT v, label, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, label ASC) AS rn
+             FROM (SELECT a.v AS v, l.label AS label,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM adj a JOIN r1 l ON l.v = a.n GROUP BY 1, 2))
+           WHERE rn = 1),
+         r3 AS (SELECT v, label FROM (
+             SELECT v, label, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, label ASC) AS rn
+             FROM (SELECT a.v AS v, l.label AS label,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM adj a JOIN r2 l ON l.v = a.n GROUP BY 1, 2))
+           WHERE rn = 1)
+       SELECT v AS node, label AS community FROM r3""",
     // Mirrors q95: the q90 degree table, the same d ≥ 8 tail, each
     // ln(d/8) a round-6 DECIMAL term (division by 8 is exact in IEEE,
     // so both engines hand ln the identical double), the same exact
