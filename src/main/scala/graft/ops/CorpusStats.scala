@@ -753,6 +753,42 @@ object CorpusStats {
     *
     * Output: one row (n_ranks, slope, intercept).
     */
+  /** Word BURSTINESS (Church & Gale): per word above a collection-
+    * frequency floor — cf (total occurrences), df (documents containing
+    * it), the within-document rate cf/df, and observed df against the
+    * Poisson expectation D·(1−e^(−cf/D)). A ratio < 1 says the word
+    * "bursts" into few documents (topical/named content); ≈ 1 says it
+    * spreads uniformly (function words) — the corpus-linguistics signal
+    * behind TF-IDF's df term, exposed as its own audit.
+    *
+    * Scale shape: two partial-agg'd shuffles — (word, doc) counts, then
+    * the word rollup (both bounded by vocabulary, never corpus text);
+    * the document total D rides a 1-row broadcast (the t16 discipline).
+    * The Poisson term is one libm exp inside a fixed parenthesization,
+    * closed round-6 (the t20 chain contract).
+    */
+  def wordBurstiness(
+      df: DataFrame, idCol: String, textCol: String,
+      minCf: Long = 50L): DataFrame = {
+    val wd = widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__d"),
+        explode(lowerTokens(col(textCol))).as("w"))
+      .groupBy(col("w"), col("__d")).agg(count(lit(1)).as("__c"))
+    val byWord = wd.groupBy(col("w"))
+      .agg(sum(col("__c")).as("cf"), count(lit(1)).as("df"))
+      .filter(col("cf") >= minCf)
+    val total = df.agg(count(lit(1)).as("__D"))
+    byWord.crossJoin(broadcast(total))
+      .select(col("w").as("word"), col("cf"), col("df"),
+        round(col("cf").cast("double") / col("df").cast("double"), 6)
+          .as("rate_in_docs"),
+        round(col("df").cast("double") /
+          (col("__D").cast("double") *
+            (lit(1.0) - exp(-col("cf").cast("double") /
+              col("__D").cast("double")))), 6)
+          .as("df_vs_poisson"))
+  }
+
   def zipfSlope(
       df: DataFrame, textCol: String, maxRank: Int = 200): DataFrame = {
     require(maxRank >= 2, s"maxRank must be >= 2, got $maxRank")

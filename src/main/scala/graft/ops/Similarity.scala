@@ -331,6 +331,62 @@ object Similarity {
     rankTopK(scored, k, idCol, qidCol)
   }
 
+  /** IVF probe-COST audit: for each candidate probe count, how many
+    * corpus rows an [[ivfTopK]] query at that nProbe would scan, and the
+    * corpus share — the cost half of the recall-vs-cost tuning curve
+    * (v20's recall sweep is the other half; together they pick nProbe).
+    *
+    * Computed from CELL SIZES, never by materializing candidates: the
+    * per-(query, probe) total is Σ probed |cell| via a nCells-row
+    * broadcast join, minus the query's own-row hits (an id-equality
+    * equi-join against the slim (id, cell) assignment — the exact mirror
+    * of [[ivfTopK]]'s `id =!= qid` exclusion). The audit therefore costs
+    * O(|Q|·probes) past the one cell-assignment scan, independent of
+    * corpus size; the corpus total rides a 1-row broadcast (the t16
+    * discipline, NLJ-allowlisted).
+    */
+  def ivfProbeCost(
+      corpus: DataFrame, queries: DataFrame, probes: Seq[Int],
+      nCentroids: Int = 16,
+      sampleSize: Int = 2048, iters: Int = 10,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      maxLiteralCells: Int = IvfLiteralCellGate,
+      trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      s"probes must be >= 1, got $probes")
+    val centroids = trained.getOrElse(
+      ivfCentroids(corpus, nCentroids, sampleSize, iters, idCol, vecCol))
+    val nCells = centroids.length
+    val cb = withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
+      .withColumn("cell", argmaxCell)
+      .select(col(idCol).as("__cid"), col("cell"))
+    val csz = cb.groupBy(col("cell")).agg(count(lit(1)).as("__csz"))
+    val tot = csz.agg(sum(col("__csz")).as("__corpus"))
+    val probed = withCellCosines(queries, centroids, qvecCol, maxLiteralCells)
+      .withColumn("__order", transform(sort_array(zip_with(
+        col("__cos"), sequence(lit(1), lit(nCells)),
+        (c, i) => struct((-c).as("negc"), i.as("idx")))),
+        s => s("idx").cast("int")))
+      .withColumn("n_probe", explode(array(probes.map(lit(_)): _*)))
+      .withColumn("cell", explode(slice(col("__order"), lit(1),
+        least(col("n_probe"), lit(nCells)))))
+      .select(col(qidCol), col("n_probe"), col("cell"))
+    val sums = probed.join(broadcast(csz), Seq("cell"))
+      .groupBy(col(qidCol), col("n_probe"))
+      .agg(sum(col("__csz")).as("__tot"))
+    val selfh = probed.join(cb,
+        probed("cell") === cb("cell") && probed(qidCol) === cb("__cid"))
+      .groupBy(col(qidCol), col("n_probe"))
+      .agg(count(lit(1)).as("__sh"))
+    sums.join(selfh, Seq(qidCol, "n_probe"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("n_probe"), col(qidCol),
+        (col("__tot") - coalesce(col("__sh"), lit(0L))).as("n_candidates"),
+        round((col("__tot") - coalesce(col("__sh"), lit(0L))).cast("double")
+          / col("__corpus").cast("double"), 6).as("corpus_share"))
+  }
+
   /** Filtered ANN: [[ivfTopK]] under a metadata predicate — each query
     * sees only corpus rows whose `catCol` equals its `qcatCol` (the
     * production "search within a tenant / category / license bucket"

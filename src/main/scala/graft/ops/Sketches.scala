@@ -262,6 +262,69 @@ object Sketches {
       .select(col("__ck").as(keyCol), col("n"))
   }
 
+  /** KMV SET-OPERATION estimates: pairwise Jaccard between per-group key
+    * sets, estimated purely from their mergeable KMV sketches — the
+    * audience-overlap / cross-source-contamination readout that makes
+    * bottom-k sketches strictly stronger than HLL (HLL unions but never
+    * intersects). For groups A, B with bottom-k hash sets Kᴬ, Kᴮ, the
+    * k smallest of Kᴬ ∪ Kᴮ form a uniform sample of A ∪ B, so
+    * ĵ = |K_k(Kᴬ∪Kᴮ) ∩ Kᴬ ∩ Kᴮ| / |K_k| (Beyer et al., SIGMOD'07).
+    * Every step — 52-bit md5 hashes, set union, sort, slice, membership
+    * — is integer-exact, so unlike HLL the ESTIMATE itself hash-matches
+    * the SQL oracle; the exact Jaccard rides alongside for the error
+    * readout.
+    *
+    * Scale shape: one partial-agg'd pass builds the ≤k-long sketch per
+    * group (the [[kmvDistinct]] shuffle bound); the pair frame is
+    * (groups)² SKETCHES — group counts are small by contract (event
+    * types, sources, languages), so the pairing is a broadcast of a
+    * handful of ≤k arrays, never touching the corpus. The exact leg is
+    * one distinct + one equi-self-join on the key — the d13 overlap
+    * shape — and exists for the audit column; at billion-key scale a
+    * user drops it and keeps the sketch columns.
+    */
+  def kmvOverlap(
+      df: DataFrame, keyCol: String, groupCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val du = df.select(col(groupCol).as("g"), col(keyCol).as("u")).distinct()
+    val h = du.select(col("g"),
+      conv(substring(md5(col("u").cast("string")), 1, 13), 16, 10)
+        .cast("long").as("__h"))
+    val sk = h.groupBy(col("g"))
+      .agg(graft.expr.nat(graft.expr.KmvSketch(
+        graft.expr.toExpr(col("__h")), k).toAggregateExpression())
+        .as("__kmv"))
+    val pairs = sk.select(col("g").as("type_a"), col("__kmv").as("__ka"))
+      .join(broadcast(sk.select(col("g").as("type_b"),
+        col("__kmv").as("__kb"))), col("type_a") < col("type_b"))
+      .withColumn("__mk", slice(
+        array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
+      .select(col("type_a"), col("type_b"),
+        size(array_intersect(array_intersect(col("__mk"), col("__ka")),
+          col("__kb"))).cast("long").as("n_common_minima"),
+        size(col("__mk")).as("__m"))
+    val n = du.groupBy(col("g")).agg(count(lit(1)).as("__n"))
+    val inter = du.select(col("g").as("type_a"), col("u"))
+      .join(du.select(col("g").as("type_b"), col("u")), Seq("u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("__i"))
+    pairs
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .join(n.select(col("g").as("type_a"), col("__n").as("__na")),
+        Seq("type_a"))
+      .join(n.select(col("g").as("type_b"), col("__n").as("__nb")),
+        Seq("type_b"))
+      .withColumn("__i", coalesce(col("__i"), lit(0L)))
+      .select(col("type_a"), col("type_b"), col("n_common_minima"),
+        round(col("n_common_minima").cast("double") /
+          col("__m").cast("double"), 6).as("jaccard_est"),
+        round(col("__i").cast("double") /
+          (col("__na") + col("__nb") - col("__i")).cast("double"), 6)
+          .as("jaccard_exact"))
+  }
+
   def kmvDistinct(
       df: DataFrame, keyCol: String, groupCol: String,
       k: Int = 64): DataFrame = {

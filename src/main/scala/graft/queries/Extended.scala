@@ -1912,6 +1912,83 @@ object Extended {
       graft.ops.LabelProp.propagate(e, rounds = 3)
     }),
 
+    // LINK PREDICTION over the co-order part graph: for part pairs that
+    // are NOT yet co-purchased, the three classic neighborhood scores —
+    // common-neighbor count, Jaccard, Adamic–Adar. Wedges pivot through
+    // the shared neighbor z (the q35 join shape: per-pivot cost ~deg(z)²,
+    // never corpus-quadratic); pivots with deg > 128 are excluded — the
+    // standard hub cap (a hub's AA weight 1/ln(deg) is ~noise while its
+    // deg² wedge fan-out dominates the join), mirrored in the oracle so
+    // cn/jaccard are defined over non-hub pivots by contract. Each AA
+    // term is round-6 of one libm ln then summed as exact DECIMAL
+    // (the t11 cross-row double-sum discipline); jaccard is one
+    // integer-ratio round-6 division.
+    "q97_link_prediction" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("lo"),
+          col("y.l_partkey").cast("long").as("hi"))
+        .distinct()
+      val deg = e.select(col("lo").as("v"))
+        .unionAll(e.select(col("hi").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val piv = e.select(col("lo").as("z"), col("hi").as("n"))
+        .unionAll(e.select(col("hi").as("z"), col("lo").as("n")))
+        .join(deg.select(col("v").as("z"), col("d").as("__dz")), Seq("z"))
+        .filter(col("__dz") <= 128)
+      val cand = piv.as("p").join(piv.as("q"), Seq("z"))
+        .filter(col("p.n") < col("q.n"))
+        .select(col("p.n").as("a"), col("q.n").as("b"),
+          round(lit(1.0) / log(col("p.__dz").cast("double")), 6)
+            .cast(DecimalType(18, 6)).as("__aa"))
+      val scored = cand.groupBy("a", "b")
+        .agg(count(lit(1)).as("cn"),
+          sum(col("__aa")).cast(DecimalType(38, 6)).as("__aas"))
+        .filter(col("cn") >= 15)
+      scored
+        .join(e, scored("a") === e("lo") && scored("b") === e("hi"),
+          "left_anti")
+        .join(deg.select(col("v").as("a"), col("d").as("__da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("__db")), Seq("b"))
+        .select(col("a").as("part_a"), col("b").as("part_b"), col("cn"),
+          round(col("cn").cast("double") /
+            (col("__da") + col("__db") - col("cn")).cast("double"), 6)
+            .as("jaccard"),
+          col("__aas").cast("double").as("adamic_adar"))
+    }),
+
+    // Random-walk CORPUS over the co-order part graph: 3 deterministic
+    // 4-step walks from every vertex — the DeepWalk/node2vec skip-gram
+    // training sentences. Step choice = shared glibc LCG keyed on
+    // (vertex, step, walk) mod degree against the id-ranked adjacency
+    // list; a pure function of (edge set, seed), so the oracle replays
+    // all four steps unrolled (ops/RandomWalks.scala for the
+    // two-co-partitioned-joins-per-step scale shape).
+    "q98_random_walks" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("lo"),
+          col("y.l_partkey").cast("long").as("hi"))
+        .distinct()
+      graft.ops.RandomWalks.walkCorpus(
+        e, steps = 4, walksPerVertex = 3, seed = 11L)
+    }),
+
+    // KMV SET-OPERATION estimates: pairwise audience overlap (Jaccard)
+    // between event-type user sets from mergeable bottom-k sketches —
+    // the intersection capability HLL lacks — with the exact Jaccard
+    // alongside as the error audit. Integer-exact end to end, so the
+    // estimate itself hash-matches (Sketches.kmvOverlap; the q26
+    // estimator lineage).
+    "q99_kmv_overlap" -> ((s, dir) =>
+      graft.ops.Sketches.kmvOverlap(
+        table(s, dir, "events"), keyCol = "user_id",
+        groupCol = "event_type", k = 64)),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -2343,6 +2420,141 @@ object Extended {
              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
            AS assortativity
        FROM sums""",
+    // Mirrors q97: same edge set, same deg≤128 pivot cap, each AA term
+    // round-6 of 1/ln(deg z) then DECIMAL-exact summed, same cn≥15
+    // gate, same anti-join against existing edges, one round-6 jaccard.
+    "q97_link_prediction" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS lo,
+                 CAST(y.l_partkey AS BIGINT) AS hi
+               FROM lp x JOIN lp y
+                 ON x.l_orderkey = y.l_orderkey
+                AND x.l_partkey < y.l_partkey),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e)
+                 GROUP BY 1),
+         piv AS (SELECT b.z, b.n, deg.d AS dz
+                 FROM (SELECT lo AS z, hi AS n FROM e
+                       UNION ALL SELECT hi, lo FROM e) b
+                 JOIN deg ON deg.v = b.z
+                 WHERE deg.d <= 128),
+         cand AS (SELECT p.n AS a, q.n AS b,
+                    CAST(round(1.0 / ln(CAST(p.dz AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS aa
+                  FROM piv p JOIN piv q
+                    ON p.z = q.z AND p.n < q.n),
+         sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+                  CAST(sum(aa) AS DECIMAL(38,6)) AS aas
+                FROM cand GROUP BY a, b HAVING count(*) >= 15),
+         ne AS (SELECT sc.* FROM sc
+                ANTI JOIN e ON sc.a = e.lo AND sc.b = e.hi)
+       SELECT ne.a AS part_a, ne.b AS part_b, cn,
+         round(CAST(cn AS DOUBLE) /
+           CAST(da.d + db.d - cn AS DOUBLE), 6) AS jaccard,
+         CAST(aas AS DOUBLE) AS adamic_adar
+       FROM ne JOIN deg da ON da.v = ne.a
+       JOIN deg db ON db.v = ne.b""",
+    // Mirrors q98: same edge set, same id-ranked adjacency, the exact
+    // glibc two-round LCG (seed 11 → +12356 first-round increment) on
+    // the same (vertex·64 + step·4 + walk) key, four steps unrolled.
+    "q98_random_walks" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS lo,
+                 CAST(y.l_partkey AS BIGINT) AS hi
+               FROM lp x JOIN lp y
+                 ON x.l_orderkey = y.l_orderkey
+                AND x.l_partkey < y.l_partkey),
+         b AS (SELECT lo AS v, hi AS n FROM e
+               UNION ALL SELECT hi, lo FROM e),
+         adj AS (SELECT v, n,
+                   row_number() OVER (PARTITION BY v ORDER BY n) AS rnk
+                 FROM b),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM b GROUP BY 1),
+         wid AS (SELECT * FROM (VALUES (0), (1), (2)) t(wid)),
+         w0 AS (SELECT deg.v AS start, wid, deg.v AS cur
+                FROM deg CROSS JOIN wid),
+         w1 AS (SELECT start, wid, a.n AS cur FROM w0
+                JOIN deg ON deg.v = w0.cur
+                JOIN adj a ON a.v = w0.cur AND a.rnk = 1 +
+                  ((((((w0.cur * 64 + 4 + wid) % 2147483648)
+                    * 1103515245 + 12356) % 2147483648)
+                    * 1103515245 + 12345) % 2147483648) % deg.d),
+         w2 AS (SELECT start, wid, a.n AS cur FROM w1
+                JOIN deg ON deg.v = w1.cur
+                JOIN adj a ON a.v = w1.cur AND a.rnk = 1 +
+                  ((((((w1.cur * 64 + 8 + wid) % 2147483648)
+                    * 1103515245 + 12356) % 2147483648)
+                    * 1103515245 + 12345) % 2147483648) % deg.d),
+         w3 AS (SELECT start, wid, a.n AS cur FROM w2
+                JOIN deg ON deg.v = w2.cur
+                JOIN adj a ON a.v = w2.cur AND a.rnk = 1 +
+                  ((((((w2.cur * 64 + 12 + wid) % 2147483648)
+                    * 1103515245 + 12356) % 2147483648)
+                    * 1103515245 + 12345) % 2147483648) % deg.d),
+         w4 AS (SELECT start, wid, a.n AS cur FROM w3
+                JOIN deg ON deg.v = w3.cur
+                JOIN adj a ON a.v = w3.cur AND a.rnk = 1 +
+                  ((((((w3.cur * 64 + 16 + wid) % 2147483648)
+                    * 1103515245 + 12356) % 2147483648)
+                    * 1103515245 + 12345) % 2147483648) % deg.d)
+       SELECT start, wid, 0 AS step, cur AS vertex FROM w0
+       UNION ALL SELECT start, wid, 1, cur FROM w1
+       UNION ALL SELECT start, wid, 2, cur FROM w2
+       UNION ALL SELECT start, wid, 3, cur FROM w3
+       UNION ALL SELECT start, wid, 4, cur FROM w4""",
+    // Mirrors q99: same 52-bit md5 hash (the q26 idiom), bottom-64 per
+    // type via row_number, k smallest of the pair's hash-set union, the
+    // same membership count and two round-6 divisions.
+    "q99_kmv_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type AS g, user_id AS u
+               FROM events),
+         h AS (SELECT g, CAST(concat('0x',
+                 substring(md5(CAST(u AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+               FROM du),
+         r AS (SELECT g, h,
+                 row_number() OVER (PARTITION BY g ORDER BY h ASC) AS rn
+               FROM h),
+         sk AS (SELECT g, h FROM r WHERE rn <= 64),
+         gs AS (SELECT DISTINCT g FROM du),
+         pr AS (SELECT a.g AS ga, b.g AS gb
+                FROM gs a JOIN gs b ON a.g < b.g),
+         uni AS (SELECT pr.ga, pr.gb, sk.h FROM pr
+                 JOIN sk ON sk.g = pr.ga
+                 UNION
+                 SELECT pr.ga, pr.gb, sk.h FROM pr
+                 JOIN sk ON sk.g = pr.gb),
+         ur AS (SELECT ga, gb, h,
+                  row_number() OVER (PARTITION BY ga, gb
+                    ORDER BY h ASC) AS rn
+                FROM uni),
+         mk AS (SELECT ga, gb, h FROM ur WHERE rn <= 64),
+         msz AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS m
+                 FROM mk GROUP BY 1, 2),
+         x AS (SELECT mk.ga, mk.gb, CAST(count(*) AS BIGINT) AS nc
+               FROM mk
+               JOIN sk sa ON sa.g = mk.ga AND sa.h = mk.h
+               JOIN sk sb ON sb.g = mk.gb AND sb.h = mk.h
+               GROUP BY 1, 2),
+         ex AS (SELECT a.g AS ga, b.g AS gb,
+                  CAST(count(*) AS BIGINT) AS i
+                FROM du a JOIN du b ON a.u = b.u AND a.g < b.g
+                GROUP BY 1, 2),
+         n AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+               FROM du GROUP BY 1)
+       SELECT pr.ga AS type_a, pr.gb AS type_b,
+         coalesce(x.nc, 0) AS n_common_minima,
+         round(CAST(coalesce(x.nc, 0) AS DOUBLE)
+           / CAST(msz.m AS DOUBLE), 6) AS jaccard_est,
+         round(CAST(coalesce(ex.i, 0) AS DOUBLE)
+           / CAST(na.n + nb.n - coalesce(ex.i, 0) AS DOUBLE), 6)
+           AS jaccard_exact
+       FROM pr
+       JOIN msz ON msz.ga = pr.ga AND msz.gb = pr.gb
+       LEFT JOIN x ON x.ga = pr.ga AND x.gb = pr.gb
+       LEFT JOIN ex ON ex.ga = pr.ga AND ex.gb = pr.gb
+       JOIN n na ON na.g = pr.ga
+       JOIN n nb ON nb.g = pr.gb""",
     // Mirrors q93: same DECIMAL-exact spend sums, the same
     // (rev DESC, custkey ASC) tie-broken ntile (both engines hand the
     // remainder to the leading tiles), the same DECIMAL cumsum/total

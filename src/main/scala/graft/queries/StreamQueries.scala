@@ -118,10 +118,22 @@ object StreamQueries {
     // bounded last-event + ≤60 per-second counters per user)
     // converges to it under in-order micro-batch splits, s11-style.
     "s14_burst_flags" -> ((s, dir) =>
-      graft.streaming.BurstStream.burstBatch(table(s, dir, "events")))
+      graft.streaming.BurstStream.burstBatch(table(s, dir, "events"))),
+
+    // Hourly unique users (DAU/HAU KPI). Registered as the batch
+    // distinct-then-count form; StreamingSpec proves the two-chained-
+    // stateful streaming form (watermark-expired dropDuplicates feeding
+    // a windowed count — EventStream.hourlyUniquesStream) matches.
+    "s15_hourly_uniques" -> ((s, dir) =>
+      EventStream.hourlyUniques(table(s, dir, "events")))
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors s15: same hour floor, exact distinct-user count, BIGINT.
+    "s15_hourly_uniques" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1""",
     // Mirrors s11: same (ts, event_id) lag ordering, BIGINT counts,
     // round-6 of the identical integer division (the window total is
     // DuckDB HUGEINT but both engines divide the same exact integers

@@ -172,6 +172,14 @@ object TextQueries {
       CorpusStats.sentenceStats(
         table(s, dir, "documents"), "text", "doc_id")),
 
+    // Word BURSTINESS (Church & Gale): cf, df, within-doc rate, and
+    // observed-vs-Poisson df ratio per word — the corpus-linguistics
+    // audit behind TF-IDF's df term: function words spread (ratio ≈ 1),
+    // topical words burst (ratio < 1) (CorpusStats.wordBurstiness).
+    "t32_word_burstiness" -> ((s, dir) =>
+      CorpusStats.wordBurstiness(
+        table(s, dir, "documents"), "doc_id", "text", minCf = 50L)),
+
     // PMI collocation mining: corpus-level top-20 bigrams by pointwise
     // mutual information (min count 5) — multi-word-expression /
     // phrase-vocabulary candidates over the t15 bigram stream
@@ -547,6 +555,27 @@ object TextQueries {
               / CAST(sum(n_docs) OVER (PARTITION BY declared_lang)
                   AS DOUBLE), 6) AS frac
           FROM g""",
+    // Mirrors t32: same tokenizer, exact (word, doc) → word rollup
+    // integers, one round-6 integer-ratio division and one round-6
+    // single-exp Poisson chain in the identical parenthesization.
+    "t32_word_burstiness" ->
+      s"""WITH t AS (SELECT doc_id, $lowToks AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+          wd AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+                 FROM tok GROUP BY 1, 2),
+          a AS (SELECT w, CAST(sum(c) AS BIGINT) AS cf,
+                  CAST(count(*) AS BIGINT) AS df
+                FROM wd GROUP BY 1
+                HAVING sum(c) >= 50),
+          d AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+          SELECT w AS word, cf, df,
+            round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6)
+              AS rate_in_docs,
+            round(CAST(df AS DOUBLE) /
+              (CAST(nd AS DOUBLE) *
+                (1.0 - exp(-CAST(cf AS DOUBLE) / CAST(nd AS DOUBLE)))), 6)
+              AS df_vs_poisson
+          FROM a CROSS JOIN d""",
     // Mirrors t24: same tokenizer, same (count DESC, word ASC) rank cut
     // at 200, ln on exact integer ratios' doubles, the identical normal-
     // equation form; cross-row double sums are the t11 round-6 class.

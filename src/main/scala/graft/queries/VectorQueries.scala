@@ -212,6 +212,21 @@ object VectorQueries {
       }.reduce(_ unionAll _)
     }),
 
+    // IVF probe-COST curve: candidates scanned per (query, nProbe) and
+    // the corpus share — the cost half of the tuning tradeoff whose
+    // recall half is v20; reading the two together picks production
+    // nProbe. Cell-size arithmetic only (Similarity.ivfProbeCost) —
+    // the audit never materializes a candidate row.
+    "v25_ivf_cost_curve" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfProbeCost(e, q, probes = Seq(1, 2, 4, 8),
+        nCentroids = 16, trained = Some(centroids(s, dir, 16)))
+    }),
+
     // Hard-negative mining: per query, the top-10 most-similar vectors
     // with a DIFFERENT label — the contrastive-training negatives picker
     // (Similarity.hardNegatives: v01's exact scorer with the label
@@ -988,7 +1003,42 @@ object VectorQueries {
         FROM a"""
   }
 
+  /** The v25 oracle: the shared centroid-inlining cell CTE, cell sizes
+    * exact int64, probe ranking by the identical (cos DESC, idx ASC)
+    * rule, Σ|cell| minus the own-row hit, one round-6 share division.
+    */
+  private def v25OracleSql(s: SparkSession, dir: String): String = {
+    val cents = centroids(s, dir, 16)
+    val nCells = cents.length
+    s"""${centroidCellCte(cents)},
+        cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS csz
+               FROM cb GROUP BY 1),
+        qr AS (SELECT vec_id AS qid, gs.i AS cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cosl[gs.i] DESC, gs.i ASC) AS rnk
+               FROM base, generate_series(1, $nCells) gs(i)
+               WHERE vec_id < 5),
+        pp AS (SELECT * FROM (VALUES (1), (2), (4), (8)) t(p)),
+        probed AS (SELECT pp.p, qr.qid, qr.cell
+                   FROM pp JOIN qr ON qr.rnk <= pp.p),
+        tot AS (SELECT p, qid, CAST(sum(csz) AS BIGINT) AS t
+                FROM probed JOIN cs USING (cell) GROUP BY 1, 2),
+        selfh AS (SELECT p, qid, CAST(count(*) AS BIGINT) AS sh
+                  FROM probed JOIN cb
+                    ON cb.cell = probed.cell AND cb.id = probed.qid
+                  GROUP BY 1, 2),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cb)
+        SELECT tot.p AS n_probe, tot.qid,
+          tot.t - coalesce(selfh.sh, 0) AS n_candidates,
+          round(CAST(tot.t - coalesce(selfh.sh, 0) AS DOUBLE)
+            / CAST(n.nc AS DOUBLE), 6) AS corpus_share
+        FROM tot
+        LEFT JOIN selfh ON selfh.p = tot.p AND selfh.qid = tot.qid
+        CROSS JOIN n"""
+  }
+
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
+    "v25_ivf_cost_curve" -> (v25OracleSql(_, _)),
     "v24_pq_utilization" -> (v24OracleSql(_, _)),
     "v20_ivf_probe_curve" -> (v20OracleSql(_, _)),
     "v17_ivf_add" -> (v17OracleSql(_, _)),

@@ -92,6 +92,35 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Hourly UNIQUE users (batch form): distinct (hour, user), then one
+    * count per hour — the DAU/HAU KPI. The distinct is a partial-agg'd
+    * shuffle on (hour, user); the closing count rides the same keys.
+    */
+  def hourlyUniques(events: DataFrame): DataFrame =
+    events
+      .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .distinct()
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_users"))
+
+  /** Streaming form of [[hourlyUniques]]: TWO chained stateful operators
+    * — a watermarked `dropDuplicates` on (window, user) whose state the
+    * watermark expires once the hour closes, feeding a windowed count
+    * (the Spark 4 multi-stateful append pipeline). Dedup state holds one
+    * row per (open hour, active user) — bounded by the watermark horizon
+    * × hourly actives, never by stream length; the downstream count
+    * state is one row per open (hour). Append mode emits each hour's
+    * exact unique count once, when the watermark closes it.
+    */
+  def hourlyUniquesStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("hour"), col("n_users"))
+
   /** Stream-static enrichment (batch form): events joined to a STATIC
     * dimension (customer → market segment) and aggregated per
     * (hour, segment). The third join family next to stream-stream

@@ -172,6 +172,10 @@ class PlanSpec extends SparkSessionSpec {
     "q88_seasonality",              // 1-row grand-mean broadcast cross join
     "q89_bootstrap_ci",             // 200-row replicate-axis + 1-row CI broadcasts
     "q91_fano_burstiness",          // 1-row hour-span broadcast cross join
+    "q94_modularity",               // 1-row total-edge-mass broadcast
+    "q99_kmv_overlap",              // ≤k-array sketch-frame self-pairing
+    "v25_ivf_cost_curve",           // 1-row corpus-total broadcast
+    "t32_word_burstiness",          // 1-row document-total broadcast
     "p21_upsampling_caps")          // 1-row source-count broadcast
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {

@@ -158,4 +158,47 @@ class SketchSpec extends SparkSessionSpec {
     }
     assert(est.nonEmpty)
   }
+
+  test("kmvOverlap: below the knee the sketch estimate IS the exact Jaccard") {
+    // union sizes < k ⇒ the bottom-k sketch holds the whole hash set, so
+    // K_k(A∪B) ∩ A ∩ B is exactly the intersection — est == exact
+    val rows = (1L to 30L).map(u => ("a", u)) ++
+      (21L to 50L).map(u => ("b", u)) ++ // |a∩b| = 10, |a∪b| = 50
+      (1L to 5L).map(u => ("c", u + 100))
+    val df = rows.toDF("grp", "uid")
+    val got = graft.ops.Sketches
+      .kmvOverlap(df, keyCol = "uid", groupCol = "grp", k = 64)
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(got.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val (nab, estAb, exAb) = got(("a", "b"))
+    assert(nab === 10L)
+    assert(exAb === 0.2)
+    assert(estAb === exAb)
+    val (nac, estAc, exAc) = got(("a", "c"))
+    assert(nac === 0L && estAc === 0.0 && exAc === 0.0)
+  }
+
+  test("kmvOverlap: above the knee the estimate stays within the k=64 error bound") {
+    val e = table(spark, sfDir, "events")
+    val got = graft.ops.Sketches
+      .kmvOverlap(e, keyCol = "user_id", groupCol = "event_type", k = 64)
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, _, est, exact) =>
+      // k=64 bottom-k Jaccard: σ ≈ sqrt(j(1-j)/k) ≤ 0.0625; 4σ bound
+      assert(math.abs(est - exact) <= 0.25, s"($a,$b) est=$est exact=$exact")
+    }
+  }
+
+  test("kmvOverlap estimate is invariant to partitioning (mergeability)") {
+    val e = table(spark, sfDir, "events")
+    val one = graft.ops.Sketches
+      .kmvOverlap(e.coalesce(1), "user_id", "event_type", k = 32)
+      .collect().map(_.toSeq).toSet
+    val many = graft.ops.Sketches
+      .kmvOverlap(e.repartition(17), "user_id", "event_type", k = 32)
+      .collect().map(_.toSeq).toSet
+    assert(one === many)
+  }
 }

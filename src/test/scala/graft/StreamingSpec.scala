@@ -624,6 +624,65 @@ class StreamingSpec extends SparkSessionSpec {
     assert(sink === Set((2, 1L), (0, 1L)))
   }
 
+  test("streaming hourly uniques (chained dedup→agg) == batch distinct count (s15)") {
+    val events = table(spark, sfDir, "events")
+    val batch = EventStream.hourlyUniques(events)
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+    // two batches: dedup state must bridge the micro-batch boundary
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val agg = EventStream.hourlyUniquesStream(streamDf)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("s15_out").start()
+    mem.addData(b1.toSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq)
+    q.processAllAvailable()
+    // sentinel far past the data's max ts → watermark closes every hour
+    val maxTs = rows.map(_._2.getTime).max
+    mem.addData(Seq((0L, new Timestamp(maxTs + 48L * 3600 * 1000),
+      -1L, "click", 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((0L, new Timestamp(maxTs + 96L * 3600 * 1000),
+      -1L, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("s15_out").collect().map(_.toSeq)
+      .filterNot(_.head.asInstanceOf[Timestamp].getTime > maxTs)
+      .toSet
+    assert(streamed === batch)
+  }
+
+  test("s15 dedup state: same user re-seen within the hour counts once across batches") {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    def t(min: Int) = new Timestamp(3600L * 1000 * 24 + min * 60000L)
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val agg = EventStream.hourlyUniquesStream(streamDf)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("s15_state_out").start()
+    mem.addData(Seq((1L, t(5), 7L, "view", 1.0),
+      (2L, t(10), 8L, "view", 1.0)))
+    q.processAllAvailable()
+    // user 7 again in the SAME hour, later batch → must not recount
+    mem.addData(Seq((3L, t(20), 7L, "click", 1.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((4L, t(60 * 10), 9L, "view", 1.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((5L, t(60 * 20), 9L, "view", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("s15_state_out")
+      .select("hour", "n_users").as[(Timestamp, Long)].collect().toMap
+    assert(out(t(0)) === 2L)
+  }
+
   implicit class Tup3Ops[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
