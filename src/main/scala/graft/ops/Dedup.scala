@@ -91,6 +91,29 @@ object Dedup {
       .select(col("id"), col("rep_id"), col("split"))
   }
 
+  /** Leak-safe K-FOLD assignment for cross-validation: fold keyed on the
+    * exact-dup group's min-id representative (the [[leakSafeSplit]]
+    * rule), so every copy of a text lands in the same fold and no
+    * train-fold/test-fold contamination can occur; the fold itself is
+    * the shared md5 bucket mod k — engine-portable, stable under
+    * repartitioning/appends/re-runs. k must divide 100 so the bucket→
+    * fold map is exactly uniform (the [[Sampling.split]] band algebra).
+    *
+    * Output: (id, rep_id, fold). One fp shuffle + one rep join — the
+    * leakSafeSplit cost shape.
+    */
+  def kFold(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 2 && 100 % k == 0, s"k must divide 100, got $k")
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      fingerprint(col(textCol)).as("fp"))
+    val rep = slim.groupBy("fp").agg(min(col("id")).as("rep_id"))
+    slim.join(rep, "fp")
+      .select(col("id"), col("rep_id"),
+        pmod(Sampling.hashBucket(col("rep_id")), lit(k)).as("fold"))
+  }
+
   /** Time-windowed exact dedup: duplicates only count WITHIN the same
     * time bucket — the at-least-once event-delivery cleaner (retried
     * webhook posts, replayed log segments) and the rolling-ingest analog

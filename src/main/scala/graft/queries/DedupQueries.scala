@@ -287,6 +287,18 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("rep_id"), col("split"))
     }),
 
+    // Leak-safe K-FOLD cross-validation assignment: p11's rep-keyed
+    // co-assignment guarantee generalized from one train/val/test cut
+    // to 5 rotating folds (Dedup.kFold) — same planted dup-pair feed,
+    // so the guarantee is exercised, not vacuous.
+    "p25_kfold_assign" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.unionAll(
+        d.select((-col("doc_id") - 1).as("doc_id"), col("text")))
+      Dedup.kFold(planted, "text", "doc_id", k = 5)
+        .select(col("id").as("doc_id"), col("rep_id"), col("fold"))
+    }),
+
     // LSH parameter-tuning report: candidate count + recall vs exact
     // Jaccard >= 0.5 for three (bands, rows) cuts of one 16-hash md5
     // signature. The mirror feed plants a ~0.6-Jaccard near-dup per doc
@@ -439,6 +451,20 @@ object DedupQueries {
             CASE WHEN bucket < 80 THEN 'train'
                  WHEN bucket < 90 THEN 'val'
                  ELSE 'test' END AS split
+          FROM b""",
+    // Mirrors p25: the p11 fingerprint/rep/bucket replay with the
+    // bucket folded mod 5 instead of banded.
+    "p25_kfold_assign" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT -doc_id - 1, text FROM documents),
+          f AS (SELECT doc_id, $normFp AS fp FROM u),
+          r AS (SELECT doc_id,
+                  min(doc_id) OVER (PARTITION BY fp) AS rep_id FROM f),
+          b AS (SELECT doc_id, rep_id,
+                  CAST(CAST(concat('0x',
+                    substring(md5(CAST(rep_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 AS INT) AS bucket FROM r)
+          SELECT doc_id, rep_id, CAST(bucket % 5 AS INT) AS fold
           FROM b""",
     // Mirrors d12: the shared rounded quality score over the same padded
     // feed ('g' flag = Spark's replace-all), same (quality DESC, length

@@ -1989,6 +1989,88 @@ object Extended {
         table(s, dir, "events"), keyCol = "user_id",
         groupCol = "event_type", k = 64)),
 
+    // STL-lite seasonal DECOMPOSITION of daily revenue: additive
+    // trend (centered 7-day moving average over exact integer cents) +
+    // day-of-week seasonal (mean of the detrended series per dow) +
+    // residual — the classical decomposition behind every "is this dip
+    // seasonal or real" question; q88 scores the seasonal axis alone,
+    // this splits the whole series. Interior days only (full ±3-day
+    // RANGE window). Integer cents ride the windows exactly; detrended
+    // terms are round-6 then DECIMAL-summed (the t11 cross-row
+    // discipline); the day-aggregate frame is dimension-sized by
+    // contract (the q81/q83 family), so its global window is one
+    // bounded task.
+    "q100_stl_decompose" -> ((s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("__cents"))
+        .withColumn("__ed", datediff(col("day").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"))
+      val wR = Window.orderBy(col("__ed")).rangeBetween(-3, 3)
+      val t = daily
+        .withColumn("__s7", sum(col("__cents")).over(wR))
+        .withColumn("__n7", count(lit(1)).over(wR))
+        .filter(col("__n7") === 7)
+        .withColumn("trend",
+          round(col("__s7").cast("double") / 7.0, 6))
+        .withColumn("__detr",
+          round(col("__cents").cast("double") - col("trend"), 6)
+            .cast(DecimalType(18, 6)))
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+      val se = t.groupBy(col("dow"))
+        .agg(round(
+          sum(col("__detr")).cast(DecimalType(38, 6)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("seasonal"))
+      t.join(se, Seq("dow"))
+        .select(col("day"), col("dow"),
+          col("__cents").as("revenue_cents"), col("trend"),
+          col("seasonal"),
+          round(col("__detr").cast("double") - col("seasonal"), 6)
+            .as("residual"))
+    }),
+
+    // UNPIVOT (melt): the q20 segment×priority matrix stacked back to
+    // tidy (segment, bucket, count) rows — the wide→long reshape every
+    // downstream groupBy wants, exercising Spark's native Unpivot node
+    // (the EXPAND-style dual of PIVOT's aggregate).
+    "q101_unpivot_priority" -> ((s, dir) =>
+      queries("q20_pivot_priority")(s, dir)
+        .unpivot(
+          Array(col("c_mktsegment")),
+          Array(col("n_urgent"), col("n_high"), col("n_medium"),
+            col("n_notspec"), col("n_low")),
+          "priority_bucket", "n_orders")),
+
+    // WEIGHTED median: per (returnflag, linestatus), the smallest price
+    // whose cumulative QUANTITY reaches half the total — "the price at
+    // which half the units moved", which a row-median can't answer. The
+    // q73 histogram discipline: the window runs over DISTINCT prices
+    // with pre-summed integer weights (never raw lineitems), and the
+    // pick is the 2·cum ≥ W integer rule — division-free, bit-portable.
+    "q102_weighted_median" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("__p"),
+          col("l_quantity").cast("long").as("__q"))
+      val h = li.groupBy(col("l_returnflag"), col("l_linestatus"),
+          col("__p"))
+        .agg(sum(col("__q")).as("__w"))
+      val wCum = Window
+        .partitionBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("__p").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window
+        .partitionBy(col("l_returnflag"), col("l_linestatus"))
+      h.withColumn("__cum", sum(col("__w")).over(wCum))
+        .withColumn("__tw", sum(col("__w")).over(wAll))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("__w")).as("total_weight"),
+          count(lit(1)).as("n_prices"),
+          min(when(col("__cum") * 2 >= col("__tw"), col("__p")))
+            .as("weighted_median_price"))
+    }),
+
     // Daily bounce rate: sessions opened per calendar day, how many
     // were single-event bounces, and the bounce fraction — the q42
     // session table rolled to the engagement KPI. Integer epoch-day
@@ -2555,6 +2637,87 @@ object Extended {
        LEFT JOIN ex ON ex.ga = pr.ga AND ex.gb = pr.gb
        JOIN n na ON na.g = pr.ga
        JOIN n nb ON nb.g = pr.gb""",
+    // Mirrors q100: same integer-cents day sums, the same ±3-day RANGE
+    // window with the n=7 interior gate, dayofweek+1 (the q88 parity),
+    // round-6 trend/detrended chains with DECIMAL-exact seasonal sums.
+    "q100_stl_decompose" ->
+      """WITH d AS (SELECT
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         d2 AS (SELECT day, cents,
+                  CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT)
+                    AS ed
+                FROM d),
+         t AS (SELECT day, cents,
+                 CAST(sum(cents) OVER w AS BIGINT) AS s7,
+                 CAST(count(*) OVER w AS BIGINT) AS n7
+               FROM d2
+               WINDOW w AS (ORDER BY ed
+                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         f AS (SELECT day, cents,
+                 round(CAST(s7 AS DOUBLE) / 7.0, 6) AS trend,
+                 CAST(round(CAST(cents AS DOUBLE)
+                   - round(CAST(s7 AS DOUBLE) / 7.0, 6), 6)
+                   AS DECIMAL(18,6)) AS detr,
+                 CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+               FROM t WHERE n7 = 7),
+         se AS (SELECT dow,
+                  round(CAST(CAST(sum(detr) AS DECIMAL(38,6)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS seasonal
+                FROM f GROUP BY 1)
+       SELECT f.day, f.dow, f.cents AS revenue_cents, f.trend,
+         se.seasonal,
+         round(CAST(f.detr AS DOUBLE) - se.seasonal, 6) AS residual
+       FROM f JOIN se USING (dow)""",
+    // Mirrors q101: the q20 wide matrix re-stacked — five UNION ALL
+    // legs over the same grouped base, bucket labels = the wide
+    // column names.
+    "q101_unpivot_priority" ->
+      """WITH w AS (SELECT c_mktsegment,
+             count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+             count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+             count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+             count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+               AS n_notspec,
+             count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment)
+       SELECT c_mktsegment, 'n_urgent' AS priority_bucket,
+         CAST(n_urgent AS BIGINT) AS n_orders FROM w
+       UNION ALL SELECT c_mktsegment, 'n_high', CAST(n_high AS BIGINT)
+         FROM w
+       UNION ALL SELECT c_mktsegment, 'n_medium', CAST(n_medium AS BIGINT)
+         FROM w
+       UNION ALL SELECT c_mktsegment, 'n_notspec',
+         CAST(n_notspec AS BIGINT) FROM w
+       UNION ALL SELECT c_mktsegment, 'n_low', CAST(n_low AS BIGINT)
+         FROM w""",
+    // Mirrors q102: same DECIMAL(18,2) price buckets and BIGINT weight
+    // sums, the same per-group cumulative window over distinct prices,
+    // the identical division-free 2·cum ≥ W pick.
+    "q102_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             CAST(l_quantity AS BIGINT) AS q
+           FROM lineitem),
+         h AS (SELECT l_returnflag, l_linestatus, p,
+                 CAST(sum(q) AS BIGINT) AS w
+               FROM li GROUP BY 1, 2, 3),
+         c AS (SELECT l_returnflag, l_linestatus, p, w,
+                 CAST(sum(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(sum(w) OVER (PARTITION BY l_returnflag,
+                   l_linestatus) AS BIGINT) AS tw
+               FROM h)
+       SELECT l_returnflag, l_linestatus,
+         CAST(sum(w) AS BIGINT) AS total_weight,
+         CAST(count(*) AS BIGINT) AS n_prices,
+         min(CASE WHEN cum * 2 >= tw THEN p END) AS weighted_median_price
+       FROM c GROUP BY 1, 2""",
     // Mirrors q93: same DECIMAL-exact spend sums, the same
     // (rev DESC, custkey ASC) tie-broken ntile (both engines hand the
     // remainder to the leading tiles), the same DECIMAL cumsum/total
