@@ -789,6 +789,42 @@ object CorpusStats {
           .as("df_vs_poisson"))
   }
 
+  /** Distributional STYLE similarity between corpus slices: cosine
+    * between per-group word-count vectors — the provenance signal
+    * ("these two sources are the same crawl re-labeled") that catches
+    * what exact/near dedup can't: re-templated or shuffled content with
+    * the same vocabulary profile. Never a dense matrix: Σ cₐ·c_b rides
+    * a vocab-keyed equi-join of the two count streams (a word appearing
+    * in both groups meets exactly once), norms are per-group integer
+    * sums, and the closing chain is two libm sqrt + one division,
+    * round-6. Counts and products stay integer-exact end to end.
+    */
+  def sourceStyleCosine(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val wc = widen(df.select(col(groupCol), col(textCol)))
+      .select(col(groupCol).as("g"),
+        explode(lowerTokens(col(textCol))).as("w"))
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as("c"))
+    val norms = wc.groupBy(col("g"))
+      .agg(sum(col("c") * col("c")).as("__ss"))
+    val dots = wc.select(col("g").as("source_a"), col("w"),
+        col("c").as("__ca"))
+      .join(wc.select(col("g").as("source_b"), col("w"),
+        col("c").as("__cb")), Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("__ca") * col("__cb")).as("dot"))
+    dots
+      .join(norms.select(col("g").as("source_a"), col("__ss").as("__sa")),
+        Seq("source_a"))
+      .join(norms.select(col("g").as("source_b"), col("__ss").as("__sb")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("dot"),
+        round(col("dot").cast("double") /
+          (sqrt(col("__sa").cast("double")) *
+            sqrt(col("__sb").cast("double"))), 6).as("style_cosine"))
+  }
+
   def zipfSlope(
       df: DataFrame, textCol: String, maxRank: Int = 200): DataFrame = {
     require(maxRank >= 2, s"maxRank must be >= 2, got $maxRank")

@@ -140,6 +140,39 @@ object MMQueries {
           round(log2(col("n_bytes").cast("double")) -
             col("__s").cast("double") / col("n_bytes").cast("double"), 6)
             .as("entropy_bits"))
+    }),
+
+    // Caption↔embedding PAIR-COVERAGE audit: the backfill planner of a
+    // multimodal pipeline — per source, how many documents still lack
+    // an embedding row and how many embeddings lost their document
+    // (a full-outer id join; orphans roll up under '__orphan__'). The
+    // planted feed drops every 7th embedding and forges orphans from
+    // every 11th (the d10/p11 discipline), so both defect classes are
+    // exercised, not vacuous.
+    "m11_pair_coverage" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val em = table(s, dir, "embeddings")
+      val e = em.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+        .select(col("vec_id"))
+        .unionAll(em.filter(pmod(col("vec_id"), lit(11)) === 5)
+          .select((col("vec_id") + 1000000L).as("vec_id")))
+      d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+        .select(coalesce(col("source"), lit("__orphan__")).as("source"),
+          col("doc_id"), col("vec_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull,
+            1L).otherwise(0L)).as("n_paired"),
+          sum(when(col("vec_id").isNull, 1L).otherwise(0L))
+            .as("n_missing_embedding"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L))
+            .as("n_orphan_embeddings"))
+        .withColumn("coverage",
+          when(col("n_paired") + col("n_missing_embedding") > 0,
+            round(col("n_paired").cast("double") /
+              (col("n_paired") + col("n_missing_embedding"))
+                .cast("double"), 6)))
     }))
 
   // a def, not a val: the queries map above initializes first, and a
@@ -156,6 +189,34 @@ object MMQueries {
   private val nBytes = "octet_length(encode(text))"
 
   val oracles: Map[String, String] = Map(
+    // Mirrors m11: same planted drop/forge rules, same full-outer id
+    // join with orphan rollup, BIGINT counts, one guarded round-6
+    // coverage division (NULL for the orphan bucket, matching Spark's
+    // unmatched-when null).
+    "m11_pair_coverage" ->
+      """WITH e AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 3
+               UNION ALL
+               SELECT vec_id + 1000000 FROM embeddings
+               WHERE vec_id % 11 = 5),
+         j AS (SELECT coalesce(d.source, '__orphan__') AS source,
+                 d.doc_id, e.vec_id
+               FROM documents d FULL OUTER JOIN e ON d.doc_id = e.vec_id),
+         a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN doc_id IS NOT NULL
+                   AND vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_paired,
+                 CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_missing_embedding,
+                 CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_orphan_embeddings
+               FROM j GROUP BY 1)
+       SELECT source, n_rows, n_paired, n_missing_embedding,
+         n_orphan_embeddings,
+         CASE WHEN n_paired + n_missing_embedding > 0
+              THEN round(CAST(n_paired AS DOUBLE)
+                / CAST(n_paired + n_missing_embedding AS DOUBLE), 6)
+         END AS coverage
+       FROM a""",
     // Mirrors m10: the same hex-pair byte slicing (hex CASE differs per
     // engine but bytes are only GROUP KEYS, never emitted — counts are
     // case-blind), the same round-6 exact-DECIMAL entropy sum as t30.

@@ -125,10 +125,39 @@ object StreamQueries {
     // stateful streaming form (watermark-expired dropDuplicates feeding
     // a windowed count — EventStream.hourlyUniquesStream) matches.
     "s15_hourly_uniques" -> ((s, dir) =>
-      EventStream.hourlyUniques(table(s, dir, "events")))
+      EventStream.hourlyUniques(table(s, dir, "events"))),
+
+    // Native session_window sessions: the dynamic-gap window operator
+    // itself (s02 builds the same sessions by lag+cumsum — the oracle
+    // replays that construction, pinning the native node's merge
+    // semantics). StreamingSpec proves the watermarked state-merge
+    // streaming form matches.
+    "s16_session_windows" -> ((s, dir) =>
+      EventStream.sessionWindows(table(s, dir, "events"), gapMinutes = 30))
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors s16 by replaying the lag+cumsum construction (the s02
+    // oracle) with session_window's boundary rule — windows [t, t+gap)
+    // merge only when they OVERLAP, so a gap of exactly 30min starts a
+    // new session (>= where s02's counter uses >); end = last + gap.
+    "s16_session_windows" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS prev_ts
+           FROM events),
+         s AS (SELECT user_id, ts,
+                 sum(CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC) AS sid
+               FROM g)
+         SELECT user_id, min(ts) AS w_start,
+           max(ts) + INTERVAL 30 MINUTE AS w_end,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, sid""",
     // Mirrors s15: same hour floor, exact distinct-user count, BIGINT.
     "s15_hourly_uniques" ->
       """SELECT date_trunc('hour', ts) AS hour,

@@ -172,6 +172,14 @@ object TextQueries {
       CorpusStats.sentenceStats(
         table(s, dir, "documents"), "text", "doc_id")),
 
+    // Source STYLE similarity: pairwise cosine between per-source
+    // word-count vectors — the provenance/contamination signal that
+    // catches re-labeled crawls exact dedup can't
+    // (CorpusStats.sourceStyleCosine).
+    "t33_source_style_cosine" -> ((s, dir) =>
+      CorpusStats.sourceStyleCosine(
+        table(s, dir, "documents"), "source", "text")),
+
     // Word BURSTINESS (Church & Gale): cf, df, within-doc rate, and
     // observed-vs-Poisson df ratio per word — the corpus-linguistics
     // audit behind TF-IDF's df term: function words spread (ratio ≈ 1),
@@ -555,6 +563,27 @@ object TextQueries {
               / CAST(sum(n_docs) OVER (PARTITION BY declared_lang)
                   AS DOUBLE), 6) AS frac
           FROM g""",
+    // Mirrors t33: same tokenizer, integer count/product/norm sums,
+    // the identical two-sqrt-one-division round-6 epilogue.
+    "t33_source_style_cosine" ->
+      s"""WITH t AS (SELECT source, $lowToks AS toks FROM documents),
+          tok AS (SELECT source AS g, unnest(toks) AS w FROM t),
+          wc AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+                 FROM tok GROUP BY 1, 2),
+          norms AS (SELECT g, CAST(sum(c * c) AS BIGINT) AS ss
+                    FROM wc GROUP BY 1),
+          dots AS (SELECT a.g AS source_a, b.g AS source_b,
+                     CAST(sum(a.c * b.c) AS BIGINT) AS dot
+                   FROM wc a JOIN wc b
+                     ON a.w = b.w AND a.g < b.g
+                   GROUP BY 1, 2)
+          SELECT source_a, source_b, dot,
+            round(CAST(dot AS DOUBLE) /
+              (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))),
+              6) AS style_cosine
+          FROM dots
+          JOIN norms na ON na.g = source_a
+          JOIN norms nb ON nb.g = source_b""",
     // Mirrors t32: same tokenizer, exact (word, doc) → word rollup
     // integers, one round-6 integer-ratio division and one round-6
     // single-exp Poisson chain in the identical parenthesization.

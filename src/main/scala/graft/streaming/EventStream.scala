@@ -121,6 +121,36 @@ object EventStream {
       .agg(count(lit(1)).as("n_users"))
       .select(col("w.start").as("hour"), col("n_users"))
 
+  /** Per-user sessions via Spark's NATIVE `session_window` (batch form):
+    * events within `gapMinutes` of each other merge into one window
+    * whose end is last-event + gap. The same operator [[sessionize]]
+    * builds by hand (lag + cumsum) — registering both pins the native
+    * node's semantics against the explicit construction; the streaming
+    * form ([[sessionWindowsStream]]) is the dynamic-gap state-merge
+    * shape only session_window can express incrementally.
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes")
+        .as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("w_start"),
+        col("sw.end").as("w_end"), col("n_events"))
+
+  /** Streaming form of [[sessionWindows]]: watermarked session windows —
+    * state is one open window per (user, active session), merged as
+    * events arrive and emitted once the watermark passes end+gap.
+    */
+  def sessionWindowsStream(
+      events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes")
+        .as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("w_start"),
+        col("sw.end").as("w_end"), col("n_events"))
+
   /** Stream-static enrichment (batch form): events joined to a STATIC
     * dimension (customer → market segment) and aggregated per
     * (hour, segment). The third join family next to stream-stream

@@ -659,6 +659,41 @@ class StreamingSpec extends SparkSessionSpec {
     assert(streamed === batch)
   }
 
+  test("streaming native session windows == batch session windows (s16)") {
+    val events = table(spark, sfDir, "events")
+    val batch = EventStream.sessionWindows(events, gapMinutes = 30)
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+    // two batches split mid-stream: open sessions must merge across the
+    // micro-batch boundary in the state store
+    val (b1, b2) = rows.sortBy(_._2.getTime).splitAt(rows.length / 2)
+    val agg = EventStream.sessionWindowsStream(streamDf, gapMinutes = 30)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("s16_out").start()
+    mem.addData(b1.toSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq)
+    q.processAllAvailable()
+    val maxTs = rows.map(_._2.getTime).max
+    mem.addData(Seq((0L, new Timestamp(maxTs + 48L * 3600 * 1000),
+      -1L, "click", 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((0L, new Timestamp(maxTs + 96L * 3600 * 1000),
+      -1L, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("s16_out").collect().map(_.toSeq)
+      .filterNot(r => r(0).asInstanceOf[Long] == -1L)
+      .toSet
+    assert(streamed === batch)
+  }
+
   test("s15 dedup state: same user re-seen within the hour counts once across batches") {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
     def t(min: Int) = new Timestamp(3600L * 1000 * 24 + min * 60000L)
