@@ -1922,7 +1922,7 @@ object Extended {
     // cn/jaccard are defined over non-hub pivots by contract. Each AA
     // term is round-6 of one libm ln then summed as exact DECIMAL
     // (the t11 cross-row double-sum discipline); jaccard is one
-    // integer-ratio round-6 division.
+    // integer-ratio round-6 division (ops/LinkPrediction.scala).
     "q97_link_prediction" -> ((s, dir) => {
       val lp = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -1931,32 +1931,8 @@ object Extended {
         .select(col("x.l_partkey").cast("long").as("lo"),
           col("y.l_partkey").cast("long").as("hi"))
         .distinct()
-      val deg = e.select(col("lo").as("v"))
-        .unionAll(e.select(col("hi").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
-      val piv = e.select(col("lo").as("z"), col("hi").as("n"))
-        .unionAll(e.select(col("hi").as("z"), col("lo").as("n")))
-        .join(deg.select(col("v").as("z"), col("d").as("__dz")), Seq("z"))
-        .filter(col("__dz") <= 128)
-      val cand = piv.as("p").join(piv.as("q"), Seq("z"))
-        .filter(col("p.n") < col("q.n"))
-        .select(col("p.n").as("a"), col("q.n").as("b"),
-          round(lit(1.0) / log(col("p.__dz").cast("double")), 6)
-            .cast(DecimalType(18, 6)).as("__aa"))
-      val scored = cand.groupBy("a", "b")
-        .agg(count(lit(1)).as("cn"),
-          sum(col("__aa")).cast(DecimalType(38, 6)).as("__aas"))
-        .filter(col("cn") >= 15)
-      scored
-        .join(e, scored("a") === e("lo") && scored("b") === e("hi"),
-          "left_anti")
-        .join(deg.select(col("v").as("a"), col("d").as("__da")), Seq("a"))
-        .join(deg.select(col("v").as("b"), col("d").as("__db")), Seq("b"))
-        .select(col("a").as("part_a"), col("b").as("part_b"), col("cn"),
-          round(col("cn").cast("double") /
-            (col("__da") + col("__db") - col("cn")).cast("double"), 6)
-            .as("jaccard"),
-          col("__aas").cast("double").as("adamic_adar"))
+      graft.ops.LinkPrediction.neighborScores(
+        e, maxPivotDeg = 128, minCommon = 15)
     }),
 
     // Random-walk CORPUS over the co-order part graph: 3 deterministic

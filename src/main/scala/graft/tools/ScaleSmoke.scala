@@ -127,6 +127,22 @@ object ScaleSmoke {
             col("y.l_partkey").as("dst"))
         graft.ops.Triangles.vertexTriangles(edges)
           .queryExecution.toRdd.count()
+      }, false),
+      // the q97 hub-capped wedge fan-out: disjoint-subgraph scaling
+      // (both ids offset) grows pivots ×factor at constant degree, so
+      // the capped deg² wedge join must stay linear
+      ("link_wedges", () => {
+        val lp = scaled(spark, dir, "lineitem",
+            Seq("l_orderkey", "l_partkey"), factor)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
+          .filter(col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").cast("long").as("lo"),
+            col("y.l_partkey").cast("long").as("hi"))
+          .distinct()
+        graft.ops.LinkPrediction.neighborScores(
+          edges, maxPivotDeg = 128, minCommon = 15)
+          .queryExecution.toRdd.count()
       }, false))
   }
 
