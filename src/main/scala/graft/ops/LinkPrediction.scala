@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -10,33 +11,43 @@ import org.apache.spark.sql.types.DecimalType
   * recommender/graph-completion extension in the q35 wedge-join
   * discipline.
   *
-  * Scale shape: wedges pivot through the shared neighbor z — per-pivot
-  * cost ~deg(z)², never corpus-quadratic — and pivots above
-  * `maxPivotDeg` are EXCLUDED: the standard hub cap (a hub's AA weight
-  * 1/ln(deg) is ≈ noise while its deg² wedge fan-out dominates), which
-  * makes cn/jaccard defined over non-hub pivots by contract. Each AA
-  * term is round-6 of one libm ln summed as exact DECIMAL (the t11
-  * cross-row double-sum discipline); the ScaleSmoke gate times this
-  * shape at two factors (disjoint-subgraph scaling must stay linear).
+  * Scale shape: wedges pivot through the shared neighbor z, whose cost
+  * is Σ deg(z)² — quadratic in degree, the hazard that melts dense
+  * co-occurrence graphs (the sf0.1 co-order graph averages degree ~110;
+  * unbounded wedges cost 40M+ rows and a same-sized groupBy). The
+  * operator therefore scores over each pivot's first-`maxFanout`
+  * neighbors by id — DETERMINISTIC adjacency-list truncation, the
+  * standard neighbor-sampling move of production link predictors
+  * (ids are arbitrary w.r.t. structure, so the sample is uniform-ish
+  * and, critically, reproducible: the SQL oracle replays the same
+  * row_number cut). Per-pivot cost is then ≤ maxFanout², total wedge
+  * rows ≤ |V|·maxFanout²/2 — linear in vertices at fixed cap, which the
+  * ScaleSmoke gate times at two factors. AA weights use the pivot's
+  * FULL degree (hub damping is the estimator's own job); each term is
+  * round-6 of one libm ln summed as exact DECIMAL (the t11 cross-row
+  * double-sum discipline). cn/jaccard are defined over the sampled
+  * wedges by contract.
   */
 object LinkPrediction {
 
   /** edges: undirected (lo, hi), distinct, lo < hi, long-typed.
     * Output: (part_a, part_b, cn, jaccard, adamic_adar) for non-edges
-    * with ≥ minCommon shared non-hub neighbors.
+    * with ≥ minCommon shared sampled neighbors.
     */
   def neighborScores(
-      edges: DataFrame, maxPivotDeg: Int = 128,
-      minCommon: Int = 15): DataFrame = {
-    require(maxPivotDeg >= 2, s"maxPivotDeg must be >= 2, got $maxPivotDeg")
+      edges: DataFrame, maxFanout: Int = 32,
+      minCommon: Int = 12): DataFrame = {
+    require(maxFanout >= 2, s"maxFanout must be >= 2, got $maxFanout")
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
-    val deg = edges.select(col("lo").as("v"))
-      .unionAll(edges.select(col("hi").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
-    val piv = edges.select(col("lo").as("z"), col("hi").as("n"))
+    val both = edges.select(col("lo").as("z"), col("hi").as("n"))
       .unionAll(edges.select(col("hi").as("z"), col("lo").as("n")))
+    val deg = both.groupBy(col("z").as("v")).agg(count(lit(1)).as("d"))
+    val piv = both
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("z")).orderBy(col("n").asc)))
+      .filter(col("__rn") <= maxFanout)
       .join(deg.select(col("v").as("z"), col("d").as("__dz")), Seq("z"))
-      .filter(col("__dz") <= maxPivotDeg)
+      .select(col("z"), col("n"), col("__dz"))
     val cand = piv.as("p").join(piv.as("q"), Seq("z"))
       .filter(col("p.n") < col("q.n"))
       .select(col("p.n").as("a"), col("q.n").as("b"),

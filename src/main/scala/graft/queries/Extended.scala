@@ -1914,15 +1914,13 @@ object Extended {
 
     // LINK PREDICTION over the co-order part graph: for part pairs that
     // are NOT yet co-purchased, the three classic neighborhood scores —
-    // common-neighbor count, Jaccard, Adamic–Adar. Wedges pivot through
-    // the shared neighbor z (the q35 join shape: per-pivot cost ~deg(z)²,
-    // never corpus-quadratic); pivots with deg > 128 are excluded — the
-    // standard hub cap (a hub's AA weight 1/ln(deg) is ~noise while its
-    // deg² wedge fan-out dominates the join), mirrored in the oracle so
-    // cn/jaccard are defined over non-hub pivots by contract. Each AA
-    // term is round-6 of one libm ln then summed as exact DECIMAL
-    // (the t11 cross-row double-sum discipline); jaccard is one
-    // integer-ratio round-6 division (ops/LinkPrediction.scala).
+    // common-neighbor count, Jaccard, Adamic–Adar — over each pivot's
+    // first-32 neighbors by id (deterministic adjacency truncation: the
+    // neighbor-sampling move that keeps Σdeg² wedge cost linear in |V|
+    // on a dense graph, replayed exactly by the oracle's row_number
+    // cut). AA weights use full pivot degree; each term is round-6 of
+    // one libm ln summed as exact DECIMAL (the t11 discipline); jaccard
+    // is one integer-ratio round-6 division (ops/LinkPrediction.scala).
     "q97_link_prediction" -> ((s, dir) => {
       val lp = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -1932,7 +1930,7 @@ object Extended {
           col("y.l_partkey").cast("long").as("hi"))
         .distinct()
       graft.ops.LinkPrediction.neighborScores(
-        e, maxPivotDeg = 128, minCommon = 15)
+        e, maxFanout = 32, minCommon = 12)
     }),
 
     // Random-walk CORPUS over the co-order part graph: 3 deterministic
@@ -2478,9 +2476,10 @@ object Extended {
              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
            AS assortativity
        FROM sums""",
-    // Mirrors q97: same edge set, same deg≤128 pivot cap, each AA term
-    // round-6 of 1/ln(deg z) then DECIMAL-exact summed, same cn≥15
-    // gate, same anti-join against existing edges, one round-6 jaccard.
+    // Mirrors q97: same edge set, the same id-ranked first-32 adjacency
+    // cut, AA terms round-6 of 1/ln(full deg z) DECIMAL-exact summed,
+    // same cn≥12 gate, same anti-join against existing edges, one
+    // round-6 jaccard.
     "q97_link_prediction" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS lo,
@@ -2488,14 +2487,17 @@ object Extended {
                FROM lp x JOIN lp y
                  ON x.l_orderkey = y.l_orderkey
                 AND x.l_partkey < y.l_partkey),
-         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
-                 FROM (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e)
-                 GROUP BY 1),
-         piv AS (SELECT b.z, b.n, deg.d AS dz
-                 FROM (SELECT lo AS z, hi AS n FROM e
-                       UNION ALL SELECT hi, lo FROM e) b
-                 JOIN deg ON deg.v = b.z
-                 WHERE deg.d <= 128),
+         b AS (SELECT lo AS z, hi AS n FROM e
+               UNION ALL SELECT hi, lo FROM e),
+         deg AS (SELECT z AS v, CAST(count(*) AS BIGINT) AS d
+                 FROM b GROUP BY 1),
+         piv AS (SELECT t.z, t.n, deg.d AS dz
+                 FROM (SELECT z, n,
+                         row_number() OVER (PARTITION BY z
+                           ORDER BY n ASC) AS rn
+                       FROM b) t
+                 JOIN deg ON deg.v = t.z
+                 WHERE t.rn <= 32),
          cand AS (SELECT p.n AS a, q.n AS b,
                     CAST(round(1.0 / ln(CAST(p.dz AS DOUBLE)), 6)
                       AS DECIMAL(18,6)) AS aa
@@ -2503,7 +2505,7 @@ object Extended {
                     ON p.z = q.z AND p.n < q.n),
          sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
                   CAST(sum(aa) AS DECIMAL(38,6)) AS aas
-                FROM cand GROUP BY a, b HAVING count(*) >= 15),
+                FROM cand GROUP BY a, b HAVING count(*) >= 12),
          ne AS (SELECT sc.* FROM sc
                 ANTI JOIN e ON sc.a = e.lo AND sc.b = e.hi)
        SELECT ne.a AS part_a, ne.b AS part_b, cn,

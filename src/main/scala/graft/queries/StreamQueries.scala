@@ -133,10 +133,39 @@ object StreamQueries {
     // semantics). StreamingSpec proves the watermarked state-merge
     // streaming form matches.
     "s16_session_windows" -> ((s, dir) =>
-      EventStream.sessionWindows(table(s, dir, "events"), gapMinutes = 30))
+      EventStream.sessionWindows(table(s, dir, "events"), gapMinutes = 30)),
+
+    // Watermark-tuning audit: per event-time hour, the events a 2h
+    // watermark would DROP (arrived > 2h behind the max event time
+    // already seen, in event_id arrival order) — the measured basis for
+    // picking a watermark. Two-level distributed prefix max, never a
+    // global window (streaming/Lateness.scala).
+    "s17_watermark_lateness" -> ((s, dir) =>
+      graft.streaming.Lateness.watermarkLateness(
+        table(s, dir, "events"), horizonSeconds = 7200L))
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors s17 with the plain global prefix max (max is associative,
+    // so Spark's two-level bucket scan is bit-equal); integer micros,
+    // BIGINT counts, one round-6 share division.
+    "s17_watermark_lateness" ->
+      """WITH e AS (SELECT event_id, ts, epoch_us(ts) AS tu FROM events),
+         r AS (SELECT ts, tu,
+                 max(tu) OVER (ORDER BY event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS rm
+               FROM e),
+         h AS (SELECT date_trunc('hour', ts) AS hour,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CASE WHEN rm - tu > 7200000000 THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_would_drop,
+                 CAST(max((rm - tu) // 1000000) AS BIGINT) AS max_lag_s
+               FROM r GROUP BY 1)
+       SELECT hour, n_events, n_would_drop, max_lag_s,
+         round(CAST(n_would_drop AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+           AS drop_share
+       FROM h""",
     // Mirrors s16 by replaying the lag+cumsum construction (the s02
     // oracle) with session_window's boundary rule — windows [t, t+gap)
     // merge only when they OVERLAP, so a gap of exactly 30min starts a

@@ -128,9 +128,9 @@ object ScaleSmoke {
         graft.ops.Triangles.vertexTriangles(edges)
           .queryExecution.toRdd.count()
       }, false),
-      // the q97 hub-capped wedge fan-out: disjoint-subgraph scaling
-      // (both ids offset) grows pivots ×factor at constant degree, so
-      // the capped deg² wedge join must stay linear
+      // the q97 truncated-adjacency wedge fan-out: disjoint-subgraph
+      // scaling (both ids offset) grows pivots ×factor at constant
+      // degree, so the ≤maxFanout² per-pivot wedge join must stay linear
       ("link_wedges", () => {
         val lp = scaled(spark, dir, "lineitem",
             Seq("l_orderkey", "l_partkey"), factor)
@@ -141,7 +141,7 @@ object ScaleSmoke {
             col("y.l_partkey").cast("long").as("hi"))
           .distinct()
         graft.ops.LinkPrediction.neighborScores(
-          edges, maxPivotDeg = 128, minCommon = 15)
+          edges, maxFanout = 32, minCommon = 12)
           .queryExecution.toRdd.count()
       }, false))
   }
