@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic random-walk corpus generation — the DeepWalk/node2vec
@@ -20,16 +19,15 @@ import org.apache.spark.sql.functions._
   * verbatim (the p07 portability argument).
   *
   * Scale shape: walk state is ONE row per active walk — (start, wid,
-  * cur). Each step is two co-partitioned equi-joins keyed on the current
-  * vertex: degree lookup (to reduce the LCG mod deg), then the indexed
-  * adjacency probe on (vertex, rank) — the walk frontier shuffles, the
-  * adjacency fan-out never materializes (the rank equality lands inside
-  * the join condition, not a post-filter). Adjacency ranking is one
-  * per-vertex window whose partition is a vertex's neighbor list —
-  * bounded by max degree, the q35 wedge bound. `steps` is a small fixed
-  * constant, so the loop unrolls into a linear plan with no growing
-  * lineage (no checkpoint needed at 4 steps; localCheckpoint past ~8,
-  * the q30 precedent).
+  * cur). The graph rides a single per-vertex table of id-sorted
+  * neighbor ARRAYS + degree, materialized once; each step is one
+  * equi-join of the walk frontier against it on the current vertex,
+  * with the pick as element_at(neighbors, lcg mod deg) — no per-step
+  * adjacency re-read, no composite-key exchange, and at broadcastable
+  * vertex counts AQE turns every step into a broadcast hash join.
+  * Array row width is bounded by max degree (the q35 wedge bound).
+  * `steps` is a small fixed constant, so the loop unrolls into a
+  * linear plan with no growing lineage.
   */
 object RandomWalks {
 
@@ -45,11 +43,21 @@ object RandomWalks {
     require(steps >= 1 && steps <= 8, s"steps out of the unrolled range: $steps")
     require(walksPerVertex >= 1 && walksPerVertex <= 4,
       s"walksPerVertex out of the key-packing range: $walksPerVertex")
+    // ONE vertex table carries the whole graph for the loop: per-vertex
+    // id-sorted neighbor ARRAYS + degree, materialized once (the q30
+    // iterative-join discipline). Each step is then a single equi-join
+    // of the walk frontier against this table on the current vertex —
+    // no ranked-adjacency re-read per step, no composite-key exchange;
+    // the pick is element_at(neighbors, lcg mod deg). Row width is
+    // bounded by max degree (the q35 wedge bound); at broadcastable
+    // vertex counts AQE turns every step into a broadcast hash join.
     val both = edges.select(col("lo").as("v"), col("hi").as("n"))
       .unionAll(edges.select(col("hi").as("v"), col("lo").as("n")))
-    val adj = both.withColumn("rnk",
-      row_number().over(Window.partitionBy(col("v")).orderBy(col("n").asc)))
-    val deg = both.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val nbrs = both.groupBy(col("v"))
+      .agg(sort_array(collect_list(col("n"))).as("__ns"),
+        count(lit(1)).as("d"))
+      .localCheckpoint()
+    val deg = nbrs.select(col("v"), col("d"))
     // (cur, step, wid) packs into one LCG key: step·4 + wid ≤ 35 under
     // the requires above, so vertex ids shift past 6 low bits (mod 2³¹
     // inside the LCG, so the shift cannot overflow a long).
@@ -59,17 +67,16 @@ object RandomWalks {
     var out = w.select(col("start"), col("wid"),
       lit(0).as("step"), col("cur").as("vertex"))
     for (k <- 1 to steps) {
-      val keyed = w
-        .join(deg.select(col("v").as("cur"), col("d")), Seq("cur"))
+      w = w
+        .join(nbrs.select(col("v").as("cur"), col("__ns"), col("d")),
+          Seq("cur"))
         .withColumn("__idx", pmod(
           Sharding.lcgRank(
             col("cur") * 64 + lit(k * 4).cast("long") + col("wid"), seed),
           col("d")))
-      val a = adj.select(col("v").as("__av"), col("rnk").as("__rnk"),
-        col("n").as("__n"))
-      w = keyed.join(a,
-        keyed("cur") === a("__av") && a("__rnk") === keyed("__idx") + 1)
-        .select(col("start"), col("wid"), col("__n").as("cur"))
+        .select(col("start"), col("wid"),
+          element_at(col("__ns"), (col("__idx") + 1).cast("int"))
+            .as("cur"))
       out = out.unionAll(w.select(col("start"), col("wid"),
         lit(k).as("step"), col("cur").as("vertex")))
     }
