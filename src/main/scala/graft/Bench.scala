@@ -83,9 +83,12 @@ object Bench {
     // The driver's stdout capture has twice head-truncated this line
     // (BASELINE.md:81-83); persist it so the record survives regardless.
     // Path is per-sf (overridable via SPARK_GRAFT_BENCH_OUT) so concurrent
-    // or stale runs at different scales cannot clobber each other's record.
+    // or stale runs at different scales cannot clobber each other's
+    // record; a BENCH_ONLY-filtered run writes a "_only" sidecar so a
+    // targeted adjudication can never overwrite the full-registry record.
+    val suffix = if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "_only" else ""
     val persistPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"/tmp/graft_bench_${new java.io.File(sfDir).getName}.json")
+      s"/tmp/graft_bench_${new java.io.File(sfDir).getName}$suffix.json")
     try {
       val out = new java.io.PrintWriter(persistPath)
       try out.println(line) finally out.close()
