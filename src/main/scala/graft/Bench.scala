@@ -40,10 +40,19 @@ object Bench {
     }
     val warmDir = "/root/testdata/sf0.001"
     val spark = Engine.session(master = s"local[$cpus]")
+    // localCheckpoint blocks (the iterative-graph/walk queries) register
+    // as persistent RDDs and NOTHING evicts them between queries — by
+    // the registry's tail, hundreds of dead blocks crowd the block
+    // manager and inflate later measurements. Drop them off-clock after
+    // every run.
+    def dropDeadBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     if (new java.io.File(warmDir).isDirectory)
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
+        finally dropDeadBlocks()
       }
     def measure(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
@@ -57,6 +66,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
+        finally dropDeadBlocks()
       }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
     val results = selected.map { case (name, fn) =>
