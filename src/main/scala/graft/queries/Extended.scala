@@ -1963,6 +1963,28 @@ object Extended {
         table(s, dir, "events"), keyCol = "user_id",
         groupCol = "event_type", k = 64)),
 
+    // DAU/WAU STICKINESS: per day, distinct actives that day over
+    // distinct actives in the trailing 7 days — the engagement-depth
+    // KPI. The sliding-window DISTINCT never runs as a window: each
+    // (user, active day) covers days [d, d+6] via a bounded ×7 explode,
+    // then one distinct + one partial-agg'd count — linear in user-days
+    // at any scale, the standard trailing-distinct decomposition.
+    "q103_stickiness" -> ((s, dir) => {
+      val ud = table(s, dir, "events")
+        .select(expr("unix_timestamp(ts) div 86400").as("day"),
+          col("user_id"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .withColumn("__cd", explode(sequence(col("day"), col("day") + 6)))
+        .select(col("__cd").as("day"), col("user_id")).distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau7"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau7"),
+          round(col("dau").cast("double") / col("wau7").cast("double"), 6)
+            .as("stickiness"))
+    }),
+
     // STL-lite seasonal DECOMPOSITION of daily revenue: additive
     // trend (centered 7-day moving average over exact integer cents) +
     // day-of-week seasonal (mean of the detrended series per dow) +
@@ -2615,6 +2637,22 @@ object Extended {
        LEFT JOIN ex ON ex.ga = pr.ga AND ex.gb = pr.gb
        JOIN n na ON na.g = pr.ga
        JOIN n nb ON nb.g = pr.gb""",
+    // Mirrors q103: same integer epoch-day floor, the same ×7 coverage
+    // explode + distinct, BIGINT counts, one round-6 division.
+    "q103_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+               user_id
+             FROM events),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                 FROM ud GROUP BY 1),
+         cov AS (SELECT DISTINCT ud.day + g.i AS day, user_id
+                 FROM ud, generate_series(0, 6) g(i)),
+         wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau7
+                 FROM cov GROUP BY 1)
+       SELECT dau.day, dau.dau, wau.wau7,
+         round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau7 AS DOUBLE), 6)
+           AS stickiness
+       FROM dau JOIN wau ON dau.day = wau.day""",
     // Mirrors q100: same integer-cents day sums, the same ±3-day RANGE
     // window with the n=7 interior gate, dayofweek+1 (the q88 parity),
     // round-6 trend/detrended chains with DECIMAL-exact seasonal sums.

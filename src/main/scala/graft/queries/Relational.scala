@@ -100,6 +100,41 @@ object Relational {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q3 (shipping priority, adapted to this schema's columns):
+    // segment-filtered customers ⋈ pre-cutoff orders ⋈ post-cutoff
+    // lineitems, revenue per order, top-10. The canonical multi-join +
+    // agg + top-k pipeline in one plan: both date filters push to the
+    // scans, the dimension side broadcasts, revenue is the exact
+    // DECIMAL chain (cross-engine identical, so the LIMIT cut is
+    // deterministic under the orderkey tie-break), and the top-10 plans
+    // as TakeOrderedAndProject — no global sort.
+    "q104_shipping_priority" -> ((s, dir) => {
+      val cut = lit("1995-03-15").cast("timestamp")
+      val c = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(dec38(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))))
+          .as("__rev"))
+        .orderBy(col("__rev").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"),
+          col("__rev").cast("double").as("revenue"))
+    }),
+
     // Top-k with deterministic tie-break (sort + limit; the reference has
     // no sort operator at all, SURVEY §2.6 — strict superset).
     "q07_top_orders" -> ((s, dir) => {
@@ -197,6 +232,25 @@ object Relational {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name""",
+    // Mirrors q104: same pushed date cuts, the same exact-DECIMAL
+    // revenue chain (so the top-10 cut picks identical rows under the
+    // orderkey tie-break), double only in the closing cast.
+    "q104_shipping_priority" ->
+      """WITH g AS (SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+               (CAST(1 AS DECIMAL(18,6)) -
+                CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
+               AS rev
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+             AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+           GROUP BY 1, 2, 3)
+       SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(rev AS DOUBLE) AS revenue
+       FROM g ORDER BY rev DESC, l_orderkey ASC LIMIT 10""",
     "q07_top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSON-Lines source/sink — the interchange format next to parquet (the
+  * reference engine's values are JS objects; JSONL is their on-disk
+  * lingua franca, and every ingest pipeline meets it at the boundary).
+  * Parquet stays the performance format: JSONL here is for moving data
+  * in and out, schema-checked, not for analytics scans.
+  *
+  * Scale discipline:
+  *  - `read` REQUIRES an explicit schema. Schema inference is a full
+  *    extra pass over the data before the real one — acceptable on a
+  *    laptop, catastrophic at 100 TB — and silently widens types on
+  *    dirty rows. Corrupt lines land in `_corrupt_record` when the
+  *    schema declares it (PERMISSIVE), or fail fast under FAILFAST.
+  *  - Files stay uncompressed (or should use a splittable codec) so one
+  *    shard never becomes one task; JSONL is line-splittable as-is.
+  *  - Timestamps round-trip as ISO-8601 strings at MICROSECOND
+  *    precision (Spark's default JSON timestampFormat silently
+  *    truncates to millis — the format is pinned on both sides);
+  *    binary rides as base64 (JsonlSpec pins the round-trip).
+  */
+object Jsonl {
+
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** Write `df` as line-delimited JSON under `path` (one file per
+    * partition — pass `repartition` upstream to control shard count).
+    */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("timestampFormat", TsFormat)
+      .json(path)
+
+  /** Read line-delimited JSON with a REQUIRED schema (see scaladoc);
+    * `failFast = true` turns dirty lines into job failures instead of
+    * nulls.
+    */
+  def read(
+      spark: SparkSession, path: String, schema: StructType,
+      failFast: Boolean = false): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("timestampFormat", TsFormat)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .json(path)
+}
