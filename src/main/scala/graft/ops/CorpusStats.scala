@@ -509,6 +509,57 @@ object CorpusStats {
             col("n_sentences").cast("double")), 6))
   }
 
+  /** Extractive SUMMARY scoring: per document, the most salient sentence
+    * by mean token IDF — the summarization/centrality primitive of a
+    * curation pipeline (pick the sentence that carries the document's
+    * least-generic vocabulary). Sentences by the [[sentenceStats]]
+    * terminator-run rule (blank segments dropped, position preserved);
+    * IDF = round-6 of ln((N+1)/(df+1)) joined vocab-keyed; per-sentence
+    * mean over exact DECIMAL term sums (the t11 discipline); winner by
+    * (salience DESC, position ASC) — fully engine-portable. The doc
+    * total N rides a 1-row broadcast into the vocab-sized IDF frame
+    * (t16 discipline, NLJ-allowlisted).
+    *
+    * Output: (doc_id, best_sentence, n_tokens, salience); documents with
+    * zero non-blank sentences emit nothing.
+    */
+  def extractiveSummary(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = widen(df.select(col(idCol).as("__id"),
+      lower(col(textCol)).as("__t")))
+    val sents = base.select(col("__id"),
+      posexplode(filter(split(col("__t"), "[.!?]+"),
+        s => regexp_replace(s, WhitespaceRegex, "") =!= "")))
+      .select(col("__id"), col("pos").as("sidx"), col("col").as("__s"))
+    val stoks = sents.select(col("__id"), col("sidx"),
+      explode(filter(split(col("__s"), WhitespaceRegex),
+        t => t =!= "")).as("w"))
+    val dfreq = stoks.select(col("__id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("__df"))
+    val n = base.agg(count(lit(1)).as("__N"))
+    val idf = dfreq.crossJoin(broadcast(n))
+      .select(col("w"),
+        round(log((col("__N").cast("double") + 1.0) /
+          (col("__df").cast("double") + 1.0)), 6)
+          .cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 6)).as("__idf"))
+    val scored = stoks.join(idf, Seq("w"))
+      .groupBy(col("__id"), col("sidx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__idf")).cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 6)).as("__sum"))
+      .withColumn("salience",
+        round(col("__sum").cast("double") /
+          col("n_tokens").cast("double"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("salience").desc, col("sidx").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as("doc_id"), col("sidx").as("best_sentence"),
+        col("n_tokens"), col("salience"))
+  }
+
   def bm25(
       df: DataFrame, textCol: String, idCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -172,6 +172,14 @@ object TextQueries {
       CorpusStats.sentenceStats(
         table(s, dir, "documents"), "text", "doc_id")),
 
+    // Extractive summary scoring: per document, the most salient
+    // sentence by mean token IDF — the pick-the-least-generic-sentence
+    // primitive of summarization/centrality pipelines
+    // (CorpusStats.extractiveSummary).
+    "t34_extractive_summary" -> ((s, dir) =>
+      CorpusStats.extractiveSummary(
+        table(s, dir, "documents"), "text", "doc_id")),
+
     // Source STYLE similarity: pairwise cosine between per-source
     // word-count vectors — the provenance/contamination signal that
     // catches re-labeled crawls exact dedup can't
@@ -563,6 +571,45 @@ object TextQueries {
               / CAST(sum(n_docs) OVER (PARTITION BY declared_lang)
                   AS DOUBLE), 6) AS frac
           FROM g""",
+    // Mirrors t34: same terminator-run sentence split (blank segments
+    // dropped BEFORE indexing; generate_subscripts − 1 == posexplode),
+    // same round-6 single-ln IDF terms DECIMAL-summed, same
+    // (salience DESC, idx ASC) winner.
+    "t34_extractive_summary" ->
+      s"""WITH base AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[.!?]+'),
+               s -> regexp_replace(s, '[ \t\n\u000B\f\r]+', '', 'g')
+                 <> '') AS sents
+           FROM documents),
+          sent AS (SELECT doc_id,
+              unnest(sents) AS s,
+              generate_subscripts(sents, 1) - 1 AS sidx
+            FROM base),
+          tok AS (SELECT doc_id, sidx, unnest(list_filter(
+              string_split_regex(s, '[ \t\n\u000B\f\r]+'),
+              t -> t <> '')) AS w
+            FROM sent),
+          dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+                    FROM (SELECT DISTINCT doc_id, w FROM tok)
+                    GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM base),
+          idf AS (SELECT w, CAST(round(ln((CAST(nd AS DOUBLE) + 1.0) /
+                    (CAST(df AS DOUBLE) + 1.0)), 6) AS DECIMAL(18,6))
+                    AS idf
+                  FROM dfreq CROSS JOIN n),
+          sc AS (SELECT doc_id, sidx,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(CAST(CAST(sum(idf) AS DECIMAL(38,6)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS salience
+                 FROM tok JOIN idf USING (w)
+                 GROUP BY 1, 2),
+          r AS (SELECT doc_id, sidx, n_tokens, salience,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY salience DESC, sidx ASC) AS rn
+                FROM sc)
+       SELECT doc_id, CAST(sidx AS INTEGER) AS best_sentence,
+         n_tokens, salience
+       FROM r WHERE rn = 1""",
     // Mirrors t33: same tokenizer, integer count/product/norm sums,
     // the identical two-sqrt-one-division round-6 epilogue.
     "t33_source_style_cosine" ->

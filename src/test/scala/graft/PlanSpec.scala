@@ -176,6 +176,7 @@ class PlanSpec extends SparkSessionSpec {
     "q99_kmv_overlap",              // ≤k-array sketch-frame self-pairing
     "v25_ivf_cost_curve",           // 1-row corpus-total broadcast
     "t32_word_burstiness",          // 1-row document-total broadcast
+    "t34_extractive_summary",       // 1-row doc-total × vocab IDF frame
     "p21_upsampling_caps")          // 1-row source-count broadcast
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
