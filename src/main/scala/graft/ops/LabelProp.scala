@@ -40,7 +40,8 @@ object LabelProp {
     */
   def propagate(
       edges: DataFrame, rounds: Int,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      broadcastMaxVertices: Long = 2000000L): DataFrame = {
     require(rounds >= 1, "LPA needs at least one round")
     val e = edges
       .select(col(srcCol).cast("long").as("a"),
@@ -56,9 +57,16 @@ object LabelProp {
     var labels = adj.select(col("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint()
+    // the q30 regime gate, decided ONCE off the already-materialized
+    // checkpoint (bounded driver action): below the gate the |V|-sized
+    // label table broadcasts into each round and the edge table never
+    // re-exchanges; above it the rounds fall back to the co-partitioned
+    // shuffle join (the billions-of-vertices path).
+    val bcastLabels = labels.count() <= broadcastMaxVertices
     for (_ <- 1 to rounds) {
+      val lbl = labels.select(col("v").as("n"), col("label"))
       labels = adj
-        .join(labels.select(col("v").as("n"), col("label")), Seq("n"))
+        .join(if (bcastLabels) broadcast(lbl) else lbl, Seq("n"))
         .groupBy(col("v"), col("label"))
         .agg(count(lit(1)).as("__c"))
         .groupBy(col("v"))
