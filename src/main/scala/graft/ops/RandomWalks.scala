@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * pre-training-data step: fixed-length walks from every vertex whose
   * token sequences feed a skip-gram embedding trainer. The reference has
   * no graph surface (its MR pipeline stops at word count —
-  * `/root/reference/distribution/all.js`); this is the training-data
+  * `/root/reference/distribution/all/all.js`); this is the training-data
   * extension the brief names, built in the q30/q78 iterative-join
   * discipline.
   *

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * output.
   *
   * Reference analog: the `store` KV layer's content-addressed puts
-  * (`distribution/all/distribution.js:29-34` route by hashed key) make
+  * (`distribution.js:29-34` route by hashed key) make
   * re-put-everything the only refresh path; a declarative snapshot diff
   * is what that workflow needs at scale.
   */

@@ -19,7 +19,7 @@ import sys
 REF = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/root/reference")
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
-CITE = re.compile(r"[A-Za-z0-9_./-]*\.(?:js|md)(?::\d+(?:-\d+)?)?")
+CITE = re.compile(r"[A-Za-z0-9_./-]*\.(?:js|md)(?![A-Za-z0-9])(?::\d+(?:-\d+)?)?")
 # Non-citation tokens that happen to match the pattern (our own files, the
 # driver's output artifacts, bare basenames used as prose shorthand for a
 # file already cited in full nearby).
