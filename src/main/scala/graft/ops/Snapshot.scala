@@ -50,4 +50,33 @@ object Snapshot {
       .filter(col("op").isNotNull)
       .select(col(keyCol), col("op"))
   }
+
+  /** The APPLY direction of [[diff]] — MERGE a changelog into a base
+    * snapshot (the Delta-style `MERGE INTO`, expressed on plain keyed
+    * tables): changes carry (key, payload, op ∈ {U, D}, seq); the
+    * LATEST change per key wins (seq DESC, the CDC last-write-wins
+    * rule), a winning `U` upserts its payload, a winning `D` removes
+    * the key, untouched base rows pass through.
+    *
+    * Scale shape: the per-key winner is one partially-bounded window
+    * over the CHANGELOG only (delta-sized, never the base); the base
+    * meets the winner set in a single key-partitioned anti join, and
+    * the upserts union in by name. O(base) scan + O(delta log delta)
+    * — the base never sorts, never shuffles wider than its key.
+    */
+  def applyChangelog(
+      base: DataFrame, changes: DataFrame, keyCol: String,
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val untouched = base.join(
+      latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+    untouched.unionByName(
+      latest.filter(col(opCol) === "U").drop(opCol, seqCol))
+  }
 }

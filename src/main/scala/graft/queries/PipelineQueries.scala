@@ -326,6 +326,32 @@ object PipelineQueries {
     // revised (updates), and a planted insert feed in the disjoint
     // negative-id space (the d10 idiom). Only (key, md5 digest) rides
     // the one full-outer shuffle; unchanged rows never materialize.
+    // CDC APPLY — the merge direction p12's diff extracts: a planted
+    // changelog (updates, deletes, a seq-ordered update-then-delete
+    // conflict, and new-key inserts) merged into the documents base
+    // under last-write-wins (Snapshot.applyChangelog). The base never
+    // sorts or re-shuffles past its key; the winner window runs over
+    // the delta only.
+    "p26_cdc_apply" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val ch = d.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"), col("lang"),
+          lit("U").as("op"), lit(1L).as("seq"))
+        .unionAll(d.filter(pmod(col("doc_id"), lit(19)) === 0)
+          .select(col("doc_id"), lit(null).cast("string"),
+            lit(null).cast("string"), lit("D"), lit(2L)))
+        .unionAll(d.filter(pmod(col("doc_id"), lit(26)) === 0)
+          .select(col("doc_id"), lit(null).cast("string"),
+            lit(null).cast("string"), lit("D"), lit(3L)))
+        .unionAll(d.filter(pmod(col("doc_id"), lit(23)) === 0)
+          .select((-col("doc_id") - 1).as("doc_id"),
+            concat(col("text"), lit(" new")), col("lang"),
+            lit("U"), lit(1L)))
+      graft.ops.Snapshot.applyChangelog(d, ch, "doc_id")
+    }),
+
     "p12_snapshot_cdc" -> ((s, dir) => {
       val d = table(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
@@ -576,6 +602,33 @@ object PipelineQueries {
     },
     // Mirrors p12: same refresh derivation, same chr(1)-joined md5
     // digest, full outer join on the key, same three-way op verdict.
+    // Mirrors p26: identical planted changelog, the same seq-DESC
+    // last-write-wins winner per key, anti join + U-upsert union.
+    "p26_cdc_apply" ->
+      """WITH ch AS (
+           SELECT doc_id, text || ' v2' AS text, lang,
+             'U' AS op, CAST(1 AS BIGINT) AS seq
+           FROM documents WHERE doc_id % 13 = 0
+           UNION ALL
+           SELECT doc_id, NULL, NULL, 'D', 2
+           FROM documents WHERE doc_id % 19 = 0
+           UNION ALL
+           SELECT doc_id, NULL, NULL, 'D', 3
+           FROM documents WHERE doc_id % 26 = 0
+           UNION ALL
+           SELECT -doc_id - 1, text || ' new', lang, 'U', 1
+           FROM documents WHERE doc_id % 23 = 0),
+         w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY seq DESC) AS rn
+               FROM ch),
+         latest AS (SELECT doc_id, text, lang, op FROM w WHERE rn = 1),
+         untouched AS (SELECT d.doc_id, d.text, d.lang
+                       FROM documents d
+                       ANTI JOIN latest l ON d.doc_id = l.doc_id)
+       SELECT doc_id, text, lang FROM untouched
+       UNION ALL
+       SELECT doc_id, text, lang FROM latest WHERE op = 'U'""",
+
     "p12_snapshot_cdc" ->
       """WITH o AS (SELECT doc_id,
               md5(concat_ws(chr(1), text, lang)) AS fp FROM documents),

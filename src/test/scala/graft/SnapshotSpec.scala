@@ -57,4 +57,31 @@ class SnapshotSpec extends SparkSessionSpec {
         s"join input still carries payload columns: $fields")
     }
   }
+
+  test("applyChangelog: upsert, delete, last-write-wins conflict, passthrough") {
+    import spark.implicits._
+    val base = snap((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"))
+    val ch = Seq(
+      (2L, "b2", "en", "U", 1L),  // update
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String], "D", 1L), // delete
+      (4L, "d", "fr", "U", 1L),   // insert
+      (5L, "e", "en", "U", 1L),   // insert...
+      (5L, null.asInstanceOf[String], null.asInstanceOf[String], "D", 2L)) // ...then deleted: D wins
+      .toDF("id", "text", "lang", "op", "seq")
+    val got = Snapshot.applyChangelog(base, ch, "id")
+      .as[(Long, String, String)].collect().toSet
+    assert(got === Set((1L, "a", "en"), (2L, "b2", "en"), (4L, "d", "fr")))
+  }
+
+  test("applyChangelog then diff round-trip: the delta reproduces the changelog's effect") {
+    val base = snap((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"))
+    import spark.implicits._
+    val ch = Seq((2L, "b2", "en", "U", 1L),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String], "D", 1L))
+      .toDF("id", "text", "lang", "op", "seq")
+    val merged = Snapshot.applyChangelog(base, ch, "id")
+    val delta = Snapshot.diff(base, merged, "id", Seq("text", "lang"))
+      .as[(Long, String)].collect().toMap
+    assert(delta === Map(2L -> "update", 3L -> "delete"))
+  }
 }
