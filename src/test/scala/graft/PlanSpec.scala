@@ -52,6 +52,16 @@ class PlanSpec extends SparkSessionSpec {
       l.contains("cosine_sim") && l.trim.startsWith("+- *(")))
   }
 
+  test("q104: all three filters push to their scans; top-10 is TakeOrdered") {
+    val p = plan("q104_shipping_priority")
+    assert(p.contains("GreaterThan(l_shipdate"))
+    assert(p.contains("LessThan(o_orderdate"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("TakeOrderedAndProject"))
+    // lineitem scan must prune to the 4 needed columns
+    assert(!p.contains("l_quantity"))
+  }
+
   test("q14: banded range join plans as a shuffled equi-join, not NLJ") {
     val p = plan("q14_price_band_join")
     assert(!p.contains("BroadcastNestedLoopJoin"))
