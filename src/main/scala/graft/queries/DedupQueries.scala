@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine.table
-import graft.ops.{CorpusStats, Dedup}
+import graft.ops.{CorpusStats, Dedup, Similarity}
 
 /** Dedup query surface.
   *
@@ -287,6 +287,44 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("rep_id"), col("split"))
     }),
 
+    // PARAPHRASE candidates — the cross-modal audit exact dedup cannot
+    // do: embedding-near pairs (hyperplane-blocked cosine ≥ 0.99) whose
+    // TEXT fingerprints DIFFER — same meaning, different words, the set
+    // a curation pipeline sends to semantic review. Planted feed (the
+    // d10/p11 discipline): every 5th vector mirrored at exactly ×2
+    // magnitude with a " (mirror)" text variant (cosine 1, fp differs →
+    // must surface), every 7th mirrored verbatim (fp equal → must be
+    // filtered as an exact dup, not a paraphrase).
+    "d20_paraphrase_candidates" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val corpus = emb
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .unionAll(emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+          .select((col("vec_id") + 1000000000000L).as("id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("vec")))
+        .unionAll(emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+          .select((col("vec_id") + 2000000000000L).as("id"),
+            col("embedding").as("vec")))
+      val pairs = Similarity.cosineNearDupPairs(corpus, threshold = 0.99)
+      val d = table(s, dir, "documents")
+      import graft.functions.TextFunctions.fingerprint
+      val fps = d.select(col("doc_id").as("id"),
+          fingerprint(col("text")).as("fp"))
+        .unionAll(d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 1000000000000L).as("id"),
+            fingerprint(concat(col("text"), lit(" (mirror)"))).as("fp")))
+        .unionAll(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 2000000000000L).as("id"),
+            fingerprint(col("text")).as("fp")))
+      pairs
+        .join(fps.select(col("id").as("id_a"), col("fp").as("__fa")),
+          Seq("id_a"))
+        .join(fps.select(col("id").as("id_b"), col("fp").as("__fb")),
+          Seq("id_b"))
+        .filter(col("__fa") =!= col("__fb"))
+        .select(col("id_a"), col("id_b"), col("sim"))
+    }),
+
     // Leak-safe K-FOLD cross-validation assignment: p11's rep-keyed
     // co-assignment guarantee generalized from one train/val/test cut
     // to 5 rotating folds (Dedup.kFold) — same planted dup-pair feed,
@@ -452,6 +490,43 @@ object DedupQueries {
                  WHEN bucket < 90 THEN 'val'
                  ELSE 'test' END AS split
           FROM b""",
+    // Mirrors d20: identical planted corpus (×2 float scaling is an
+    // exact exponent bump, so directions — and the blocked pair set —
+    // are identical), FULL pairwise ≥ 0.99 (identical-direction mirrors
+    // always share their hyperplane bucket, so blocking misses nothing:
+    // the v03 equality argument), same mirrored fingerprints, same
+    // fp-differs filter.
+    "d20_paraphrase_candidates" ->
+      s"""WITH c AS (
+            SELECT vec_id AS id, embedding AS vec FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000000000,
+              list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+            FROM embeddings WHERE vec_id % 5 = 0
+            UNION ALL
+            SELECT vec_id + 2000000000000, embedding
+            FROM embeddings WHERE vec_id % 7 = 0),
+          p AS (SELECT a.id AS id_a, b.id AS id_b,
+                  round(list_cosine_similarity(
+                    a.vec::DOUBLE[], b.vec::DOUBLE[]), 6) AS sim
+                FROM c a JOIN c b ON a.id < b.id
+                WHERE list_cosine_similarity(
+                  a.vec::DOUBLE[], b.vec::DOUBLE[]) >= 0.99),
+          f AS (
+            SELECT doc_id AS id, $normFp AS fp FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000000000,
+              md5(trim(regexp_replace(lower(text || ' (mirror)'),
+                '[ \t\n\u000B\f\r]+', ' ', 'g')))
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 2000000000000, $normFp
+            FROM documents WHERE doc_id % 7 = 0)
+        SELECT p.id_a, p.id_b, p.sim
+        FROM p
+        JOIN f fa ON fa.id = p.id_a
+        JOIN f fb ON fb.id = p.id_b
+        WHERE fa.fp <> fb.fp""",
     // Mirrors p25: the p11 fingerprint/rep/bucket replay with the
     // bucket folded mod 5 instead of banded.
     "p25_kfold_assign" ->
