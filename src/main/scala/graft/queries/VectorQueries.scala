@@ -227,6 +227,22 @@ object VectorQueries {
         nCentroids = 16, trained = Some(centroids(s, dir, 16)))
     }),
 
+    // IVF DELETE maintenance: search over the index with every 9th
+    // vector tombstoned — the FAISS remove_ids reality: deletes prune
+    // the candidate set (an id anti-join BEFORE cell assignment ships
+    // anything), the shared centroids never retrain, and no removed id
+    // may surface. Complements v17's incremental ADD.
+    "v26_ivf_delete" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val live = e.filter(pmod(col("id"), lit(9)) =!= 0)
+      val q = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(live, q, k = 10, nCentroids = 16, nProbe = 4,
+        trained = Some(centroids(s, dir, 16)))
+    }),
+
     // Hard-negative mining: per query, the top-10 most-similar vectors
     // with a DIFFERENT label — the contrastive-training negatives picker
     // (Similarity.hardNegatives: v01's exact scorer with the label
@@ -615,7 +631,9 @@ object VectorQueries {
   /** [[v04OracleSql]] generalized over the probe count — one body serves
     * v04 (6 probes) and every leg of the v20 probe-recall curve.
     */
-  private def ivfOracleSql(s: SparkSession, dir: String, nProbe: Int): String = {
+  private def ivfOracleSql(
+      s: SparkSession, dir: String, nProbe: Int,
+      corpusWhere: String = ""): String = {
     val cents = centroids(s, dir, 16)
     val nCells = cents.length
     val probes = math.min(nProbe, nCells)
@@ -629,7 +647,8 @@ object VectorQueries {
         scored AS (
           SELECT qp.qid, cb.id AS neighbor_id,
             list_cosine_similarity(cb.vec::DOUBLE[], qp.qvec::DOUBLE[]) AS sim
-          FROM cb JOIN qp ON cb.cell = qp.cell AND cb.id <> qp.qid),
+          FROM cb JOIN qp ON cb.cell = qp.cell AND cb.id <> qp.qid
+          $corpusWhere),
         ranked AS (
           SELECT qid, neighbor_id, sim,
             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
@@ -1038,6 +1057,11 @@ object VectorQueries {
   }
 
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
+    // v26: the v04 oracle body with the tombstone filter on the
+    // CANDIDATE side only (queries still come from the full table).
+    "v26_ivf_delete" -> ((s: SparkSession, dir: String) =>
+      ivfOracleSql(s, dir, nProbe = 4,
+        corpusWhere = "WHERE cb.id % 9 <> 0")),
     "v25_ivf_cost_curve" -> (v25OracleSql(_, _)),
     "v24_pq_utilization" -> (v24OracleSql(_, _)),
     "v20_ivf_probe_curve" -> (v20OracleSql(_, _)),
