@@ -258,6 +258,34 @@ object PipelineQueries {
             .as("quota_tokens"))
     }),
 
+    // Temperature-mixture SWEEP — p17's single sqrt point widened to the
+    // tuning curve τ ∈ {0.25, 0.5, 0.75, 1.0} (the d19/v20 curve
+    // discipline): how much each temperature flattens the language mix.
+    // Only sqrt COMPOSITIONS appear (x^.25 = √√x, x^.75 = √x·√√x) —
+    // sqrt is correctly rounded in every engine where pow(x, τ) is not,
+    // so every leg stays bit-portable; per-leg normalizers are the p17
+    // ordered fold on a 1-row broadcast.
+    "p27_temperature_curve" -> ((s, dir) => {
+      val g = table(s, dir, "documents")
+        .select(col("lang"), tokenCount(col("text")).cast("long").as("__nt"))
+        .groupBy(col("lang")).agg(sum(col("__nt")).as("n_tokens"))
+      val x = col("n_tokens").cast("double")
+      val taus: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        ("0.25", sqrt(sqrt(x))),
+        ("0.50", sqrt(x)),
+        ("0.75", sqrt(x) * sqrt(sqrt(x))),
+        ("1.00", x))
+      taus.map { case (t, wc) =>
+        val gw = g.withColumn("w", wc)
+        val tot = gw.agg(aggregate(
+          sort_array(collect_list(struct(col("lang"), col("w")))),
+          lit(0.0), (acc, r) => acc + r("w")).as("__tot"))
+        gw.crossJoin(broadcast(tot))
+          .select(lit(t).as("tau"), col("lang"), col("n_tokens"),
+            round(col("w") / col("__tot"), 6).as("share"))
+      }.reduce(_ unionAll _)
+    }),
+
     // Length-bucketed batch plan: docs binned to power-of-two token
     // capacities (16..2048, longer docs truncate to the 2048 cap), and
     // per bucket the padding economics a sequence-packing trainer needs:
@@ -577,6 +605,25 @@ object PipelineQueries {
             CAST(floor(CAST(100000 AS DOUBLE) * (w / t.tot)) AS BIGINT)
               AS quota_tokens
           FROM w CROSS JOIN t"""
+    },
+    // Mirrors p27: the p17 fold per temperature leg, weights as the
+    // identical sqrt compositions, four UNION ALL legs.
+    "p27_temperature_curve" -> {
+      import TextQueries.nTokens
+      def leg(tau: String, w: String) =
+        s"""SELECT '$tau' AS tau, lang, n_tokens,
+              round(w / (SELECT list_reduce(list(w ORDER BY lang),
+                (a, b) -> a + b) FROM
+                (SELECT lang, $w AS w FROM d)), 6) AS share
+            FROM (SELECT lang, n_tokens, $w AS w FROM d)"""
+      val x = "CAST(n_tokens AS DOUBLE)"
+      s"""WITH d AS (SELECT lang,
+              CAST(sum(CAST($nTokens AS BIGINT)) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang)
+          ${leg("0.25", s"sqrt(sqrt($x))")}
+          UNION ALL ${leg("0.50", s"sqrt($x)")}
+          UNION ALL ${leg("0.75", s"sqrt($x) * sqrt(sqrt($x))")}
+          UNION ALL ${leg("1.00", x)}"""
     },
     // Mirrors p15: same power-of-two CASE ladder, same least(nt, cap)
     // truncation, integer // batch count, round-6 padding ratio over

@@ -167,6 +167,7 @@ class PlanSpec extends SparkSessionSpec {
     "q46_mergeable_stats",          // 1-row (scalar stats × KMV) joins
     "q54_market_basket",            // 1-row order-count cross join
     "p17_temperature_mixture",      // 1-row weight-normalizer cross join
+    "p27_temperature_curve",        // p17's normalizer per τ leg
     "v15_mmr_rerank",               // query set broadcast (v01 shape)
     "v16_ann_hamming",              // query CODES broadcast vs corpus codes
     "v19_ann_matryoshka",           // coarse prefix pass: v01 shape on a slice
