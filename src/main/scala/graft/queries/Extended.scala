@@ -1985,6 +1985,30 @@ object Extended {
             .as("stickiness"))
     }),
 
+    // NEW vs RETURNING daily actives — the acquisition/retention split
+    // of every growth dashboard: per day, users whose FIRST-ever
+    // activity is that day vs users seen before. First-activity day is
+    // one user-keyed min (partial-agg'd); the daily split is one more
+    // bounded groupBy — no window ever touches the event stream.
+    "q106_new_vs_returning" -> ((s, dir) => {
+      val ud = table(s, dir, "events")
+        .select(expr("unix_timestamp(ts) div 86400").as("day"),
+          col("user_id"))
+        .distinct()
+      val first = ud.groupBy(col("user_id"))
+        .agg(min(col("day")).as("__first"))
+      ud.join(first, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(
+          sum(when(col("day") === col("__first"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("day") =!= col("__first"), 1L).otherwise(0L))
+            .as("n_returning"))
+        .withColumn("returning_share",
+          round(col("n_returning").cast("double") /
+            (col("n_new") + col("n_returning")).cast("double"), 6))
+    }),
+
     // STL-lite seasonal DECOMPOSITION of daily revenue: additive
     // trend (centered 7-day moving average over exact integer cents) +
     // day-of-week seasonal (mean of the detrended series per dow) +
@@ -2637,6 +2661,23 @@ object Extended {
        LEFT JOIN ex ON ex.ga = pr.ga AND ex.gb = pr.gb
        JOIN n na ON na.g = pr.ga
        JOIN n nb ON nb.g = pr.gb""",
+    // Mirrors q106: same epoch-day floor, user-keyed min first day,
+    // BIGINT split counts, one round-6 share.
+    "q106_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+               user_id
+             FROM events),
+         f AS (SELECT user_id, min(day) AS fd FROM ud GROUP BY 1),
+         g AS (SELECT day,
+                 CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_new,
+                 CAST(sum(CASE WHEN day <> fd THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_returning
+               FROM ud JOIN f USING (user_id) GROUP BY 1)
+       SELECT day, n_new, n_returning,
+         round(CAST(n_returning AS DOUBLE)
+           / CAST(n_new + n_returning AS DOUBLE), 6) AS returning_share
+       FROM g""",
     // Mirrors q103: same integer epoch-day floor, the same ×7 coverage
     // explode + distinct, BIGINT counts, one round-6 division.
     "q103_stickiness" ->
