@@ -1985,6 +1985,36 @@ object Extended {
             .as("stickiness"))
     }),
 
+    // Per-brand DISCOUNT ELASTICITY: grouped OLS of quantity on
+    // discount — does discounting move volume, and for which brands?
+    // The q90 normal-equation discipline grouped: all five sums are
+    // DECIMAL-exact (discount ≤ 6dp, products ≤ 12dp), one fixed
+    // double epilogue per brand, dimension joined by broadcast.
+    "q107_discount_elasticity" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          col("l_discount").cast(DecimalType(18, 6)).as("__x"),
+          col("l_quantity").cast("long").as("__y"))
+      val p = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val g = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__x")).cast(DecimalType(38, 6)).as("__sx"),
+          sum(col("__y")).as("__sy"),
+          sum(col("__x") * col("__y")).cast(DecimalType(38, 6)).as("__sxy"),
+          sum(col("__x") * col("__x")).cast(DecimalType(38, 12)).as("__sxx"))
+      val nD = col("n").cast("double")
+      val slope = (nD * col("__sxy").cast("double") -
+        col("__sx").cast("double") * col("__sy").cast("double")) /
+        (nD * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double"))
+      g.select(col("p_brand"), col("n"),
+        round(slope, 6).as("slope_qty_per_discount"),
+        round((col("__sy").cast("double") - slope *
+          col("__sx").cast("double")) / nD, 6).as("intercept_qty"))
+    }),
+
     // NEW vs RETURNING daily actives — the acquisition/retention split
     // of every growth dashboard: per day, users whose FIRST-ever
     // activity is that day vs users seen before. First-activity day is
@@ -2661,6 +2691,33 @@ object Extended {
        LEFT JOIN ex ON ex.ga = pr.ga AND ex.gb = pr.gb
        JOIN n na ON na.g = pr.ga
        JOIN n nb ON nb.g = pr.gb""",
+    // Mirrors q107: identical DECIMAL-exact sums, the identical
+    // normal-equation double epilogue (q90's parenthesization).
+    "q107_discount_elasticity" ->
+      """WITH li AS (SELECT p_brand,
+             CAST(l_discount AS DECIMAL(18,6)) AS x,
+             CAST(l_quantity AS BIGINT) AS y
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS DECIMAL(38,6)) AS sxy,
+                 CAST(sum(x * x) AS DECIMAL(38,12)) AS sxx
+               FROM li GROUP BY 1)
+       SELECT p_brand, n,
+         round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           AS slope_qty_per_discount,
+         round((CAST(sy AS DOUBLE) -
+             ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+           AS intercept_qty
+       FROM g""",
     // Mirrors q106: same epoch-day floor, user-keyed min first day,
     // BIGINT split counts, one round-6 share.
     "q106_new_vs_returning" ->
