@@ -64,6 +64,24 @@ object MMQueries {
     // shard ranges — all integer (Sharding.byteBudgetShards).
     "m06_byte_shards" -> byteShardsQuery,
 
+    // Byte-budget EVAL SAMPLE per modality: the first 8 KiB of each
+    // media type in an independently-seeded LCG order (seed 7, disjoint
+    // from m06's export layout) — the balanced "small but
+    // representative" eval set every multimodal pipeline carves out.
+    // Selection = shard 0 of the byteBudgetShards layout: membership is
+    // a pure function of (corpus, seed, budget), stable under
+    // repartitioning and appends below the cut.
+    "m12_eval_byte_sample" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(table(s, dir, "documents"))
+        .withColumn("n_bytes", length(col("media")).cast("long"))
+      graft.ops.Sharding.byteBudgetShards(media, byteCol = "n_bytes",
+        budgetBytes = 8192L, groupCol = "media_type", seed = 7L,
+        idCol = "doc_id")
+        .filter(col("shard") === 0)
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("offset_bytes"))
+    }),
+
     // Modality-balanced interleave: round-robin image/audio/video
     // positions (pos = (rn-1)*3 + modality index, rn the seeded LCG
     // order within the modality) — the batch-composition order a
@@ -376,6 +394,27 @@ object MMQueries {
             CAST(cum_before // 4096 AS INTEGER) AS shard,
             cum_before - (cum_before // 4096) * 4096 AS offset_bytes
           FROM c""",
+    // Replays m12: the m06 machinery at seed 7 (→ +12352 first-round
+    // increment), exclusive prefix sum < 8192 ⇔ shard 0.
+    "m12_eval_byte_sample" ->
+      s"""WITH m AS (SELECT doc_id,
+              CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+              CAST($nBytes AS BIGINT) AS n_bytes
+            FROM documents),
+          h AS (SELECT *,
+              ((((doc_id % 2147483648) * 1103515245 + ${7L + 12345L})
+                % 2147483648) * 1103515245 + 12345) % 2147483648 AS rank_key
+            FROM m),
+          c AS (SELECT *,
+              CAST(coalesce(sum(n_bytes) OVER (PARTITION BY media_type
+                ORDER BY rank_key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum_before
+            FROM h)
+          SELECT doc_id, media_type, n_bytes,
+            cum_before AS offset_bytes
+          FROM c WHERE cum_before < 8192""",
     // Replays m07: same LCG rank, same per-modality row_number order,
     // same (rn-1)*3 + modality-index position arithmetic. All integer.
     "m07_modality_interleave" ->
