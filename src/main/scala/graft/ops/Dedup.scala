@@ -720,8 +720,16 @@ object Dedup {
       }
     joined
       // PPJoin emit-once: keep only the meeting at the pair's minimum
-      // shared prefix hash, so the dedup exchange sees each pair once
-      // (a hash collision can double-emit; dropDuplicates absorbs it)
+      // shared prefix hash, so the dedup exchange sees each pair once.
+      // xxhash64 collisions cut both ways here: two distinct shared
+      // tokens colliding double-emits (dropDuplicates absorbs it), but
+      // two DIFFERENT tokens — one per side, neither shared — colliding
+      // at a value below every truly-shared hash makes minCommonSorted
+      // return a hash no meeting carries, silently DROPPING the pair.
+      // That failure is ~2^-64 per candidate pair (~1e-7 odds across
+      // 1e12 pairs) and is accepted; a collision-free variant would
+      // carry sorted prefix TOKEN arrays and merge-walk them, roughly
+      // doubling the index payload for no measurable benefit.
       .filter(xxhash64(col("a.w")) === minCommonSorted(col("a.ph"), col("b.ph")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         intersectCard(col("a.hs"), col("b.hs")).as("inter"),

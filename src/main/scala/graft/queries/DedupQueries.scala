@@ -294,7 +294,14 @@ object DedupQueries {
     // d10/p11 discipline): every 5th vector mirrored at exactly ×2
     // magnitude with a " (mirror)" text variant (cosine 1, fp differs →
     // must surface), every 7th mirrored verbatim (fp equal → must be
-    // filtered as an exact dup, not a paraphrase).
+    // filtered as an exact dup, not a paraphrase). Output is SCOPED to
+    // same-base-id pairs (a vector with its own planted mirror): those
+    // are identical-direction by construction, so hyperplane blocking
+    // provably never splits them and blocked==full holds EXACTLY — a
+    // natural (non-planted) pair at cosine ≥ 0.99 with distinct
+    // directions has a ~(1−θ/π)^8 ≈ 69% bucket-agreement rate and
+    // would make the blocked set data-dependent, so it is excluded from
+    // the audit's contract rather than silently assumed absent.
     "d20_paraphrase_candidates" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val corpus = emb
@@ -317,6 +324,8 @@ object DedupQueries {
           .select((col("doc_id") + 2000000000000L).as("id"),
             fingerprint(col("text")).as("fp")))
       pairs
+        .filter(pmod(col("id_a"), lit(1000000000000L)) ===
+          pmod(col("id_b"), lit(1000000000000L)))
         .join(fps.select(col("id").as("id_a"), col("fp").as("__fa")),
           Seq("id_a"))
         .join(fps.select(col("id").as("id_b"), col("fp").as("__fb")),
@@ -400,7 +409,7 @@ object DedupQueries {
     // truth at inter*2 >= union, per-config candidate/detected counts.
     "d14_lsh_tuning" -> {
       val lowTk =
-        """list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), t -> t <> '')"""
+        """list_filter(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+'), t -> t <> '')"""
       s"""WITH u AS (
             SELECT doc_id, text FROM documents
             UNION ALL
@@ -491,11 +500,13 @@ object DedupQueries {
                  ELSE 'test' END AS split
           FROM b""",
     // Mirrors d20: identical planted corpus (×2 float scaling is an
-    // exact exponent bump, so directions — and the blocked pair set —
-    // are identical), FULL pairwise ≥ 0.99 (identical-direction mirrors
-    // always share their hyperplane bucket, so blocking misses nothing:
-    // the v03 equality argument), same mirrored fingerprints, same
-    // fp-differs filter.
+    // exact exponent bump, so directions are identical), FULL pairwise
+    // ≥ 0.99 restricted — like the Spark side — to same-base-id pairs
+    // (id_a ≡ id_b mod 1e12): those are a vector with its own mirror,
+    // identical-direction, so they always share their exact hyperplane
+    // bucket and blocked==full holds exactly (the v03 equality
+    // argument, now scoped to where it is actually a theorem). Same
+    // mirrored fingerprints, same fp-differs filter.
     "d20_paraphrase_candidates" ->
       s"""WITH c AS (
             SELECT vec_id AS id, embedding AS vec FROM embeddings
@@ -509,7 +520,9 @@ object DedupQueries {
           p AS (SELECT a.id AS id_a, b.id AS id_b,
                   round(list_cosine_similarity(
                     a.vec::DOUBLE[], b.vec::DOUBLE[]), 6) AS sim
-                FROM c a JOIN c b ON a.id < b.id
+                FROM c a JOIN c b
+                  ON a.id < b.id
+                  AND a.id % 1000000000000 = b.id % 1000000000000
                 WHERE list_cosine_similarity(
                   a.vec::DOUBLE[], b.vec::DOUBLE[]) >= 0.99),
           f AS (
@@ -688,7 +701,7 @@ object DedupQueries {
     "d19_threshold_curve" ->
       """WITH tok AS (
            SELECT DISTINCT doc_id AS id,
-             unnest(list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), t -> t <> ''))) AS w
+             unnest(list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+'), t -> t <> ''))) AS w
            FROM documents),
          sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
          inter AS (
@@ -720,11 +733,11 @@ object DedupQueries {
                 SELECT doc_id + 1000000000000, 'x' || substr(text, 2)
                 FROM documents WHERE doc_id < 50),
          t1 AS (SELECT doc_id AS id,
-                  trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))
+                  trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g'))
                     AS norm
                 FROM ev),
          t2 AS (SELECT doc_id AS id,
-                  trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))
+                  trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g'))
                     AS norm
                 FROM tr),
          s1 AS (SELECT id, unnest(CASE WHEN len(toks) >= 3
@@ -762,12 +775,12 @@ object DedupQueries {
            SELECT doc_id + 1000000000000,
              array_to_string(toks[1:len(toks)//2], ' ')
            FROM (SELECT doc_id,
-                   list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+                   list_filter(string_split_regex(text, '[ \t\n\u000B\f\r]+'),
                      t -> t <> '') AS toks
                  FROM documents)
            WHERE doc_id % 3 = 0),
          t AS (SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+                 list_filter(string_split_regex(lower(text), '[ \t\n\u000B\f\r]+'),
                    x -> x <> '') AS toks
                FROM u),
          g AS (SELECT doc_id,

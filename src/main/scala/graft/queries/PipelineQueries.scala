@@ -837,7 +837,7 @@ object PipelineQueries {
           s3 AS (SELECT * FROM s2 WHERE pred_lang = 'en'),
           k AS (SELECT min(doc_id) AS doc_id FROM s3
                 GROUP BY md5(trim(regexp_replace(lower(text),
-                  '[ \t\n\f\r]+', ' ', 'g')))),
+                  '[ \t\n\u000B\f\r]+', ' ', 'g')))),
           s4 AS (SELECT s3.* FROM s3 JOIN k USING (doc_id)),
           s5 AS (SELECT * FROM s4 WHERE n_toks >= 25)
           SELECT CAST(1 AS BIGINT) AS stage, 'ingest' AS stage_name,

@@ -504,7 +504,7 @@ object TextQueries {
     val pairAt = "seq[i] || '|' || seq[i+1]"
     s"""pre AS (
           SELECT doc_id, regexp_extract_all(lower(text),
-            '[a-z0-9]+|[^a-z0-9 \t\n\f\r]') AS ws
+            '[a-z0-9]+|[^a-z0-9 \t\n\u000B\f\r]') AS ws
           FROM documents),
         init AS (
           -- widx only keys a word through the recursion (uniqueness is
@@ -1034,14 +1034,14 @@ object TextQueries {
     "t31_sentence_stats" ->
       """WITH s AS (SELECT doc_id,
              list_filter(string_split_regex(text, '[.!?]+'),
-               x -> regexp_replace(x, '[ \t\n\f\r]+', '', 'g')
+               x -> regexp_replace(x, '[ \t\n\u000B\f\r]+', '', 'g')
                  <> '') AS sents
            FROM documents),
           t AS (SELECT doc_id,
              CAST(len(sents) AS BIGINT) AS n_sentences,
              list_transform(sents, x ->
                CAST(len(list_filter(
-                 string_split_regex(x, '[ \t\n\f\r]+'),
+                 string_split_regex(x, '[ \t\n\u000B\f\r]+'),
                  w -> w <> '')) AS BIGINT)) AS stoks
            FROM s)
           SELECT doc_id, n_sentences,

@@ -53,10 +53,15 @@ object AttributionStream {
 
   /** The exact integer-micros image of Spark's double→DECIMAL(18,6)
     * cast (java BigDecimal HALF_UP at scale 6 — what Catalyst's Cast
-    * does), so fold sums equal batch decimal sums exactly.
+    * does), so fold sums equal batch decimal sums exactly. Catalyst
+    * routes double→decimal through scala BigDecimal(d), which wraps
+    * java BigDecimal.valueOf(d) — the SHORTEST-string image of the
+    * double, not its exact binary expansion — so valueOf here too:
+    * `new BigDecimal(d)` can round the other way on half-ulp
+    * boundaries at scale 6.
     */
   private def toMicros(v: Double): Long =
-    new java.math.BigDecimal(v)
+    java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
 
