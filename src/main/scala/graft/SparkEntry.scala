@@ -17,6 +17,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Extended.queries ++
+      graft.queries.GraphQueries.queries ++
+      graft.queries.StatsQueries.queries ++
+      graft.queries.AnalyticsQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.VectorQueries.queries ++
@@ -29,6 +32,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Extended.oracles ++
+      graft.queries.GraphQueries.oracles ++
+      graft.queries.StatsQueries.oracles ++
+      graft.queries.AnalyticsQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.VectorQueries.oracles ++

@@ -1,0 +1,766 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Engine.table
+
+/** Graph-analytics queries over edge sets derived from the TPC-H-ish
+  * tables (customer↔part bipartite co-order graph, supplier networks):
+  * PageRank, HITS, label propagation, k-core, triangles/clustering,
+  * shortest paths, link prediction, random walks, modularity,
+  * assortativity, negative sampling. Split out of Extended.scala (r8);
+  * registry keys and plans unchanged.
+  */
+object GraphQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // k-core of the co-order part graph (the q57 edge set): the unique
+    // maximal subgraph of minimum degree >= k, by decremental parallel
+    // peeling (ops/KCore.scala). Peeling is confluent — batch removal,
+    // sequential removal, and the oracle's full-recompute rounds all
+    // reach the same fixpoint — which is what lets an iterative
+    // algorithm hash-match a 12-round unrolled SQL oracle exactly.
+    "q65_kcore" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.ops.KCore.kCore(e, k = 60, maxRounds = 32)
+    }),
+
+    // Degree distribution of the co-order part graph (the q30/q35/q51
+    // graph family's structural readout): distinct-neighbor degree per
+    // node, then degree → node-count histogram. Two partially-aggregated
+    // key groupBys over the distinct edge set — no iteration.
+    "q57_degree_histogram" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .distinct()
+        .groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        .groupBy(col("__deg")).agg(count(lit(1)).as("n_nodes"))
+        .select(col("__deg").as("degree"), col("n_nodes"))
+    }),
+
+    // PageRank (5 rounds) over the bipartite customer↔part purchase
+    // graph, in fixed-point BIGINT arithmetic — float PageRank can never
+    // hash-match an oracle (sum order), the integer recurrence is
+    // bit-exact on both engines. Vertex ids: customer = 2k, part = 2k+1.
+    "q30_pagerank" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("u"),
+          (col("l_partkey") * 2 + 1).as("v"))
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      graft.ops.PageRank.fixedPointPageRank(edges, iterations = 5)
+    }),
+
+    // Triangle counting over the co-ordered-parts graph (parts linked
+    // when some order contains both): the third canonical graph/MR
+    // workload after PageRank (q30) and components (d06). Degree-ordered
+    // wedge-check — per-pivot out-degree bounded O(√|E|), see
+    // ops.Triangles. The oracle is an INDEPENDENT formulation (a<b<c
+    // three-way edge join), so the degree-direction machinery is
+    // differentially checked, not replayed.
+    "q35_triangles" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.ops.Triangles.triangleCount(edges)
+    }),
+
+    // Multi-source BFS levels (unweighted shortest paths, depth-capped):
+    // distance from the part-key sources {p < 10} over the q35
+    // co-order part graph, Pregel-style frontier expansion
+    // (ShortestPaths.bfsLevels). The oracle is a DuckDB RECURSIVE CTE
+    // whose UNION-dedup'd (node, level) walk min-aggregates to the same
+    // BFS levels — two entirely different executions of the same
+    // fixpoint.
+    "q51_bfs_levels" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      val sources = table(s, dir, "lineitem")
+        .filter(col("l_partkey") < 10)
+        .select(col("l_partkey").as("node")).distinct()
+      graft.ops.ShortestPaths.bfsLevels(edges, sources, maxDepth = 3)
+    }),
+
+    // WEIGHTED PageRank over the co-purchase part graph: edge weight =
+    // co-order multiplicity, so a part's centrality reflects how OFTEN
+    // it co-sells, not just with how many partners (q30's unweighted
+    // recurrence can't distinguish a 100-order pairing from a 1-order
+    // one). Contribution = (r·w) div wsum — still pure integer, still
+    // bit-replayable; scale 10⁸ keeps r·w inside a long at any
+    // multiplicity (the op's overflow require).
+    "q75_weighted_pagerank" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pw = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.PageRank.fixedPointPageRank(pw, iterations = 5,
+        scale = 100000000L)
+    }),
+
+    // Weighted single-source shortest paths (4 Bellman–Ford rounds) over
+    // the co-purchase part graph: edge length 10⁶ div multiplicity, so
+    // frequently-co-sold parts are "close" and the dist readout is a
+    // part-affinity radius from the seed parts — the weighted complement
+    // of q51's hop-count BFS. Pure long arithmetic end to end; the
+    // oracle unrolls the identical four relax/min rounds.
+    "q78_sssp" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .agg(expr("1000000L div count(1)").as("len"))
+      val sources = table(s, dir, "lineitem")
+        .filter(col("l_partkey") < 10)
+        .select(col("l_partkey").as("node")).distinct()
+      graft.ops.ShortestPaths.bellmanFord(e, sources, rounds = 4)
+    }),
+
+    // HITS hubs & authorities over the customer→part purchase bipartite
+    // graph: a customer is a good HUB when they buy authoritative parts,
+    // a part a good AUTHORITY when bought by good hubs — the two-sided
+    // centrality PageRank's single score conflates (q30/q75's
+    // complement). Fixed-point integer recurrence, max-normalized per
+    // half-round; the oracle unrolls all four rounds with a max()
+    // subquery each (see ops/Hits.scala for the bit-exactness contract).
+    "q82_hits" -> ((s, dir) => {
+      val e = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("hub"), col("l_partkey").as("auth"))
+      graft.ops.Hits.fixedPointHits(e, iterations = 4)
+    }),
+
+    // Per-vertex local clustering structure over the q35 co-order part
+    // graph: how many triangles each part participates in vs its wedge
+    // capacity C(deg,2) — the standard "how clique-like is each
+    // node's neighborhood" readout (coefficient = triangles/wedges,
+    // left as integers for bit-portability). One degree-ordered
+    // traversal credits all three corners of every triangle in a
+    // single pass (Triangles.vertexTriangles).
+    "q85_clustering" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.ops.Triangles.vertexTriangles(edges)
+    }),
+
+    // Degree ASSORTATIVITY of the co-order part graph — do high-degree
+    // parts co-occur with other hubs (r>0) or with the periphery
+    // (r<0)? Pearson over endpoint degrees with every undirected edge
+    // counted in both orientations, which makes the x/y marginals
+    // identical — so only (m, Σd, Σdd', Σd²) are needed, all EXACT
+    // int64 (the q46/q53 mergeable-sums shape: two vertex-keyed
+    // degree joins, one partial agg, combinable across shards at any
+    // scale). The closing r is one round-6 double chain.
+    "q90_assortativity" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("lo"),
+          col("y.l_partkey").cast("long").as("hi"))
+        .distinct()
+      val deg = e.select(col("lo").as("v"))
+        .unionAll(e.select(col("hi").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val both = e.select(col("lo").as("a"), col("hi").as("b"))
+        .unionAll(e.select(col("hi").as("a"), col("lo").as("b")))
+      both
+        .join(deg.select(col("v").as("a"), col("d").as("__da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("__db")), Seq("b"))
+        .agg(count(lit(1)).as("m_edges"),
+          sum(col("__da")).as("sx"),
+          sum(col("__da") * col("__db")).as("sxy"),
+          sum(col("__da") * col("__da")).as("sxx"))
+        .select(col("m_edges"), col("sx"), col("sxy"), col("sxx"),
+          round((col("m_edges").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+            (col("m_edges").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("assortativity"))
+    }),
+
+    // Newman MODULARITY of the brand partition over the co-order part
+    // graph — does the catalog's own brand taxonomy explain the
+    // co-purchase structure? Q = Σ_c [e_c/m − (d_c/2m)²] decomposed to
+    // its per-community terms (inspectable: which brands are genuine
+    // communities). Everything through the per-community (n_vertices,
+    // degree_sum, intra_edges) triple is EXACT int64 via vertex-keyed
+    // joins + partial aggs (the q90 mergeable-sums shape — the
+    // endpoint-community join is on the part DIMENSION, broadcast-
+    // sized); m rides a 1-row broadcast and each term is one round-6
+    // double chain.
+    "q94_modularity" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("lo"),
+          col("y.l_partkey").cast("long").as("hi"))
+        .distinct()
+      val brand = table(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("v"),
+          col("p_brand").as("__comm"))
+      val eb = e
+        .join(broadcast(brand.select(col("v").as("lo"),
+          col("__comm").as("__ca"))), Seq("lo"))
+        .join(broadcast(brand.select(col("v").as("hi"),
+          col("__comm").as("__cb"))), Seq("hi"))
+      val m = eb.agg(count(lit(1)).as("__m"))
+      val intra = eb.filter(col("__ca") === col("__cb"))
+        .groupBy(col("__ca").as("community"))
+        .agg(count(lit(1)).as("__intra"))
+      val dsum = e.select(col("lo").as("v"))
+        .unionAll(e.select(col("hi").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("__d"))
+        .join(broadcast(brand), Seq("v"))
+        .groupBy(col("__comm").as("community"))
+        .agg(count(lit(1)).as("n_vertices"),
+          sum(col("__d")).as("degree_sum"))
+      dsum.join(intra, Seq("community"), "left")
+        .select(col("community"), col("n_vertices"), col("degree_sum"),
+          coalesce(col("__intra"), lit(0L)).as("intra_edges"))
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("n_vertices"), col("degree_sum"),
+          col("intra_edges"),
+          round(col("intra_edges").cast("double") /
+            col("__m").cast("double") -
+            (col("degree_sum").cast("double") /
+              (lit(2.0) * col("__m").cast("double"))) *
+            (col("degree_sum").cast("double") /
+              (lit(2.0) * col("__m").cast("double"))), 6)
+            .as("modularity_term"))
+    }),
+
+    // LPA community DISCOVERY over the co-order part graph: 3
+    // synchronous label-propagation rounds, ties pinned to min-label —
+    // q94 scores the GIVEN brand taxonomy; this finds the data's own
+    // partition. Integer labels + fixed rounds make the run a
+    // deterministic function of the edge set, so the oracle replays
+    // all three rounds unrolled (the q30 discipline; float-free —
+    // ops/LabelProp.scala for the co-partitioned round shape).
+    "q96_label_prop" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .distinct()
+      graft.ops.LabelProp.propagate(e, rounds = 3)
+    }),
+
+    // LINK PREDICTION over the co-order part graph: for part pairs that
+    // are NOT yet co-purchased, the three classic neighborhood scores —
+    // common-neighbor count, Jaccard, Adamic–Adar — over each pivot's
+    // first-32 neighbors by id (deterministic adjacency truncation: the
+    // neighbor-sampling move that keeps Σdeg² wedge cost linear in |V|
+    // on a dense graph, replayed exactly by the oracle's row_number
+    // cut). AA weights use full pivot degree; each term is round-6 of
+    // one libm ln summed as exact DECIMAL (the t11 discipline); jaccard
+    // is one integer-ratio round-6 division (ops/LinkPrediction.scala).
+    "q97_link_prediction" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("lo"),
+          col("y.l_partkey").cast("long").as("hi"))
+        .distinct()
+      graft.ops.LinkPrediction.neighborScores(
+        e, maxFanout = 32, minCommon = 12)
+    }),
+
+    // Random-walk CORPUS over the co-order part graph: 3 deterministic
+    // 4-step walks from every vertex — the DeepWalk/node2vec skip-gram
+    // training sentences. Step choice = shared glibc LCG keyed on
+    // (vertex, step, walk) mod degree against the id-ranked adjacency
+    // list; a pure function of (edge set, seed), so the oracle replays
+    // all four steps unrolled (ops/RandomWalks.scala for the
+    // two-co-partitioned-joins-per-step scale shape).
+    "q98_random_walks" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("lo"),
+          col("y.l_partkey").cast("long").as("hi"))
+        .distinct()
+      graft.ops.RandomWalks.walkCorpus(
+        e, steps = 4, walksPerVertex = 3, seed = 11L)
+    }),
+
+    // Negative-edge sampling over the q30 graph (customers ↔ parts):
+    // per customer vertex, up to 4 deterministic LCG-drawn part vertices
+    // it did NOT buy — link-prediction / graph-embedding training
+    // negatives (Sampling.negativeEdges). The part-key domain bound is
+    // one 1-row agg read at plan build (bounded driver action, the
+    // centroid-training precedent); the draw itself is a pure column
+    // function, so membership survives any repartitioning.
+    "q43_negative_edges" -> ((s, dir) => {
+      val lo = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = lo.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      // dense TPC-H part keys: domain = [1, max]; 1-row bounded read
+      val maxPk = table(s, dir, "part")
+        .agg(max(col("p_partkey"))).head.getLong(0)
+      graft.ops.Sampling.negativeEdges(
+        edges, dstDomainMax = maxPk, dstOf = h => (h + 1) * 2 + 1,
+        perSrc = 4, seed = 42L)
+    }),
+
+  )
+
+  /** q30's oracle replays the fixed-point recurrence round for round:
+    * DuckDB `//` (floor div) == Spark `div` (trunc) on the all-positive
+    * ranks, and the scaled-BIGINT sums are order-invariant, so the
+    * 5-round unroll is bit-identical to the Spark iteration.
+    */
+  private val q30OracleSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (SELECT d.dst AS vertex,
+           CAST(150000000000 + (85 * sum(r${i - 1}.r // d.outdeg)) // 100 AS BIGINT) AS r
+         FROM d JOIN r${i - 1} ON d.src = r${i - 1}.vertex GROUP BY d.dst)"""
+    }.mkString(",\n         ")
+    s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT u AS src, v AS dst FROM p
+               UNION ALL SELECT v AS src, u AS dst FROM p),
+         d AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS outdeg
+               FROM e),
+         r0 AS (SELECT DISTINCT src AS vertex,
+                  CAST(1000000000000 AS BIGINT) AS r FROM e),
+         $rounds
+       SELECT vertex, r FROM r5"""
+  }
+
+  /** q75's oracle: the q30 unroll generalized to weights — the same
+    * floor-div parity argument, contribution (r·w) // wsum.
+    */
+  private val q75OracleSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (SELECT d.dst AS vertex,
+           CAST(15000000 + (85 * sum((r${i - 1}.r * d.w) // d.wsum)) // 100
+             AS BIGINT) AS r
+         FROM d JOIN r${i - 1} ON d.src = r${i - 1}.vertex GROUP BY d.dst)"""
+    }.mkString(",\n         ")
+    s"""WITH lp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+           FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey
+           GROUP BY 1, 2),
+         d AS (SELECT src, dst, w,
+                 CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS wsum
+               FROM e),
+         r0 AS (SELECT DISTINCT src AS vertex,
+                  CAST(100000000 AS BIGINT) AS r FROM e),
+         $rounds
+       SELECT vertex, r FROM r5"""
+  }
+
+  /** q82's oracle: four unrolled HITS rounds — per half-round the same
+    * partner-score sum and (r·scale) // max(r) normalization, the max a
+    * scalar subquery over that half-round's CTE.
+    */
+  private val q82OracleSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""hr$i AS (SELECT hub, CAST(sum(s) AS BIGINT) AS r
+           FROM e JOIN a${i - 1} ON e.auth = a${i - 1}.v GROUP BY hub),
+         h$i AS (SELECT hub AS v,
+             CAST((r * 1000000) // (SELECT max(r) FROM hr$i) AS BIGINT) AS s
+           FROM hr$i),
+         ar$i AS (SELECT auth, CAST(sum(s) AS BIGINT) AS r
+           FROM e JOIN h$i ON e.hub = h$i.v GROUP BY auth),
+         a$i AS (SELECT auth AS v,
+             CAST((r * 1000000) // (SELECT max(r) FROM ar$i) AS BIGINT) AS s
+           FROM ar$i)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS hub, l_partkey AS auth
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         a0 AS (SELECT DISTINCT auth AS v,
+                  CAST(1000000 AS BIGINT) AS s FROM e),
+         $rounds
+       SELECT v AS vertex, s AS score, false AS hub_side FROM a4
+       UNION ALL
+       SELECT v AS vertex, s AS score, true AS hub_side FROM h4"""
+  }
+
+  /** q78's oracle: four unrolled Bellman–Ford rounds — the same
+    * relax-then-min fold, pure integer, over the same min-collapsed
+    * co-purchase edge list.
+    */
+  private val q78OracleSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d${i - 1}
+           UNION ALL
+           SELECT e.dst, d${i - 1}.dist + e.len
+           FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node) GROUP BY node)"""
+    }.mkString(",\n         ")
+    s"""WITH lp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(1000000 // count(*) AS BIGINT) AS len
+           FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey
+           GROUP BY 1, 2),
+         d0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS node,
+                  CAST(0 AS BIGINT) AS dist
+                FROM lineitem WHERE l_partkey < 10),
+         $rounds
+       SELECT node, dist FROM d4"""
+  }
+
+
+  val oracles: Map[String, String] = Map(
+    "q75_weighted_pagerank" -> q75OracleSql,
+    "q78_sssp" -> q78OracleSql,
+    "q82_hits" -> q82OracleSql,
+    // Independent formulation of q85: triangles as ordered a<b<c edge
+    // triples (the q35 oracle form), each credited to its three
+    // corners by UNION ALL — no degree direction, no adjacency
+    // arrays.
+    "q85_clustering" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,
+                 CAST(b.l_partkey AS BIGINT) AS hi
+               FROM lp a JOIN lp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+         tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+                 FROM e e1
+                 JOIN e e2 ON e2.lo = e1.hi
+                 JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         tv AS (SELECT a AS vertex FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri),
+         t AS (SELECT vertex, CAST(count(*) AS BIGINT) AS triangles
+               FROM tv GROUP BY 1),
+         deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS degree
+                 FROM (SELECT lo AS vertex FROM e
+                       UNION ALL SELECT hi FROM e)
+                 GROUP BY 1)
+       SELECT d.vertex, d.degree,
+         COALESCE(t.triangles, CAST(0 AS BIGINT)) AS triangles,
+         CAST(d.degree * (d.degree - 1) // 2 AS BIGINT) AS wedges
+       FROM deg d LEFT JOIN t USING (vertex)""",
+    // Mirrors q90: same deduped edge set, same both-orientation degree
+    // pairing, identical exact sums and closing double chain.
+    "q90_assortativity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,
+                 CAST(b.l_partkey AS BIGINT) AS hi
+               FROM lp a JOIN lp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e)
+                 GROUP BY 1),
+         de AS (SELECT lo AS a, hi AS b FROM e
+                UNION ALL SELECT hi, lo FROM e),
+         j AS (SELECT da.d AS da, db.d AS db
+               FROM de JOIN deg da ON da.v = de.a
+               JOIN deg db ON db.v = de.b),
+         sums AS (SELECT CAST(count(*) AS BIGINT) AS m_edges,
+                    CAST(sum(da) AS BIGINT) AS sx,
+                    CAST(sum(da * db) AS BIGINT) AS sxy,
+                    CAST(sum(da * da) AS BIGINT) AS sxx
+                  FROM j)
+       SELECT m_edges, sx, sxy, sxx,
+         round((CAST(m_edges AS DOUBLE) * CAST(sxy AS DOUBLE) -
+           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+           (CAST(m_edges AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           AS assortativity
+       FROM sums""",
+    // Mirrors q97: same edge set, the same id-ranked first-32 adjacency
+    // cut, AA terms round-6 of 1/ln(full deg z) DECIMAL-exact summed,
+    // same cn≥12 gate, same anti-join against existing edges, one
+    // round-6 jaccard.
+    "q97_link_prediction" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS lo,
+                 CAST(y.l_partkey AS BIGINT) AS hi
+               FROM lp x JOIN lp y
+                 ON x.l_orderkey = y.l_orderkey
+                AND x.l_partkey < y.l_partkey),
+         b AS (SELECT lo AS z, hi AS n FROM e
+               UNION ALL SELECT hi, lo FROM e),
+         deg AS (SELECT z AS v, CAST(count(*) AS BIGINT) AS d
+                 FROM b GROUP BY 1),
+         piv AS (SELECT t.z, t.n, deg.d AS dz
+                 FROM (SELECT z, n,
+                         row_number() OVER (PARTITION BY z
+                           ORDER BY n ASC) AS rn
+                       FROM b) t
+                 JOIN deg ON deg.v = t.z
+                 WHERE t.rn <= 32),
+         cand AS (SELECT p.n AS a, q.n AS b,
+                    CAST(round(1.0 / ln(CAST(p.dz AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS aa
+                  FROM piv p JOIN piv q
+                    ON p.z = q.z AND p.n < q.n),
+         sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+                  CAST(sum(aa) AS DECIMAL(38,6)) AS aas
+                FROM cand GROUP BY a, b HAVING count(*) >= 12),
+         ne AS (SELECT sc.* FROM sc
+                ANTI JOIN e ON sc.a = e.lo AND sc.b = e.hi)
+       SELECT ne.a AS part_a, ne.b AS part_b, cn,
+         round(CAST(cn AS DOUBLE) /
+           CAST(da.d + db.d - cn AS DOUBLE), 6) AS jaccard,
+         CAST(aas AS DOUBLE) AS adamic_adar
+       FROM ne JOIN deg da ON da.v = ne.a
+       JOIN deg db ON db.v = ne.b""",
+    // Mirrors q98: same edge set, same id-ranked adjacency, the exact
+    // glibc two-round LCG (seed 11 → +12356 first-round increment) on
+    // the same (vertex·64 + step·4 + walk) key, four steps unrolled.
+    "q98_random_walks" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS lo,
+                 CAST(y.l_partkey AS BIGINT) AS hi
+               FROM lp x JOIN lp y
+                 ON x.l_orderkey = y.l_orderkey
+                AND x.l_partkey < y.l_partkey),
+         b AS (SELECT lo AS v, hi AS n FROM e
+               UNION ALL SELECT hi, lo FROM e),
+         adj AS (SELECT v, n,
+                   row_number() OVER (PARTITION BY v ORDER BY n) AS rnk
+                 FROM b),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM b GROUP BY 1),
+         wid AS (SELECT * FROM (VALUES (0), (1), (2)) t(wid)),
+         w0 AS (SELECT deg.v AS start, wid, deg.v AS cur
+                FROM deg CROSS JOIN wid),
+         w1 AS (SELECT start, wid, a.n AS cur FROM w0
+                JOIN deg ON deg.v = w0.cur
+                JOIN adj a ON a.v = w0.cur AND a.rnk = 1 +
+                  ((((((w0.cur * 64 + 4 + wid) % 2147483648)
+                    * 1103515245 + 12356) % 2147483648)
+                    * 1103515245 + 12345) % 2147483648) % deg.d),
+         w2 AS (SELECT start, wid, a.n AS cur FROM w1
+                JOIN deg ON deg.v = w1.cur
+                JOIN adj a ON a.v = w1.cur AND a.rnk = 1 +
+                  ((((((w1.cur * 64 + 8 + wid) % 2147483648)
+                    * 1103515245 + 12356) % 2147483648)
+                    * 1103515245 + 12345) % 2147483648) % deg.d),
+         w3 AS (SELECT start, wid, a.n AS cur FROM w2
+                JOIN deg ON deg.v = w2.cur
+                JOIN adj a ON a.v = w2.cur AND a.rnk = 1 +
+                  ((((((w2.cur * 64 + 12 + wid) % 2147483648)
+                    * 1103515245 + 12356) % 2147483648)
+                    * 1103515245 + 12345) % 2147483648) % deg.d),
+         w4 AS (SELECT start, wid, a.n AS cur FROM w3
+                JOIN deg ON deg.v = w3.cur
+                JOIN adj a ON a.v = w3.cur AND a.rnk = 1 +
+                  ((((((w3.cur * 64 + 16 + wid) % 2147483648)
+                    * 1103515245 + 12356) % 2147483648)
+                    * 1103515245 + 12345) % 2147483648) % deg.d)
+       SELECT start, wid, 0 AS step, cur AS vertex FROM w0
+       UNION ALL SELECT start, wid, 1, cur FROM w1
+       UNION ALL SELECT start, wid, 2, cur FROM w2
+       UNION ALL SELECT start, wid, 3, cur FROM w3
+       UNION ALL SELECT start, wid, 4, cur FROM w4""",
+    // Mirrors q94: the q90 edge set, the same endpoint-community joins
+    // and integer (n_vertices, degree_sum, intra_edges) triples, the
+    // identical e/m − (d/2m)² double chain per community.
+    "q94_modularity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,
+                 CAST(b.l_partkey AS BIGINT) AS hi
+               FROM lp a JOIN lp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+         br AS (SELECT CAST(p_partkey AS BIGINT) AS v, p_brand AS comm
+                FROM part),
+         eb AS (SELECT ba.comm AS ca, bb.comm AS cb
+                FROM e JOIN br ba ON ba.v = e.lo
+                JOIN br bb ON bb.v = e.hi),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM eb),
+         intra AS (SELECT ca AS community,
+                     CAST(count(*) AS BIGINT) AS intra_edges
+                   FROM eb WHERE ca = cb GROUP BY 1),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e)
+                 GROUP BY 1),
+         ds AS (SELECT br.comm AS community,
+                  CAST(count(*) AS BIGINT) AS n_vertices,
+                  CAST(sum(deg.d) AS BIGINT) AS degree_sum
+                FROM deg JOIN br ON br.v = deg.v GROUP BY 1)
+       SELECT ds.community, ds.n_vertices, ds.degree_sum,
+         coalesce(intra.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+         round(CAST(coalesce(intra.intra_edges, 0) AS DOUBLE) /
+             CAST(m.m_edges AS DOUBLE) -
+           (CAST(ds.degree_sum AS DOUBLE) /
+             (2.0 * CAST(m.m_edges AS DOUBLE))) *
+           (CAST(ds.degree_sum AS DOUBLE) /
+             (2.0 * CAST(m.m_edges AS DOUBLE))), 6) AS modularity_term
+       FROM ds LEFT JOIN intra USING (community), m""",
+    // Mirrors q96: the q90 edge set both-oriented, labels seeded as
+    // vertex ids, each round the identical neighbor-label frequency
+    // argmax with the same (count DESC, label ASC) tie rule, three
+    // rounds unrolled — all-integer, so equality is exact.
+    "q96_label_prop" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,
+                 CAST(b.l_partkey AS BIGINT) AS hi
+               FROM lp a JOIN lp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+         adj AS (SELECT lo AS v, hi AS n FROM e
+                 UNION ALL SELECT hi, lo FROM e),
+         r0 AS (SELECT DISTINCT v, v AS label FROM adj),
+         r1 AS (SELECT v, label FROM (
+             SELECT v, label, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, label ASC) AS rn
+             FROM (SELECT a.v AS v, l.label AS label,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM adj a JOIN r0 l ON l.v = a.n GROUP BY 1, 2))
+           WHERE rn = 1),
+         r2 AS (SELECT v, label FROM (
+             SELECT v, label, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, label ASC) AS rn
+             FROM (SELECT a.v AS v, l.label AS label,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM adj a JOIN r1 l ON l.v = a.n GROUP BY 1, 2))
+           WHERE rn = 1),
+         r3 AS (SELECT v, label FROM (
+             SELECT v, label, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, label ASC) AS rn
+             FROM (SELECT a.v AS v, l.label AS label,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM adj a JOIN r2 l ON l.v = a.n GROUP BY 1, 2))
+           WHERE rn = 1)
+       SELECT v AS node, label AS community FROM r3""",
+    // Mirrors q65: the q57 edge set, then 12 unrolled full-recompute
+    // peeling rounds (fixpoint at sf0.001/sf0.01 is round 2 at
+    // k=60, chosen so the core is non-empty at BOTH scales; peeling is
+    // confluent, so the recompute schedule meets the Spark side's
+    // decremental schedule at the same unique k-core). MATERIALIZED
+    // CTEs: DuckDB re-expands plain CTEs per reference — 12 rounds of
+    // double self-reference would re-plan the edge build 2^12 times.
+    "q65_kcore" -> {
+      val pre =
+        """WITH lp AS MATERIALIZED (
+             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           e AS MATERIALIZED (
+             SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey <> b.l_partkey),
+           s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)"""
+      val rounds = (1 to 12).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT e.src AS node FROM e
+           JOIN s${i - 1} a ON e.src = a.node
+           JOIN s${i - 1} b ON e.dst = b.node
+           GROUP BY 1 HAVING count(*) >= 60)"""
+      }.mkString(",\n")
+      s"""$pre,
+         $rounds
+         SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_degree
+         FROM e JOIN s12 a ON e.src = a.node
+         JOIN s12 b ON e.dst = b.node
+         GROUP BY 1"""
+    },
+    // Mirrors q57: distinct edge set, per-src degree, degree histogram,
+    // BIGINT counts everywhere.
+    "q57_degree_histogram" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+               FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey <> b.l_partkey),
+         d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+               FROM e GROUP BY src)
+         SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM d GROUP BY deg""",
+    // Mirrors q51: recursive-CTE BFS — the UNION (distinct) recursion
+    // carries (node, level) rows, the level < 3 guard caps the walk,
+    // and min(level) per node equals the frontier algorithm's
+    // first-reached level. Level is INTEGER on both sides.
+    "q51_bfs_levels" ->
+      """WITH RECURSIVE
+           lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                 FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey <> b.l_partkey),
+           walk(node, level) AS (
+             SELECT DISTINCT l_partkey, 0 FROM lineitem
+             WHERE l_partkey < 10
+             UNION
+             SELECT e.dst, w.level + 1
+             FROM walk w JOIN e ON w.node = e.src
+             WHERE w.level < 3)
+         SELECT node, CAST(min(level) AS INTEGER) AS level
+         FROM walk GROUP BY node""",
+    "q30_pagerank" -> q30OracleSql,
+    // Replays negativeEdges: identical LCG recurrence (seed 42 → +12387
+    // first-round increment — the p07 constants), same dense-domain
+    // mapping h → 2*(h % max + 1) + 1, same NOT EXISTS edge exclusion
+    // and min-j dedup. All integer.
+    "q43_negative_edges" ->
+      """WITH mx AS (SELECT max(p_partkey) AS p FROM part),
+          e AS (SELECT DISTINCT o_custkey * 2 AS src,
+                  l_partkey * 2 + 1 AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          s AS (SELECT DISTINCT src FROM e),
+          c AS (SELECT src, gs.j,
+                  2 * (((((src * 4 + gs.j) % 2147483648) * 1103515245
+                    + 12387) % 2147483648 * 1103515245 + 12345)
+                    % 2147483648 % mx.p + 1) + 1 AS dst
+                FROM s, generate_series(0, 3) gs(j), mx),
+          a AS (SELECT c.* FROM c WHERE NOT EXISTS
+                 (SELECT 1 FROM e WHERE e.src = c.src AND e.dst = c.dst)),
+          d AS (SELECT *, row_number() OVER (PARTITION BY src, dst
+                  ORDER BY j) AS rn FROM a)
+          SELECT src, dst, j FROM d WHERE rn = 1""",
+
+    // Independent formulation: triangles as ordered a<b<c edge triples
+    // ((a,b),(b,c),(a,c)) — no degree direction, no wedges.
+    "q35_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey)
+          SELECT count(*) AS n_triangles
+          FROM e e1
+          JOIN e e2 ON e2.lo = e1.hi
+          JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi""",
+  )
+}
