@@ -135,6 +135,116 @@ object Relational {
           col("__rev").cast("double").as("revenue"))
     }),
 
+    // TPC-H Q5 (local-supplier volume, adapted): the classic 6-table
+    // STAR JOIN — lineitem⋈orders⋈customer carry the fact-side shuffles
+    // (orderkey, then custkey), while supplier+nation+region collapse
+    // into ONE broadcast dimension (pre-joined under the region filter,
+    // so the fact stream is probed once, not three times). The
+    // customer=supplier same-nation condition rides the broadcast probe.
+    // Date range pushes to the orders scan; revenue is the exact-DECIMAL
+    // chain. Scale: both fact shuffles are key-partitioned and
+    // partial-agg'd; the broadcast side is |suppliers in region| rows —
+    // dimension-bounded at any SF.
+    "q108_region_revenue" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val dim = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(table(s, dir, "region").filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dec38(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting, adapted — this
+    // schema has no commit/receipt dates, so "late" := shipped more
+    // than 90 days after the order date): the SEMI+ANTI composition
+    // over lineitem self-joins. l1 = late (order, supplier) pairs for
+    // the probed nation; LEFT SEMI against ALL pairs (some other
+    // supplier touched the order) then LEFT ANTI against late pairs
+    // (no OTHER supplier was late) — supplier s was the sole delay.
+    // Scale: both self-joins key on l_orderkey with the suppkey
+    // inequality as residual condition — ordinary key-partitioned
+    // shuffles, per-order fan bounded by order width; the nation-
+    // filtered supplier dimension broadcasts; distinct() collapses the
+    // pair sets before any self-join so multiplicity never inflates
+    // the exchanges.
+    "q109_sole_late_suppliers" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = lp.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val alls = lp.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .join(table(s, dir, "nation").filter(col("n_name") === "NATION_12")
+          .select(col("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val l1 = late.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val hasOther = l1.as("a").join(alls.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
+      val soleLate = hasOther.as("a").join(late.as("c"),
+        col("a.l_orderkey") === col("c.l_orderkey") &&
+          col("a.l_suppkey") =!= col("c.l_suppkey"), "left_anti")
+      soleLate.groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
+
+    // CSV ingest gate (sources/Csv.scala): the documents table round-
+    // trips through the schema-required delimited source — write CSV,
+    // re-read with the pinned schema, aggregate per (lang, source) with
+    // a content checksum. The ORACLE computes the same aggregate from
+    // the PARQUET twin, so a hash match proves the CSV boundary is
+    // lossless end-to-end (RFC 4180 quoting, header skip, type
+    // re-parse) — not merely self-consistent. The temp dir is per-call;
+    // the write cost is the honest ingest cost and stays in the bench.
+    "q110_csv_ingest" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_csv_q110").toFile
+      path.deleteOnExit()
+      val out = path.getAbsolutePath + "/docs"
+      graft.sources.Csv.write(docs, out)
+      graft.sources.Csv.read(s, out, docs.schema)
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_len"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+    }),
+
     // Top-k with deterministic tie-break (sort + limit; the reference has
     // no sort operator at all, SURVEY §2.6 — strict superset).
     "q07_top_orders" -> ((s, dir) => {
@@ -251,6 +361,61 @@ object Relational {
        SELECT l_orderkey, o_orderdate, o_orderpriority,
          CAST(rev AS DOUBLE) AS revenue
        FROM g ORDER BY rev DESC, l_orderkey ASC LIMIT 10""",
+    // Mirrors q108: same star join under the region/date cuts, same
+    // exact-DECIMAL revenue chain, double only in the closing cast.
+    "q108_region_revenue" ->
+      """SELECT n_name,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+             (CAST(1 AS DECIMAL(18,6)) -
+              CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
+             AS DOUBLE) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name""",
+    // Mirrors q109: identical late/all pair sets (90-day cut off the
+    // order date), EXISTS/NOT EXISTS in place of the semi/anti joins,
+    // same (numwait DESC, s_name) deterministic top-20.
+    "q109_sole_late_suppliers" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l
+                   WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+          alls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l)
+        SELECT s_name, count(*) AS numwait
+        FROM late l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_12'
+          AND EXISTS (SELECT 1 FROM alls l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC LIMIT 20""",
+    // Mirrors q110 from the PARQUET side: Spark answers from the CSV
+    // round-trip, DuckDB from the original parquet — equality proves
+    // the delimited boundary lossless, not just self-consistent.
+    "q110_csv_ingest" ->
+      """SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           count(DISTINCT md5(text)) AS n_distinct_texts,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+         FROM documents
+         GROUP BY lang, source""",
     "q07_top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",

@@ -62,6 +62,35 @@ class PlanSpec extends SparkSessionSpec {
     assert(!p.contains("l_quantity"))
   }
 
+  test("q108: star join — filters pushed, one broadcast dim, partial agg") {
+    val p = plan("q108_region_revenue")
+    // region + date cuts reach their scans
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+    assert(p.contains("LessThan(o_orderdate"))
+    // supplier⋈nation⋈region collapse into a broadcast probe; the fact
+    // spine must never degrade to NLJ/cartesian
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "q108 lost map-side combine")
+    // lineitem scan prunes to the 4 needed columns
+    assert(!p.contains("l_quantity"))
+    assert(!p.contains("l_tax"))
+  }
+
+  test("q109: semi+anti composition — keyed joins, broadcast dim, top-k") {
+    val p = plan("q109_sole_late_suppliers")
+    assert(p.contains("LeftSemi"), "q109 lost the EXISTS semi-join")
+    assert(p.contains("LeftAnti"), "q109 lost the NOT EXISTS anti-join")
+    // the suppkey inequality must ride as residual condition on keyed
+    // joins, never as a nested-loop/cartesian pair stream
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "nation-filtered supplier dim must broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("q14: banded range join plans as a shuffled equi-join, not NLJ") {
     val p = plan("q14_price_band_join")
     assert(!p.contains("BroadcastNestedLoopJoin"))
