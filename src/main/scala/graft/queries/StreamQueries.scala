@@ -142,7 +142,29 @@ object StreamQueries {
     // global window (streaming/Lateness.scala).
     "s17_watermark_lateness" -> ((s, dir) =>
       graft.streaming.Lateness.watermarkLateness(
-        table(s, dir, "events"), horizonSeconds = 7200L))
+        table(s, dir, "events"), horizonSeconds = 7200L)),
+
+    // File-ingest twin of s06 — the batch form of FileStreamSpec's
+    // production topology (JSONL shards in a watched dir → dedup state
+    // → KV store): the planted corpus is written out as JSONL, read
+    // back with the REQUIRED schema (no inference pass — the Jsonl
+    // contract), and deduped. The oracle computes from PARQUET, so a
+    // hash match proves the JSONL boundary lossless for the dedup
+    // pipeline, not merely self-consistent (the q110 discipline).
+    "s18_jsonl_dedup_stats" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val planted = d.unionAll(d.select(
+        (col("doc_id") + 1000000000000L).as("doc_id"),
+        col("lang"), col("text")))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_s18").toFile
+      root.deleteOnExit()
+      val out = root.getAbsolutePath + "/docs"
+      graft.sources.Jsonl.write(planted, out)
+      val back = graft.sources.Jsonl.read(s, out, planted.schema)
+      graft.streaming.DedupStream.stats(back, "text", "doc_id", "lang")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -346,7 +368,21 @@ object StreamQueries {
       """WITH u AS (SELECT doc_id, lang, text FROM documents
               UNION ALL SELECT doc_id + 1000000000000, lang, text FROM documents),
           g AS (SELECT lang,
-                  md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fp,
+                  md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g'))) AS fp,
+                  count(*) AS n_copies
+                FROM u GROUP BY 1, 2)
+          SELECT lang,
+            CAST(sum(n_copies) AS BIGINT) AS n_docs,
+            count(*) AS n_distinct,
+            CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups
+          FROM g GROUP BY lang""",
+    // Mirrors s18 == the s06 oracle verbatim: Spark answers from the
+    // JSONL round-trip, DuckDB from the original parquet.
+    "s18_jsonl_dedup_stats" ->
+      """WITH u AS (SELECT doc_id, lang, text FROM documents
+              UNION ALL SELECT doc_id + 1000000000000, lang, text FROM documents),
+          g AS (SELECT lang,
+                  md5(trim(regexp_replace(lower(text), '[ \t\n\u000B\f\r]+', ' ', 'g'))) AS fp,
                   count(*) AS n_copies
                 FROM u GROUP BY 1, 2)
           SELECT lang,
