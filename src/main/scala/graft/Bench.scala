@@ -23,6 +23,14 @@ package graft
   *  - per-query MIN is emitted alongside the median ("queries_min"), so a
   *    contended window is visible IN the record: median >> min flags
   *    noise without a rerun.
+  *  - QUICK mode (SPARK_GRAFT_BENCH_QUICK=1): family-stratified run
+  *    counts for cheap full-registry trending — every query runs once,
+  *    and only queries whose first run clears 1s (the heavy head, where
+  *    a defended median matters) get the remaining runs. The sub-second
+  *    tail is where run count is pure cost: a 0.3s query's 5 runs buy
+  *    precision nobody reads, while the head's medians are the numbers
+  *    BASELINE.md defends. Quick totals sit within ~5% of the full
+  *    record's total_min on a quiet window (BASELINE.md r8 addendum).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,9 +62,12 @@ object Bench {
         catch { case _: Throwable => () }
         finally dropDeadBlocks()
       }
-    def measure(name: String,
+    val quick = sys.env.get("SPARK_GRAFT_BENCH_QUICK")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val quickHeadSec = 1.0
+    def measure(name: String, n: Int,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
-      (0 until runs).map { _ =>
+      (0 until n).map { _ =>
         val t0 = System.nanoTime()
         // a failing query must surface as -1, not as a plausible timing —
         // otherwise a query that breaks reads as a speedup in the bench line
@@ -70,14 +81,23 @@ object Bench {
       }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
     val results = selected.map { case (name, fn) =>
-      val first = measure(name, fn)
+      // quick mode: probe once; only the >1s head earns its full run
+      // count (stratification decided per query off its own first run)
+      val first =
+        if (!quick) measure(name, runs, fn)
+        else {
+          val probe = measure(name, 1, fn)
+          if (probe.head >= quickHeadSec && runs > 1)
+            probe ++ measure(name, runs - 1, fn)
+          else probe
+        }
       name -> (if (first.contains(-1.0)) (-1.0, -1.0)
       else {
         val all =
-          if (median(first) > 3.0 * first.min) {
+          if (first.length > 1 && median(first) > 3.0 * first.min) {
             System.err.println(
               s"[bench] $name median ${median(first)} > 3x min ${first.min}; re-measuring")
-            first ++ measure(name, fn) // contended window: widen the sample
+            first ++ measure(name, runs, fn) // contended window: widen the sample
           } else first
         if (all.contains(-1.0)) (-1.0, -1.0) else (median(all), all.min)
       })

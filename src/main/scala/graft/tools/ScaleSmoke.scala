@@ -143,6 +143,23 @@ object ScaleSmoke {
         graft.ops.LinkPrediction.neighborScores(
           edges, maxFanout = 32, minCommon = 12)
           .queryExecution.toRdd.count()
+      }, false),
+      // the q96 LPA rounds in the SHUFFLE regime (broadcast gate forced
+      // off — the billions-of-vertices path): per round one label-table
+      // key-join against the checkpointed adjacency plus one partially
+      // aggregated (vertex, label) exchange; disjoint-subgraph scaling
+      // must stay linear
+      ("label_prop_shuffle", () => {
+        val lp = scaled(spark, dir, "lineitem",
+            Seq("l_orderkey", "l_partkey"), factor)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
+          .filter(col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"),
+            col("y.l_partkey").as("dst"))
+        graft.ops.LabelProp.propagate(edges, rounds = 2,
+          broadcastMaxVertices = 0L)
+          .queryExecution.toRdd.count()
       }, false))
   }
 
