@@ -292,6 +292,50 @@ object Similarity {
   private def argmaxCell: Column =
     array_position(col("__cos"), array_max(col("__cos"))).cast("int")
 
+  /** The corpus half of IVF: per-row argmax cell (1-based via
+    * array_position; ties → first). Exposed so a PERSISTED index
+    * ([[IvfPersist]]) can skip re-assigning the whole corpus on restart —
+    * [[ivfTopKAssigned]] over these rows is bit-identical to [[ivfTopK]]
+    * because this is the exact assignment it computes inline.
+    */
+  def ivfAssign(
+      corpus: DataFrame, centroids: Array[Array[Float]],
+      idCol: String = "id", vecCol: String = "vec",
+      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame =
+    withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
+      .withColumn("cell", argmaxCell)
+      .drop("__cos", "__cents")
+
+  /** [[ivfTopK]] over a PRE-ASSIGNED corpus (rows carrying `cell`) —
+    * the search path of a persisted/incrementally-maintained index,
+    * where the corpus assignment pass already happened (at build or
+    * add time) and must not be re-run per restart.
+    */
+  def ivfTopKAssigned(
+      assigned: DataFrame, centroids: Array[Array[Float]],
+      queries: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val nCells = centroids.length
+    val probes = math.min(nProbe, nCells)
+    // queries: nProbe best cells — sort (−cos, idx) structs, take nProbe
+    val qb = withCellCosines(queries, centroids, qvecCol, maxLiteralCells)
+      .withColumn("__ranked", sort_array(zip_with(
+        col("__cos"), sequence(lit(1), lit(nCells)),
+        (c, i) => struct((-c).as("negc"), i.as("idx")))))
+      .withColumn("cell",
+        explode(slice(transform(col("__ranked"), s => s("idx").cast("int")),
+          1, probes)))
+      .drop("__cos", "__ranked", "__cents")
+    val scored = assigned.join(qb, Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .dropDuplicates(qidCol, idCol)
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    rankTopK(scored, k, idCol, qidCol)
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
@@ -309,26 +353,10 @@ object Similarity {
       return corpus.sparkSession.emptyDataFrame
         .select(lit(0L).as(qidCol), lit(0L).as("neighbor_id"),
           lit(0).as("rank"), lit(0.0).as("sim")).limit(0)
-    val nCells = centroids.length
-    val probes = math.min(nProbe, nCells)
-    // corpus: argmax cell (1-based via array_position; ties → first)
-    val cb = withCellCosines(corpus, centroids, vecCol, maxLiteralCells)
-      .withColumn("cell", argmaxCell)
-      .drop("__cos", "__cents")
-    // queries: nProbe best cells — sort (−cos, idx) structs, take nProbe
-    val qb = withCellCosines(queries, centroids, qvecCol, maxLiteralCells)
-      .withColumn("__ranked", sort_array(zip_with(
-        col("__cos"), sequence(lit(1), lit(nCells)),
-        (c, i) => struct((-c).as("negc"), i.as("idx")))))
-      .withColumn("cell",
-        explode(slice(transform(col("__ranked"), s => s("idx").cast("int")),
-          1, probes)))
-      .drop("__cos", "__ranked", "__cents")
-    val scored = cb.join(qb, Seq("cell"))
-      .filter(col(idCol) =!= col(qidCol))
-      .dropDuplicates(qidCol, idCol)
-      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-    rankTopK(scored, k, idCol, qidCol)
+    ivfTopKAssigned(
+      ivfAssign(corpus, centroids, idCol, vecCol, maxLiteralCells),
+      centroids, queries, k, nProbe, idCol, vecCol, qidCol, qvecCol,
+      maxLiteralCells)
   }
 
   /** IVF probe-COST audit: for each candidate probe count, how many
