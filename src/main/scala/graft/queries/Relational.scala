@@ -219,6 +219,110 @@ object Relational {
         .limit(20)
     }),
 
+    // TPC-H Q17 (small-quantity-order revenue, adapted): the CORRELATED
+    // AVG SUBQUERY plan — revenue from line items whose quantity sits
+    // below 20% of their part's average, for a 3-brand slice. Spark-first
+    // decorrelation: the per-part (sum, count) ride a PART-KEYED WINDOW
+    // over the brand-pruned join — ONE lineitem scan, ONE l_partkey
+    // exchange (the agg-then-join-back form scans the join twice;
+    // PlanSpec gates the single scan). The threshold compare is
+    // integer-exact: qty < 0.2·avg ⇔ 5·qty·cnt < sum — fraction-free
+    // DECIMAL arithmetic, so no engine can disagree at the boundary
+    // (the q38 6n>5m discipline); DECIMAL window sums are exact, hence
+    // order-free. Revenue is the exact-DECIMAL chain; the /7 yearly
+    // average is one IEEE double division after the cast.
+    "q111_small_quantity_revenue" -> ((s, dir) => {
+      val brands = Seq("Brand#2", "Brand#17", "Brand#5")
+      val p = table(s, dir, "part")
+        .filter(col("p_brand").isin(brands: _*))
+        .select(col("p_partkey"), col("p_brand"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      li.withColumn("__sq", dec38(sum(dec(col("l_quantity"))).over(w)))
+        .withColumn("__n", count(lit(1)).over(w))
+        .filter(dec(col("l_quantity")) * lit(5) * col("__n") < col("__sq"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          (dec38(sum(dec(col("l_extendedprice")))).cast("double") / lit(7.0))
+            .as("avg_yearly"))
+    }),
+
+    // TPC-H Q2 essence (cheapest supplier per part): the GROUPWISE
+    // ARGMIN JOIN — per part of one type, the minimum-balance supplier
+    // among those that actually shipped it. No window: the argmin folds
+    // inside one aggregation as a (acctbal, suppkey) struct-min (the
+    // q96 struct-max idiom), then ONE broadcast join back to supplier
+    // attributes — two exchanges total, both key-partitioned, at any
+    // corpus size. Ties break to the smaller suppkey via the struct's
+    // lexicographic order; acctbal is compared as exact DECIMAL.
+    "q112_cheapest_supplier" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"), col("p_name"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      val ps = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val argmin = ps
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(min(struct(dec(col("s_acctbal")).as("b"),
+          col("s_suppkey").as("k"))).as("__m"))
+        .select(col("l_partkey"), col("__m.k").as("s_suppkey"))
+      argmin
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), Seq("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          col("s_acctbal"))
+    }),
+
+    // TPC-H Q22 (dormant rich customers, adapted — no phone column, so
+    // grouped by nation): the SCALAR-SUBQUERY + ANTI-JOIN composition.
+    // The global positive-balance average rides a 1-row broadcast (the
+    // t16 discipline); customers above it anti-join recent orders
+    // (nothing ordered since 2000). The average is derived identically
+    // in both engines: exact DECIMAL sum cast to double, one IEEE
+    // division — the threshold compare is then deterministic.
+    "q113_dormant_rich_customers" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val avgRow = c.filter(col("c_acctbal") > 0.0)
+        .agg((dec38(sum(dec(col("c_acctbal")))).cast("double") /
+          count(lit(1))).as("__avg"))
+      val recent = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(avgRow))
+        .filter(col("c_acctbal") > col("__avg"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"),
+          dec38(sum(dec(col("c_acctbal")))).cast("double").as("total_bal"))
+    }),
+
+    // Day-partitioned lake layout gate (sources/Partitioned.scala): the
+    // events table is rewritten as a dt=YYYY-MM-DD directory tree, and a
+    // one-week range is answered from the PRUNED read (directory-level
+    // PartitionFilters — PartitionedSpec gates that only the range's
+    // dirs are touched). The oracle computes from the FLAT parquet, so
+    // the hash match proves the layout + pruning path lossless: same
+    // rows, full timestamp precision, exact-DECIMAL value sums.
+    "q114_partitioned_scan" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q114").toFile
+      root.deleteOnExit()
+      val out = root.getAbsolutePath + "/events"
+      graft.sources.Partitioned.writeByDay(table(s, dir, "events"), out)
+      graft.sources.Partitioned.readDays(s, out, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // CSV ingest gate (sources/Csv.scala): the documents table round-
     // trips through the schema-required delimited source — write CSV,
     // re-read with the pinned schema, aggregate per (lang, source) with
@@ -403,6 +507,64 @@ object Relational {
                             AND l3.l_suppkey <> l1.l_suppkey)
         GROUP BY s_name
         ORDER BY numwait DESC, s_name ASC LIMIT 20""",
+    // Mirrors q111: same brand-pruned join feeding both the per-part
+    // stats and the detail side, the same fraction-free 5·qty·cnt < sum
+    // threshold, the /7 only after the exact sum's double cast.
+    "q111_small_quantity_revenue" ->
+      """WITH j AS (SELECT p_brand, l_partkey, l_quantity, l_extendedprice
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE p_brand IN ('Brand#2', 'Brand#17', 'Brand#5')),
+          s AS (SELECT l_partkey AS pk,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                    AS DECIMAL(38,6)) AS sq,
+                  count(*) AS n
+                FROM j GROUP BY 1)
+        SELECT p_brand, count(*) AS n_items,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+            AS DECIMAL(38,6)) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM j JOIN s ON l_partkey = pk
+        WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * n < sq
+        GROUP BY p_brand""",
+    // Mirrors q112: struct-min == (acctbal, suppkey) lexicographic min,
+    // replayed as a row_number over the same exact-DECIMAL order.
+    "q112_cheapest_supplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+          r AS (SELECT l_partkey, s_suppkey, s_name, s_acctbal,
+                  row_number() OVER (PARTITION BY l_partkey
+                    ORDER BY CAST(s_acctbal AS DECIMAL(18,6)) ASC,
+                             s_suppkey ASC) AS rn
+                FROM ps JOIN supplier ON l_suppkey = s_suppkey)
+        SELECT p_partkey, p_name, s_name, s_acctbal
+        FROM r JOIN part ON l_partkey = p_partkey
+        WHERE rn = 1 AND p_type = 'ECONOMY'""",
+    // Mirrors q113: identical exact-sum-then-one-division average, same
+    // anti-join cutoff.
+    "q113_dormant_rich_customers" ->
+      """WITH a AS (SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                      AS DECIMAL(38,6)) AS DOUBLE) / count(*) AS avgbal
+                    FROM customer WHERE c_acctbal > 0.0)
+        SELECT c_nationkey, count(*) AS n_custs,
+          CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+            AS DECIMAL(38,6)) AS DOUBLE) AS total_bal
+        FROM customer, a
+        WHERE c_acctbal > a.avgbal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_nationkey""",
+    // Mirrors q114 from the FLAT side: DuckDB derives the same day
+    // strings from the raw timestamps; Spark answers from the pruned
+    // partitioned copy.
+    "q114_partitioned_scan" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+         GROUP BY 1, 2""",
     // Mirrors q110 from the PARQUET side: Spark answers from the CSV
     // round-trip, DuckDB from the original parquet — equality proves
     // the delimited boundary lossless, not just self-consistent.

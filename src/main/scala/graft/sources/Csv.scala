@@ -41,13 +41,15 @@ object Csv {
     * stay self-describing for humans and non-Spark readers; the read
     * side skips it by name, not position.
     */
-  def write(df: DataFrame, path: String, delimiter: String = ","): Unit =
+  def write(df: DataFrame, path: String, delimiter: String = ",",
+      codec: String = "uncompressed"): Unit =
     df.write.mode("overwrite")
       .option("header", "true")
       .option("delimiter", delimiter)
       .option("quote", "\"")
       .option("escape", "\"")
       .option("timestampFormat", TsFormat)
+      .option("compression", codec)
       .csv(path)
 
   /** Read delimited text with a REQUIRED schema (see scaladoc);

@@ -28,10 +28,19 @@ object Jsonl {
 
   /** Write `df` as line-delimited JSON under `path` (one file per
     * partition — pass `repartition` upstream to control shard count).
+    *
+    * `codec`: "uncompressed" (default) or a Hadoop codec name. gzip
+    * shards read transparently but are NOT SPLITTABLE — every gzip
+    * file is exactly one task regardless of size, so a 50 GB .json.gz
+    * shard serializes into one core (CompressedSpec gates this). At
+    * scale either keep shards small enough that file count ≈ desired
+    * parallelism, or re-shard to uncompressed/splittable on ingest.
     */
-  def write(df: DataFrame, path: String): Unit =
+  def write(df: DataFrame, path: String,
+      codec: String = "uncompressed"): Unit =
     df.write.mode("overwrite")
       .option("timestampFormat", TsFormat)
+      .option("compression", codec)
       .json(path)
 
   /** Read line-delimited JSON with a REQUIRED schema (see scaladoc);

@@ -91,6 +91,40 @@ class PlanSpec extends SparkSessionSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q111: correlated-avg shape — brand filter pushed, ONE lineitem scan, keyed window") {
+    val p = plan("q111_small_quantity_revenue")
+    // the 3-brand slice must reach the part scan as an In filter
+    assert(p.contains("In(p_brand"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"), "q111 lost map-side combine")
+    // the per-part stats ride a window over the join — the agg-then-
+    // join-back form scans the brand-pruned join twice
+    val liScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1, s"q111 scans lineitem $liScans times")
+    // and that window must be PART-keyed, never global
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("l_partkey")),
+      "q111's per-part stats window is not keyed on l_partkey")
+  }
+
+  test("q112: groupwise argmin folds in ONE aggregation, no window") {
+    val p = plan("q112_cheapest_supplier")
+    assert(!p.contains("Window"), "q112 pays a window for the argmin")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "q112 argmin lost map-side combine")
+  }
+
+  test("q113: scalar subquery broadcasts; dormancy is a keyed anti-join") {
+    val p = plan("q113_dormant_rich_customers")
+    assert(p.contains("LeftAnti"), "q113 lost the NOT EXISTS anti-join")
+    assert(!p.contains("CartesianProduct"))
+    // the recent-orders date cut pushes to the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+  }
+
   test("q14: banded range join plans as a shuffled equi-join, not NLJ") {
     val p = plan("q14_price_band_join")
     assert(!p.contains("BroadcastNestedLoopJoin"))
@@ -217,7 +251,8 @@ class PlanSpec extends SparkSessionSpec {
     "v25_ivf_cost_curve",           // 1-row corpus-total broadcast
     "t32_word_burstiness",          // 1-row document-total broadcast
     "t34_extractive_summary",       // 1-row doc-total × vocab IDF frame
-    "p21_upsampling_caps")          // 1-row source-count broadcast
+    "p21_upsampling_caps",          // 1-row source-count broadcast
+    "q113_dormant_rich_customers")  // 1-row global-average broadcast
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
     // the staged-CTE SQL shape scans events per stage; the typed-MR
