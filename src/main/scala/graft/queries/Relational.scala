@@ -195,11 +195,25 @@ object Relational {
         .select(col("o_orderkey"), col("o_orderdate"))
       val lp = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      val late = lp.join(o, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") >
-          col("o_orderdate") + expr("INTERVAL 90 DAY"))
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val alls = lp.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      // ONE (order, supplier) pair table with a late flag (max-when ==
+      // EXISTS a late line), MATERIALIZED once: the late side, the
+      // all-pairs side, and the anti probe all read it, and Catalyst
+      // optimizes each consumer branch independently (divergent pruning
+      // defeats ReusedExchange), so without the checkpoint the
+      // lineitem⋈orders scan+shuffle runs three times (measured: 3x
+      // 600k-row exchanges at sf0.1). The pair table is |distinct
+      // (order, supplier)| rows — a fraction of lineitem at any SF —
+      // so materializing it is the 100 TB plan too (the d06/q30
+      // localCheckpoint round idiom).
+      val pairs = lp.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAY"), 1).otherwise(0))
+          .as("__late"))
+        .localCheckpoint()
+      val late = pairs.filter(col("__late") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val alls = pairs.select(col("l_orderkey"), col("l_suppkey"))
       val sup = table(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
         .join(table(s, dir, "nation").filter(col("n_name") === "NATION_12")
