@@ -133,6 +133,91 @@ object PageRank {
     ranks
   }
 
+  /** PERSONALIZED PageRank: the teleport term concentrates on a source
+    * set S instead of spreading uniformly — rank becomes "importance
+    * relative to S", the graph-proximity score behind related-item
+    * retrieval and seed-set expansion. Integer-exact like
+    * [[fixedPointPageRank]]: the per-source base is
+    * `(15·scale·N) div (100·|S|)` (zero off S — total teleport mass
+    * matches the uniform variant's, so the same overflow bound holds),
+    * contributions are the identical `r div outdeg` floor-div chain,
+    * and a SQL oracle replays the recurrence round for round with the
+    * base derived from the same integer formula (q115).
+    *
+    * Contract: every vertex must have out-edges (symmetrize or
+    * self-loop first). PPR's dangling correction re-teleports lost mass
+    * to S — a second data-dependent term per round; the operator keeps
+    * the no-dangling contract explicit instead of silently
+    * approximating it.
+    *
+    * Iteration shape: identical to the uniform general path — edges
+    * materialized once, per round one contribution shuffle plus a
+    * vertex-sized left join; the base rides a per-vertex column
+    * computed once (vertices ⋈ S semi-join, checkpointed).
+    */
+  def personalizedPageRank(
+      edges: DataFrame, sources: DataFrame, iterations: Int,
+      scale: Long = 1000000000000L,
+      broadcastMaxVertices: Long = 2L * 1000 * 1000): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(scale >= 100L && scale % 100L == 0L,
+      s"scale must be a positive multiple of 100, got $scale")
+    val e = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    val vflags = withDeg
+      .select(col("src").as("vertex"), lit(1).as("s"))
+      .unionAll(withDeg.select(col("dst").as("vertex"), lit(0).as("s")))
+      .groupBy("vertex").agg(max(col("s")).as("s"))
+      .localCheckpoint()
+    val stats = vflags.agg(count(lit(1)), sum(col("s"))).collect()(0)
+    val (nV, nSrc) = (stats.getLong(0), stats.getLong(1))
+    require(nSrc == nV,
+      s"personalizedPageRank requires every vertex to have out-edges " +
+        s"(${nV - nSrc} dangling) — symmetrize or add self-loops")
+    require(nV <= Long.MaxValue / 100L / scale,
+      s"85*N*scale must fit a long: N=$nV needs scale <= ${Long.MaxValue / 100L / nV}")
+    val srcSet = sources
+      .select(col("vertex").cast("long").as("vertex")).distinct()
+    val inGraph = vflags.select(col("vertex"))
+      .join(srcSet, Seq("vertex"), "left_semi")
+    val nS = inGraph.count()
+    require(nS >= 1L, "sources must intersect the graph's vertex set")
+    // (15·scale·N) div (100·|S|); scale % 100 == 0 makes the /100 exact
+    // first, so the single truncation is the div by |S| — the oracle
+    // derives the same value as (15*scale*N) // (100*|S|)
+    val baseS = scale / 100L * 15L * nV / nS
+    val vertices = vflags.select(col("vertex"))
+      .join(inGraph.withColumn("__inS", lit(1L)), Seq("vertex"), "left")
+      .select(col("vertex"),
+        (coalesce(col("__inS"), lit(0L)) * baseS).as("__base"))
+      .localCheckpoint()
+    val useBroadcast = nV <= broadcastMaxVertices
+    val edgeSide =
+      if (useBroadcast) withDeg
+      else withDeg.repartition(col("src")).localCheckpoint()
+    var ranks = vertices.select(col("vertex"), lit(scale).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = edgeSide
+        .join(if (useBroadcast) broadcast(ranks) else ranks,
+          col("src") === col("vertex"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("__s"))
+        .select(col("dst").as("vertex"), col("__s"))
+      ranks = vertices.join(contrib, Seq("vertex"), "left")
+        .select(col("vertex"),
+          expr("__base + (85 * coalesce(__s, CAST(0 AS BIGINT))) div 100")
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** One rank iteration of the complete-graph fast path, un-checkpointed —
     * exposed so specs can assert the physical join strategy (the outer
     * loop's checkpoint flattens the plan to a LogicalRDD scan, hiding the

@@ -65,6 +65,28 @@ object GraphQueries {
       graft.ops.PageRank.fixedPointPageRank(edges, iterations = 5)
     }),
 
+    // PERSONALIZED PageRank over the q30 graph: teleport concentrated on
+    // every-50th part's vertex — rank becomes proximity to that seed
+    // set (the related-item/seed-expansion readout). Same fixed-point
+    // integer recurrence; the per-source base (15·scale·N)div(100·|S|)
+    // is derived from the SAME integer formula in the oracle's scalar
+    // subqueries, so the SQL replays all 5 rounds bit-exactly.
+    "q115_personalized_pagerank" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("u"),
+          (col("l_partkey") * 2 + 1).as("v"))
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      val seeds = table(s, dir, "part")
+        .filter(pmod(col("p_partkey"), lit(50)) === 0)
+        .select((col("p_partkey") * 2 + 1).as("vertex"))
+      graft.ops.PageRank.personalizedPageRank(edges, seeds, iterations = 5)
+    }),
+
     // Triangle counting over the co-ordered-parts graph (parts linked
     // when some order contains both): the third canonical graph/MR
     // workload after PageRank (q30) and components (d06). Degree-ordered
@@ -363,6 +385,45 @@ object GraphQueries {
                FROM e),
          r0 AS (SELECT DISTINCT src AS vertex,
                   CAST(1000000000000 AS BIGINT) AS r FROM e),
+         $rounds
+       SELECT vertex, r FROM r5"""
+  }
+
+  /** q115's oracle: the q30 unroll with the teleport base concentrated
+    * on the seed set — base derives from scalar subqueries via the SAME
+    * integer formula the operator uses ((15·scale·N) // (100·|S|)), so
+    * the SQL stays static (no per-dir dynamic oracle needed). The q30
+    * graph is symmetric, hence the no-dangling contract holds and every
+    * vertex has in-edges; the LEFT JOIN + coalesce mirrors the Spark
+    * plan's generality anyway.
+    */
+  private val q115OracleSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (SELECT vb.vertex,
+           CAST(vb.vbase + (85 * coalesce(c.sc, 0)) // 100 AS BIGINT) AS r
+         FROM vb LEFT JOIN (
+           SELECT d.dst AS vertex, sum(r${i - 1}.r // d.outdeg) AS sc
+           FROM d JOIN r${i - 1} ON d.src = r${i - 1}.vertex
+           GROUP BY d.dst) c ON c.vertex = vb.vertex)"""
+    }.mkString(",\n         ")
+    s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT u AS src, v AS dst FROM p
+               UNION ALL SELECT v AS src, u AS dst FROM p),
+         d AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS outdeg
+               FROM e),
+         verts AS (SELECT DISTINCT src AS vertex FROM e),
+         s AS (SELECT DISTINCT v AS vertex FROM p
+               WHERE ((v - 1) // 2) % 50 = 0),
+         b AS (SELECT (15 * 1000000000000 * (SELECT count(*) FROM verts))
+                 // (100 * (SELECT count(*) FROM s)) AS base),
+         vb AS (SELECT verts.vertex,
+                  CASE WHEN s.vertex IS NOT NULL THEN b.base ELSE 0 END
+                    AS vbase
+                FROM verts CROSS JOIN b
+                LEFT JOIN s ON s.vertex = verts.vertex),
+         r0 AS (SELECT vertex, CAST(1000000000000 AS BIGINT) AS r
+                FROM verts),
          $rounds
        SELECT vertex, r FROM r5"""
   }
@@ -729,6 +790,7 @@ object GraphQueries {
          SELECT node, CAST(min(level) AS INTEGER) AS level
          FROM walk GROUP BY node""",
     "q30_pagerank" -> q30OracleSql,
+    "q115_personalized_pagerank" -> q115OracleSql,
     // Replays negativeEdges: identical LCG recurrence (seed 42 → +12387
     // first-round increment — the p07 constants), same dense-domain
     // mapping h → 2*(h % max + 1) + 1, same NOT EXISTS edge exclusion

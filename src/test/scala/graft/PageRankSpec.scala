@@ -180,4 +180,56 @@ class PageRankSpec extends SparkSessionSpec {
       PageRank.fixedPointPageRank(e, iterations = 5, scale = 1010L)
     }
   }
+
+  /** Independent replay of the PERSONALIZED recurrence: base
+    * (15·scale·N) div (100·|S|) on S, zero elsewhere.
+    */
+  private def replayPpr(
+      edges: Seq[(Long, Long)], seeds: Set[Long],
+      iterations: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val vertices = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = vertices.size.toLong
+    val s = seeds.intersect(vertices.toSet)
+    val baseS = Scale / 100L * 15L * n / s.size
+    var r = vertices.map(_ -> Scale).toMap
+    for (_ <- 1 to iterations) {
+      val contribs = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _) => r(src) / outdeg(src) }.sum
+      }
+      r = vertices.map { v =>
+        v -> ((if (s(v)) baseS else 0L) +
+          85L * contribs.getOrElse(v, 0L) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  test("personalized PageRank == independent replay; mass concentrates at seeds") {
+    val rnd = new scala.util.Random(11)
+    val oneWay = Seq.fill(300)((rnd.nextInt(40).toLong, 40L + rnd.nextInt(40)))
+    val both = (oneWay ++ oneWay.map(_.swap)).distinct
+    val seeds = Set(41L, 43L, 47L)
+    val want = replayPpr(both, seeds, 5)
+    val got = PageRank.personalizedPageRank(
+      both.toDF("src", "dst"), seeds.toSeq.toDF("vertex"), 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // proximity property: the seed average outranks the global average
+    val seedAvg = seeds.toSeq.map(got).sum / seeds.size
+    val allAvg = got.values.sum / got.size
+    assert(seedAvg > allAvg, s"seeds avg $seedAvg <= global avg $allAvg")
+  }
+
+  test("personalized PageRank enforces its contracts") {
+    val dangling = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] { // 3 has no out-edges
+      PageRank.personalizedPageRank(dangling, Seq(1L).toDF("vertex"), 2)
+    }
+    intercept[IllegalArgumentException] { // seeds outside the graph
+      PageRank.personalizedPageRank(e, Seq(99L).toDF("vertex"), 2)
+    }
+  }
 }
