@@ -317,6 +317,77 @@ object Relational {
           dec38(sum(dec(col("c_acctbal")))).cast("double").as("total_bal"))
     }),
 
+    // TPC-H Q19 (discounted revenue under a DISJUNCTIVE predicate): the
+    // OR-of-ANDs plan — three (brand, size-range, qty-range) arms over
+    // lineitem⋈part. Catalyst cannot split an OR across relations, so
+    // the part-only implication of the arms (brand ∧ size per arm) is
+    // written as an explicit pre-filter — it reaches the parquet scan
+    // as a pushed Or(And(...)) and prunes BEFORE the join — while the
+    // full disjunction (which needs both sides) evaluates post-join.
+    // The per-arm qty bounds are integer-valued doubles; revenue is the
+    // exact-DECIMAL chain, grouped per brand (each arm pins its brand).
+    "q116_disjunctive_revenue" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#17" && col("p_size").between(10, 25)) ||
+          (col("p_brand") === "Brand#5" && col("p_size").between(20, 40)))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#17" && col("p_size").between(10, 25) &&
+            col("l_quantity").between(10, 40)) ||
+          (col("p_brand") === "Brand#5" && col("p_size").between(20, 40) &&
+            col("l_quantity").between(20, 50)))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          dec38(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))))
+            .cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q10 (returned-item revenue, adapted): customers ranked by
+    // the revenue they returned in one quarter — the fact-spine
+    // join + group + top-k warehouse report. Return flag and date both
+    // push to their scans; customer attributes and the nation name ride
+    // broadcast joins AFTER the aggregation (the top-k cut needs only
+    // custkey + revenue — joining attributes first would shuffle them
+    // through the aggregate); exact-DECIMAL revenue makes the top-20
+    // cut deterministic under the custkey tie-break.
+    "q117_returned_revenue" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-04-01").cast("timestamp")
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val agg = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dec38(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))))
+          .as("__rev"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+      val n = table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      agg
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .orderBy(col("__rev").desc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("c_acctbal"), col("__rev").cast("double").as("revenue"))
+    }),
+
     // Day-partitioned lake layout gate (sources/Partitioned.scala): the
     // events table is rewritten as a dt=YYYY-MM-DD directory tree, and a
     // one-week range is answered from the PRUNED read (directory-level
@@ -566,6 +637,41 @@ object Relational {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY c_nationkey""",
+    // Mirrors q116: identical three-arm disjunction (qty bounds
+    // integer-valued on both engines), exact-DECIMAL revenue.
+    "q116_disjunctive_revenue" ->
+      """SELECT p_brand, count(*) AS n_items,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+             (CAST(1 AS DECIMAL(18,6)) -
+              CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
+             AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 25
+                AND l_quantity BETWEEN 10 AND 40)
+            OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 40
+                AND l_quantity BETWEEN 20 AND 50)
+         GROUP BY p_brand""",
+    // Mirrors q117: same pushed cuts, the exact-DECIMAL revenue so the
+    // top-20 cut picks identical rows under the custkey tie-break.
+    "q117_returned_revenue" ->
+      """WITH g AS (SELECT o_custkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+               (CAST(1 AS DECIMAL(18,6)) -
+                CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
+               AS rev
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY o_custkey)
+        SELECT c_custkey, c_name, n_name, c_acctbal,
+          CAST(rev AS DOUBLE) AS revenue
+        FROM g
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY rev DESC, c_custkey ASC LIMIT 20""",
     // Mirrors q114 from the FLAT side: DuckDB derives the same day
     // strings from the raw timestamps; Spark answers from the pruned
     // partitioned copy.

@@ -125,6 +125,29 @@ class PlanSpec extends SparkSessionSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"))
   }
 
+  test("q116: the disjunction's part-only implication pushes as Or(And(...))") {
+    val p = plan("q116_disjunctive_revenue")
+    // the OR-of-ANDs arms must prune the part scan BEFORE the join
+    assert(p.contains("Or(And("), "disjunctive part filter not pushed")
+    assert(p.contains("p_brand"), "brand arm missing from pushed filters")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"), "q116 lost map-side combine")
+  }
+
+  test("q117: flags/dates pushed; attributes join AFTER the aggregate; top-k") {
+    val p = plan("q117_returned_revenue")
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+    // customer/nation attributes must not ride through the aggregation:
+    // no customer column may appear inside a partial aggregate's grouping
+    assert(!p.linesIterator.exists(l =>
+      l.contains("partial_") && l.contains("c_name")),
+      "customer attributes shuffled through the aggregate")
+  }
+
   test("q14: banded range join plans as a shuffled equi-join, not NLJ") {
     val p = plan("q14_price_band_join")
     assert(!p.contains("BroadcastNestedLoopJoin"))
