@@ -79,7 +79,16 @@ object Bench {
         }
         finally dropDeadBlocks()
       }
-    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+    // LOWER median: for even-length samples take the smaller middle
+    // element. Quick mode's sub-second tail gets exactly 2 samples, and
+    // the upper middle there is systematically the warm-up-laden first
+    // run — upper-median would bias every tail entry high AND let the
+    // 3x-min contention recheck fire on warm-up skew alone (for a
+    // 2-sample pair the lower median equals the min, so the recheck can
+    // never trigger off the probe pair and the defended number IS the
+    // min, which is what BASELINE.md compares anyway). Odd lengths (the
+    // full record's 5 runs) are unchanged.
+    def median(ts: Seq[Double]): Double = ts.sorted.apply((ts.length - 1) / 2)
     val results = selected.map { case (name, fn) =>
       // quick mode: probe once; only the >1s head earns its full run
       // count (stratification decided per query off its own first run).

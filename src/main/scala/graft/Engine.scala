@@ -48,6 +48,20 @@ object Engine {
       // count at ANY split size and AQE coalesces the shuffle side.
       .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // Streaming state lives OFF-HEAP in RocksDB, not in the default
+      // in-heap HDFSBackedStateStore: s06-shape content-fingerprint dedup
+      // state is cross-batch unbounded by contract, so at 100 TB ingest
+      // in-heap state is an executor-OOM cliff — RocksDB spills to local
+      // disk and bounds the JVM footprint. Changelog checkpointing
+      // uploads per-batch deltas instead of full SST snapshots, keeping
+      // commit latency flat as state grows. Results are provider-
+      // independent (StateStoreParitySpec pins dedup + hourly-uniques
+      // byte-equal under both providers, including across a restart).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -53,7 +53,12 @@ object IvfPersist {
     store.put(centDf, centGid(gid), Some("cell"))
     store.put(
       assigned.select(col(idCol).cast("long").as("id"),
-        col("cell").cast("int").as("cell"), col(vecCol).as("vec")),
+        col("cell").cast("int").as("cell"),
+        // cast to the cellSchema's ARRAY<FLOAT> like id/cell: an
+        // array<double> corpus would otherwise narrow SILENTLY through
+        // the JSON reload and break the bit-exactness contract (loaded
+        // search != fresh search) with no error anywhere
+        col(vecCol).cast("array<float>").as("vec")),
       cellGid(gid), Some("id"))
   }
 
@@ -68,7 +73,8 @@ object IvfPersist {
       arrivals, loadCentroids(store, gid), idCol, vecCol)
     store.put(
       assigned.select(col(idCol).cast("long").as("id"),
-        col("cell").cast("int").as("cell"), col(vecCol).as("vec")),
+        col("cell").cast("int").as("cell"),
+        col(vecCol).cast("array<float>").as("vec")),
       cellGid(gid), Some("id"))
   }
 
@@ -108,4 +114,104 @@ object IvfPersist {
     Similarity.ivfTopKAssigned(
       loadAssigned(store, gid), loadCentroids(store, gid),
       queries, k, nProbe, qidCol = qidCol, qvecCol = qvecCol)
+
+  // ------------------------------------------------------- IVF-PQ form
+  // The production default (v11) persists one more artifact — the PQ
+  // codebooks — and its cells gid carries (id, cell, codes, vec): codes
+  // are the resident ADC state, vec the true-vector side only the
+  // |Q|·refine re-rank fetch reads. Store upsert/del remain the add and
+  // delete paths (touched-bucket rewrites), and arrivals are encoded
+  // with the exact build kernel ([[Similarity.ivfPqEncode]]) against
+  // the FROZEN centroids + codebooks, so a reloaded index searches
+  // bit-identically to a fresh build (IvfPersistSpec pins it, across an
+  // add and a delete).
+
+  private def bookGid(gid: String) = s"${gid}__codebooks"
+
+  private val bookSchema = StructType.fromDDL(
+    "mi INT, book ARRAY<ARRAY<FLOAT>>")
+  private val pqCellSchema = StructType.fromDDL(
+    "id BIGINT, cell INT, codes ARRAY<INT>, vec ARRAY<FLOAT>")
+
+  private def encodedRows(
+      arrivals: DataFrame,
+      cents: Array[Array[Float]], cbs: Array[Array[Array[Float]]],
+      idCol: String, vecCol: String): DataFrame =
+    Similarity.ivfPqEncode(arrivals, cents, cbs, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"),
+        col("cell").cast("int").as("cell"), col("codes"),
+        col(vecCol).cast("array<float>").as("vec"))
+
+  /** Persist a built IVF-PQ index: centroids, per-sub-space codebooks,
+    * and the encoded corpus.
+    */
+  def persistPq(
+      store: Store, gid: String,
+      cents: Array[Array[Float]], cbs: Array[Array[Array[Float]]],
+      corpus: DataFrame,
+      idCol: String = "id", vecCol: String = "vec"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i + 1, c.toSeq) }
+      .toDF("cell", "centroid")
+    store.put(centDf, centGid(gid), Some("cell"))
+    val bookDf = cbs.zipWithIndex.toSeq
+      .map { case (b, mi) => (mi, b.map(_.toSeq).toSeq) }
+      .toDF("mi", "book")
+    store.put(bookDf, bookGid(gid), Some("mi"))
+    store.put(encodedRows(corpus, cents, cbs, idCol, vecCol),
+      cellGid(gid), Some("id"))
+  }
+
+  /** Add arrivals to a persisted IVF-PQ index: assign + encode against
+    * the STORED (frozen) centroids and codebooks, then upsert — only
+    * the touched buckets rewrite.
+    */
+  def addPq(
+      store: Store, gid: String, arrivals: DataFrame,
+      idCol: String = "id", vecCol: String = "vec"): Unit =
+    store.put(
+      encodedRows(arrivals, loadCentroids(store, gid),
+        loadCodebooks(store, gid), idCol, vecCol),
+      cellGid(gid), Some("id"))
+
+  /** Delete one vector by id — identical to the flat-IVF [[delete]]. */
+  def deletePq(store: Store, gid: String, id: Long): Unit =
+    store.del(cellGid(gid), id.toString)
+
+  /** Reload the per-sub-space codebooks (m·k codewords — driver-bounded
+    * like the centroid matrix).
+    */
+  def loadCodebooks(store: Store, gid: String): Array[Array[Array[Float]]] =
+    store.scan(bookGid(gid))
+      .select(from_json(col("value"), bookSchema).as("r"))
+      .select(col("r.mi"), col("r.book"))
+      .orderBy(col("mi"))
+      .collect()
+      .map(_.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray)
+
+  /** Reload the encoded corpus — a distributed scan; rows never hit the
+    * driver.
+    */
+  def loadEncoded(store: Store, gid: String): DataFrame =
+    store.scan(cellGid(gid))
+      .select(from_json(col("value"), pqCellSchema).as("r"))
+      .select(col("r.id"), col("r.cell"), col("r.codes"), col("r.vec"))
+
+  /** Search a persisted IVF-PQ index through the exact
+    * [[Similarity.ivfPqTopKEncoded]] tail — equals a fresh
+    * [[Similarity.ivfPqTopK]] with the same trained state, bit-exactly.
+    */
+  def searchPq(
+      store: Store, gid: String, queries: DataFrame, k: Int,
+      nProbe: Int = 6, refine: Int = 100,
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val enc = loadEncoded(store, gid)
+    Similarity.ivfPqTopKEncoded(
+      enc.select(col("id"), col("cell"), col("codes")),
+      enc.select(col("id"), col("vec")),
+      loadCentroids(store, gid), loadCodebooks(store, gid),
+      queries, k, nProbe, refine, qidCol = qidCol, qvecCol = qvecCol)
+  }
 }

@@ -1155,18 +1155,55 @@ object Similarity {
       ivfCentroids(corpus, nCentroids, idCol = idCol, vecCol = vecCol))
     val cbs = trainedBooks.getOrElse(
       pqCodebooks(corpus, m, nCodes, idCol = idCol, vecCol = vecCol))
-    require(cents.nonEmpty, "ivfPqTopK needs a non-empty corpus")
-    val nCells = cents.length
-    val probes = math.min(nProbe, nCells)
-    // resident index state: (id, cell, codes) — built in one fused scan
-    // pass (cell argmax + m·nCodes distance kernels; the widen gate
-    // spreads it past a parallelism-collapsed scan)
-    val encoded = withCellCosines(
+    val encoded = ivfPqEncode(corpus, cents, cbs, idCol, vecCol, maxLiteralCells)
+    ivfPqTopKEncoded(
+      encoded.select(col(idCol), col("cell"), col("codes")),
+      corpus.select(col(idCol), col(vecCol)),
+      cents, cbs, queries, k, nProbe, refine,
+      idCol, vecCol, qidCol, qvecCol, maxLiteralCells)
+  }
+
+  /** Build the resident IVF-PQ index state — (id, cell, codes, vec) —
+    * in one fused scan pass (cell argmax + m·nCodes distance kernels;
+    * the widen gate spreads it past a parallelism-collapsed scan).
+    * Split out of [[ivfPqTopK]] so a PERSISTED index (ops/IvfPersist)
+    * encodes arrivals with the exact build kernel and searches reloaded
+    * state through the exact search tail ([[ivfPqTopKEncoded]]).
+    * `vec` rides through for the persisted refine side; the ADC pass
+    * must project it away ([[ivfPqTopK]] does) so candidates stay
+    * code-width.
+    */
+  def ivfPqEncode(
+      corpus: DataFrame,
+      cents: Array[Array[Float]], cbs: Array[Array[Array[Float]]],
+      idCol: String = "id", vecCol: String = "vec",
+      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
+    require(cents.nonEmpty, "ivfPqEncode needs trained centroids")
+    withCellCosines(
         widen(corpus.select(col(idCol), col(vecCol))),
         cents, vecCol, maxLiteralCells)
       .withColumn("cell", argmaxCell)
       .select(col(idCol), col("cell"),
-        pqEncode(col(vecCol), cbs).as("codes"))
+        pqEncode(col(vecCol), cbs).as("codes"), col(vecCol))
+  }
+
+  /** IVF-PQ search over a PRE-BUILT index: `encoded` carries
+    * (id, cell, codes) — fresh from [[ivfPqEncode]] or reloaded from a
+    * Store — and `vectors` (id, vec) is the true-vector side only the
+    * |Q|·refine re-rank fetch touches. The exact tail of [[ivfPqTopK]],
+    * bit-for-bit (IvfPersistSpec pins reloaded == fresh).
+    */
+  def ivfPqTopKEncoded(
+      encoded: DataFrame, vectors: DataFrame,
+      cents: Array[Array[Float]], cbs: Array[Array[Array[Float]]],
+      queries: DataFrame, k: Int,
+      nProbe: Int = 6, refine: Int = 100,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      maxLiteralCells: Int = IvfLiteralCellGate): DataFrame = {
+    require(cents.nonEmpty, "ivfPqTopKEncoded needs trained centroids")
+    val nCells = cents.length
+    val probes = math.min(nProbe, nCells)
     // queries probe their nProbe best cells (the ivfTopK probe shape),
     // and carry a precomputed ADC lookup table: ||q−recon||² is separable
     // per sub-space, so lut[mi][j] = ||q_mi − codebook[mi][j]||² turns
@@ -1211,7 +1248,7 @@ object Similarity {
       .filter(col("adc_rank") <= refine)
       .select(col(qidCol), col(idCol))
     // exact re-rank on true vectors — |Q|·refine rows, broadcast-joined
-    val refined = corpus.join(broadcast(shortlist), Seq(idCol))
+    val refined = vectors.join(broadcast(shortlist), Seq(idCol))
       .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
       .withColumn("dist", l2Distance(col(qvecCol), col(vecCol)))
     val w = Window.partitionBy(col(qidCol))

@@ -5,15 +5,27 @@ import org.apache.spark.sql.functions._
 
 /** Skew-resistant equi-join via key salting.
   *
-  * AQE's skew-join handling splits oversized *partitions* of a sort-merge
-  * join, which rescues moderate skew — but a single pathological key
-  * (the "null key" / "default id" / celebrity-user shape that dominates
-  * real 100 TB joins) still lands every one of its probe rows against
-  * every matching build row in partitions AQE cannot split finer than the
-  * key. Salting fixes the key itself: the probe side spreads each key
-  * over `salt` sub-keys, the build side replicates each row to all
-  * sub-keys, and the join key becomes (key, salt) — the giant key's work
-  * is now `salt`-way parallel. Build-side cost: ×salt rows (use for
+  * WHEN TO PREFER WHICH (SkewJoinSpec cross-checks the two on the same
+  * hot-key fixture): AQE's OptimizeSkewedJoin rewrites a shuffled
+  * sort-merge/hash JOIN stage at runtime — it splits an oversized
+  * partition by map-output ranges (this handles even a SINGLE
+  * pathological key: each split re-reads the other side's matching
+  * partition in full) with exact sizes and zero code change, so for a
+  * plain shuffled equi-join it is the default answer; leave it on and
+  * do nothing. Reach for [[saltedJoin]] where AQE's rule cannot act:
+  *  - skew into an AGGREGATION or window (AQE only rewrites join
+  *    stages; a groupBy on the hot key still serializes — pre-salt and
+  *    two-phase the agg);
+  *  - the join's output partitioning is REQUIRED downstream (a same-key
+  *    groupBy/join above it — AQE skips the split rather than break the
+  *    distribution; salting re-keys instead);
+  *  - stateful/streaming plans (AQE is disabled there);
+  *  - co-partitioned/bucketed sides that never shuffle (no shuffle
+  *    stats for AQE to act on).
+  * Salting fixes the key itself: the probe side spreads each key over
+  * `salt` sub-keys, the build side replicates each row to all sub-keys,
+  * and the join key becomes (key, salt) — the giant key's work is now
+  * `salt`-way parallel. Build-side cost: ×salt rows (use for
   * small-to-medium build sides that still exceed the broadcast
   * threshold).
   *

@@ -143,8 +143,13 @@ object Relational {
     // customer=supplier same-nation condition rides the broadcast probe.
     // Date range pushes to the orders scan; revenue is the exact-DECIMAL
     // chain. Scale: both fact shuffles are key-partitioned and
-    // partial-agg'd; the broadcast side is |suppliers in region| rows —
-    // dimension-bounded at any SF.
+    // partial-agg'd. The supplier side GROWS with the corpus (1/5 of it
+    // under the region cut), so the broadcast is NOT forced: the scan-
+    // stats planner broadcasts it while it fits the threshold and AQE
+    // re-plans from exact runtime sizes past that — at test SF the plan
+    // is the broadcast probe (PlanSpec gates it); at 100 TB the same
+    // code degrades to a keyed shuffle join instead of OOMing every
+    // executor on a forced-broadcast billion-supplier build side.
     "q108_region_revenue" -> ((s, dir) => {
       val lo = lit("1996-01-01").cast("timestamp")
       val hi = lit("1997-01-01").cast("timestamp")
@@ -167,7 +172,7 @@ object Relational {
         .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
+        .join(dim, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(
@@ -355,11 +360,15 @@ object Relational {
     // TPC-H Q10 (returned-item revenue, adapted): customers ranked by
     // the revenue they returned in one quarter — the fact-spine
     // join + group + top-k warehouse report. Return flag and date both
-    // push to their scans; customer attributes and the nation name ride
-    // broadcast joins AFTER the aggregation (the top-k cut needs only
-    // custkey + revenue — joining attributes first would shuffle them
-    // through the aggregate); exact-DECIMAL revenue makes the top-20
-    // cut deterministic under the custkey tie-break.
+    // push to their scans; customer attributes and the nation name join
+    // AFTER the aggregation (the top-k cut needs only custkey +
+    // revenue — joining attributes first would shuffle them through the
+    // aggregate); exact-DECIMAL revenue makes the top-20 cut
+    // deterministic under the custkey tie-break. The customer side
+    // GROWS with the corpus, so its broadcast is NOT forced (the q108
+    // gate): stats broadcast it while it fits, AQE re-plans past that —
+    // a forced hint would OOM the build side at 100 TB. Nation stays an
+    // explicit broadcast: 25 rows at any SF.
     "q117_returned_revenue" -> ((s, dir) => {
       val lo = lit("1996-01-01").cast("timestamp")
       val hi = lit("1996-04-01").cast("timestamp")
@@ -380,12 +389,103 @@ object Relational {
       val n = table(s, dir, "nation")
         .select(col("n_nationkey"), col("n_name"))
       agg
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .orderBy(col("__rev").desc, col("c_custkey").asc)
         .limit(20)
         .select(col("c_custkey"), col("c_name"), col("n_name"),
           col("c_acctbal"), col("__rev").cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q13 (customer order-count distribution, adapted — no
+    // o_comment column, so the exclusion predicate is a priority
+    // class): the LEFT-OUTER COUNT DISTRIBUTION plan — the one shape
+    // whose semantics hinge on the null group: customers with NO
+    // (non-urgent) orders must surface as c_count = 0, which only a
+    // left outer join + count(o_orderkey) (null-skipping) expresses;
+    // an inner join silently drops the zero bucket. Scale: the outer
+    // join and the per-customer count share the c_custkey partitioning
+    // (one exchange serves both — the join's shuffle IS the agg's),
+    // and the closing distribution groups on c_count — tens of rows at
+    // any corpus size.
+    "q118_order_count_distribution" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(col("c_custkey"))
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q18 (large-order customers): the HAVING + IN-SUBQUERY
+    // composition — orders whose total line quantity clears a
+    // threshold, re-joined to their order/customer attributes. Spark-
+    // first decorrelation: the IN-set and the displayed quantity are
+    // the SAME aggregate, so one lineitem groupBy(l_orderkey) with the
+    // HAVING as a post-agg filter feeds the join directly — no second
+    // pass over lineitem, no semi join against a re-aggregation. The
+    // threshold compare is exact-DECIMAL (sum of integer-valued
+    // quantities), so no engine can disagree at the boundary. Scale:
+    // the qualifying set is the 99th-percentile tail of orders — tiny
+    // relative to lineitem — and the orders/customer joins key on it;
+    // TakeOrderedAndProject closes top-100 without a global sort.
+    "q119_large_order_customers" -> ((s, dir) => {
+      val big = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .groupBy(col("l_orderkey"))
+        .agg(dec38(sum(dec(col("l_quantity")))).as("__qty"))
+        .filter(col("__qty") > lit(250).cast(DecimalType(38, 6)))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("__qty").cast("double").as("total_qty"))
+    }),
+
+    // TPC-H Q20 (part suppliers with surplus shipments, adapted — no
+    // partsupp table, so (l_partkey, l_suppkey) pairs from lineitem
+    // stand in, and the availqty>half-shipped test becomes a shipped-
+    // quantity threshold over one year): the NESTED SEMI CHAIN —
+    // supplier ⟕ (pairs over threshold ⟕ name-filtered parts). Both
+    // semis flow INTO supplier, so no supplier attribute widens the
+    // inner exchanges: the pair aggregate shuffles on (part, supp),
+    // semi-prunes against the broadcast part set, collapses to distinct
+    // suppkeys (a supplier-sized set), and the nation-filtered supplier
+    // side probes it. Exact-DECIMAL threshold, suppkey-ordered output.
+    "q120_surplus_part_suppliers" -> ((s, dir) => {
+      val pr = table(s, dir, "part")
+        .filter(col("p_name").startsWith("red "))
+        .select(col("p_partkey"))
+      val pairs = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(dec38(sum(dec(col("l_quantity")))).as("__sq"))
+      val qual = pairs
+        .join(broadcast(pr), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .filter(col("__sq") > lit(40).cast(DecimalType(38, 6)))
+        .select(col("l_suppkey")).distinct()
+      table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .join(broadcast(table(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .orderBy(col("s_suppkey").asc)
+        .select(col("s_suppkey"), col("s_name"))
     }),
 
     // Day-partitioned lake layout gate (sources/Partitioned.scala): the
@@ -396,9 +496,10 @@ object Relational {
     // the hash match proves the layout + pruning path lossless: same
     // rows, full timestamp precision, exact-DECIMAL value sums.
     "q114_partitioned_scan" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q114").toFile
-      root.deleteOnExit()
+      // TempDirs: one session root, recursively deleted by a shutdown
+      // hook — deleteOnExit on a non-empty dir is a no-op and leaked a
+      // table copy per invocation (r8 ADVICE)
+      val root = graft.TempDirs.scratch("graft_q114").toFile
       val out = root.getAbsolutePath + "/events"
       graft.sources.Partitioned.writeByDay(table(s, dir, "events"), out)
       graft.sources.Partitioned.readDays(s, out, "2024-01-08", "2024-01-14")
@@ -418,9 +519,7 @@ object Relational {
     // the write cost is the honest ingest cost and stays in the bench.
     "q110_csv_ingest" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_csv_q110").toFile
-      path.deleteOnExit()
+      val path = graft.TempDirs.scratch("graft_csv_q110").toFile
       val out = path.getAbsolutePath + "/docs"
       graft.sources.Csv.write(docs, out)
       graft.sources.Csv.read(s, out, docs.schema)
@@ -672,6 +771,53 @@ object Relational {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         ORDER BY rev DESC, c_custkey ASC LIMIT 20""",
+    // Mirrors q118: the same left-outer null-group semantics —
+    // count(o_orderkey) skips nulls, so order-less customers land in
+    // the c_count = 0 bucket on both engines.
+    "q118_order_count_distribution" ->
+      """WITH co AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count""",
+    // Mirrors q119: identical exact-DECIMAL quantity threshold (the
+    // HAVING), the same (o_totalprice DESC, o_orderkey) deterministic
+    // top-100.
+    "q119_large_order_customers" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6))
+               AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+             AS DECIMAL(38,6)) > 250)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(total_qty AS DOUBLE) AS total_qty
+         FROM big
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    // Mirrors q120: EXISTS in place of the semi joins, the same
+    // exact-DECIMAL shipped-quantity threshold and name prefix.
+    "q120_surplus_part_suppliers" ->
+      """WITH pr AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+          pairs AS (
+            SELECT l_partkey, l_suppkey,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                AS sq
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_partkey, l_suppkey),
+          qual AS (SELECT DISTINCT l_suppkey FROM pairs
+            WHERE sq > 40
+              AND EXISTS (SELECT 1 FROM pr WHERE p_partkey = l_partkey))
+        SELECT s_suppkey, s_name FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND EXISTS (SELECT 1 FROM qual WHERE l_suppkey = s_suppkey)
+        ORDER BY s_suppkey""",
     // Mirrors q114 from the FLAT side: DuckDB derives the same day
     // strings from the raw timestamps; Spark answers from the pruned
     // partitioned copy.

@@ -157,9 +157,7 @@ object StreamQueries {
       val planted = d.unionAll(d.select(
         (col("doc_id") + 1000000000000L).as("doc_id"),
         col("lang"), col("text")))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_s18").toFile
-      root.deleteOnExit()
+      val root = graft.TempDirs.scratch("graft_s18").toFile
       val out = root.getAbsolutePath + "/docs"
       graft.sources.Jsonl.write(planted, out)
       val back = graft.sources.Jsonl.read(s, out, planted.schema)

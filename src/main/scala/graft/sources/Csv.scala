@@ -29,6 +29,17 @@ import org.apache.spark.sql.types.StructType
   *
   * Dirty-line modes mirror [[Jsonl.read]]: PERMISSIVE nulls unparsable
   * fields; FAILFAST turns them into job failures.
+  *
+  * SCHEMA EVOLUTION is by POSITION (Spark's enforceSchema default maps
+  * schema to fields positionally; header names are not consulted), so
+  * the contract is narrower than [[Jsonl]]'s:
+  *  - a new nullable column is legal only at the TAIL — old rows run
+  *    out of fields and PERMISSIVE nulls the remainder;
+  *  - never drop a column from the READ schema: a mid-schema removal
+  *    shifts every later field one position left and values land under
+  *    the wrong names, silently. Project instead: read with the
+  *    shard's full schema, then `.drop`/`.select` (CSV has no column
+  *    pruning to lose). Both behaviors pinned by CsvSpec.
   */
 object Csv {
 

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.StructType
   *    precision (Spark's default JSON timestampFormat silently
   *    truncates to millis — the format is pinned on both sides);
   *    binary rides as base64 (JsonlSpec pins the round-trip).
+  *  - SCHEMA EVOLUTION is by NAME (JSON fields are named): a new
+  *    nullable column may sit anywhere in the evolved schema and reads
+  *    as null over old shards; a removed column is just a narrower
+  *    schema (extra fields in newer shards are skipped). Both
+  *    directions pinned by JsonlSpec. Contrast [[Csv]], whose
+  *    positional mapping only permits TRAILING additions.
   */
 object Jsonl {
 

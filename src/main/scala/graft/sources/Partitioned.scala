@@ -46,4 +46,77 @@ object Partitioned {
     spark.read.option("basePath", path).parquet(path)
       .filter(col("dt") >= fromDay && col("dt") <= toDay)
       .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
+
+  /** Append a batch into an existing day tree (the incremental-ingest
+    * path): same derived-dt + repartition discipline as [[writeByDay]],
+    * appending files into the touched day directories. Each append adds
+    * up to one file per day per shuffle partition — which is exactly why
+    * a lake needs [[compactDays]] as periodic maintenance.
+    */
+  def appendByDay(df: DataFrame, path: String, tsCol: String = "ts"): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .repartition(col("dt"))
+      .write.mode("append")
+      .partitionBy("dt")
+      .parquet(path)
+
+  /** Small-file compaction over a day range — the weekly maintenance op
+    * of a real event lake: incremental appends accumulate files per day
+    * (one per append × shuffle partition), and scan cost degrades with
+    * file count long before data size grows. Each day in
+    * [fromDay, toDay] is rewritten to `ceil(bytes / targetFileMB)`
+    * files (min 1) and swapped in ATOMICALLY, day by day:
+    *  - days outside the range are never touched;
+    *  - a day already at-or-under its target file count is skipped
+    *    (no write amplification on repeat runs);
+    *  - readers see the old files or the new files, never a mix — the
+    *    rewrite lands in a hidden `.compact_tmp` sibling and replaces
+    *    the day dir with two renames;
+    *  - rows and timestamp precision are bit-identical (plain parquet
+    *    read → coalesce → write; no recompute touches the values).
+    * Each day is an independent Spark job over only that day's files —
+    * a production scheduler can fan days out in parallel; the
+    * sequential loop here keeps the local semantics obvious.
+    */
+  def compactDays(
+      spark: SparkSession, path: String,
+      fromDay: String, toDay: String, targetFileMB: Int = 128): Unit = {
+    val root = new java.io.File(path)
+    val dayDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .filter { f =>
+        val day = f.getName.stripPrefix("dt=")
+        day >= fromDay && day <= toDay // ISO day strings order lexically
+      }
+      .sortBy(_.getName)
+    val targetBytes = targetFileMB.toLong * 1024 * 1024
+    dayDirs.foreach { dayDir =>
+      val parts = dayDir.listFiles().filter(f =>
+        f.isFile && f.getName.startsWith("part-"))
+      val bytes = parts.map(_.length()).sum
+      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (parts.length > want) {
+        val tmp = new java.io.File(root, s".compact_tmp_${dayDir.getName}")
+        // day files carry no dt column (partitionBy strips it) — the
+        // rewrite is a plain parquet round-trip of the same schema
+        spark.read.parquet(dayDir.getAbsolutePath)
+          .coalesce(want)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        // drop Spark's _SUCCESS marker: day dirs hold only part files
+        new java.io.File(tmp, "_SUCCESS").delete(): Unit
+        val trash = new java.io.File(root, s".compact_old_${dayDir.getName}")
+        if (!dayDir.renameTo(trash))
+          sys.error(s"compactDays: cannot swap out ${dayDir.getName}")
+        if (!tmp.renameTo(dayDir)) {
+          trash.renameTo(dayDir) // roll back — old data stays live
+          sys.error(s"compactDays: cannot swap in ${dayDir.getName}")
+        }
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(trash)
+      }
+    }
+  }
 }

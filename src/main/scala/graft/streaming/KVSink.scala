@@ -60,13 +60,25 @@ object KVSink {
         // its stateful lineage per action — a flatMapGroupsWithState
         // timeout replayed after its state.remove() emits from empty
         // state (observed: funnel rows rewritten as stage 0 by the
-        // write action). persist() makes the batch's rows a fixed fact.
-        val pinned = batch.persist()
+        // write action). localCheckpoint (eager) TRUNCATES the lineage:
+        // downstream plans reference only the materialized blocks, so
+        // the stateful operators execute exactly once per batch.
+        // persist() is NOT enough — the put's merge plan references the
+        // batch twice (anti-join probe + union), and the self-join
+        // relation dedup defeats cache substitution on one side, re-
+        // executing the stateful lineage (observed as a double state-
+        // store load/commit and 2x-inflated numRowsTotal/numRowsUpdated;
+        // StateStoreParitySpec pins the exact metrics).
+        val pinned = batch.localCheckpoint()
         try {
           // an empty micro-batch must not touch the store (a put would
           // needlessly create/stamp the gid)
-          if (!pinned.isEmpty) put(pinned)
-        } finally { pinned.unpersist(); () }
+          if (pinned.count() > 0) put(pinned)
+        } finally {
+          // eagerly free the checkpoint blocks — ContextCleaner would
+          // only reclaim them at GC, too lazy for a per-batch cadence
+          org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pinned)
+        }
       }
       .start()
 }

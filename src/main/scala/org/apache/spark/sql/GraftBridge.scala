@@ -10,4 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Drop the materialized blocks behind a `localCheckpoint()`ed
+    * Dataset once its consumer is done with it. The checkpoint RDD is
+    * otherwise cleaned only when the ContextCleaner GCs the Dataset —
+    * too lazy for a long-running streaming sink that checkpoints every
+    * micro-batch (graft.streaming.KVSink).
+    */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }

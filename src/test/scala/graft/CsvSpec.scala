@@ -86,4 +86,49 @@ class CsvSpec extends SparkSessionSpec {
     val back = Csv.read(spark, path, df.schema)
     assert(back.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet)
   }
+
+  test("schema evolution: a TRAILING added nullable column reads as null over old shards") {
+    // CSV maps schema to fields by POSITION (Spark's enforceSchema
+    // default ignores header names), so the evolution contract is
+    // narrower than JSONL's: additions are legal only at the TAIL,
+    // where old rows simply run out of fields and PERMISSIVE nulls the
+    // remainder
+    val docs = table(spark, sfDir, "documents").limit(50)
+    val path = tmp("evolve_add")
+    Csv.write(docs, path) // old shards: no `quality` field
+    val v2 = org.apache.spark.sql.types.StructType(
+      docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "quality", org.apache.spark.sql.types.DoubleType, nullable = true))
+    val back = Csv.read(spark, path, v2)
+    assert(back.schema.fieldNames.toSeq === v2.fieldNames.toSeq)
+    assert(back.filter(col("quality").isNotNull).count() === 0)
+    assert(back.drop("quality").collect().map(_.toSeq).toSet ===
+      docs.collect().map(_.toSeq).toSet)
+  }
+
+  test("schema evolution: column removal = full schema + select, NEVER a narrowed schema") {
+    // the pinned hazard that motivates the contract: a mid-schema
+    // column dropped from the READ schema shifts every later field one
+    // position left — values land under the wrong names, silently.
+    // The safe projection reads with the shard's FULL schema and
+    // selects; CSV has no column pruning to lose anyway.
+    val docs = table(spark, sfDir, "documents").limit(50)
+    val path = tmp("evolve_rm")
+    Csv.write(docs, path)
+    // docs schema: (doc_id, text, lang, source, n_chars) — drop `text`
+    val narrow = org.apache.spark.sql.types.StructType(
+      docs.schema.fields.filter(_.name != "text"))
+    val misaligned = Csv.read(spark, path, narrow)
+    // `lang` now (mis)reads the text field: proof the narrow read shifted
+    val langs = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    val misread = misaligned.select("lang")
+      .collect().map(r => Option(r.getString(0)).getOrElse("")).toSet
+    assert(!misread.subsetOf(langs),
+      "narrowed CSV schema unexpectedly aligned — contract may be stale")
+    // the safe recipe: full schema, then select
+    val projected = Csv.read(spark, path, docs.schema).drop("text")
+    assert(projected.collect().map(_.toSeq).toSet ===
+      docs.drop("text").collect().map(_.toSeq).toSet)
+  }
 }

@@ -63,4 +63,41 @@ class IvfPersistSpec extends SparkSessionSpec {
     assert(rows(IvfPersist.search(store, "ann", queries, k = 10, nProbe = 4))
       === rows(freshMinus))
   }
+
+  test("IVF-PQ (v11, the production default): persist -> reload -> search " +
+      "== fresh, across an add and a delete") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val store = new Store(spark, root, defaultBuckets = 8)
+    val base = corpus.filter(col("id") % 7 =!= 0)
+    val arrivals = corpus.filter(col("id") % 7 === 0)
+    val cents = Similarity.ivfCentroids(base, nCentroids = 16)
+    val cbs = Similarity.pqCodebooks(base, m = 8, k = 16)
+
+    IvfPersist.persistPq(store, "pq", cents, cbs, base)
+
+    // codebooks survive the JSON values bit-exactly
+    val books = IvfPersist.loadCodebooks(store, "pq")
+    assert(books.length === cbs.length)
+    assert(books.zip(cbs).forall { case (a, b) =>
+      a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    })
+
+    def fresh(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(c, queries, k = 10, nProbe = 6, refine = 60,
+        trainedCells = Some(cents), trainedBooks = Some(cbs))
+    def loaded() =
+      IvfPersist.searchPq(store, "pq", queries, k = 10, nProbe = 6, refine = 60)
+
+    assert(rows(loaded()) === rows(fresh(base)))
+
+    // ADD: encode against the STORED frozen centroids + codebooks
+    IvfPersist.addPq(store, "pq", arrivals)
+    assert(rows(loaded()) === rows(fresh(corpus)))
+
+    // DELETE: drop a retrieved id; loaded == fresh over corpus minus it
+    val victim = fresh(corpus).orderBy(col("qid"), col("rank"))
+      .select(col("neighbor_id")).head.getLong(0)
+    IvfPersist.deletePq(store, "pq", victim)
+    assert(rows(loaded()) === rows(fresh(corpus.filter(col("id") =!= victim))))
+  }
 }

@@ -54,4 +54,38 @@ class JsonlSpec extends SparkSessionSpec {
     }
     assert(ff.getMessage != null)
   }
+
+  test("schema evolution: an added nullable column reads as null over old shards") {
+    // the normal corpus lifecycle event: v2 of the pipeline adds a
+    // column; old shards must keep reading under the NEW schema with
+    // nulls in the new field — by NAME, position-independent (JSON),
+    // so the field can sit ANYWHERE in the evolved schema
+    val docs = table(spark, sfDir, "documents").limit(50)
+    val path = tmp("evolve_add")
+    Jsonl.write(docs, path) // old shards: no `quality` field
+    val v2 = org.apache.spark.sql.types.StructType(
+      docs.schema.fields.patch(1,
+        Seq(org.apache.spark.sql.types.StructField("quality",
+          org.apache.spark.sql.types.DoubleType, nullable = true)), 0))
+    val back = Jsonl.read(spark, path, v2)
+    assert(back.schema.fieldNames.toSeq === v2.fieldNames.toSeq)
+    assert(back.filter(col("quality").isNotNull).count() === 0)
+    // every original column is intact
+    assert(back.drop("quality").collect().map(_.toSeq).toSet ===
+      docs.collect().map(_.toSeq).toSet)
+  }
+
+  test("schema evolution: a removed column reads as a projection over new shards") {
+    // the reverse direction: a narrower v1 schema over v2 shards simply
+    // projects — extra JSON fields are skipped by name
+    val docs = table(spark, sfDir, "documents").limit(50)
+    val path = tmp("evolve_rm")
+    Jsonl.write(docs, path)
+    val narrow = org.apache.spark.sql.types.StructType(
+      docs.schema.fields.filter(_.name != "source"))
+    val back = Jsonl.read(spark, path, narrow)
+    assert(back.schema.fieldNames.toSeq === narrow.fieldNames.toSeq)
+    assert(back.collect().map(_.toSeq).toSet ===
+      docs.drop("source").collect().map(_.toSeq).toSet)
+  }
 }

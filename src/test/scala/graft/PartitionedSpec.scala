@@ -49,6 +49,50 @@ class PartitionedSpec extends SparkSessionSpec {
     assert(pruned.count() === expected)
   }
 
+  test("compactDays: appends accumulate files; compaction bounds them, " +
+      "rows/ts identical, out-of-range days untouched") {
+    // fresh tree (the shared `root` is read by other cases): base write
+    // plus 4 incremental appends of day-sliced batches
+    val d = Files.createTempDirectory("graft_compact").toString + "/events"
+    val ev = table(spark, sfDir, "events")
+    Partitioned.writeByDay(ev, d)
+    (1 to 4).foreach { i =>
+      Partitioned.appendByDay(
+        ev.filter(pmod(col("event_id"), lit(4)) === i % 4), d)
+    }
+    def files(day: java.io.File): Int =
+      day.listFiles().count(_.getName.startsWith("part-"))
+    val days = new java.io.File(d).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .sortBy(_.getName)
+    assert(days.length >= 4, "need >=4 days")
+    assert(days.exists(files(_) > 2), "appends did not accumulate files")
+    val dayNames = days.map(_.getName.stripPrefix("dt="))
+    val (from, to) = (dayNames.head, dayNames(dayNames.length - 2))
+    val lastDay = days.last
+    val lastBefore = files(lastDay)
+    val before = spark.read.option("basePath", d).parquet(d)
+      .collect().map(_.toSeq).toSet
+    Partitioned.compactDays(spark, d, from, to, targetFileMB = 128)
+    // in-range days collapse to the byte-target bound (tiny test data →
+    // 1 file); the out-of-range last day keeps its exact file set
+    days.init.foreach { day =>
+      assert(files(day) === 1, s"${day.getName} holds ${files(day)} files")
+      assert(!day.listFiles().exists(_.getName == "_SUCCESS"))
+    }
+    assert(files(lastDay) === lastBefore, "out-of-range day was rewritten")
+    // rows and timestamp precision bit-identical through the rewrite
+    val after = spark.read.option("basePath", d).parquet(d)
+      .collect().map(_.toSeq).toSet
+    assert(after === before)
+    // idempotent: a second run finds every day at-or-under target and
+    // rewrites nothing (mtimes stable)
+    val stamps = days.init.map(day => day.listFiles().map(_.lastModified()).toSeq)
+    Partitioned.compactDays(spark, d, from, to, targetFileMB = 128)
+    assert(days.init.map(day => day.listFiles().map(_.lastModified()).toSeq)
+      .toSeq === stamps.toSeq)
+  }
+
   test("writer caps small files: one exchange keyed on dt, files per day bounded") {
     // the no-repartition form writes (tasks x days) files; the keyed
     // exchange caps it at shuffle-partition granularity per day

@@ -148,6 +148,51 @@ class PlanSpec extends SparkSessionSpec {
       "customer attributes shuffled through the aggregate")
   }
 
+  test("q118: left-outer count distribution — keyed outer join, shared partitioning") {
+    val p = plan("q118_order_count_distribution")
+    // the null group is the point: the join must stay LEFT OUTER
+    assert(p.contains("LeftOuter"), "q118 lost the left outer join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the priority exclusion pushes to the orders scan
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      "q118 priority cut not pushed")
+    // the per-customer count must reuse the join's c_custkey hash
+    // partitioning: exactly the join exchanges plus the tiny c_count
+    // regroup — never an extra custkey exchange between join and agg
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"q118 has $exchanges exchanges; the per-customer " +
+      "count must ride the join's partitioning")
+  }
+
+  test("q119: HAVING threshold before the joins; top-100 is TakeOrdered") {
+    val p = plan("q119_large_order_customers")
+    // one lineitem scan: IN-set and displayed qty are the SAME aggregate
+    val liScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1, s"q119 scans lineitem $liScans times")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"), "q119 lost map-side combine")
+    // lineitem scan prunes to the 2 needed columns
+    assert(!p.contains("l_extendedprice"))
+  }
+
+  test("q120: nested semi chain — both semis keyed, part set broadcast") {
+    val p = plan("q120_surplus_part_suppliers")
+    val semis = p.linesIterator.count(_.contains("LeftSemi"))
+    assert(semis >= 2, s"q120 has $semis semi joins; the chain needs both")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the name prefix pushes to the part scan as a StringStartsWith
+    assert(p.contains("StringStartsWith(p_name,red )"),
+      "q120 name prefix not pushed")
+    // the ship-year cut pushes to the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_"), "q120 lost map-side combine")
+  }
+
   test("q14: banded range join plans as a shuffled equi-join, not NLJ") {
     val p = plan("q14_price_band_join")
     assert(!p.contains("BroadcastNestedLoopJoin"))
