@@ -488,6 +488,186 @@ object Relational {
         .select(col("s_suppkey"), col("s_name"))
     }),
 
+    // TPC-H Q4 (order priority checking): the CORRELATED EXISTS whose
+    // condition references BOTH sides' non-key columns — at least one
+    // line shipped more than 60 days after the order date. Spark-first:
+    // a LEFT SEMI keyed on orderkey with the cross-side date compare as
+    // residual; the quarter cut pushes to the orders scan and bounds
+    // the probe side before the join. Counts are exact int64; the
+    // priority regroup is five rows at any SF.
+    "q121_order_priority_check" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q7 (volume shipping between two nations): the SYMMETRIC
+    // DISJUNCTION over a join pair — (supp, cust) must be (A,B) or
+    // (B,A). Spark-first: supplier and customer each pre-join their
+    // 2-row nation slice (a broadcast probe that also PRUNES the fact
+    // stream to the two nations before the disjunction), so the OR
+    // evaluates over the tiny two-nation slice, never the full join.
+    // Grouped by the pair and the ship YEAR; exact-DECIMAL revenue.
+    "q122_volume_shipping" -> ((s, dir) => {
+      val ns = table(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_13", "NATION_19"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(ns.select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(ns.select(col("n_nationkey").as("n2_key"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n2_key"))
+        .select(col("c_custkey"), col("cust_nation"))
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter((col("supp_nation") === "NATION_13" &&
+            col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" &&
+            col("cust_nation") === "NATION_13"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dec38(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q8 (national market share): the CONDITIONAL-AGGREGATE
+    // RATIO — the share of one nation's suppliers in a region's
+    // customer revenue, per order year. One pass computes BOTH sums
+    // (sum-when over the same rows), each exact DECIMAL; the share is
+    // one IEEE division after the double casts, so no engine can
+    // disagree. The region cut collapses customer⋈nation⋈region into a
+    // pruned probe; the supplier nation flag rides a second slim probe.
+    "q123_market_share" -> ((s, dir) => {
+      val custR = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))
+          .join(table(s, dir, "region")
+            .filter(col("r_name") === "ASIA").select(col("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supN = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"),
+          (col("n_name") === "NATION_7").as("__is_target"))
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custR, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (dec38(sum(when(col("__is_target"), rev)
+            .otherwise(lit(0).cast(DecimalType(18, 6))))).cast("double") /
+            dec38(sum(rev)).cast("double")).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q14 (promo revenue share): the single-row conditional
+    // ratio — what fraction of one month's revenue came from PROMO
+    // parts. Same two-sums-one-division determinism discipline as
+    // q123; the month cut pushes to the lineitem scan, and the
+    // part-type probe is the only join (its broadcast is stats/AQE-
+    // gated like q108 — part grows with the corpus).
+    "q124_promo_revenue_share" -> ((s, dir) => {
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(table(s, dir, "part").select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            dec38(sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast(DecimalType(18, 6))))).cast("double") /
+            dec38(sum(rev)).cast("double")).as("promo_share"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q15 (top supplier): the AGG → SCALAR-MAX → EQUALITY-JOIN
+    // composition (the view + subquery form) — tie-SAFE by
+    // construction, unlike a LIMIT 1: every supplier at the max
+    // revenue surfaces. Revenue per supplier is the exact-DECIMAL sum,
+    // so the max and the equality compare are engine-independent; the
+    // 1-row max broadcasts (the q113 scalar discipline).
+    "q125_top_supplier" -> ((s, dir) => {
+      val rev = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(dec38(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount")))))
+          .as("__rev"))
+      val mx = rev.agg(max(col("__rev")).as("__mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("__rev") === col("__mx"))
+        .join(table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
+          col("l_suppkey") === col("s_suppkey"))
+        .orderBy(col("s_suppkey").asc)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("__rev").cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q16 (supplier-part relationship distribution): NOT-IN
+    // exclusion + grouped COUNT DISTINCT — how many distinct suppliers
+    // ship each (brand, type, size) combination, excluding negative-
+    // balance suppliers (the complaint-list stand-in). Spark-first:
+    // the NOT IN is a LEFT ANTI against the (null-free) exclusion set,
+    // the size/brand cuts push to the part scan, and the distinct
+    // count rides the same (brand, type, size) exchange as the group.
+    "q126_supplier_part_distribution" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#2" &&
+          col("p_size").isin(1, 5, 10, 15))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      val excl = table(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
     // Day-partitioned lake layout gate (sources/Partitioned.scala): the
     // events table is rewritten as a dt=YYYY-MM-DD directory tree, and a
     // one-week range is answered from the PRUNED read (directory-level
@@ -818,6 +998,110 @@ object Relational {
         WHERE n_name = 'NATION_3'
           AND EXISTS (SELECT 1 FROM qual WHERE l_suppkey = s_suppkey)
         ORDER BY s_suppkey""",
+    // Mirrors q121: the classic EXISTS form; both engines count BIGINT.
+    "q121_order_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority""",
+    // Mirrors q122: same two-nation slice and symmetric disjunction,
+    // exact-DECIMAL revenue, year() grouping.
+    "q122_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+             (CAST(1 AS DECIMAL(18,6)) -
+              CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
+             AS DOUBLE) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13')
+         GROUP BY 1, 2, 3""",
+    // Mirrors q123: both sums exact DECIMAL over the identical row set,
+    // the share one double division — the same parenthesization.
+    "q123_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(CAST(sum(CASE WHEN n_s = 'NATION_7'
+               THEN CAST(l_extendedprice AS DECIMAL(18,6)) *
+                 (CAST(1 AS DECIMAL(18,6)) -
+                  CAST(l_discount AS DECIMAL(18,6)))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6))
+             AS DOUBLE) /
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+             (CAST(1 AS DECIMAL(18,6)) -
+              CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
+             AS DOUBLE) AS mkt_share,
+           count(*) AS n_items
+         FROM (
+           SELECT l_extendedprice, l_discount, o_orderdate, ns.n_name AS n_s
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ns ON s_nationkey = ns.n_nationkey
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+             AND EXISTS (
+               SELECT 1 FROM customer
+               JOIN nation nc ON c_nationkey = nc.n_nationkey
+               JOIN region ON nc.n_regionkey = r_regionkey
+               WHERE c_custkey = o_custkey AND r_name = 'ASIA'))
+         GROUP BY 1""",
+    // Mirrors q124: the same month slice and conditional sums; 100 *
+    // promo / total in the identical double order.
+    "q124_promo_revenue_share" ->
+      """SELECT
+           100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(18,6)) *
+                 (CAST(1 AS DECIMAL(18,6)) -
+                  CAST(l_discount AS DECIMAL(18,6)))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6))
+             AS DOUBLE) /
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+             (CAST(1 AS DECIMAL(18,6)) -
+              CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
+             AS DOUBLE) AS promo_share,
+           count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""",
+    // Mirrors q125: the view + scalar-max form; exact-DECIMAL revenue
+    // makes the equality tie-safe on both engines.
+    "q125_top_supplier" ->
+      """WITH r AS (
+           SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+               (CAST(1 AS DECIMAL(18,6)) -
+                CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
+               AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, s_acctbal,
+           CAST(rev AS DOUBLE) AS total_revenue
+         FROM r JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev = (SELECT max(rev) FROM r)
+         ORDER BY s_suppkey""",
+    // Mirrors q126: NOT IN over the null-free exclusion set == the
+    // anti join; BIGINT distinct counts.
+    "q126_supplier_part_distribution" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#2' AND p_size IN (1, 5, 10, 15)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
     // Mirrors q114 from the FLAT side: DuckDB derives the same day
     // strings from the raw timestamps; Spark answers from the pruned
     // partitioned copy.

@@ -193,6 +193,58 @@ class PlanSpec extends SparkSessionSpec {
     assert(p.contains("partial_"), "q120 lost map-side combine")
   }
 
+  test("q121: EXISTS is a keyed semi with the date compare as residual") {
+    val p = plan("q121_order_priority_check")
+    assert(p.contains("LeftSemi"), "q121 lost the EXISTS semi-join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the quarter cut bounds the probe side at the scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+    assert(p.contains("LessThan(o_orderdate"))
+    // lineitem prunes to the 2 join/condition columns
+    assert(!p.contains("l_extendedprice"))
+    assert(!p.contains("l_quantity"))
+  }
+
+  test("q122: two-nation slice prunes BEFORE the disjunction; keyed joins only") {
+    val p = plan("q122_volume_shipping")
+    // the 2-nation cut reaches the nation scans as an In filter — the
+    // disjunction then evaluates over the pruned slice, not the world
+    assert(p.contains("In(n_name"), "q122 nation slice not pushed")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_"), "q122 lost map-side combine")
+  }
+
+  test("q123/q124: conditional-aggregate ratios scan the fact table ONCE") {
+    Seq("q123_market_share", "q124_promo_revenue_share").foreach { q =>
+      val p = plan(q)
+      val liScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("lineitem"))
+      assert(liScans <= 1, s"$q scans lineitem $liScans times — both " +
+        "conditional sums must ride one pass")
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+      assert(p.contains("partial_"), s"$q lost map-side combine")
+    }
+    // q123's region membership must stay a SEMI probe (no customer
+    // attribute may widen the fact rows)
+    assert(plan("q123_market_share").contains("LeftSemi"))
+    // q124's month cut pushes to the lineitem scan
+    assert(plan("q124_promo_revenue_share")
+      .contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("q126: NOT IN is a keyed anti join; size/brand cuts push to the part scan") {
+    val p = plan("q126_supplier_part_distribution")
+    assert(p.contains("LeftAnti"), "q126 lost the NOT-IN anti join")
+    assert(p.contains("In(p_size"), "q126 size cut not pushed")
+    assert(p.contains("Not(EqualTo(p_brand,Brand#2))"), "q126 brand cut not pushed")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q14: banded range join plans as a shuffled equi-join, not NLJ") {
     val p = plan("q14_price_band_join")
     assert(!p.contains("BroadcastNestedLoopJoin"))
@@ -320,7 +372,8 @@ class PlanSpec extends SparkSessionSpec {
     "t32_word_burstiness",          // 1-row document-total broadcast
     "t34_extractive_summary",       // 1-row doc-total × vocab IDF frame
     "p21_upsampling_caps",          // 1-row source-count broadcast
-    "q113_dormant_rich_customers")  // 1-row global-average broadcast
+    "q113_dormant_rich_customers",  // 1-row global-average broadcast
+    "q125_top_supplier")            // 1-row scalar-max broadcast
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
     // the staged-CTE SQL shape scans events per stage; the typed-MR
