@@ -118,6 +118,15 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
     // an existing marker (even over a data-less dir) pins the gid's bucket
     // count; a marker-only dir otherwise behaves as non-existing
     val n = bucketCount(gid)
+    // Pin (localCheckpoint, eager) the keyed batch BEFORE it fans out:
+    // the merge below references it three times (touched-bucket probe,
+    // anti-join key side, union side), and self-join relation dedup
+    // defeats cache substitution — an unpinned batch re-executes its
+    // whole input lineage per reference. That is 3x the caller's
+    // compute for an expensive input (a dedup fingerprint frame, a
+    // streaming micro-batch), and for a NON-DETERMINISTIC input the
+    // three references could disagree on the key set — a torn write.
+    // The pin makes the batch's rows one materialized fact.
     val batch = toKV(df, keyCol)
       // last-write-wins within the batch, made deterministic by keeping the
       // lexicographically greatest value per key (the reference's "last" is
@@ -125,27 +134,31 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
       // semantics the tests assert).
       .groupBy("key").agg(max("value").as("value"))
       .withColumn("bucket", bucketExpr(col("key"), n))
-    val merged =
-      if (hasData(gid)) {
-        val touched = batch.select("bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq // ≤ n values — driver-safe
-        val old = spark.read.parquet(path(gid))
-          .filter(col("bucket").isin(touched: _*))
-        // new batch wins over existing keys
-        old.join(batch.select("key"), Seq("key"), "left_anti")
-          .unionByName(batch)
-      } else batch
-    // Marker BEFORE data: a crash after this line leaves a marker-only
-    // dir, which reads as an empty store with the right bucket count —
-    // never a torn layout. (For an existing gid n is unchanged, so the
-    // rewrite is idempotent.)
-    writeMarker(gid, n)
-    // Write via a temp dir then swap per-bucket, since `merged` reads the
-    // live dir. Every touched bucket is non-empty (it holds batch rows),
-    // so the tmp dir always carries a dir per touched bucket.
-    val tmp = path(gid) + "__tmp"
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    swapBuckets(tmp, path(gid))
+      .localCheckpoint()
+    try {
+      val merged =
+        if (hasData(gid)) {
+          val touched = batch.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq // ≤ n values — driver-safe
+          val old = spark.read.parquet(path(gid))
+            .filter(col("bucket").isin(touched: _*))
+          // new batch wins over existing keys
+          old.join(batch.select("key"), Seq("key"), "left_anti")
+            .unionByName(batch)
+        } else batch
+      // Marker BEFORE data: a crash after this line leaves a marker-only
+      // dir, which reads as an empty store with the right bucket count —
+      // never a torn layout. (For an existing gid n is unchanged, so the
+      // rewrite is idempotent.)
+      writeMarker(gid, n)
+      // Write via a temp dir then swap per-bucket, since `merged` reads the
+      // live dir. Every touched bucket is non-empty (it holds batch rows),
+      // so the tmp dir always carries a dir per touched bucket.
+      val tmp = path(gid) + "__tmp"
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      swapBuckets(tmp, path(gid))
+    } finally
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(batch)
   }
 
   /** Point lookup: the bucket predicate constant-folds, so the scan
@@ -311,19 +324,26 @@ class Mem {
   private val groups = scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   def put(df: DataFrame, gid: String, keyCol: Option[String] = None): Unit = {
+    // pin the keyed batch before the merge double-references it (anti-
+    // join probe + union) — the Store.put discipline: one execution of
+    // the caller's lineage, and non-deterministic inputs cannot tear
     val kv = Store.toKV(df, keyCol).groupBy("key").agg(max("value").as("value"))
-    val merged = groups.get(gid) match {
-      case Some(old) =>
-        old.join(kv.select("key"), Seq("key"), "left_anti").union(kv)
-      case None => kv
-    }
-    // materialize (localCheckpoint is eager) BEFORE dropping the old
-    // cache: unpersist-then-lazy-cache would rebuild the whole put chain
-    // from source on next read, and lineage would grow per put — the
-    // iterative-DataFrame trap (see Dedup.components).
-    val next = merged.localCheckpoint()
-    groups.get(gid).foreach(_.unpersist())
-    groups(gid) = next
+      .localCheckpoint()
+    try {
+      val merged = groups.get(gid) match {
+        case Some(old) =>
+          old.join(kv.select("key"), Seq("key"), "left_anti").union(kv)
+        case None => kv
+      }
+      // materialize (localCheckpoint is eager) BEFORE dropping the old
+      // cache: unpersist-then-lazy-cache would rebuild the whole put chain
+      // from source on next read, and lineage would grow per put — the
+      // iterative-DataFrame trap (see Dedup.components).
+      val next = merged.localCheckpoint()
+      groups.get(gid).foreach(_.unpersist())
+      groups(gid) = next
+    } finally
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(kv)
   }
 
   def get(gid: String, key: String): DataFrame =

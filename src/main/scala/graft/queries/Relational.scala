@@ -689,6 +689,40 @@ object Relational {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Lake COMPACTION gate (sources/Partitioned.compactDays): the
+    // events table lands as a base write plus an append (the
+    // incremental-ingest lifecycle that accumulates small files), the
+    // day range is compacted, and the week aggregate is answered from
+    // the COMPACTED tree. The oracle computes from the flat parquet, so
+    // the hash match proves the append + atomic per-day rewrite
+    // lossless end-to-end — same rows, full timestamp precision, exact
+    // sums. The write/append/compact cost is the honest maintenance
+    // cost and stays in the bench (the q114 discipline).
+    "q127_compacted_scan" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_q127").toFile
+      val out = root.getAbsolutePath + "/events"
+      // the lake slice is 11 days and only the queried week compacts:
+      // each day's rewrite is one (tiny) Spark job off a sequential
+      // driver loop, so compacting the full year here would bill ~90
+      // job submissions of pure overhead to the bench — the gate needs
+      // append + compact + pruned-read losslessness, which one week
+      // (with uncompacted neighbor days proving range discipline) covers
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+      graft.sources.Partitioned.writeByDay(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), out)
+      graft.sources.Partitioned.appendByDay(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), out)
+      graft.sources.Partitioned.compactDays(
+        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128)
+      graft.sources.Partitioned.readDays(s, out, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // CSV ingest gate (sources/Csv.scala): the documents table round-
     // trips through the schema-required delimited source — write CSV,
     // re-read with the pinned schema, aggregate per (lang, source) with
@@ -1106,6 +1140,18 @@ object Relational {
     // strings from the raw timestamps; Spark answers from the pruned
     // partitioned copy.
     "q114_partitioned_scan" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+         GROUP BY 1, 2""",
+    // Mirrors q127 from the FLAT side (the q114 oracle): Spark answers
+    // from the appended-then-compacted day tree.
+    "q127_compacted_scan" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
            count(*) AS n_events,
            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
