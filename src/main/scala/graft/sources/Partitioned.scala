@@ -74,13 +74,16 @@ object Partitioned {
     *    the day dir with two renames;
     *  - rows and timestamp precision are bit-identical (plain parquet
     *    read → coalesce → write; no recompute touches the values).
-    * Each day is an independent Spark job over only that day's files —
-    * a production scheduler can fan days out in parallel; the
-    * sequential loop here keeps the local semantics obvious.
+    * Days are INDEPENDENT jobs over disjoint directories, so they fan
+    * out on a small thread pool (`parallelism`, default 4 — Spark's
+    * scheduler interleaves concurrent job submissions): a month's
+    * maintenance costs ~max(day) instead of Σ(days), and each day's
+    * swap stays individually atomic.
     */
   def compactDays(
       spark: SparkSession, path: String,
-      fromDay: String, toDay: String, targetFileMB: Int = 128): Unit = {
+      fromDay: String, toDay: String, targetFileMB: Int = 128,
+      parallelism: Int = 4): Unit = {
     val root = new java.io.File(path)
     val dayDirs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("dt="))
@@ -90,7 +93,10 @@ object Partitioned {
       }
       .sortBy(_.getName)
     val targetBytes = targetFileMB.toLong * 1024 * 1024
-    dayDirs.foreach { dayDir =>
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, math.max(1, dayDirs.length))))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def compactOne(dayDir: java.io.File): Unit = {
       val parts = dayDir.listFiles().filter(f =>
         f.isFile && f.getName.startsWith("part-"))
       val bytes = parts.map(_.length()).sum
@@ -118,5 +124,14 @@ object Partitioned {
         rm(trash)
       }
     }
+    try {
+      dayDirs.foreach { d =>
+        pool.execute(() =>
+          try compactOne(d) catch { case t: Throwable => failures.add(t); () })
+      }
+      pool.shutdown()
+      pool.awaitTermination(24, java.util.concurrent.TimeUnit.HOURS): Unit
+    } finally pool.shutdownNow()
+    if (!failures.isEmpty) throw failures.peek()
   }
 }
