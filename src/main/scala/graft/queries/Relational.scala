@@ -104,10 +104,14 @@ object Relational {
     // segment-filtered customers ⋈ pre-cutoff orders ⋈ post-cutoff
     // lineitems, revenue per order, top-10. The canonical multi-join +
     // agg + top-k pipeline in one plan: both date filters push to the
-    // scans, the dimension side broadcasts, revenue is the exact
-    // DECIMAL chain (cross-engine identical, so the LIMIT cut is
-    // deterministic under the orderkey tie-break), and the top-10 plans
-    // as TakeOrderedAndProject — no global sort.
+    // scans, revenue is the exact DECIMAL chain (cross-engine
+    // identical, so the LIMIT cut is deterministic under the orderkey
+    // tie-break), and the top-10 plans as TakeOrderedAndProject — no
+    // global sort. The segment-filtered customer side GROWS with the
+    // corpus (~1/5 of customers), so its broadcast is stats/AQE-gated,
+    // never forced (the q108 policy, uniform since r10): stats
+    // broadcast it while it fits the threshold, AQE re-plans from
+    // exact runtime sizes past that.
     "q104_shipping_priority" -> ((s, dir) => {
       val cut = lit("1995-03-15").cast("timestamp")
       val c = table(s, dir, "customer")
@@ -122,7 +126,7 @@ object Relational {
         .select(col("l_orderkey"), col("l_extendedprice"),
           col("l_discount"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"),
           col("o_orderpriority"))
         .agg(dec38(sum(dec(col("l_extendedprice")) *
@@ -192,9 +196,10 @@ object Relational {
     // Scale: both self-joins key on l_orderkey with the suppkey
     // inequality as residual condition — ordinary key-partitioned
     // shuffles, per-order fan bounded by order width; the nation-
-    // filtered supplier dimension broadcasts; distinct() collapses the
-    // pair sets before any self-join so multiplicity never inflates
-    // the exchanges.
+    // filtered supplier dimension (1/25 of suppliers — grows with the
+    // corpus, so its broadcast is stats/AQE-gated, never forced);
+    // distinct() collapses the pair sets before any self-join so
+    // multiplicity never inflates the exchanges.
     "q109_sole_late_suppliers" -> ((s, dir) => {
       val o = table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderdate"))
@@ -225,7 +230,7 @@ object Relational {
           .select(col("n_nationkey")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"))
-      val l1 = late.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val l1 = late.join(sup, col("l_suppkey") === col("s_suppkey"))
       val hasOther = l1.as("a").join(alls.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
@@ -256,8 +261,10 @@ object Relational {
         .filter(col("p_brand").isin(brands: _*))
         .select(col("p_partkey"), col("p_brand"))
       val li = table(s, dir, "lineitem")
+        // the brand slice grows with the corpus → broadcast is
+        // stats/AQE-gated, never forced (the q108 policy)
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
       val w = Window.partitionBy(col("l_partkey"))
       li.withColumn("__sq", dec38(sum(dec(col("l_quantity"))).over(w)))
         .withColumn("__n", count(lit(1)).over(w))
@@ -285,15 +292,18 @@ object Relational {
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
       val ps = table(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
+      // supplier and the type-filtered part slice BOTH grow with the
+      // corpus → no forced broadcast anywhere (the q108 policy);
+      // stats/AQE broadcast them while they fit, keyed-shuffle past that
       val argmin = ps
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(min(struct(dec(col("s_acctbal")).as("b"),
           col("s_suppkey").as("k"))).as("__m"))
         .select(col("l_partkey"), col("__m.k").as("s_suppkey"))
       argmin
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), Seq("s_suppkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, Seq("s_suppkey"))
         .select(col("p_partkey"), col("p_name"), col("s_name"),
           col("s_acctbal"))
     }),
@@ -341,7 +351,9 @@ object Relational {
       val li = table(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // the three-arm part slice grows with the corpus → stats/AQE-
+      // gated broadcast only (the q108 policy)
+      li.join(p, col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
             col("l_quantity").between(1, 20)) ||
@@ -472,8 +484,10 @@ object Relational {
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(dec38(sum(dec(col("l_quantity")))).as("__sq"))
+      // the name-prefix part slice grows with the corpus → stats/AQE-
+      // gated broadcast only (the q108 policy)
       val qual = pairs
-        .join(broadcast(pr), col("l_partkey") === col("p_partkey"),
+        .join(pr, col("l_partkey") === col("p_partkey"),
           "left_semi")
         .filter(col("__sq") > lit(40).cast(DecimalType(38, 6)))
         .select(col("l_suppkey")).distinct()
@@ -537,8 +551,12 @@ object Relational {
         .join(table(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
+        // the two-nation supplier/customer slices grow with the corpus
+        // (2/25 of each dimension) → stats/AQE-gated broadcasts only
+        // (the q108 policy); the nation probes above stay explicit
+        // broadcasts — 25 rows at any SF
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .filter((col("supp_nation") === "NATION_13" &&
             col("cust_nation") === "NATION_19") ||
           (col("supp_nation") === "NATION_19" &&
@@ -586,8 +604,10 @@ object Relational {
             col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
+        // supN is the ENTIRE flagged supplier dimension — grows with
+        // the corpus → stats/AQE-gated broadcast only (the q108 policy)
         .join(custR, col("o_custkey") === col("c_custkey"), "left_semi")
-        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(
           (dec38(sum(when(col("__is_target"), rev)
@@ -659,10 +679,13 @@ object Relational {
           col("p_size"))
       val excl = table(s, dir, "supplier")
         .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      // the brand/size part cut and the negative-balance supplier set
+      // both grow with the corpus → stats/AQE-gated broadcasts only
+      // (the q108 policy)
       table(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"))
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(excl, col("l_suppkey") === col("s_suppkey"),
           "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))

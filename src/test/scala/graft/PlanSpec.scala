@@ -438,6 +438,35 @@ class PlanSpec extends SparkSessionSpec {
       s"v16 plans $exchanges hash exchanges; corpus is leaking into a shuffle")
   }
 
+  test("broadcast-hint policy: Relational.scala forces broadcasts ONLY on " +
+    "bounded sides (nation/region slices, 1-row scalars)") {
+    // Source-level gate for the r9 verdict's scale rule: a forced
+    // broadcast() on a side that grows with the corpus (supplier,
+    // customer, part slices — any fixed FRACTION of a dimension) is an
+    // executor-OOM cliff at 100 TB, because the hint overrides both the
+    // stats planner and AQE. Only truly bounded sides may carry a hint:
+    // nation/region (25 rows at any SF) and 1-row scalar frames. Plan
+    // gates can't see the difference (stats broadcast the slices at test
+    // SF either way), so this gate greps the source.
+    val src = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "src/main/scala/graft/queries/Relational.scala"))
+    val allowed = Seq(
+      "broadcast(n)",                    // nation (25 rows)
+      "broadcast(r)",                    // region (5 rows)
+      "broadcast(ns.",                   // filtered-nation slices (q122)
+      "broadcast(table(s, dir, \"nation\")", // inline nation probes
+      "broadcast(avgRow)",               // 1-row scalar (q113)
+      "broadcast(mx)",                   // 1-row scalar (q125)
+      "broadcast(tot)")                  // 1-row scalar (q130)
+    val offenders = src.linesIterator.zipWithIndex
+      .filter { case (l, _) => l.contains("broadcast(") }
+      .filterNot { case (l, _) => allowed.exists(l.contains) }
+      .map { case (l, i) => s"line ${i + 1}: ${l.trim}" }
+      .toSeq
+    assert(offenders.isEmpty,
+      s"forced broadcast() on a corpus-growing side:\n${offenders.mkString("\n")}")
+  }
+
   test("no query plans a CartesianProduct; NLJ only where designed") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
