@@ -1,5 +1,6 @@
 package graft.kv
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +31,19 @@ import org.apache.spark.sql.functions._
   *
   * NOT ported: HTTP-RPC transport, gossip, node spawn — Spark's control
   * plane owns those (SURVEY §2.4).
+  *
+  * Filesystem: BOTH planes go through the Hadoop FS API — the data plane
+  * via Spark's parquet reader/writer (always did), the control plane
+  * (marker files, bucket listing, the per-bucket swap) via
+  * `org.apache.hadoop.fs.FileSystem` resolved from the root's scheme. So
+  * a store roots equally on `file:`, `hdfs:`, or any mounted Hadoop FS
+  * — at 100 TB the store lives where the cluster's storage lives, and a
+  * scheme'd root must not silently read as empty (the pre-r10 failure
+  * mode: `java.io.File("hdfs://...")` is never a directory). S3 caveat:
+  * object stores rename by copy+delete, so the per-bucket swap loses the
+  * atomicity this layout relies on — an object-store root needs a
+  * manifest/commit log (Delta/Iceberg territory, out of scope here);
+  * HDFS and local renames are atomic.
   */
 class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
   import Store._
@@ -37,16 +51,23 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
   /** The store's root directory (exposed for layout-level tooling/tests). */
   def rootDir: String = root
 
+  // one FileSystem per store: every gid shares the root's scheme
+  private val fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def path(gid: String) = s"$root/$gid"
+
+  private def isDir(p: Path): Boolean =
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
 
   /** The gid's `bucket=N` partition dirs (empty for a marker-only or
     * missing gid).
     */
-  private def bucketDirs(gid: String): Seq[java.io.File] = {
-    val d = new java.io.File(path(gid))
-    if (!d.isDirectory) Nil
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+  private def bucketDirs(gid: String): Seq[FileStatus] = {
+    val d = new Path(path(gid))
+    if (!isDir(d)) Nil
+    else fs.listStatus(d).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
   }
 
   /** True iff the gid holds readable bucketed data. A dir containing only
@@ -60,9 +81,12 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
     * a layout this Store version cannot serve point-reads from.
     */
   private def isLegacyLayout(gid: String): Boolean = {
-    val d = new java.io.File(path(gid))
-    d.isDirectory && bucketDirs(gid).isEmpty &&
-      d.listFiles().exists(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val d = new Path(path(gid))
+    isDir(d) && bucketDirs(gid).isEmpty &&
+      fs.listStatus(d).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
   }
 
   private def requireBucketed(gid: String): Unit =
@@ -78,9 +102,9 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
     * constant-fold point-gets to the wrong bucket — a silent wrong read.
     */
   private def bucketCount(gid: String): Int = {
-    val m = new java.io.File(path(gid), MarkerFile)
-    if (m.exists())
-      java.nio.file.Files.readString(m.toPath).trim.toInt
+    val m = new Path(path(gid), MarkerFile)
+    if (fs.exists(m))
+      readString(fs, m).trim.toInt
     else if (hasData(gid))
       throw new IllegalStateException(
         s"store: ${path(gid)} has bucket dirs but no $MarkerFile marker " +
@@ -89,12 +113,13 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
   }
 
   private def writeMarker(gid: String, n: Int): Unit =
-    writeMarkerInto(new java.io.File(path(gid)), n)
+    writeMarkerInto(new Path(path(gid)), n)
 
-  private def writeMarkerInto(dir: java.io.File, n: Int): Unit = {
-    dir.mkdirs()
-    java.nio.file.Files.writeString(
-      new java.io.File(dir, MarkerFile).toPath, n.toString): Unit
+  private def writeMarkerInto(dir: Path, n: Int): Unit = {
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, MarkerFile), true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** The empty (key, value) frame — what reads of an empty gid return. */
@@ -236,7 +261,7 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
     * read takes whatever parquet layout is present.
     */
   def reconf(gid: String, numBuckets: Int): Unit = {
-    val live = new java.io.File(path(gid))
+    val live = new Path(path(gid))
     if (!hasData(gid) && !isLegacyLayout(gid)) {
       // empty (or marker-only) gid: reconf just pins the new bucket count
       writeMarkerInto(live, numBuckets)
@@ -251,11 +276,10 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
     // the marker rides the rename: written into tmp BEFORE the swap, so no
     // window exists where the new layout is live but the count is stale —
     // a wrong count would silently constant-fold gets to the wrong bucket
-    writeMarkerInto(new java.io.File(tmp), numBuckets)
-    delete(live)
-    if (live.exists())
+    writeMarkerInto(new Path(tmp), numBuckets)
+    if (fs.exists(live) && !fs.delete(live, true))
       throw new java.io.IOException(s"store: could not clear ${path(gid)}")
-    if (!new java.io.File(tmp).renameTo(live))
+    if (!fs.rename(new Path(tmp), live))
       throw new java.io.IOException(
         s"store: rename $tmp -> ${path(gid)} failed; data preserved at $tmp")
   }
@@ -268,28 +292,26 @@ class Store(spark: SparkSession, root: String, defaultBuckets: Int = 32) {
     */
   private def swapBuckets(
       tmp: String, live: String, alsoClear: Seq[Int] = Nil): Unit = {
-    val liveDir = new java.io.File(live)
-    liveDir.mkdirs()
-    val tmpDir = new java.io.File(tmp)
-    val written = tmpDir.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-    alsoClear.map(b => new java.io.File(liveDir, s"bucket=$b"))
-      .filterNot(t => written.exists(_.getName == t.getName))
+    val liveDir = new Path(live)
+    fs.mkdirs(liveDir)
+    val tmpDir = new Path(tmp)
+    val written = fs.listStatus(tmpDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    alsoClear.map(b => new Path(liveDir, s"bucket=$b"))
+      .filterNot(t => written.exists(_.getPath.getName == t.getName))
       .foreach { t =>
-        if (t.exists()) delete(t)
-        if (t.exists())
+        if (fs.exists(t) && !fs.delete(t, true))
           throw new java.io.IOException(s"store: could not clear $t")
       }
     written.foreach { bd =>
-      val target = new java.io.File(liveDir, bd.getName)
-      if (target.exists()) delete(target)
-      if (target.exists())
+      val target = new Path(liveDir, bd.getPath.getName)
+      if (fs.exists(target) && !fs.delete(target, true))
         throw new java.io.IOException(s"store: could not clear $target")
-      if (!bd.renameTo(target))
+      if (!fs.rename(bd.getPath, target))
         throw new java.io.IOException(
-          s"store: rename $bd -> $target failed; data preserved at $tmp")
+          s"store: rename ${bd.getPath} -> $target failed; data preserved at $tmp")
     }
-    delete(tmpDir)
+    fs.delete(tmpDir, true): Unit
   }
 }
 
@@ -310,9 +332,16 @@ object Store {
     }
   }
 
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete(): Unit
+  /** Read a small control-plane file (the bucket marker) fully. */
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 }
 

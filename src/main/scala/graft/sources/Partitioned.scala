@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,63 +66,72 @@ object Partitioned {
     * (one per append × shuffle partition), and scan cost degrades with
     * file count long before data size grows. Each day in
     * [fromDay, toDay] is rewritten to `ceil(bytes / targetFileMB)`
-    * files (min 1) and swapped in ATOMICALLY, day by day:
+    * files (min 1) and swapped in day by day:
     *  - days outside the range are never touched;
     *  - a day already at-or-under its target file count is skipped
     *    (no write amplification on repeat runs);
-    *  - readers see the old files or the new files, never a mix — the
-    *    rewrite lands in a hidden `.compact_tmp` sibling and replaces
-    *    the day dir with two renames;
+    *  - the swap is CRASH-SAFE but not reader-atomic: the rewrite lands
+    *    in a hidden `.compact_tmp` sibling and replaces the day dir
+    *    with two renames, so a crash at any point leaves either the old
+    *    day dir or the fully-written new one recoverable — but between
+    *    the two renames the day dir is briefly ABSENT, so a concurrent
+    *    readDays over the range can drop the day or fail listing it.
+    *    Compaction is a single-writer MAINTENANCE-WINDOW op: run it
+    *    when no reader overlaps the range (true reader atomicity needs
+    *    a manifest/commit log — Delta/Iceberg territory, out of scope);
     *  - rows and timestamp precision are bit-identical (plain parquet
     *    read → coalesce → write; no recompute touches the values).
+    * Listing and the swap go through `org.apache.hadoop.fs.FileSystem`
+    * resolved from the root's scheme, so the lake compacts equally on
+    * `file:` and `hdfs:` roots (S3 caveat: renames are copy+delete —
+    * slower and non-atomic; see the Store scaladoc).
     * Days are INDEPENDENT jobs over disjoint directories, so they fan
     * out on a small thread pool (`parallelism`, default 4 — Spark's
     * scheduler interleaves concurrent job submissions): a month's
     * maintenance costs ~max(day) instead of Σ(days), and each day's
-    * swap stays individually atomic.
+    * swap stays individually crash-safe.
     */
   def compactDays(
       spark: SparkSession, path: String,
       fromDay: String, toDay: String, targetFileMB: Int = 128,
       parallelism: Int = 4): Unit = {
-    val root = new java.io.File(path)
-    val dayDirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
-      .filter { f =>
-        val day = f.getName.stripPrefix("dt=")
+    val root = new Path(path)
+    val fs: FileSystem =
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dayDirs = (if (fs.exists(root)) fs.listStatus(root) else Array.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+      .filter { s =>
+        val day = s.getPath.getName.stripPrefix("dt=")
         day >= fromDay && day <= toDay // ISO day strings order lexically
       }
-      .sortBy(_.getName)
+      .sortBy(_.getPath.getName)
     val targetBytes = targetFileMB.toLong * 1024 * 1024
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(parallelism, math.max(1, dayDirs.length))))
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    def compactOne(dayDir: java.io.File): Unit = {
-      val parts = dayDir.listFiles().filter(f =>
-        f.isFile && f.getName.startsWith("part-"))
-      val bytes = parts.map(_.length()).sum
+    def compactOne(dayStatus: org.apache.hadoop.fs.FileStatus): Unit = {
+      val dayDir = dayStatus.getPath
+      val parts = fs.listStatus(dayDir).filter(s =>
+        s.isFile && s.getPath.getName.startsWith("part-"))
+      val bytes = parts.map(_.getLen).sum
       val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (parts.length > want) {
-        val tmp = new java.io.File(root, s".compact_tmp_${dayDir.getName}")
+        val tmp = new Path(root, s".compact_tmp_${dayDir.getName}")
         // day files carry no dt column (partitionBy strips it) — the
         // rewrite is a plain parquet round-trip of the same schema
-        spark.read.parquet(dayDir.getAbsolutePath)
+        spark.read.parquet(dayDir.toString)
           .coalesce(want)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          .write.mode("overwrite").parquet(tmp.toString)
         // drop Spark's _SUCCESS marker: day dirs hold only part files
-        new java.io.File(tmp, "_SUCCESS").delete(): Unit
-        val trash = new java.io.File(root, s".compact_old_${dayDir.getName}")
-        if (!dayDir.renameTo(trash))
+        fs.delete(new Path(tmp, "_SUCCESS"), false): Unit
+        val trash = new Path(root, s".compact_old_${dayDir.getName}")
+        if (!fs.rename(dayDir, trash))
           sys.error(s"compactDays: cannot swap out ${dayDir.getName}")
-        if (!tmp.renameTo(dayDir)) {
-          trash.renameTo(dayDir) // roll back — old data stays live
+        if (!fs.rename(tmp, dayDir)) {
+          fs.rename(trash, dayDir) // roll back — old data stays live
           sys.error(s"compactDays: cannot swap in ${dayDir.getName}")
         }
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(trash)
+        fs.delete(trash, true): Unit
       }
     }
     try {

@@ -197,6 +197,29 @@ class KVSpec extends SparkSessionSpec {
     assert(new java.io.File(s"${store.rootDir}/torn/_graft_buckets").exists())
   }
 
+  test("store roots on an explicit file:-scheme URI (Hadoop FS control plane)") {
+    // The proof the control plane (marker, bucket listing, per-bucket
+    // swap) goes through org.apache.hadoop.fs.FileSystem: with a
+    // java.io.File control plane a scheme'd root silently read as an
+    // EMPTY store (isDirectory("file:/...") is false). Every layout op
+    // must behave identically to a plain-path root.
+    val store = new Store(spark, s"file:${freshRoot()}")
+    val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    store.put(df, "g", Some("id"))
+    assert(store.scan("g").count() === 50)
+    assert(store.get("g", "7").select("value").as[String].head().contains("v7"))
+    // partial rewrite: a second put over the scheme'd root merges
+    store.put(Seq((7L, "updated"), (999L, "fresh")).toDF("id", "v"), "g", Some("id"))
+    assert(store.scan("g").count() === 51)
+    assert(store.get("g", "7").select("value").as[String].head().contains("updated"))
+    // del + reconf exercise the swap and full-rewrite rename paths
+    store.del("g", "999")
+    assert(store.scan("g").count() === 50)
+    store.reconf("g", 4)
+    assert(store.scan("g").count() === 50)
+    assert(store.get("g", "7").select("value").as[String].head().contains("updated"))
+  }
+
   test("mem put/get/del with cache") {
     val mem = new Mem
     mem.put(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "m", Some("id"))

@@ -93,6 +93,32 @@ class PartitionedSpec extends SparkSessionSpec {
       .toSeq === stamps.toSeq)
   }
 
+  test("compaction runs against an explicit file:-scheme root (Hadoop FS)") {
+    // the listing + two-rename swap must go through the Hadoop FS API:
+    // a java.io.File control plane silently finds NO day dirs under a
+    // scheme'd root and compacts nothing — worse than an error
+    val d = Files.createTempDirectory("graft_part_uri").toString + "/events"
+    val uri = s"file:$d"
+    val ev = table(spark, sfDir, "events")
+    Partitioned.writeByDay(ev, uri)
+    Partitioned.appendByDay(ev, uri) // double the rows → >1 file per day
+    def dayFiles(): Map[String, Int] = new java.io.File(d).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .map(f => f.getName -> f.listFiles().count(_.getName.startsWith("part-")))
+      .toMap
+    val before = dayFiles()
+    assert(before.nonEmpty && before.values.exists(_ > 1),
+      "append through the scheme'd root did not accumulate files")
+    val days = before.keys.map(_.stripPrefix("dt=")).toSeq.sorted
+    Partitioned.compactDays(spark, uri, days.head, days.last, targetFileMB = 128)
+    val after = dayFiles()
+    assert(after.keySet === before.keySet, "compaction dropped a day dir")
+    assert(after.values.forall(_ === 1),
+      s"scheme'd-root compaction left multi-file days: $after")
+    assert(Partitioned.readDays(spark, uri, days.head, days.last).count()
+      === 2 * ev.count())
+  }
+
   test("writer caps small files: one exchange keyed on dt, files per day bounded") {
     // the no-repartition form writes (tasks x days) files; the keyed
     // exchange caps it at shuffle-partition granularity per day
