@@ -691,6 +691,150 @@ object Relational {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     }),
 
+    // TPC-H Q1 (full pricing summary report — completes the q01 shape
+    // with the charge chain and the three averages): ONE scan-filter-
+    // aggregate pass computing eight aggregates. Every sum is exact
+    // DECIMAL; charge = disc_price · (1+tax) stays exact by re-casting
+    // the scale-4 disc_price product to DECIMAL(18,6) (exact — values
+    // carry 4 decimals) before the tax multiply, keeping the final
+    // product at scale 12 under the 38-digit cap on BOTH engines. The
+    // averages are the q113 discipline: exact sum → one double cast →
+    // one IEEE division by the group count. Scale: pure partial-agg
+    // scan — the shuffle carries |groups| = 6 rows per partition.
+    "q128_pricing_report" -> ((s, dir) => {
+      val one = lit(1).cast(DecimalType(18, 6))
+      val discPrice = dec(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+      val charge = discPrice * (one + dec(col("l_tax")))
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dec38(sum(dec(col("l_quantity")))).cast("double").as("sum_qty"),
+          dec38(sum(dec(col("l_extendedprice")))).cast("double").as("sum_base_price"),
+          dec38(sum(discPrice)).cast("double").as("sum_disc_price"),
+          dec38(sum(charge)).cast("double").as("sum_charge"),
+          (dec38(sum(dec(col("l_quantity")))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          (dec38(sum(dec(col("l_extendedprice")))).cast("double") / count(lit(1)))
+            .as("avg_price"),
+          (dec38(sum(dec(col("l_discount")))).cast("double") / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // TPC-H Q6 (forecasting revenue change): the pure SCAN-AGGREGATE —
+    // every predicate (date range, discount band, quantity cap) pushes
+    // to the parquet scan, no join anywhere, revenue = price·discount
+    // summed exactly in DECIMAL. The BETWEEN bounds compare the same
+    // parquet doubles against the same literals on both engines, so the
+    // band cut is deterministic. Scale: the cheapest possible plan —
+    // filtered scan + partial agg + 1-row exchange.
+    "q129_forecast_revenue" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(
+          dec38(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q9 (product type profit, adapted — no partsupp table, so
+    // p_retailprice·quantity stands in for the supplycost leg): the
+    // MULTI-JOIN PROFIT regroup — lineitem ⋈ name-filtered part ⋈
+    // supplier ⋈ nation ⋈ orders, profit summed per supplier nation ×
+    // order year. The name filter pushes to the part scan as a
+    // StringContains and prunes the fact stream at the FIRST join; the
+    // supplier side carries only (suppkey, nationkey) so the fact rows
+    // never widen; nation broadcasts (25 rows); every other join is
+    // keyed shuffle (part and supplier grow with the corpus — the q108
+    // broadcast policy). Profit = rev − cost computed in one exact
+    // DECIMAL expression: both products are scale-4-exact at scale 12,
+    // the difference fits DECIMAL(38,12) on both engines.
+    "q130_product_profit" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+        .filter(col("p_name").contains("bolt"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n = table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val amount = dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount"))) -
+        dec(col("p_retailprice")) * dec(col("l_quantity"))
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dec38(sum(amount)).cast("double").as("sum_profit"))
+    }),
+
+    // TPC-H Q11 (important stock identification, adapted — no partsupp,
+    // so per-part shipped value from one nation's suppliers stands in
+    // for ps_supplycost·ps_availqty): the GROUP-SHARE-VS-SCALAR plan —
+    // parts whose value exceeds a fraction of the TOTAL value. Spark-
+    // first: the per-part value aggregate is MATERIALIZED once
+    // (localCheckpoint — the q109 pairs idiom) because both the
+    // grouped rows and the global total read it; without the pin the
+    // lineitem⋈supplier scan+shuffle runs twice. The 1-row total rides
+    // a broadcast cross join (the q113 scalar discipline); the
+    // threshold compare casts both exact DECIMALs to double and does
+    // ONE multiply — identical operands and operator order on both
+    // engines, so no boundary disagreement.
+    "q131_important_parts" -> ((s, dir) => {
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(table(s, dir, "nation")
+          .filter(col("n_name") === "NATION_5")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val pv = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(dec38(sum(dec(col("l_extendedprice")))).as("__val"))
+        .localCheckpoint()
+      val tot = pv.agg(dec38(sum(col("__val"))).as("__tot"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("__val").cast("double") >
+          lit(0.001) * col("__tot").cast("double"))
+        .select(col("l_partkey"), col("__val").cast("double").as("value"))
+    }),
+
+    // TPC-H Q12 (shipping modes and order priority, adapted — no
+    // l_shipmode/commitdate columns, so l_linestatus stands in for the
+    // mode and "late" := shipped >30 days after the order date): the
+    // TWO-CONDITIONAL-COUNT regroup — one pass over the year's late
+    // lines counts urgent-or-high and other-priority orders per status
+    // (the q123 sum-when discipline; both counts exact int64). The year
+    // cut pushes to the lineitem scan; the late test is a cross-side
+    // date compare riding the keyed join as residual.
+    "q132_priority_shipping" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+        .join(table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+
     // Day-partitioned lake layout gate (sources/Partitioned.scala): the
     // events table is rewritten as a dt=YYYY-MM-DD directory tree, and a
     // one-week range is answered from the PRUNED read (directory-level
@@ -1159,6 +1303,90 @@ object Relational {
            AND l_suppkey NOT IN
              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
          GROUP BY 1, 2, 3""",
+    // Mirrors q128: identical exact-DECIMAL chains (disc_price re-cast
+    // to (18,6) before the tax multiply, same as Spark), averages as
+    // exact-sum-double-cast / count — one IEEE division each.
+    "q128_pricing_report" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+             (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+             AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+             (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+             AS DECIMAL(18,6)) *
+             (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6))))
+             AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / count(*) AS avg_price,
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    // Mirrors q129: same pushed band/date/quantity cuts over the same
+    // parquet doubles, exact-DECIMAL price*discount sum.
+    "q129_forecast_revenue" ->
+      """SELECT
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+             CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    // Mirrors q130: the same one-expression exact-DECIMAL profit
+    // (both scale-12 products under the 38-digit cap), year() as INT.
+    "q130_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+             (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) -
+             CAST(p_retailprice AS DECIMAL(18,6)) *
+             CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_profit
+         FROM lineitem
+         JOIN part     ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN orders   ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%bolt%'
+         GROUP BY 1, 2""",
+    // Mirrors q131: the same nation-filtered EXISTS, exact-DECIMAL
+    // per-part values, and the identical double-cast threshold compare
+    // (one multiply, same operand order).
+    "q131_important_parts" ->
+      """WITH pv AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+               AS DECIMAL(38,6)) AS val
+           FROM lineitem
+           WHERE EXISTS (SELECT 1 FROM supplier
+                         JOIN nation ON s_nationkey = n_nationkey
+                         WHERE s_suppkey = l_suppkey
+                           AND n_name = 'NATION_5')
+           GROUP BY l_partkey)
+         SELECT l_partkey, CAST(val AS DOUBLE) AS value
+         FROM pv
+         WHERE CAST(val AS DOUBLE) >
+           0.001 * CAST((SELECT CAST(sum(val) AS DECIMAL(38,6)) FROM pv)
+             AS DOUBLE)""",
+    // Mirrors q132: identical late test and year cut; counts forced to
+    // BIGINT (DuckDB sum(int) is HUGEINT, which the driver's hash
+    // distinguishes).
+    "q132_priority_shipping" ->
+      """SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+         GROUP BY l_linestatus""",
     // Mirrors q114 from the FLAT side: DuckDB derives the same day
     // strings from the raw timestamps; Spark answers from the pruned
     // partitioned copy.

@@ -373,6 +373,7 @@ class PlanSpec extends SparkSessionSpec {
     "t34_extractive_summary",       // 1-row doc-total × vocab IDF frame
     "p21_upsampling_caps",          // 1-row source-count broadcast
     "q113_dormant_rich_customers",  // 1-row global-average broadcast
+    "q131_important_parts",         // 1-row total-value broadcast
     "q125_top_supplier")            // 1-row scalar-max broadcast
 
   test("q34: the funnel reads events ONCE (the one-shuffle claim)") {
@@ -438,6 +439,61 @@ class PlanSpec extends SparkSessionSpec {
       s"v16 plans $exchanges hash exchanges; corpus is leaking into a shuffle")
   }
 
+  test("q128/q129: scan-aggregate pair — all predicates pushed, no join, partial agg") {
+    // the default 100-char metadata render truncates q129's 7-entry
+    // PushedFilters list mid-name; widen it so the gate sees every entry
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try {
+      val p1 = plan("q128_pricing_report")
+      assert(p1.contains("LessThanOrEqual(l_shipdate"), "q128 date cut not pushed")
+      assert(p1.contains("partial_"), "q128 lost map-side combine")
+      assert(!p1.contains("Join"), "q128 must be a single-table scan-agg")
+      val p2 = plan("q129_forecast_revenue")
+      assert(p2.contains("GreaterThanOrEqual(l_shipdate"), "q129 date cut not pushed")
+      assert(p2.contains("GreaterThanOrEqual(l_discount"), "q129 discount band not pushed")
+      assert(p2.contains("LessThan(l_quantity"), "q129 quantity cap not pushed")
+      assert(!p2.contains("Join"), "q129 must be a single-table scan-agg")
+      assert(p2.contains("partial_"), "q129 lost map-side combine")
+      // q129's scan prunes to the 4 referenced columns
+      assert(!p2.contains("l_tax"))
+      assert(!p2.contains("l_partkey"))
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
+  test("q130: name filter pushed to the part scan; keyed joins only") {
+    val p = plan("q130_product_profit")
+    assert(p.contains("StringContains(p_name,bolt)"), "q130 name cut not pushed")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"), "q130 lost map-side combine")
+    // the fact rows must not carry part/supplier attributes beyond the
+    // profit inputs: supplier contributes only its nationkey
+    assert(!p.contains("s_name"))
+  }
+
+  test("q131: ONE partsupp-equivalent scan (the checkpoint), 1-row total NLJ only") {
+    val p = plan("q131_important_parts")
+    // both consumers (grouped values + global total) read the pinned
+    // per-part aggregate: no lineitem FileScan may appear in the final
+    // plan — the localCheckpoint ran it exactly once at build time
+    val liScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans === 0, s"q131 re-scans lineitem $liScans times past the pin")
+    assert(!p.contains("CartesianProduct"))
+    // the only NLJ is the 1-row broadcast total (intendedNlj allowlists it)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "q131 lost the 1-row scalar broadcast")
+  }
+
+  test("q132: date cuts pushed; late test rides the keyed join as residual") {
+    val p = plan("q132_priority_shipping")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "q132 year cut not pushed")
+    assert(p.contains("LessThan(l_shipdate"), "q132 year cut not pushed")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"), "q132 lost map-side combine")
+  }
+
   test("broadcast-hint policy: Relational.scala forces broadcasts ONLY on " +
     "bounded sides (nation/region slices, 1-row scalars)") {
     // Source-level gate for the r9 verdict's scale rule: a forced
@@ -457,7 +513,7 @@ class PlanSpec extends SparkSessionSpec {
       "broadcast(table(s, dir, \"nation\")", // inline nation probes
       "broadcast(avgRow)",               // 1-row scalar (q113)
       "broadcast(mx)",                   // 1-row scalar (q125)
-      "broadcast(tot)")                  // 1-row scalar (q130)
+      "broadcast(tot)")                  // 1-row scalar (q131)
     val offenders = src.linesIterator.zipWithIndex
       .filter { case (l, _) => l.contains("broadcast(") }
       .filterNot { case (l, _) => allowed.exists(l.contains) }
