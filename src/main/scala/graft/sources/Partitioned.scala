@@ -111,8 +111,12 @@ object Partitioned {
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     def compactOne(dayStatus: org.apache.hadoop.fs.FileStatus): Unit = {
       val dayDir = dayStatus.getPath
-      val parts = fs.listStatus(dayDir).filter(s =>
-        s.isFile && s.getPath.getName.startsWith("part-"))
+      // any non-hidden file is data: batch writers emit part-*, the
+      // streaming LakeSink emits batch-stamped bN-part-* names
+      val parts = fs.listStatus(dayDir).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
       val bytes = parts.map(_.getLen).sum
       val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (parts.length > want) {
