@@ -108,10 +108,18 @@ object Bench {
         }
       name -> (if (first.contains(-1.0)) (-1.0, -1.0)
       else {
+        // contention trigger: odd samples on the lower median; EVEN
+        // samples on max > 3x min — for a 2-sample quick-mode pair the
+        // lower median EQUALS the min, so the median form could never
+        // fire there and a contended pair stood unchallenged (r9 ADVICE)
+        val contended = first.length > 1 && {
+          if (first.length % 2 == 0) first.max > 3.0 * first.min
+          else median(first) > 3.0 * first.min
+        }
         val all =
-          if (first.length > 1 && median(first) > 3.0 * first.min) {
+          if (contended) {
             System.err.println(
-              s"[bench] $name median ${median(first)} > 3x min ${first.min}; re-measuring")
+              s"[bench] $name spread ${first.max}/${first.min} flags contention; re-measuring")
             first ++ measure(name, runs, fn) // contended window: widen the sample
           } else first
         if (all.contains(-1.0)) (-1.0, -1.0) else (median(all), all.min)
@@ -122,8 +130,17 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val totalMin = results.values.map(_._2).sum
+    // Window self-adjudication: the q35 anchor's min against its pinned
+    // quiet-window envelope (BASELINE.md "bench window signatures" —
+    // iterative-graph anchors track machine load, not code changes).
+    // ratio ≤ ~1.25 reads quiet; above it the whole record is hot and
+    // per-query regressions in it should not be trusted without a
+    // targeted re-run. -1 when the anchor didn't run (BENCH_ONLY subset).
+    val anchorQuietMin = 2.45 // sf0.1 local[32] quiet envelope, r7-r9
+    val anchorRatio = results.get("q35_triangles")
+      .map(_._2).filter(_ > 0).map(_ / anchorQuietMin).getOrElse(-1.0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2._1)},"queries_min":${jmap(_._2._2)},"total_min":$totalMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2._1)},"queries_min":${jmap(_._2._2)},"total_min":$totalMin,"anchor_ratio":$anchorRatio,"sf":"$sfDir"}"""
     println(line)
     // The driver's stdout capture has twice head-truncated this line
     // (BASELINE.md:81-83); persist it so the record survives regardless.

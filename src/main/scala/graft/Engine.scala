@@ -62,6 +62,12 @@ object Engine {
       .config(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // Legacy-vintage events.ts is parquet TIMESTAMP(NANOS) — no native
+      // Spark 4 type; this flag reads it as a nanos long that `table`
+      // then normalizes (see its scaladoc). Resolved ONCE here: a read
+      // path mutating session conf per call would race concurrent query
+      // builds and hide the dependency from session owners.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -79,7 +85,8 @@ object Engine {
     * parity holds on both paths.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong (the NANOS-vintage escape hatch) is pinned in
+    // Engine.session — a read path must not mutate session conf
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") {
       df.schema("ts").dataType match {

@@ -367,9 +367,14 @@ class Mem {
       // materialize (localCheckpoint is eager) BEFORE dropping the old
       // cache: unpersist-then-lazy-cache would rebuild the whole put chain
       // from source on next read, and lineage would grow per put — the
-      // iterative-DataFrame trap (see Dedup.components).
+      // iterative-DataFrame trap (see Dedup.components). The superseded
+      // generation is a localCheckpoint too, so Dataset.unpersist (which
+      // only talks to the CacheManager) would strand its RDD blocks one
+      // generation per put until GC — free them through the bridge
+      // (`next` is already materialized, so dropping old is safe).
       val next = merged.localCheckpoint()
-      groups.get(gid).foreach(_.unpersist())
+      groups.get(gid).foreach(
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
       groups(gid) = next
     } finally
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(kv)
@@ -384,7 +389,10 @@ class Mem {
 
   def del(gid: String, key: String): Unit = {
     val rest = groups(gid).filter(col("key") =!= key).localCheckpoint()
-    groups(gid).unpersist()
+    // same bridge-unpersist as put: the old generation's checkpoint
+    // blocks are not CacheManager-visible
+    groups.get(gid).foreach(
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
     groups(gid) = rest
   }
 }

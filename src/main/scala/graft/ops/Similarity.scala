@@ -1158,7 +1158,13 @@ object Similarity {
     val encoded = ivfPqEncode(corpus, cents, cbs, idCol, vecCol, maxLiteralCells)
     ivfPqTopKEncoded(
       encoded.select(col(idCol), col("cell"), col("codes")),
-      corpus.select(col(idCol), col(vecCol)),
+      // refine on FLOAT vectors, matching the persisted path's
+      // array<float> cellSchema (IvfPersist): an array<double> corpus
+      // would otherwise re-rank at double precision fresh but float
+      // precision reloaded, breaking the reloaded == fresh bit-exactness
+      // contract with no error anywhere (float corpora — the test
+      // embeddings — are untouched: the cast is a no-op)
+      corpus.select(col(idCol), col(vecCol).cast("array<float>").as(vecCol)),
       cents, cbs, queries, k, nProbe, refine,
       idCol, vecCol, qidCol, qvecCol, maxLiteralCells)
   }

@@ -794,7 +794,7 @@ object Relational {
       val sup = table(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_nationkey"))
         .join(broadcast(table(s, dir, "nation")
-          .filter(col("n_name") === "NATION_5")
+          .filter(col("n_name") === "NATION_3")
           .select(col("n_nationkey"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
@@ -1366,7 +1366,7 @@ object Relational {
            WHERE EXISTS (SELECT 1 FROM supplier
                          JOIN nation ON s_nationkey = n_nationkey
                          WHERE s_suppkey = l_suppkey
-                           AND n_name = 'NATION_5')
+                           AND n_name = 'NATION_3')
            GROUP BY l_partkey)
          SELECT l_partkey, CAST(val AS DOUBLE) AS value
          FROM pv

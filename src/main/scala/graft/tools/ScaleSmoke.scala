@@ -144,6 +144,31 @@ object ScaleSmoke {
           edges, maxFanout = 32, minCommon = 12)
           .queryExecution.toRdd.count()
       }, false),
+      // the TPC-H fact-join family under the r10 broadcast policy: the
+      // q123 shape where the supplier build side GROWS ×factor with the
+      // corpus (every table offset-scaled, so the joins line up per
+      // replica). With the forced broadcast() hints gone, stats/AQE own
+      // the build-side decision — this gate proves the family stays
+      // near-linear as the side the old hints pinned grows, i.e. the
+      // plan stays keyed (or broadcastable-by-stats) instead of cliffing
+      ("tpch_fact_join", () => {
+        val li = scaled(spark, dir, "lineitem",
+            Seq("l_orderkey", "l_suppkey"), factor)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+        val o = scaled(spark, dir, "orders", Seq("o_orderkey"), factor)
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val supN = scaled(spark, dir, "supplier", Seq("s_suppkey"), factor)
+          .select(col("s_suppkey"),
+            (pmod(col("s_suppkey"), lit(25)) === 7).as("__is_target"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(supN, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("__is_target"), col("l_extendedprice"))).as("t"),
+            count(lit(1)).as("n"))
+          .queryExecution.toRdd.count()
+      }, false),
       // the q96 LPA rounds in the SHUFFLE regime (broadcast gate forced
       // off — the billions-of-vertices path): per round one label-table
       // key-join against the checkpointed adjacency plus one partially

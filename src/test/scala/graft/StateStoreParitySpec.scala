@@ -191,6 +191,82 @@ class StateStoreParitySpec extends SparkSessionSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  /** 3-batch s09 funnel run — the TIMEOUT-bearing state shape
+    * (flatMapGroupsWithState + EventTimeTimeout): rows emit only when a
+    * group's timeout fires and its state is REMOVED. Timeout scheduling
+    * and state.remove are where providers historically diverge, so this
+    * pins them too, across a restart between batches 2 and 3; the
+    * horizon sentinel in batch 3 times out every real user. Returns
+    * (emitted rows, final state-metric rows, checkpoint-true state rows,
+    * state-op metric keys).
+    */
+  private def runFunnel(provider: String)
+      : (Set[Seq[Any]], Long, Long, Set[String]) = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try {
+      val root = Files.createTempDirectory("graft-ssparity-funnel").toString
+      val store = new Store(spark, s"$root/store", defaultBuckets = 2)
+      val stages = Seq("signup", "view", "click", "purchase")
+      val evs = table(spark, sfDir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .as[(Long, String, Timestamp)].collect().toSeq
+      val third = evs.length / 3
+      val horizon = new Timestamp(
+        evs.map(_._3.getTime).max + 1001L * 24 * 3600 * 1000)
+      val batches = Seq(
+        evs.take(third), evs.slice(third, 2 * third),
+        evs.drop(2 * third) :+ ((-1L, "signup", horizon)))
+      val mem = MemoryStream[(Long, String, Timestamp)](spark)
+      def start(): StreamingQuery = {
+        val out = EventStream.funnelStageStream(
+            spark, mem.toDF().toDF("user_id", "event_type", "ts"),
+            stages, quietMinutes = 500L * 24 * 60)
+          .toDF("user_id", "stage")
+        KVSink.toStore(out, store, "funnel", keyCol = "user_id",
+          checkpointDir = s"$root/ckpt", mode = OutputMode.Append)
+      }
+      val q1 = start()
+      try {
+        mem.addData(batches(0)); q1.processAllAvailable()
+        mem.addData(batches(1)); q1.processAllAvailable()
+        q1.stop()
+        val q2 = start() // restart: accumulated per-user state recovers
+        try {
+          mem.addData(batches(2)); q2.processAllAvailable()
+          val emitted = store.scan("funnel")
+            .select(from_json(col("value"),
+              StructType.fromDDL("user_id BIGINT, stage INT")).as("r"))
+            .select("r.user_id", "r.stage")
+            .collect().map(_.toSeq).toSet
+          (emitted, lastStateRows(q2),
+            storedStateRows(s"$root/ckpt", 1), lastStateMetricKeys(q2))
+        } finally q2.stop()
+      } finally { if (q1.isActive) q1.stop() }
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("s09 funnel (EventTimeTimeout + state.remove): HDFSBacked == RocksDB " +
+    "across 3 batches with restart") {
+    val (rowsH, stateH, trueH, keysH) = runFunnel(HDFS)
+    val (rowsR, stateR, trueR, keysR) = runFunnel(ROCKS)
+    assert(keysR.exists(_.toLowerCase.contains("rocksdb")))
+    assert(!keysH.exists(_.toLowerCase.contains("rocksdb")))
+    assert(rowsH === rowsR)
+    assert(stateH === stateR)
+    assert(trueH === trueR)
+    // every real user timed out AND removed its state: only the horizon
+    // sentinel's group survives in the store
+    assert(trueR === 1L)
+    // and the emissions equal the batch per-user funnel over everything
+    val batch = graft.ops.Funnel.perUserStages(
+        table(spark, sfDir, "events").filter(col("user_id") < 50),
+        Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => Seq[Any](r._1, r._2)).toSet
+    assert(rowsR === batch)
+  }
+
   test("s15 hourly uniques: HDFSBacked == RocksDB across 3 batches with restart") {
     val (rowsH, stateH, trueH) = runUniques(HDFS)
     val (rowsR, stateR, trueR) = runUniques(ROCKS)
