@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, pmod, sum}
 
 import graft.Engine.table
 import graft.streaming.EventStream
@@ -144,6 +144,36 @@ object StreamQueries {
       graft.streaming.Lateness.watermarkLateness(
         table(s, dir, "events"), horizonSeconds = 7200L)),
 
+    // Stream→lake ingest gate — the batch form of LakeSinkSpec's
+    // topology (micro-batches → day-partitioned tree → pruned read):
+    // an 11-day events slice lands through LakeSink.appendBatch as
+    // three batches, WITH BATCH 1 REPLAYED (the at-least-once crash
+    // signature foreachBatch delivers) — the batch-id manifest must
+    // keep its rows single-counted. The week aggregate is answered
+    // from the sink's tree; the oracle computes from the FLAT parquet,
+    // so the hash match IS the exactly-once proof end-to-end (a
+    // double-applied replay fails on n_events; a lossy stamped-file
+    // swap fails on the sums). Uncompacted neighbor days prove the
+    // pruned read's range discipline (the q127 framing).
+    "s19_lake_sink_ingest" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_s19").toFile
+      val out = root.getAbsolutePath + "/events"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      graft.streaming.LakeSink.appendBatch(slice(0), out, batchId = 0)
+      graft.streaming.LakeSink.appendBatch(slice(1), out, batchId = 1)
+      // replay of a committed batch: the manifest marker must skip it
+      graft.streaming.LakeSink.appendBatch(slice(1), out, batchId = 1)
+      graft.streaming.LakeSink.appendBatch(slice(2), out, batchId = 2)
+      graft.sources.Partitioned.readDays(s, out, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // File-ingest twin of s06 — the batch form of FileStreamSpec's
     // production topology (JSONL shards in a watched dir → dedup state
     // → KV store): the planted corpus is written out as JSONL, read
@@ -166,6 +196,19 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors s19 from the FLAT side (the q114/q127 oracle): DuckDB
+    // derives the week from the raw timestamps; Spark answers from the
+    // replayed-batch sink tree — equality proves exactly-once.
+    "s19_lake_sink_ingest" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+         GROUP BY 1, 2""",
     // Mirrors s17 with the plain global prefix max (max is associative,
     // so Spark's two-level bucket scan is bit-equal); integer micros,
     // BIGINT counts, one round-6 share division.
