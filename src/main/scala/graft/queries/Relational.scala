@@ -890,6 +890,86 @@ object Relational {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Clustered compaction + file-level data skipping
+    // (sources/Partitioned.scala bandPrune/readDaysBand — the lakehouse
+    // manifest idea): the q127 lifecycle runs again but the compaction
+    // RANGE-CLUSTERS each day on `value` and writes a per-file min/max
+    // manifest; the week's band query is then answered through
+    // readDaysBand, which prunes non-overlapping FILES from the manifest
+    // before any footer opens (unknown/appended files always read — the
+    // manifest can go stale without going wrong). The oracle computes
+    // the same band from the FLAT parquet, so the hash match proves the
+    // cluster rewrite + file pruning lossless end-to-end, not merely
+    // self-consistent. Scale: at 100 TB a narrow band over a clustered
+    // lake opens O(band) files instead of O(corpus) footers — the
+    // manifest is O(files) driver-side JSON; PartitionedSpec pins that
+    // files ARE skipped and that post-manifest appends are never lost.
+    "q133_clustered_scan" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_q133").toFile
+      val out = root.getAbsolutePath + "/events"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+      graft.sources.Partitioned.writeByDay(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), out)
+      graft.sources.Partitioned.appendByDay(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), out)
+      // floor each day at 4 files so the band has files to skip (a
+      // 128 MB target alone would coalesce test-SF days to one file
+      // each and the pruning path would be vacuous at any tested scale)
+      graft.sources.Partitioned.compactDays(
+        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128,
+        clusterBy = Seq("value"), minFilesPerDay = 4)
+      graft.sources.Partitioned
+        .readDaysBand(s, out, "2024-01-08", "2024-01-14", "value",
+          100.0, 150.0)
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+    }),
+
+    // Versioned lake with a manifest commit log
+    // (sources/VersionedLake.scala — the reader-atomicity upgrade over
+    // q127's rename-swap lake): two appends commit v1 (even event_ids)
+    // and v2 (odd), compaction publishes v3 atomically, and the query
+    // answers the SAME aggregate twice — time-traveled to v1 and from
+    // the compacted head — in one result (tagged rows, one build cost).
+    // The oracle recomputes both snapshots from the FLAT parquet (v1 =
+    // the even half, live = everything), so the hash match proves
+    // snapshot isolation AND compaction losslessness end-to-end: a
+    // compaction that double-counted or dropped a file fails the live
+    // half; a manifest that leaked v2/v3 files into the v1 read fails
+    // the time-travel half. Scale: reads open exactly the manifest's
+    // files — day pruning is a driver-side filter on entries, no
+    // directory walk of a 10⁵-day tree; commits are one atomic
+    // create-if-absent regardless of lake size.
+    "q134_versioned_lake" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_q134").toFile
+      val out = root.getAbsolutePath + "/events"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+      val v1 = graft.sources.VersionedLake.append(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), out)
+      graft.sources.VersionedLake.append(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), out)
+      graft.sources.VersionedLake.compact(
+        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128)
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("dt"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .withColumn("snap", lit(tag))
+      agg(graft.sources.VersionedLake.read(s, out, Some(v1),
+        "2024-01-08", "2024-01-14"), "v1")
+        .union(agg(graft.sources.VersionedLake.read(s, out, None,
+          "2024-01-08", "2024-01-14"), "live"))
+    }),
+
     // CSV ingest gate (sources/Csv.scala): the documents table round-
     // trips through the schema-required delimited source — write CSV,
     // re-read with the pinned schema, aggregate per (lang, source) with
@@ -1408,6 +1488,50 @@ object Relational {
            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
              AS DOUBLE) AS sum_value,
            count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+         GROUP BY 1, 2""",
+    // Mirrors q133 from the FLAT side (the q127 oracle + the band
+    // predicate): Spark answers through the clustered tree's manifest-
+    // pruned file read — equality proves clustering + file skipping
+    // lossless (a dropped file fails n_events; a stale-manifest miss
+    // fails the event_id extremes).
+    "q133_clustered_scan" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND value >= 100.0 AND value <= 150.0
+         GROUP BY 1, 2""",
+    // Mirrors q134 from the FLAT side: the v1 snapshot is the even
+    // event_id half, the live head is everything — recomputed from raw
+    // parquet, so equality proves time travel + atomic compaction.
+    "q134_versioned_lake" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users,
+           'v1' AS snap
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND event_id % 2 = 0
+         GROUP BY 1, 2
+         UNION ALL
+         SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users,
+           'live' AS snap
          FROM events
          WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
            AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'

@@ -1,0 +1,391 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Day-partitioned lake with a MANIFEST COMMIT LOG — the reader-atomicity
+  * upgrade [[Partitioned.compactDays]]'s scaladoc defers to "Delta/Iceberg
+  * territory": there, the two-rename swap leaves a visibility gap where a
+  * concurrent reader can drop a day. Here no reader ever lists
+  * directories at all — the set of live data files IS the latest manifest
+  * under `_commits/`, data files are IMMUTABLE once committed (writers
+  * only add files; nothing is deleted until [[vacuum]]), and every write
+  * is one atomic manifest publish:
+  *
+  *  - `_commits/v0000000N.json` — one JSON-lines manifest per version:
+  *    a header line carrying the table schema, then one line per live
+  *    data file (relative path, day, rows, bytes). A manifest is the
+  *    FULL snapshot, not a delta — O(files) text, parsed driver-side,
+  *    no log replay on read (at 100 TB with 128 MB files that is ~10⁶
+  *    lines — megabytes of driver JSON, same order as Spark's own file
+  *    index for one scan);
+  *  - COMMIT = `FileSystem.create(vN+1, overwrite = false)`: on HDFS an
+  *    atomic create-if-absent, so two racing committers cannot both win
+  *    a version — the loser re-reads the new latest, re-merges its file
+  *    list (appends and compactions COMMUTE: an append only adds
+  *    entries, a compaction only replaces the exact entries it read),
+  *    and retries on the next number. Object stores without atomic
+  *    create need an external lock/conditional-put for this step — the
+  *    documented Delta-on-S3 caveat, out of scope here;
+  *  - READERS are snapshot-isolated for free: a query plans against the
+  *    file list of the manifest it loaded, and since committed files are
+  *    immutable and vacuum-protected, a compaction publishing v+1 mid-
+  *    query changes nothing the running query references. Time travel is
+  *    the same mechanism pointed at an older version;
+  *  - data files land via stage-then-move BEFORE the commit, so a crash
+  *    leaves orphan files that no manifest references — invisible to
+  *    every reader, swept by [[vacuum]] along with files only referenced
+  *    by expired versions.
+  *
+  * Scale shape: appends shuffle once keyed on dt (the [[Partitioned]]
+  * small-files discipline), compaction rewrites only the days it names
+  * and costs ~max(day) on its thread pool, reads open exactly the
+  * manifest's files (day-range pruning is a driver-side filter on the
+  * entries — no directory listing of a 10⁵-day tree), and the control
+  * plane is all Hadoop FileSystem (file:/hdfs: alike).
+  */
+object VersionedLake {
+
+  private val CommitDir = "_commits"
+  private val VName = """v(\d{8})\.json""".r
+
+  /** One live data file in a snapshot. `path` is root-relative
+    * (`dt=YYYY-MM-DD/<name>`), so manifests survive a lake relocation.
+    */
+  final case class FileEntry(path: String, dt: String, rows: Long, bytes: Long)
+
+  /** A committed version: the table schema plus its full live-file set.
+    * The version number is carried by the manifest FILE NAME (the atomic
+    * create is on the name), never duplicated inside the content.
+    */
+  final case class Snapshot(version: Long, schema: StructType,
+      files: Seq[FileEntry])
+
+  private def fsOf(spark: SparkSession, root: Path): FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Per-file row counts for an explicit file list, keyed by the last
+    * two path components (`dt=DAY/name` — basenames alone collide when
+    * one writer task holds two days).
+    */
+  private def perFileCounts(spark: SparkSession,
+      paths: Seq[String]): Map[String, Long] =
+    if (paths.isEmpty) Map.empty
+    else spark.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("f"))
+      .groupBy("f").count().collect()
+      .map(r => r.getString(0).split('/').takeRight(2).mkString("/")
+        -> r.getLong(1)).toMap
+
+  private def commitPath(root: Path, v: Long) =
+    new Path(root, f"$CommitDir/v$v%08d.json")
+
+  /** Highest committed version, or None for a virgin root. */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, CommitDir)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .collect { case s if s.isFile =>
+        s.getPath.getName match {
+          case VName(n) => Some(n.toLong)
+          case _        => None
+        }
+      }.flatten match {
+        case Nil => None
+        case vs  => Some(vs.max)
+      }
+  }
+
+  /** Load a committed snapshot (latest when `version` is None). */
+  def snapshot(spark: SparkSession, path: String,
+      version: Option[Long] = None): Snapshot = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      sys.error(s"VersionedLake: no committed version under $path"))
+    val p = commitPath(root, v)
+    if (!fs.exists(p))
+      sys.error(s"VersionedLake: version $v does not exist under $path")
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val header = om.readTree(lines.head)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(header.get("schema").asText()).asInstanceOf[StructType]
+    val files = lines.tail.map { l =>
+      val n = om.readTree(l)
+      FileEntry(n.get("path").asText(), n.get("dt").asText(),
+        n.get("rows").asLong(), n.get("bytes").asLong())
+    }
+    Snapshot(v, schema, files)
+  }
+
+  private def writeManifest(fs: FileSystem, root: Path, v: Long,
+      schema: StructType, files: Seq[FileEntry]): Boolean = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sb = new StringBuilder
+    val head = om.createObjectNode()
+    head.put("schema", schema.json)
+    head.put("n_files", files.length)
+    sb.append(om.writeValueAsString(head)).append('\n')
+    files.sortBy(f => (f.dt, f.path)).foreach { f =>
+      val n = om.createObjectNode()
+      n.put("path", f.path)
+      n.put("dt", f.dt)
+      n.put("rows", f.rows)
+      n.put("bytes", f.bytes)
+      sb.append(om.writeValueAsString(n)).append('\n')
+    }
+    fs.mkdirs(new Path(root, CommitDir))
+    // create-if-absent IS the commit: exactly one committer wins vN
+    val out =
+      try fs.create(commitPath(root, v), false)
+      catch { case _: java.io.IOException => return false }
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  /** Optimistic-concurrency commit loop: re-read the latest snapshot,
+    * merge this writer's intent on top of it, try the next version
+    * number. `merge` must be REPLAYABLE against any newer snapshot —
+    * append merges by adding entries; compact merges by substituting
+    * exactly the entries it rewrote (and keeping everything else, so a
+    * concurrent append to the same day survives).
+    */
+  private def commit(spark: SparkSession, root: Path, schema: StructType,
+      merge: Seq[FileEntry] => Seq[FileEntry]): Long = {
+    val fs = fsOf(spark, root)
+    var attempt = 0
+    while (attempt < 50) {
+      val base = latestVersion(spark, root.toString)
+      val (v, files) = base match {
+        case Some(b) =>
+          val s = snapshot(spark, root.toString, Some(b))
+          (b + 1, merge(s.files))
+        case None => (1L, merge(Nil))
+      }
+      if (writeManifest(fs, root, v, schema, files)) return v
+      attempt += 1 // lost the race — replay the merge on the new latest
+    }
+    sys.error("VersionedLake: commit contention exceeded 50 attempts")
+  }
+
+  /** Stage `df` partitioned by the day of `tsCol`, move the files into
+    * the day dirs, and publish them in one atomic commit. Returns the
+    * committed version. Crash-safe: files without a manifest entry are
+    * invisible orphans until [[vacuum]] sweeps them.
+    */
+  def append(df: DataFrame, path: String, tsCol: String = "ts"): Long = {
+    val spark = df.sparkSession
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val dated = df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+    val schema = dated.drop("dt").schema
+    val stage = new Path(root,
+      s".vstage_${java.util.UUID.randomUUID.toString.take(8)}")
+    dated.repartition(col("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(stage.toString)
+    val moved = fs.listStatus(stage)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+      .flatMap { dayDir =>
+        val day = dayDir.getPath.getName.stripPrefix("dt=")
+        val live = new Path(root, s"dt=$day")
+        fs.mkdirs(live)
+        fs.listStatus(dayDir.getPath)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map { f =>
+            // staged part names carry a per-job UUID, so moves never
+            // collide with files from other commits
+            val target = new Path(live, f.getPath.getName)
+            if (!fs.rename(f.getPath, target))
+              throw new java.io.IOException(
+                s"VersionedLake: rename ${f.getPath} -> $target failed")
+            (day, f.getPath.getName, f.getLen)
+          }
+      }.toSeq
+    fs.delete(stage, true): Unit
+    // per-file row counts: one tiny metadata aggregation over just this
+    // batch's files (the LakeSink day-probe cost class). Counted AFTER
+    // the move — Spark's file index silently drops a dot-hidden stage
+    // root — and keyed by dt=DAY/name: a task holding two days writes
+    // the SAME basename under both, so bare names collide. The files
+    // are moved-but-uncommitted here: invisible to every reader; a
+    // crash before commit leaves vacuum-sweepable orphans.
+    val base = fs.makeQualified(root).toString
+    val counts = perFileCounts(spark,
+      moved.map { case (day, name, _) => s"$base/dt=$day/$name" })
+    val entries = moved.map { case (day, name, len) =>
+      FileEntry(s"dt=$day/$name", day,
+        counts.getOrElse(s"dt=$day/$name", 0L), len)
+    }
+    commit(spark, root, schema, prev => prev ++ entries)
+  }
+
+  /** Read a snapshot (latest when `version` is None), day-ranged when
+    * bounds are given. Pruning is a driver-side filter on manifest
+    * entries — no directory walks; `basePath` keeps the dt partition
+    * column alive on the explicit file list, type-stable with
+    * [[Partitioned.readDays]].
+    */
+  def read(spark: SparkSession, path: String,
+      version: Option[Long] = None,
+      fromDay: String = "0000-01-01",
+      toDay: String = "9999-12-31"): DataFrame = {
+    val snap = snapshot(spark, path, version)
+    val picked = snap.files.filter(f => f.dt >= fromDay && f.dt <= toDay)
+    if (picked.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        snap.schema.add("dt", "string"))
+    else {
+      val root = new Path(path)
+      val fs = fsOf(spark, root)
+      val base = fs.makeQualified(root).toString
+      spark.read.option("basePath", base)
+        .parquet(picked.map(f => s"$base/${f.path}"): _*)
+        .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
+    }
+  }
+
+  /** Compact each day in [fromDay, toDay] of the LATEST snapshot down to
+    * `ceil(bytes / targetFileMB)` files (floored at `minFilesPerDay`) and
+    * publish the substitution atomically. Readers of older versions keep
+    * their files — nothing is deleted here ([[vacuum]] reclaims). Days
+    * already at-or-under their bound are skipped. Returns the committed
+    * version (the latest version when every day was already compact).
+    */
+  def compact(spark: SparkSession, path: String,
+      fromDay: String, toDay: String, targetFileMB: Int = 128,
+      parallelism: Int = 4, minFilesPerDay: Int = 1): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val snap = snapshot(spark, path, None)
+    val base = fs.makeQualified(root).toString
+    val targetBytes = targetFileMB.toLong * 1024 * 1024
+    val byDay = snap.files.filter(f => f.dt >= fromDay && f.dt <= toDay)
+      .groupBy(_.dt).toSeq.sortBy(_._1)
+    val replaced = new java.util.concurrent.ConcurrentLinkedQueue[FileEntry]()
+    val added = new java.util.concurrent.ConcurrentLinkedQueue[FileEntry]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, math.max(1, byDay.length))))
+    def compactOne(day: String, entries: Seq[FileEntry]): Unit = {
+      val bytes = entries.map(_.bytes).sum
+      val want = math.max(minFilesPerDay.toLong,
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes)).toInt
+      if (entries.length > want) {
+        val stage = new Path(root,
+          s".vstage_compact_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
+        spark.read.parquet(entries.map(e => s"$base/${e.path}"): _*)
+          .coalesce(want)
+          .write.mode("overwrite").parquet(stage.toString)
+        val live = new Path(root, s"dt=$day")
+        val rows = entries.map(_.rows).sum
+        val moved = fs.listStatus(stage)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map { f =>
+            val target = new Path(live, f.getPath.getName)
+            if (!fs.rename(f.getPath, target))
+              throw new java.io.IOException(
+                s"VersionedLake: rename ${f.getPath} -> $target failed")
+            (f.getPath.getName, f.getLen)
+          }
+        fs.delete(stage, true): Unit
+        // per-file rows for the rewritten files: one tiny metadata job
+        // over just this day's new files (the append-path cost class);
+        // the total doubles as a lossless-rewrite tripwire
+        val counts = perFileCounts(spark,
+          moved.map(m => s"$base/dt=$day/${m._1}"))
+        require(counts.values.sum == rows,
+          s"VersionedLake: compaction of $day changed row count")
+        entries.foreach(replaced.add)
+        moved.foreach { case (name, len) =>
+          added.add(FileEntry(s"dt=$day/$name", day,
+            counts.getOrElse(s"dt=$day/$name", 0L), len))
+        }
+      }
+    }
+    try {
+      byDay.foreach { case (day, entries) =>
+        pool.execute(() =>
+          try compactOne(day, entries)
+          catch { case t: Throwable => failures.add(t); () })
+      }
+      pool.shutdown()
+      pool.awaitTermination(24, java.util.concurrent.TimeUnit.HOURS): Unit
+    } finally pool.shutdownNow()
+    if (!failures.isEmpty) throw failures.peek()
+    if (replaced.isEmpty) snap.version
+    else {
+      val dead = {
+        val it = replaced.iterator(); val b = Seq.newBuilder[FileEntry]
+        while (it.hasNext) b += it.next(); b.result().map(_.path).toSet
+      }
+      val fresh = {
+        val it = added.iterator(); val b = Seq.newBuilder[FileEntry]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      // the merge substitutes ONLY what this run rewrote: files a racing
+      // append committed meanwhile stay live (append/compact commute)
+      commit(spark, root, snap.schema,
+        prev => prev.filterNot(f => dead(f.path)) ++ fresh)
+    }
+  }
+
+  /** Reclaim storage: delete data files referenced by NO retained
+    * version (the latest `retainVersions` manifests), drop the expired
+    * manifests, and sweep orphaned stage dirs. This is the op that
+    * bounds time travel — versions older than the retention window stop
+    * being readable, which is the documented price of reclaiming their
+    * exclusive files. Run it OUTSIDE any reader still pinned to an
+    * expiring version (the same maintenance-window contract as any
+    * retention system).
+    */
+  def vacuum(spark: SparkSession, path: String,
+      retainVersions: Int = 1): Unit = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, CommitDir)
+    if (!fs.exists(dir)) return
+    val versions = fs.listStatus(dir).toSeq.collect {
+      case s if s.isFile =>
+        s.getPath.getName match {
+          case VName(n) => Some(n.toLong)
+          case _        => None
+        }
+    }.flatten.sorted
+    if (versions.isEmpty) return
+    val retained = versions.takeRight(retainVersions)
+    val live: Set[String] = retained.flatMap(v =>
+      snapshot(spark, path, Some(v)).files.map(_.path)).toSet
+    // sweep data files no retained manifest references
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+      .foreach { dayDir =>
+        val day = dayDir.getPath.getName
+        fs.listStatus(dayDir.getPath)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+            !s.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            if (!live(s"$day/${f.getPath.getName}"))
+              fs.delete(f.getPath, false): Unit
+          }
+        if (fs.listStatus(dayDir.getPath).isEmpty)
+          fs.delete(dayDir.getPath, false): Unit // day emptied by retention
+      }
+    // expired manifests + crashed writers' stage dirs
+    versions.dropRight(retainVersions)
+      .foreach(v => fs.delete(commitPath(root, v), false): Unit)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".vstage_"))
+      .foreach(s => fs.delete(s.getPath, true): Unit)
+  }
+}

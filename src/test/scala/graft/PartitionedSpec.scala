@@ -119,6 +119,81 @@ class PartitionedSpec extends SparkSessionSpec {
       === 2 * ev.count())
   }
 
+  test("clustered compaction: manifest lands with the day, bandPrune " +
+      "skips files, band read == unpruned filter, re-run rewrites nothing") {
+    val d = Files.createTempDirectory("graft_cluster").toString + "/events"
+    val ev = table(spark, sfDir, "events")
+    Partitioned.writeByDay(ev, d)
+    val days = new java.io.File(d).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .map(_.getName.stripPrefix("dt=")).sorted
+    assert(days.length >= 3)
+    Partitioned.compactDays(spark, d, days.head, days.last,
+      clusterBy = Seq("value"), minFilesPerDay = 4)
+    // every in-range day carries its manifest and >= 2 files (the floor
+    // is 4, but range partitions with few rows can come up empty)
+    new java.io.File(d).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt=")).foreach {
+        day =>
+          assert(day.listFiles().exists(_.getName == ".stats.json"),
+            s"${day.getName} has no manifest")
+          assert(day.listFiles().count(_.getName.startsWith("part-")) >= 2,
+            s"${day.getName} was not widened")
+      }
+    // a narrow band must PROVE most files disjoint and skip them
+    val report = Partitioned.bandPrune(spark, d, days.head, days.last,
+      "value", "100.0", "150.0")
+    assert(report.skipped > 0,
+      s"manifest pruned nothing (total=${report.total})")
+    assert(report.selected.length < report.total)
+    // and the pruned read is IDENTICAL to the unpruned filter
+    val pruned = Partitioned
+      .readDaysBand(spark, d, days.head, days.last, "value", 100.0, 150.0)
+      .collect().map(_.toSeq).toSet
+    val full = Partitioned.readDays(spark, d, days.head, days.last)
+      .filter(col("value") >= 100.0 && col("value") <= 150.0)
+      .collect().map(_.toSeq).toSet
+    assert(pruned === full)
+    assert(pruned.nonEmpty, "band selected no rows — vacuous gate")
+    // idempotent: the clustered day is at-bound AND carries its manifest,
+    // so a second clustered run rewrites nothing
+    val dayDirs = new java.io.File(d).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt=")).sortBy(_.getName)
+    val stamps = dayDirs.map(_.listFiles().map(_.lastModified()).toSeq).toSeq
+    Partitioned.compactDays(spark, d, days.head, days.last,
+      clusterBy = Seq("value"), minFilesPerDay = 4)
+    assert(dayDirs.map(_.listFiles().map(_.lastModified()).toSeq).toSeq
+      === stamps)
+  }
+
+  test("a stale manifest stays SOUND: files appended after clustering " +
+      "are always read, never pruned") {
+    val d = Files.createTempDirectory("graft_stale").toString + "/events"
+    val ev = table(spark, sfDir, "events")
+    Partitioned.writeByDay(ev.filter(pmod(col("event_id"), lit(2)) === 0), d)
+    val days = new java.io.File(d).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .map(_.getName.stripPrefix("dt=")).sorted
+    Partitioned.compactDays(spark, d, days.head, days.last,
+      clusterBy = Seq("value"), minFilesPerDay = 4)
+    // append AFTER the manifest was written: the new files are unknown
+    // to it, so the soundness rule (unknown => read) must cover them
+    Partitioned.appendByDay(ev.filter(pmod(col("event_id"), lit(2)) === 1), d)
+    val pruned = Partitioned
+      .readDaysBand(spark, d, days.head, days.last, "value", 100.0, 150.0)
+      .collect().map(_.toSeq).toSet
+    val expected = Partitioned.readDays(spark, d, days.head, days.last)
+      .filter(col("value") >= 100.0 && col("value") <= 150.0)
+      .collect().map(_.toSeq).toSet
+    assert(pruned === expected,
+      "stale manifest dropped appended rows — pruning is UNSOUND")
+    // the manifest still prunes among the files it knows (skipped > 0)
+    // while selecting every unknown appended file
+    val report = Partitioned.bandPrune(spark, d, days.head, days.last,
+      "value", "100.0", "150.0")
+    assert(report.skipped > 0, "stale manifest lost all pruning power")
+  }
+
   test("writer caps small files: one exchange keyed on dt, files per day bounded") {
     // the no-repartition form writes (tasks x days) files; the keyed
     // exchange caps it at shuffle-partition granularity per day
