@@ -970,6 +970,40 @@ object Relational {
           "2024-01-08", "2024-01-14"), "live"))
     }),
 
+    // Data skipping from the COMMIT LOG (q133's band gate through
+    // VersionedLake): appends record coarse per-file min/max in their
+    // manifest entries, clustered compaction tightens them to disjoint
+    // ranges, and readBand prunes files straight off the snapshot — no
+    // sidecar, no directory listing. Same flat-parquet oracle as q133,
+    // so equality proves manifest-stats pruning lossless end-to-end;
+    // VersionedLakeSpec pins that files are actually skipped and that
+    // stat-less entries always survive selection.
+    "q135_versioned_band" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_q135").toFile
+      val out = root.getAbsolutePath + "/events"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+      graft.sources.VersionedLake.append(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), out,
+        statsCols = Seq("value"))
+      graft.sources.VersionedLake.append(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), out,
+        statsCols = Seq("value"))
+      graft.sources.VersionedLake.compact(
+        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128,
+        minFilesPerDay = 4, clusterBy = Seq("value"))
+      graft.sources.VersionedLake
+        .readBand(s, out, "value", 100.0, 150.0,
+          None, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+    }),
+
     // CSV ingest gate (sources/Csv.scala): the documents table round-
     // trips through the schema-required delimited source — write CSV,
     // re-read with the pinned schema, aggregate per (lang, source) with
@@ -1535,6 +1569,21 @@ object Relational {
          FROM events
          WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
            AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+         GROUP BY 1, 2""",
+    // Mirrors q135 from the FLAT side (q133's oracle): Spark answers
+    // through the commit log's stats-pruned file read.
+    "q135_versioned_band" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND value >= 100.0 AND value <= 150.0
          GROUP BY 1, 2""",
     // Mirrors q110 from the PARQUET side: Spark answers from the CSV
     // round-trip, DuckDB from the original parquet — equality proves

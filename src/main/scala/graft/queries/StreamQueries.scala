@@ -174,6 +174,34 @@ object StreamQueries {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // s19's topology through the VERSIONED lake (the commit-log twin):
+    // the same three batches with batch 1 replayed land via
+    // VersionedLake.appendBatch — here exactly-once is the manifest's
+    // last_batch_id high-water mark, committed atomically WITH the files
+    // it covers (no stamped-file sweep), and the week is answered from
+    // the snapshot the commits built. Same flat-parquet oracle: hash
+    // equality proves the replayed batch committed exactly once and the
+    // manifest lost no files across four commits.
+    "s20_versioned_sink_ingest" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_s20").toFile
+      val out = root.getAbsolutePath + "/events"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      graft.sources.VersionedLake.appendBatch(slice(0), out, batchId = 0)
+      graft.sources.VersionedLake.appendBatch(slice(1), out, batchId = 1)
+      // replay of a committed batch: the high-water mark must skip it
+      graft.sources.VersionedLake.appendBatch(slice(1), out, batchId = 1)
+      graft.sources.VersionedLake.appendBatch(slice(2), out, batchId = 2)
+      graft.sources.VersionedLake
+        .read(s, out, None, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // File-ingest twin of s06 — the batch form of FileStreamSpec's
     // production topology (JSONL shards in a watched dir → dedup state
     // → KV store): the planted corpus is written out as JSONL, read
@@ -200,6 +228,18 @@ object StreamQueries {
     // derives the week from the raw timestamps; Spark answers from the
     // replayed-batch sink tree — equality proves exactly-once.
     "s19_lake_sink_ingest" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+         GROUP BY 1, 2""",
+    // Mirrors s20 from the FLAT side — identical week to s19; Spark
+    // answers from the versioned lake's replayed-batch snapshot.
+    "s20_versioned_sink_ingest" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
            count(*) AS n_events,
            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))

@@ -292,14 +292,8 @@ object Partitioned {
   def bandPrune(
       spark: SparkSession, path: String, fromDay: String, toDay: String,
       bandCol: String, lo: String, hi: String): PruneReport = {
-    val numeric = Set("tinyint", "smallint", "int", "bigint", "float",
-      "double") // decimal(p,s) handled by prefix below
     def overlaps(r: ColRange): Boolean =
-      if (numeric(r.dtype) || r.dtype.startsWith("decimal")) {
-        val (mn, mx) = (BigDecimal(r.min), BigDecimal(r.max))
-        mx >= BigDecimal(lo) && mn <= BigDecimal(hi)
-      } else if (r.dtype == "string") r.max >= lo && r.min <= hi
-      else true // unknown comparison — never prune
+      StatsCompare.overlaps(r.dtype, r.min, r.max, lo, hi)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dayDirs = (if (fs.exists(root)) fs.listStatus(root) else Array.empty)
@@ -353,4 +347,22 @@ object Partitioned {
           .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
     base.filter(col(bandCol) >= lo && col(bandCol) <= hi)
   }
+}
+
+/** Shared min/max-vs-band comparison for file-skipping decisions (the
+  * [[Partitioned]] sidecar manifests and the [[VersionedLake]] commit-log
+  * stats speak the same string-encoded ranges). Conservative by
+  * construction: an unrecognized dtype never prunes.
+  */
+private[sources] object StatsCompare {
+  private val numeric =
+    Set("tinyint", "smallint", "int", "bigint", "float", "double")
+
+  /** Can any value in [min, max] (typed per `dtype`) fall in [lo, hi]? */
+  def overlaps(dtype: String, min: String, max: String,
+      lo: String, hi: String): Boolean =
+    if (numeric(dtype) || dtype.startsWith("decimal")) {
+      BigDecimal(max) >= BigDecimal(lo) && BigDecimal(min) <= BigDecimal(hi)
+    } else if (dtype == "string") max >= lo && min <= hi
+    else true // unknown comparison — never prune
 }

@@ -53,31 +53,51 @@ object VersionedLake {
 
   /** One live data file in a snapshot. `path` is root-relative
     * (`dt=YYYY-MM-DD/<name>`), so manifests survive a lake relocation.
+    * `stats` carries optional per-column (min, max) string pairs — the
+    * data-skipping index living IN the commit log (the Delta/Iceberg
+    * arrangement, vs [[Partitioned]]'s per-day sidecar): entries without
+    * stats for a column are simply never pruned on it.
     */
-  final case class FileEntry(path: String, dt: String, rows: Long, bytes: Long)
+  final case class FileEntry(path: String, dt: String, rows: Long,
+      bytes: Long, stats: Map[String, (String, String)] = Map.empty)
 
   /** A committed version: the table schema plus its full live-file set.
     * The version number is carried by the manifest FILE NAME (the atomic
     * create is on the name), never duplicated inside the content.
+    * `lastBatchId` is the streaming high-water mark (see [[appendBatch]];
+    * -1 when no batch commit has happened).
     */
   final case class Snapshot(version: Long, schema: StructType,
-      files: Seq[FileEntry])
+      files: Seq[FileEntry], lastBatchId: Long = -1L)
 
   private def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Per-file row counts for an explicit file list, keyed by the last
-    * two path components (`dt=DAY/name` — basenames alone collide when
-    * one writer task holds two days).
+  /** Per-file row counts (and optional per-column min/max strings) for an
+    * explicit file list, keyed by the last two path components
+    * (`dt=DAY/name` — basenames alone collide when one writer task holds
+    * two days). One tiny metadata job over just the listed files.
     */
-  private def perFileCounts(spark: SparkSession,
-      paths: Seq[String]): Map[String, Long] =
+  private def perFileStats(spark: SparkSession, paths: Seq[String],
+      statsCols: Seq[String])
+      : Map[String, (Long, Map[String, (String, String)])] =
     if (paths.isEmpty) Map.empty
-    else spark.read.parquet(paths: _*)
-      .select(col("_metadata.file_path").as("f"))
-      .groupBy("f").count().collect()
-      .map(r => r.getString(0).split('/').takeRight(2).mkString("/")
-        -> r.getLong(1)).toMap
+    else {
+      val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"min:$c"),
+        max(col(c)).cast("string").as(s"max:$c")))
+      spark.read.parquet(paths: _*)
+        .select(col("_metadata.file_path").as("f") +: statsCols.map(col): _*)
+        .groupBy("f").agg(aggs.head, aggs.tail: _*).collect()
+        .map { r =>
+          val key = r.getString(0).split('/').takeRight(2).mkString("/")
+          val ranges = statsCols.zipWithIndex.flatMap { case (c, i) =>
+            val (mn, mx) = (r.getString(2 + 2 * i), r.getString(3 + 2 * i))
+            if (mn == null || mx == null) None else Some(c -> (mn, mx))
+          }.toMap
+          key -> (r.getLong(1), ranges)
+        }.toMap
+    }
 
   private def commitPath(root: Path, v: Long) =
     new Path(root, f"$CommitDir/v$v%08d.json")
@@ -119,21 +139,38 @@ object VersionedLake {
     val header = om.readTree(lines.head)
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(header.get("schema").asText()).asInstanceOf[StructType]
+    val lastBatch =
+      if (header.has("last_batch_id")) header.get("last_batch_id").asLong()
+      else -1L
     val files = lines.tail.map { l =>
       val n = om.readTree(l)
+      val stats =
+        if (!n.has("stats")) Map.empty[String, (String, String)]
+        else {
+          val it = n.get("stats").fields()
+          val b = Map.newBuilder[String, (String, String)]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> (e.getValue.get("min").asText(),
+              e.getValue.get("max").asText())
+          }
+          b.result()
+        }
       FileEntry(n.get("path").asText(), n.get("dt").asText(),
-        n.get("rows").asLong(), n.get("bytes").asLong())
+        n.get("rows").asLong(), n.get("bytes").asLong(), stats)
     }
-    Snapshot(v, schema, files)
+    Snapshot(v, schema, files, lastBatch)
   }
 
   private def writeManifest(fs: FileSystem, root: Path, v: Long,
-      schema: StructType, files: Seq[FileEntry]): Boolean = {
+      schema: StructType, files: Seq[FileEntry],
+      lastBatchId: Long): Boolean = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val sb = new StringBuilder
     val head = om.createObjectNode()
     head.put("schema", schema.json)
     head.put("n_files", files.length)
+    head.put("last_batch_id", lastBatchId)
     sb.append(om.writeValueAsString(head)).append('\n')
     files.sortBy(f => (f.dt, f.path)).foreach { f =>
       val n = om.createObjectNode()
@@ -141,6 +178,14 @@ object VersionedLake {
       n.put("dt", f.dt)
       n.put("rows", f.rows)
       n.put("bytes", f.bytes)
+      if (f.stats.nonEmpty) {
+        val st = n.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val cn = st.putObject(c)
+          cn.put("min", mn)
+          cn.put("max", mx)
+        }
+      }
       sb.append(om.writeValueAsString(n)).append('\n')
     }
     fs.mkdirs(new Path(root, CommitDir))
@@ -160,18 +205,20 @@ object VersionedLake {
     * concurrent append to the same day survives).
     */
   private def commit(spark: SparkSession, root: Path, schema: StructType,
-      merge: Seq[FileEntry] => Seq[FileEntry]): Long = {
+      merge: Seq[FileEntry] => Seq[FileEntry],
+      batchId: Option[Long] = None): Long = {
     val fs = fsOf(spark, root)
     var attempt = 0
     while (attempt < 50) {
       val base = latestVersion(spark, root.toString)
-      val (v, files) = base match {
+      val (v, files, prevBatch) = base match {
         case Some(b) =>
           val s = snapshot(spark, root.toString, Some(b))
-          (b + 1, merge(s.files))
-        case None => (1L, merge(Nil))
+          (b + 1, merge(s.files), s.lastBatchId)
+        case None => (1L, merge(Nil), -1L)
       }
-      if (writeManifest(fs, root, v, schema, files)) return v
+      val hwm = math.max(prevBatch, batchId.getOrElse(-1L))
+      if (writeManifest(fs, root, v, schema, files, hwm)) return v
       attempt += 1 // lost the race — replay the merge on the new latest
     }
     sys.error("VersionedLake: commit contention exceeded 50 attempts")
@@ -180,9 +227,66 @@ object VersionedLake {
   /** Stage `df` partitioned by the day of `tsCol`, move the files into
     * the day dirs, and publish them in one atomic commit. Returns the
     * committed version. Crash-safe: files without a manifest entry are
-    * invisible orphans until [[vacuum]] sweeps them.
+    * invisible orphans until [[vacuum]] sweeps them. `statsCols` records
+    * per-file min/max in the manifest for [[readBand]] skipping (append
+    * files carry whatever ranges the shuffle produced — coarse until
+    * [[compact]] clusters them tight).
     */
-  def append(df: DataFrame, path: String, tsCol: String = "ts"): Long = {
+  def append(df: DataFrame, path: String, tsCol: String = "ts",
+      statsCols: Seq[String] = Nil): Long =
+    appendInternal(df, path, tsCol, statsCols, batchId = None)
+
+  /** One micro-batch's EXACTLY-ONCE append (the streaming sink unit —
+    * see [[sink]]): foreachBatch is at-least-once, and here idempotence
+    * is one header check instead of [[graft.streaming.LakeSink]]'s
+    * stamped-file sweep — the manifest's `last_batch_id` high-water mark
+    * is committed ATOMICALLY WITH the files it covers, so
+    *  - a replayed batch whose id is ≤ the mark returns without writing
+    *    (its rows are provably in the snapshot — same commit);
+    *  - a half-done replay (files moved, commit lost) left only
+    *    manifest-less orphans: invisible to readers, swept by [[vacuum]],
+    *    and the re-run moves fresh uniquely-named files and commits them
+    *    exactly once.
+    * Assumes ONE streaming writer per lake (batch ids from one
+    * checkpoint are monotone — the Structured Streaming contract);
+    * concurrent BATCH appends/compactions still commute with it.
+    */
+  def appendBatch(df: DataFrame, path: String, batchId: Long,
+      tsCol: String = "ts", statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    latestVersion(spark, path) match {
+      case Some(v)
+          if snapshot(spark, path, Some(v)).lastBatchId >= batchId =>
+        v // replay of a fully-committed batch — nothing to do
+      case _ => appendInternal(df, path, tsCol, statsCols, Some(batchId))
+    }
+  }
+
+  /** Run an append-mode streaming DataFrame into the versioned lake:
+    * each micro-batch is one [[appendBatch]] commit, so the stream gets
+    * snapshot-isolated readers, exactly-once replays, and [[compact]] /
+    * [[vacuum]] maintenance with no extra machinery.
+    */
+  def sink(df: DataFrame, path: String, checkpointDir: String,
+      tsCol: String = "ts", statsCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          // pin the batch (the KVSink/LakeSink discipline): the stage
+          // write and the stats job are separate actions on a stateful
+          // lineage that must not re-execute
+          val pinned = batch.toDF().localCheckpoint()
+          try appendBatch(pinned, path, batchId, tsCol, statsCols): Unit
+          finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pinned)
+      }
+      .start()
+
+  private def appendInternal(df: DataFrame, path: String, tsCol: String,
+      statsCols: Seq[String], batchId: Option[Long]): Long = {
     val spark = df.sparkSession
     val root = new Path(path)
     val fs = fsOf(spark, root)
@@ -211,21 +315,23 @@ object VersionedLake {
           }
       }.toSeq
     fs.delete(stage, true): Unit
-    // per-file row counts: one tiny metadata aggregation over just this
-    // batch's files (the LakeSink day-probe cost class). Counted AFTER
-    // the move — Spark's file index silently drops a dot-hidden stage
-    // root — and keyed by dt=DAY/name: a task holding two days writes
-    // the SAME basename under both, so bare names collide. The files
-    // are moved-but-uncommitted here: invisible to every reader; a
-    // crash before commit leaves vacuum-sweepable orphans.
+    // per-file row counts + stats: one tiny metadata aggregation over
+    // just this batch's files (the LakeSink day-probe cost class).
+    // Computed AFTER the move — Spark's file index silently drops a
+    // dot-hidden stage root — and keyed by dt=DAY/name: a task holding
+    // two days writes the SAME basename under both, so bare names
+    // collide. The files are moved-but-uncommitted here: invisible to
+    // every reader; a crash before commit leaves vacuum-sweepable
+    // orphans.
     val base = fs.makeQualified(root).toString
-    val counts = perFileCounts(spark,
-      moved.map { case (day, name, _) => s"$base/dt=$day/$name" })
+    val stats = perFileStats(spark,
+      moved.map { case (day, name, _) => s"$base/dt=$day/$name" }, statsCols)
     val entries = moved.map { case (day, name, len) =>
-      FileEntry(s"dt=$day/$name", day,
-        counts.getOrElse(s"dt=$day/$name", 0L), len)
+      val (rows, ranges) =
+        stats.getOrElse(s"dt=$day/$name", (0L, Map.empty[String, (String, String)]))
+      FileEntry(s"dt=$day/$name", day, rows, len, ranges)
     }
-    commit(spark, root, schema, prev => prev ++ entries)
+    commit(spark, root, schema, prev => prev ++ entries, batchId)
   }
 
   /** Read a snapshot (latest when `version` is None), day-ranged when
@@ -254,16 +360,74 @@ object VersionedLake {
     }
   }
 
+  /** Which manifest entries a `bandCol ∈ [lo, hi]` read must open
+    * (exposed for tests/observability): entries without stats for the
+    * column always survive — the [[Partitioned.bandPrune]] soundness
+    * contract, with the ranges read from the commit log instead of a
+    * sidecar. The column's dtype comes from the manifest schema.
+    */
+  def bandReport(spark: SparkSession, path: String, bandCol: String,
+      lo: String, hi: String, version: Option[Long] = None,
+      fromDay: String = "0000-01-01", toDay: String = "9999-12-31")
+      : Partitioned.PruneReport = {
+    val snap = snapshot(spark, path, version)
+    val dtype = snap.schema(bandCol).dataType.simpleString
+    val inDays = snap.files.filter(f => f.dt >= fromDay && f.dt <= toDay)
+    val selected = inDays.filter { f =>
+      f.stats.get(bandCol) match {
+        case Some((mn, mx)) => StatsCompare.overlaps(dtype, mn, mx, lo, hi)
+        case None           => true // no recorded range — must read
+      }
+    }.map(_.path)
+    Partitioned.PruneReport(selected, inDays.length,
+      inDays.length - selected.length)
+  }
+
+  /** Day-ranged band read, file-pruned by the manifest stats. Result is
+    * IDENTICAL to `read(...).filter(bandCol between lo and hi)` — stats
+    * only decide which files open; the predicate still runs per row (and
+    * pushes into the surviving scans for row-group skipping on the same
+    * clustered layout).
+    */
+  def readBand(spark: SparkSession, path: String, bandCol: String,
+      lo: Double, hi: Double, version: Option[Long] = None,
+      fromDay: String = "0000-01-01", toDay: String = "9999-12-31")
+      : DataFrame = {
+    val report = bandReport(spark, path, bandCol,
+      lo.toString, hi.toString, version, fromDay, toDay)
+    val base =
+      if (report.selected.isEmpty || report.skipped == 0)
+        read(spark, path, version, fromDay, toDay)
+      else {
+        val root = new Path(path)
+        val fs = fsOf(spark, root)
+        val qualified = fs.makeQualified(root).toString
+        spark.read.option("basePath", qualified)
+          .parquet(report.selected.map(p => s"$qualified/$p"): _*)
+          .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
+      }
+    base.filter(col(bandCol) >= lo && col(bandCol) <= hi)
+  }
+
   /** Compact each day in [fromDay, toDay] of the LATEST snapshot down to
     * `ceil(bytes / targetFileMB)` files (floored at `minFilesPerDay`) and
     * publish the substitution atomically. Readers of older versions keep
     * their files — nothing is deleted here ([[vacuum]] reclaims). Days
-    * already at-or-under their bound are skipped. Returns the committed
-    * version (the latest version when every day was already compact).
+    * already at-or-under their bound are skipped (a clustered run
+    * rewrites a day once — per-file stats on every entry of the day are
+    * the idempotence witness). Returns the committed version (the latest
+    * version when every day was already compact).
+    *
+    * `clusterBy` range-partitions + sorts each day on the key, so every
+    * output file owns a disjoint key range and the manifest stats it
+    * records (for `clusterBy ++ statsCols`) make [[readBand]] skip every
+    * non-overlapping file — [[Partitioned.compactDays]]'s clustering with
+    * the stats in the commit log instead of a sidecar.
     */
   def compact(spark: SparkSession, path: String,
       fromDay: String, toDay: String, targetFileMB: Int = 128,
-      parallelism: Int = 4, minFilesPerDay: Int = 1): Long = {
+      parallelism: Int = 4, minFilesPerDay: Int = 1,
+      clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Long = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val snap = snapshot(spark, path, None)
@@ -276,16 +440,25 @@ object VersionedLake {
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(parallelism, math.max(1, byDay.length))))
+    val manifestCols = (clusterBy ++ statsCols).distinct
     def compactOne(day: String, entries: Seq[FileEntry]): Unit = {
       val bytes = entries.map(_.bytes).sum
       val want = math.max(minFilesPerDay.toLong,
         math.max(1L, (bytes + targetBytes - 1) / targetBytes)).toInt
-      if (entries.length > want) {
+      // at-bound days are skipped, EXCEPT when this run would add stats
+      // the day's entries don't carry yet (the clustered-run witness)
+      val alreadyDone = entries.length <= want &&
+        manifestCols.forall(c => entries.forall(_.stats.contains(c)))
+      if (!alreadyDone) {
         val stage = new Path(root,
           s".vstage_compact_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
-        spark.read.parquet(entries.map(e => s"$base/${e.path}"): _*)
-          .coalesce(want)
-          .write.mode("overwrite").parquet(stage.toString)
+        val dayDf = spark.read.parquet(entries.map(e => s"$base/${e.path}"): _*)
+        val laid =
+          if (clusterBy.isEmpty) dayDf.coalesce(want)
+          // disjoint key ranges per file — tight stats, maximal skipping
+          else dayDf.repartitionByRange(want, clusterBy.map(col): _*)
+            .sortWithinPartitions(clusterBy.map(col): _*)
+        laid.write.mode("overwrite").parquet(stage.toString)
         val live = new Path(root, s"dt=$day")
         val rows = entries.map(_.rows).sum
         val moved = fs.listStatus(stage)
@@ -298,17 +471,18 @@ object VersionedLake {
             (f.getPath.getName, f.getLen)
           }
         fs.delete(stage, true): Unit
-        // per-file rows for the rewritten files: one tiny metadata job
-        // over just this day's new files (the append-path cost class);
-        // the total doubles as a lossless-rewrite tripwire
-        val counts = perFileCounts(spark,
-          moved.map(m => s"$base/dt=$day/${m._1}"))
-        require(counts.values.sum == rows,
+        // per-file rows + stats for the rewritten files: one tiny
+        // metadata job over just this day's new files (the append-path
+        // cost class); the total doubles as a lossless-rewrite tripwire
+        val stats = perFileStats(spark,
+          moved.map(m => s"$base/dt=$day/${m._1}"), manifestCols)
+        require(stats.values.map(_._1).sum == rows,
           s"VersionedLake: compaction of $day changed row count")
         entries.foreach(replaced.add)
         moved.foreach { case (name, len) =>
-          added.add(FileEntry(s"dt=$day/$name", day,
-            counts.getOrElse(s"dt=$day/$name", 0L), len))
+          val (n, ranges) = stats.getOrElse(s"dt=$day/$name",
+            (0L, Map.empty[String, (String, String)]))
+          added.add(FileEntry(s"dt=$day/$name", day, n, len, ranges))
         }
       }
     }

@@ -86,6 +86,103 @@ class VersionedLakeSpec extends SparkSessionSpec {
     assert(VersionedLake.read(spark, d).count() === ev.count())
   }
 
+  test("appendBatch is exactly-once: a replayed batch id is a no-op " +
+      "commit and the high-water mark rides the manifest header") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+    VersionedLake.appendBatch(slice(0), d, batchId = 0)
+    val v2 = VersionedLake.appendBatch(slice(1), d, batchId = 1)
+    // full replay of a committed batch: no new version, no new rows
+    val vReplay = VersionedLake.appendBatch(slice(1), d, batchId = 1)
+    assert(vReplay === v2, "replay committed a new version")
+    assert(VersionedLake.snapshot(spark, d).lastBatchId === 1L)
+    VersionedLake.appendBatch(slice(2), d, batchId = 2)
+    assert(VersionedLake.read(spark, d).count() === ev.count(),
+      "replayed batch rows were double- or under-counted")
+    assert(VersionedLake.snapshot(spark, d).lastBatchId === 2L)
+  }
+
+  test("streaming sink: micro-batches commit snapshots; a restart on the " +
+      "same checkpoint never double-appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(day: Int, h: Int = 0): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val root = Files.createTempDirectory("graft_vlake_sink").toString
+    val lake = s"$root/events"
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    def startQuery() = VersionedLake.sink(
+      mem.toDF().toDF("event_id", "ts", "value"),
+      lake, checkpointDir = s"$root/__ckpt")
+    def rows(): Set[Seq[Any]] =
+      VersionedLake.read(spark, lake).select("event_id", "ts", "value")
+        .collect().map(_.toSeq).toSet
+    val b1 = Seq((1L, t(1), 1.0), (2L, t(1, 6), 2.0), (3L, t(2), 3.0))
+    val b2 = Seq((4L, t(2, 12), 4.0), (5L, t(3), 5.0))
+    val q1 = startQuery()
+    try {
+      mem.addData(b1)
+      q1.processAllAvailable()
+      mem.addData(b2)
+      q1.processAllAvailable()
+      assert(rows() === (b1 ++ b2).map(r => Seq(r._1, r._2, r._3)).toSet)
+    } finally q1.stop()
+    // restart on the SAME checkpoint; only new data lands (the recovered
+    // query replays nothing thanks to the manifest high-water mark)
+    val b3 = Seq((6L, t(3, 8), 6.0), (7L, t(4), 7.0))
+    val q2 = startQuery()
+    try {
+      mem.addData(b3)
+      q2.processAllAvailable()
+      assert(rows() ===
+        (b1 ++ b2 ++ b3).map(r => Seq(r._1, r._2, r._3)).toSet)
+    } finally q2.stop()
+    // day-ranged manifest read sees exactly that day's rows
+    assert(VersionedLake.read(spark, lake, None, "2024-01-02", "2024-01-02")
+      .count() === 2) // events 3 and 4
+  }
+
+  test("manifest stats: clustered compaction makes readBand skip files; " +
+      "stat-less entries are never pruned") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    VersionedLake.append(ev.filter(pmod(col("event_id"), lit(2)) === 0), d,
+      statsCols = Seq("value"))
+    VersionedLake.append(ev.filter(pmod(col("event_id"), lit(2)) === 1), d,
+      statsCols = Seq("value"))
+    val expected = VersionedLake.read(spark, d)
+      .filter(col("value") >= 100.0 && col("value") <= 150.0)
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty, "band selected no rows — vacuous gate")
+    // BEFORE clustering: append stats are coarse (hash layout → every
+    // file spans most of the value domain) but the band read must
+    // already be correct whatever it manages to skip
+    assert(VersionedLake.readBand(spark, d, "value", 100.0, 150.0)
+      .collect().map(_.toSeq).toSet === expected)
+    // clustered compaction → disjoint per-file ranges → real skipping
+    VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31",
+      minFilesPerDay = 4, clusterBy = Seq("value"))
+    val report = VersionedLake.bandReport(spark, d, "value", "100.0", "150.0")
+    assert(report.skipped > 0,
+      s"clustered manifest pruned nothing (total=${report.total})")
+    assert(VersionedLake.readBand(spark, d, "value", 100.0, 150.0)
+      .collect().map(_.toSeq).toSet === expected)
+    // a stat-less append joins the lake: its entries carry no ranges, so
+    // selection must keep them (soundness) while still pruning the rest
+    VersionedLake.append(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .withColumn("event_id", col("event_id") + 2000000000L), d)
+    val expected2 = VersionedLake.read(spark, d)
+      .filter(col("value") >= 100.0 && col("value") <= 150.0)
+      .collect().map(_.toSeq).toSet
+    val report2 = VersionedLake.bandReport(spark, d, "value", "100.0", "150.0")
+    assert(report2.skipped > 0, "stat-less entries killed all pruning")
+    assert(VersionedLake.readBand(spark, d, "value", 100.0, 150.0)
+      .collect().map(_.toSeq).toSet === expected2,
+      "a stat-less entry was pruned — UNSOUND")
+  }
+
   test("a crashed (staged but uncommitted) write is invisible to readers " +
       "and swept by vacuum") {
     val d = freshRoot()
