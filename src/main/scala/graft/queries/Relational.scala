@@ -1004,6 +1004,44 @@ object Relational {
           max(col("event_id")).as("max_event_id"))
     }),
 
+    // Copy-on-write DELETE on the versioned lake (the retention /
+    // right-to-erasure op): after the q135 lifecycle, every row with
+    // value ≥ 300 is deleted through deleteBand — manifest stats prove
+    // most clustered files disjoint from the band so they are never
+    // scanned, matched files rewrite without their matching rows, and
+    // the whole substitution is one atomic commit. The week aggregate
+    // reads the post-delete head; the oracle applies the complement
+    // predicate to the FLAT parquet (keeping NULLs — the SQL DELETE
+    // convention), so equality proves the COW rewrite removed exactly
+    // the matches and nothing else. VersionedLakeSpec pins the blast
+    // radius (untouched entries identical) and the time-travel audit
+    // trail (pre-delete snapshots keep the rows until vacuum).
+    "q136_lake_delete" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_q136").toFile
+      val out = root.getAbsolutePath + "/events"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+      graft.sources.VersionedLake.append(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), out,
+        statsCols = Seq("value"))
+      graft.sources.VersionedLake.append(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), out,
+        statsCols = Seq("value"))
+      graft.sources.VersionedLake.compact(
+        s, out, "2024-01-05", "2024-01-15", targetFileMB = 128,
+        minFilesPerDay = 4, clusterBy = Seq("value"))
+      graft.sources.VersionedLake.deleteBand(s, out, "value", 300.0, 1.0e12)
+      graft.sources.VersionedLake
+        .read(s, out, None, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+    }),
+
     // CSV ingest gate (sources/Csv.scala): the documents table round-
     // trips through the schema-required delimited source — write CSV,
     // re-read with the pinned schema, aggregate per (lang, source) with
@@ -1584,6 +1622,21 @@ object Relational {
          WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
            AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
            AND value >= 100.0 AND value <= 150.0
+         GROUP BY 1, 2""",
+    // Mirrors q136 from the FLAT side: the complement of the deleted
+    // band (NULL values kept — deletes never match NULL).
+    "q136_lake_delete" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND (value < 300.0 OR value IS NULL)
          GROUP BY 1, 2""",
     // Mirrors q110 from the PARQUET side: Spark answers from the CSV
     // round-trip, DuckDB from the original parquet — equality proves

@@ -292,6 +292,19 @@ object VersionedLake {
     val fs = fsOf(spark, root)
     val dated = df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
     val schema = dated.drop("dt").schema
+    // schema drift guard: committed files are immutable and read as an
+    // explicit list, so a divergent append would poison the table with
+    // mixed file schemas that surface as silent column loss on read —
+    // fail LOUDLY at the write boundary instead (field order is layout,
+    // not identity; evolution = a new lake + an explicit backfill)
+    latestVersion(spark, path).foreach { v =>
+      val committed = snapshot(spark, path, Some(v)).schema
+      val norm = (s: StructType) =>
+        s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      require(norm(schema) == norm(committed),
+        s"VersionedLake: append schema ${schema.simpleString} does not " +
+          s"match the committed schema ${committed.simpleString}")
+    }
     val stage = new Path(root,
       s".vstage_${java.util.UUID.randomUUID.toString.take(8)}")
     dated.repartition(col("dt"))
@@ -511,6 +524,110 @@ object VersionedLake {
       commit(spark, root, snap.schema,
         prev => prev.filterNot(f => dead(f.path)) ++ fresh)
     }
+  }
+
+  /** COPY-ON-WRITE DELETE (the retention/right-to-erasure op a 100 TB
+    * training lake cannot live without): remove every row matching
+    * `predicate` from the LATEST snapshot, by rewriting ONLY the files
+    * that actually contain matches and publishing the substitution as
+    * one atomic commit. Rows where the predicate is NULL are KEPT (a
+    * null is not a match — the SQL DELETE convention). Semantics per
+    * snapshot: the new version has the rows filtered out; OLDER versions
+    * still carry them (time travel is the audit trail), so a true purge
+    * is `deleteWhere` + [[vacuum]] down to the post-delete version.
+    *
+    * Cost shape: one match-count scan over the candidate files (grouped
+    * by `_metadata.file_path` — per-file match counts in a single job),
+    * then one rewrite job per touched DAY over only its touched files.
+    * Untouched files keep their entries (and their stats) verbatim —
+    * zero write amplification outside the blast radius. [[deleteBand]]
+    * shrinks the candidate set further using manifest stats BEFORE any
+    * footer opens — the read-path skipping contract applied to writes.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      fromDay: String = "0000-01-01", toDay: String = "9999-12-31"): Long = {
+    val snap = snapshot(spark, path, None)
+    val candidates = snap.files.filter(f => f.dt >= fromDay && f.dt <= toDay)
+    deleteFromFiles(spark, path, snap, candidates, predicate)
+  }
+
+  /** [[deleteWhere]] for a band predicate, with the candidate files
+    * pruned by manifest stats first: a file whose recorded [min, max]
+    * cannot intersect [lo, hi] provably holds no matches and is never
+    * even SCANNED — on a clustered lake a narrow delete touches O(band)
+    * files of the whole corpus. Stat-less entries stay candidates
+    * (soundness over speed, as on the read path).
+    */
+  def deleteBand(spark: SparkSession, path: String, bandCol: String,
+      lo: Double, hi: Double,
+      fromDay: String = "0000-01-01", toDay: String = "9999-12-31"): Long = {
+    val snap = snapshot(spark, path, None)
+    val report = bandReport(spark, path, bandCol, lo.toString, hi.toString,
+      None, fromDay, toDay)
+    val picked = report.selected.toSet
+    val candidates = snap.files.filter(f => picked(f.path))
+    deleteFromFiles(spark, path, snap, candidates,
+      col(bandCol) >= lo && col(bandCol) <= hi)
+  }
+
+  private def deleteFromFiles(spark: SparkSession, path: String,
+      snap: Snapshot, candidates: Seq[FileEntry],
+      predicate: org.apache.spark.sql.Column): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val base = fs.makeQualified(root).toString
+    if (candidates.isEmpty) return snap.version
+    // one job: per-file match counts over just the candidates
+    val isMatch = coalesce(predicate, lit(false)) // NULL is not a match
+    val matches = spark.read
+      .parquet(candidates.map(e => s"$base/${e.path}"): _*)
+      .filter(isMatch)
+      .groupBy(col("_metadata.file_path").as("f")).count().collect()
+      .map(r => r.getString(0).split('/').takeRight(2).mkString("/")
+        -> r.getLong(1)).toMap
+    val touched = candidates.filter(e => matches.contains(e.path))
+    if (touched.isEmpty) return snap.version
+    val added = Seq.newBuilder[FileEntry]
+    touched.groupBy(_.dt).toSeq.sortBy(_._1).foreach { case (day, entries) =>
+      val statsCols = entries.flatMap(_.stats.keys).distinct
+      val stage = new Path(root,
+        s".vstage_delete_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
+      // keep = NOT match; one rewrite job per touched day over only its
+      // touched files, preserving their file count (no re-layout here —
+      // compact() is the re-layout op)
+      spark.read.parquet(entries.map(e => s"$base/${e.path}"): _*)
+        .filter(!isMatch)
+        .coalesce(entries.length)
+        .write.mode("overwrite").parquet(stage.toString)
+      val live = new Path(root, s"dt=$day")
+      val moved = fs.listStatus(stage)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map { f =>
+          val target = new Path(live, f.getPath.getName)
+          if (!fs.rename(f.getPath, target))
+            throw new java.io.IOException(
+              s"VersionedLake: rename ${f.getPath} -> $target failed")
+          (f.getPath.getName, f.getLen)
+        }
+      fs.delete(stage, true): Unit
+      val stats = perFileStats(spark,
+        moved.map(m => s"$base/dt=$day/${m._1}"), statsCols)
+      val oldRows = entries.map(_.rows).sum
+      val hit = entries.map(e => matches(e.path)).sum
+      require(stats.values.map(_._1).sum == oldRows - hit,
+        s"VersionedLake: delete on $day rewrote ${stats.values.map(_._1).sum}" +
+          s" rows, expected ${oldRows - hit}")
+      moved.foreach { case (name, len) =>
+        val (n, ranges) = stats.getOrElse(s"dt=$day/$name",
+          (0L, Map.empty[String, (String, String)]))
+        added += FileEntry(s"dt=$day/$name", day, n, len, ranges)
+      }
+    }
+    val dead = touched.map(_.path).toSet
+    val fresh = added.result()
+    commit(spark, root, snap.schema,
+      prev => prev.filterNot(f => dead(f.path)) ++ fresh)
   }
 
   /** Reclaim storage: delete data files referenced by NO retained

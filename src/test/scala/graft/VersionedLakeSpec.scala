@@ -183,6 +183,65 @@ class VersionedLakeSpec extends SparkSessionSpec {
       "a stat-less entry was pruned — UNSOUND")
   }
 
+  test("deleteBand: copy-on-write touches only proven-overlapping files, " +
+      "old snapshots keep the rows, schema drift is refused") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    VersionedLake.append(ev.filter(pmod(col("event_id"), lit(2)) === 0), d,
+      statsCols = Seq("value"))
+    VersionedLake.append(ev.filter(pmod(col("event_id"), lit(2)) === 1), d,
+      statsCols = Seq("value"))
+    VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31",
+      minFilesPerDay = 4, clusterBy = Seq("value"))
+    val before = VersionedLake.snapshot(spark, d)
+    val headBefore = VersionedLake.read(spark, d).count()
+    VersionedLake.deleteBand(spark, d, "value", 300.0, 1.0e12)
+    val after = VersionedLake.snapshot(spark, d)
+    val beforeByPath = before.files.map(f => f.path -> f).toMap
+    // blast radius: every clustered file whose stats prove it disjoint
+    // from the band survives with its entry VERBATIM (same file, same
+    // stats — zero write amplification outside the overlap)
+    val disjoint = before.files.filter(_.stats.get("value")
+      .exists { case (_, mx) => BigDecimal(mx) < 300 })
+    assert(disjoint.nonEmpty, "clustering produced no provably-safe files")
+    val afterByPath = after.files.map(f => f.path -> f).toMap
+    disjoint.foreach { f =>
+      assert(afterByPath.get(f.path).contains(f),
+        s"proven-disjoint file ${f.path} was rewritten")
+    }
+    // the head lost exactly the band
+    val expected = VersionedLake.read(spark, d, Some(before.version))
+      .filter(col("value") < 300.0 || col("value").isNull).count()
+    assert(VersionedLake.read(spark, d).count() === expected)
+    // time travel is the audit trail: the pre-delete snapshot still
+    // carries every row until vacuum expires it
+    assert(VersionedLake.read(spark, d, Some(before.version)).count()
+      === headBefore)
+    // schema drift guard: an append with a divergent schema fails
+    // LOUDLY at the boundary instead of poisoning the file set
+    intercept[IllegalArgumentException] {
+      VersionedLake.append(
+        ev.withColumn("extra", lit(1)), d)
+    }
+  }
+
+  test("deleteWhere keeps NULL-predicate rows (a NULL is not a match)") {
+    import spark.implicits._
+    val d = freshRoot()
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0)),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 06:00:00"), Some(5.0)),
+      (3L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), None),
+      (4L, java.sql.Timestamp.valueOf("2024-01-02 06:00:00"), Some(9.0))
+    ).toDF("event_id", "ts", "value")
+    VersionedLake.append(df, d)
+    VersionedLake.deleteWhere(spark, d, col("value") > 2.0)
+    val left = VersionedLake.read(spark, d)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(left === Set(1L, 3L),
+      "NULL-valued row must survive a delete it cannot match")
+  }
+
   test("a crashed (staged but uncommitted) write is invisible to readers " +
       "and swept by vacuum") {
     val d = freshRoot()
