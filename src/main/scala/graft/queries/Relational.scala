@@ -1042,6 +1042,52 @@ object Relational {
           max(col("event_id")).as("max_event_id"))
     }),
 
+    // UPSERT into the versioned lake (the MERGE/CDC-apply analog,
+    // last-write-wins by event_id): the week lands as the base, then ONE
+    // upsert batch carries value corrections for every event_id % 10 == 0
+    // row AND brand-new backfill rows (event_id + 1e12, a new
+    // event_type) — matched keys' stale rows are anti-joined out of only
+    // the files that hold them, the batch appends through the stats
+    // path, and BOTH land in one atomic commit (no snapshot anywhere
+    // holds two versions of a key — VersionedLakeSpec pins that on the
+    // interim-version read). The oracle reconstructs the merge
+    // relationally from flat parquet (untouched ∪ updated ∪ new), so
+    // the hash match proves key matching, stale-row removal, and the
+    // single-commit merge end-to-end. Scale: the update batch broadcasts
+    // (CDC batches are small by nature); rewrite I/O is O(files holding
+    // matched keys), never O(lake).
+    "q137_lake_upsert" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_q137").toFile
+      val out = root.getAbsolutePath + "/events"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      graft.sources.VersionedLake.append(ev, out, statsCols = Seq("value"))
+      val week = ev
+        .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
+          col("ts") < lit("2024-01-15").cast("timestamp"))
+      val corrections = week
+        .filter(pmod(col("event_id"), lit(10)) === 0)
+        .withColumn("value", col("value") + 1000.0)
+      val backfill = week
+        .filter(pmod(col("event_id"), lit(10)) === 3)
+        .withColumn("event_id", col("event_id") + 1000000000000L)
+        .withColumn("event_type", lit("backfill"))
+      graft.sources.VersionedLake.upsert(
+        corrections.union(backfill), out, key = "event_id",
+        statsCols = Seq("value"))
+      graft.sources.VersionedLake
+        .read(s, out, None, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+    }),
+
     // CSV ingest gate (sources/Csv.scala): the documents table round-
     // trips through the schema-required delimited source — write CSV,
     // re-read with the pinned schema, aggregate per (lang, source) with
@@ -1622,6 +1668,34 @@ object Relational {
          WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
            AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
            AND value >= 100.0 AND value <= 150.0
+         GROUP BY 1, 2""",
+    // Mirrors q137 from the FLAT side: the upsert result reconstructed
+    // relationally — untouched rows UNION updated pre-images UNION new
+    // rows (DuckDB CTEs over the same flat events).
+    "q137_lake_upsert" ->
+      """WITH week AS (
+           SELECT * FROM events
+           WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+             AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+         ), merged AS (
+           SELECT event_id, ts, user_id, event_type, value FROM week
+           WHERE event_id % 10 <> 0
+           UNION ALL
+           SELECT event_id, ts, user_id, event_type, value + 1000.0
+           FROM week WHERE event_id % 10 = 0
+           UNION ALL
+           SELECT event_id + 1000000000000, ts, user_id, 'backfill',
+             value
+           FROM week WHERE event_id % 10 = 3
+         )
+         SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+         FROM merged
          GROUP BY 1, 2""",
     // Mirrors q136 from the FLAT side: the complement of the deleted
     // band (NULL values kept — deletes never match NULL).

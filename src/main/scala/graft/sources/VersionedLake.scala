@@ -289,6 +289,21 @@ object VersionedLake {
       statsCols: Seq[String], batchId: Option[Long]): Long = {
     val spark = df.sparkSession
     val root = new Path(path)
+    val entries = stageAndMove(df, path, tsCol, statsCols)
+    commit(spark, root, df.drop("dt").schema, prev => prev ++ entries,
+      batchId)
+  }
+
+  /** Stage `df` day-partitioned, move its files into the live day dirs,
+    * and return their manifest entries WITHOUT committing — the moved
+    * files are invisible orphans until a caller publishes them
+    * ([[appendInternal]] commits them alone; [[upsert]] folds them into
+    * one commit with its substitutions).
+    */
+  private def stageAndMove(df: DataFrame, path: String, tsCol: String,
+      statsCols: Seq[String]): Seq[FileEntry] = {
+    val spark = df.sparkSession
+    val root = new Path(path)
     val fs = fsOf(spark, root)
     val dated = df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
     val schema = dated.drop("dt").schema
@@ -339,12 +354,11 @@ object VersionedLake {
     val base = fs.makeQualified(root).toString
     val stats = perFileStats(spark,
       moved.map { case (day, name, _) => s"$base/dt=$day/$name" }, statsCols)
-    val entries = moved.map { case (day, name, len) =>
+    moved.map { case (day, name, len) =>
       val (rows, ranges) =
         stats.getOrElse(s"dt=$day/$name", (0L, Map.empty[String, (String, String)]))
       FileEntry(s"dt=$day/$name", day, rows, len, ranges)
     }
-    commit(spark, root, schema, prev => prev ++ entries, batchId)
   }
 
   /** Read a snapshot (latest when `version` is None), day-ranged when
@@ -628,6 +642,98 @@ object VersionedLake {
     val fresh = added.result()
     commit(spark, root, snap.schema,
       prev => prev.filterNot(f => dead(f.path)) ++ fresh)
+  }
+
+  /** ROLLBACK: publish an old version's exact file list as the new head
+    * — a pure manifest commit (no data moves, O(files) text). The target
+    * version's files must still exist, i.e. it must be inside the
+    * [[vacuum]] retention window; afterwards the mistake-versions remain
+    * time-travelable until retention expires them. The streaming
+    * high-water mark is PRESERVED (not rolled back): replayed batch ids
+    * must stay no-ops even when their data was intentionally restored
+    * away, otherwise a restart would re-append what restore removed.
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val root = new Path(path)
+    val target = snapshot(spark, path, Some(version))
+    commit(spark, root, target.schema, _ => target.files)
+  }
+
+  /** UPSERT (the MERGE-by-key analog, last-write-wins): every lake row
+    * whose `key` appears in `updates` is replaced by the update row, and
+    * update rows with unseen keys are appended — one atomic commit.
+    * Copy-on-write like [[deleteWhere]]: one semi-join match scan finds
+    * the files holding stale versions of updated keys (`updates`' key
+    * set broadcasts when small — pass compact update batches, the CDC
+    * shape), each touched day rewrites only its touched files with the
+    * stale rows anti-joined out, and the whole `updates` frame lands via
+    * the append path (so it carries stats for `statsCols`). Older
+    * versions keep the pre-image — the CDC audit trail.
+    *
+    * `updates` must be key-unique (the caller's CDC compaction step —
+    * enforce upstream with a window-dedup when feeds can double-emit).
+    */
+  def upsert(updates: DataFrame, path: String, key: String,
+      tsCol: String = "ts", statsCols: Seq[String] = Nil): Long = {
+    val spark = updates.sparkSession
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val base = fs.makeQualified(root).toString
+    val snap = snapshot(spark, path, None)
+    // pin: the key frame drives a match scan and the rewrites; an
+    // unpinned lineage would re-execute the caller's feed per action
+    val pinned = updates.localCheckpoint()
+    try {
+      val keys = pinned.select(col(key)).distinct()
+      // one job: which files hold a stale version of an updated key
+      // (metadata columns resolve only on the scan itself — project the
+      // file path BEFORE the join)
+      val matches = spark.read
+        .parquet(snap.files.map(e => s"$base/${e.path}"): _*)
+        .select(col("_metadata.file_path").as("f"), col(key))
+        .join(broadcast(keys), Seq(key), "left_semi")
+        .groupBy(col("f")).count().collect()
+        .map(r => r.getString(0).split('/').takeRight(2).mkString("/"))
+        .toSet
+      val touched = snap.files.filter(e => matches(e.path))
+      val added = Seq.newBuilder[FileEntry]
+      touched.groupBy(_.dt).toSeq.sortBy(_._1).foreach { case (day, entries) =>
+        val dayStats = entries.flatMap(_.stats.keys).distinct
+        val stage = new Path(root,
+          s".vstage_upsert_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
+        spark.read.parquet(entries.map(e => s"$base/${e.path}"): _*)
+          .join(broadcast(keys), Seq(key), "left_anti") // drop stale rows
+          .coalesce(entries.length)
+          .write.mode("overwrite").parquet(stage.toString)
+        val live = new Path(root, s"dt=$day")
+        val moved = fs.listStatus(stage)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map { f =>
+            val target = new Path(live, f.getPath.getName)
+            if (!fs.rename(f.getPath, target))
+              throw new java.io.IOException(
+                s"VersionedLake: rename ${f.getPath} -> $target failed")
+            (f.getPath.getName, f.getLen)
+          }
+        fs.delete(stage, true): Unit
+        val stats = perFileStats(spark,
+          moved.map(m => s"$base/dt=$day/${m._1}"), dayStats)
+        moved.foreach { case (name, len) =>
+          val (n, ranges) = stats.getOrElse(s"dt=$day/$name",
+            (0L, Map.empty[String, (String, String)]))
+          added += FileEntry(s"dt=$day/$name", day, n, len, ranges)
+        }
+      }
+      val dead = touched.map(_.path).toSet
+      val fresh = added.result()
+      // the update batch's files move in manifest-less (invisible), then
+      // ONE commit publishes substitutions + additions together: no
+      // reader — current or time-traveling — ever sees a snapshot with
+      // both row versions of an updated key
+      val newEntries = stageAndMove(pinned, path, tsCol, statsCols)
+      commit(spark, root, snap.schema,
+        prev => prev.filterNot(f => dead(f.path)) ++ fresh ++ newEntries)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pinned)
   }
 
   /** Reclaim storage: delete data files referenced by NO retained

@@ -242,6 +242,61 @@ class VersionedLakeSpec extends SparkSessionSpec {
       "NULL-valued row must survive a delete it cannot match")
   }
 
+  test("upsert: last-write-wins in ONE commit — no version anywhere " +
+      "holds two rows of an updated key") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    VersionedLake.append(ev, d)
+    val vBefore = VersionedLake.snapshot(spark, d).version
+    val corrections = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+      .withColumn("value", col("value") + 1000.0)
+    val fresh = ev.filter(pmod(col("event_id"), lit(10)) === 3)
+      .withColumn("event_id", col("event_id") + 2000000000L)
+    val vAfter = VersionedLake.upsert(
+      corrections.union(fresh), d, key = "event_id")
+    // exactly one commit landed the whole merge
+    assert(vAfter === vBefore + 1)
+    // head: corrected values, new rows present, counts exact
+    val head = VersionedLake.read(spark, d)
+    assert(head.count() === ev.count() + fresh.count())
+    val corrected = head.filter(pmod(col("event_id"), lit(10)) === 0 &&
+      col("event_id") < 2000000000L)
+    assert(corrected.filter(col("value") < 1000.0).count() === 0,
+      "a stale pre-image survived the upsert")
+    // NO version — including the new head — duplicates a key
+    (1L to vAfter).foreach { v =>
+      val dups = VersionedLake.read(spark, d, Some(v))
+        .groupBy("event_id").count().filter(col("count") > 1).count()
+      assert(dups === 0, s"version $v holds duplicate keys")
+    }
+    // the pre-image is still one time-travel hop away
+    assert(VersionedLake.read(spark, d, Some(vBefore))
+      .filter(col("value") >= 1000.0).count() === 0)
+  }
+
+  test("restore republishes an old version as the head and PRESERVES the " +
+      "streaming high-water mark") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(2)) === i)
+    val v1 = VersionedLake.appendBatch(slice(0), d, batchId = 0)
+    VersionedLake.appendBatch(slice(1), d, batchId = 1)
+    val v3 = VersionedLake.restore(spark, d, v1)
+    assert(v3 === 3L)
+    // the head is exactly v1's file list again
+    assert(VersionedLake.read(spark, d).count() === slice(0).count())
+    assert(VersionedLake.snapshot(spark, d).files.map(_.path).sorted ===
+      VersionedLake.snapshot(spark, d, Some(v1)).files.map(_.path).sorted)
+    // the hwm did NOT roll back: a restarted stream replaying batch 1
+    // must stay a no-op, or restore's effect would be silently undone
+    assert(VersionedLake.snapshot(spark, d).lastBatchId === 1L)
+    val vReplay = VersionedLake.appendBatch(slice(1), d, batchId = 1)
+    assert(vReplay === v3, "replayed batch re-appended after restore")
+    assert(VersionedLake.read(spark, d).count() === slice(0).count())
+  }
+
   test("a crashed (staged but uncommitted) write is invisible to readers " +
       "and swept by vacuum") {
     val d = freshRoot()
