@@ -1043,19 +1043,20 @@ object Relational {
     }),
 
     // UPSERT into the versioned lake (the MERGE/CDC-apply analog,
-    // last-write-wins by event_id): the week lands as the base, then ONE
-    // upsert batch carries value corrections for every event_id % 10 == 0
-    // row AND brand-new backfill rows (event_id + 1e12, a new
-    // event_type) — matched keys' stale rows are anti-joined out of only
-    // the files that hold them, the batch appends through the stats
-    // path, and BOTH land in one atomic commit (no snapshot anywhere
-    // holds two versions of a key — VersionedLakeSpec pins that on the
-    // interim-version read). The oracle reconstructs the merge
-    // relationally from flat parquet (untouched ∪ updated ∪ new), so
-    // the hash match proves key matching, stale-row removal, and the
-    // single-commit merge end-to-end. Scale: the update batch broadcasts
-    // (CDC batches are small by nature); rewrite I/O is O(files holding
-    // matched keys), never O(lake).
+    // last-write-wins by event_id): the 11-day slice lands as the base,
+    // then ONE upsert batch carries value corrections for one day's
+    // event_id % 10 == 0 rows AND brand-new backfill rows on the
+    // neighbor day (event_id + 1e12, a new event_type) — matched keys'
+    // stale rows are anti-joined out of only the files that hold them,
+    // the batch appends through the stats path, and BOTH land in one
+    // atomic commit (no snapshot anywhere holds two versions of a key —
+    // VersionedLakeSpec pins that on the per-version sweep). The oracle
+    // reconstructs the merge relationally from flat parquet (untouched
+    // ∪ updated ∪ new), so the hash match proves key matching,
+    // stale-row removal, and the single-commit merge end-to-end. Scale:
+    // the update batch broadcasts (CDC batches are small by nature);
+    // rewrite I/O is O(files holding matched keys) — two days of an
+    // 11-day lake here — never O(lake).
     "q137_lake_upsert" -> ((s, dir) => {
       val root = graft.TempDirs.scratch("graft_q137").toFile
       val out = root.getAbsolutePath + "/events"
@@ -1065,14 +1066,20 @@ object Relational {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       graft.sources.VersionedLake.append(ev, out, statsCols = Seq("value"))
-      val week = ev
-        .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
-          col("ts") < lit("2024-01-15").cast("timestamp"))
-      val corrections = week
-        .filter(pmod(col("event_id"), lit(10)) === 0)
+      // DAY-LOCAL update batch (the realistic CDC shape): corrections
+      // land on one day, backfill on its neighbor — so the rewrite blast
+      // radius is two days' files of an 11-day lake, not a full rewrite
+      // (the spec pins that untouched files survive verbatim; a batch
+      // touching every file would be a compaction, not an upsert)
+      val corrections = ev
+        .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-11").cast("timestamp") &&
+          pmod(col("event_id"), lit(10)) === 0)
         .withColumn("value", col("value") + 1000.0)
-      val backfill = week
-        .filter(pmod(col("event_id"), lit(10)) === 3)
+      val backfill = ev
+        .filter(col("ts") >= lit("2024-01-11").cast("timestamp") &&
+          col("ts") < lit("2024-01-12").cast("timestamp") &&
+          pmod(col("event_id"), lit(10)) === 3)
         .withColumn("event_id", col("event_id") + 1000000000000L)
         .withColumn("event_type", lit("backfill"))
       graft.sources.VersionedLake.upsert(
@@ -1679,14 +1686,17 @@ object Relational {
              AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
          ), merged AS (
            SELECT event_id, ts, user_id, event_type, value FROM week
-           WHERE event_id % 10 <> 0
+           WHERE NOT (event_id % 10 = 0
+             AND strftime(ts, '%Y-%m-%d') = '2024-01-10')
            UNION ALL
            SELECT event_id, ts, user_id, event_type, value + 1000.0
            FROM week WHERE event_id % 10 = 0
+             AND strftime(ts, '%Y-%m-%d') = '2024-01-10'
            UNION ALL
            SELECT event_id + 1000000000000, ts, user_id, 'backfill',
              value
            FROM week WHERE event_id % 10 = 3
+             AND strftime(ts, '%Y-%m-%d') = '2024-01-11'
          )
          SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
            count(*) AS n_events,
