@@ -1042,6 +1042,41 @@ object Relational {
           max(col("event_id")).as("max_event_id"))
     }),
 
+    // ADOPTION gate (VersionedLake.importTree): an existing Partitioned
+    // day tree — base write plus an append, the q127 lifecycle — is
+    // imported IN PLACE into a commit log (one census job, files
+    // untouched), then CLUSTERED-COMPACTED through the versioned path
+    // and answered via a manifest band read. The oracle computes the
+    // band from the FLAT parquet, so the hash match proves the whole
+    // migration chain lossless: adoption census, post-import atomic
+    // compaction, stats skipping. This is the bridge between the two
+    // lake flavors — a user migrates a raw dt= tree to snapshots/
+    // time-travel/CDC without moving a byte of data.
+    "q138_imported_lake" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_q138").toFile
+      val out = root.getAbsolutePath + "/events"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+      graft.sources.Partitioned.writeByDay(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), out)
+      graft.sources.Partitioned.appendByDay(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), out)
+      graft.sources.VersionedLake.importTree(s, out)
+      graft.sources.VersionedLake.compact(
+        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128,
+        minFilesPerDay = 4, clusterBy = Seq("value"))
+      graft.sources.VersionedLake
+        .readBand(s, out, "value", 100.0, 150.0,
+          None, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+    }),
+
     // UPSERT into the versioned lake (the MERGE/CDC-apply analog,
     // last-write-wins by event_id): the 11-day slice lands as the base,
     // then ONE upsert batch carries value corrections for one day's
@@ -1664,6 +1699,21 @@ object Relational {
     // Mirrors q135 from the FLAT side (q133's oracle): Spark answers
     // through the commit log's stats-pruned file read.
     "q135_versioned_band" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND value >= 100.0 AND value <= 150.0
+         GROUP BY 1, 2""",
+    // Mirrors q138 from the FLAT side (q133's oracle): Spark answers
+    // through import → clustered compact → manifest band read.
+    "q138_imported_lake" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
            count(*) AS n_events,
            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))

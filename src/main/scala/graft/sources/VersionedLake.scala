@@ -68,7 +68,11 @@ object VersionedLake {
     * -1 when no batch commit has happened).
     */
   final case class Snapshot(version: Long, schema: StructType,
-      files: Seq[FileEntry], lastBatchId: Long = -1L)
+      files: Seq[FileEntry], lastBatchId: Long = -1L, op: String = "")
+
+  /** One line of [[history]]: what each commit did, at a glance. */
+  final case class Commit(version: Long, op: String, nFiles: Int,
+      rows: Long, bytes: Long, lastBatchId: Long)
 
   private def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -142,6 +146,7 @@ object VersionedLake {
     val lastBatch =
       if (header.has("last_batch_id")) header.get("last_batch_id").asLong()
       else -1L
+    val op = if (header.has("op")) header.get("op").asText() else ""
     val files = lines.tail.map { l =>
       val n = om.readTree(l)
       val stats =
@@ -159,18 +164,42 @@ object VersionedLake {
       FileEntry(n.get("path").asText(), n.get("dt").asText(),
         n.get("rows").asLong(), n.get("bytes").asLong(), stats)
     }
-    Snapshot(v, schema, files, lastBatch)
+    Snapshot(v, schema, files, lastBatch, op)
+  }
+
+  /** The commit log at a glance, oldest first — one driver-side header
+    * read per retained version (expired versions are gone with their
+    * manifests). The `op` trail is the audit view: which versions were
+    * ingest, which were maintenance, which rolled back what.
+    */
+  def history(spark: SparkSession, path: String): Seq[Commit] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, CommitDir)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.collect {
+      case s if s.isFile =>
+        s.getPath.getName match {
+          case VName(n) => Some(n.toLong)
+          case _        => None
+        }
+    }.flatten.sorted.map { v =>
+      val snap = snapshot(spark, path, Some(v))
+      Commit(v, snap.op, snap.files.length, snap.files.map(_.rows).sum,
+        snap.files.map(_.bytes).sum, snap.lastBatchId)
+    }
   }
 
   private def writeManifest(fs: FileSystem, root: Path, v: Long,
       schema: StructType, files: Seq[FileEntry],
-      lastBatchId: Long): Boolean = {
+      lastBatchId: Long, op: String): Boolean = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val sb = new StringBuilder
     val head = om.createObjectNode()
     head.put("schema", schema.json)
     head.put("n_files", files.length)
     head.put("last_batch_id", lastBatchId)
+    head.put("op", op)
     sb.append(om.writeValueAsString(head)).append('\n')
     files.sortBy(f => (f.dt, f.path)).foreach { f =>
       val n = om.createObjectNode()
@@ -206,7 +235,7 @@ object VersionedLake {
     */
   private def commit(spark: SparkSession, root: Path, schema: StructType,
       merge: Seq[FileEntry] => Seq[FileEntry],
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None, op: String = "append"): Long = {
     val fs = fsOf(spark, root)
     var attempt = 0
     while (attempt < 50) {
@@ -218,7 +247,7 @@ object VersionedLake {
         case None => (1L, merge(Nil), -1L)
       }
       val hwm = math.max(prevBatch, batchId.getOrElse(-1L))
-      if (writeManifest(fs, root, v, schema, files, hwm)) return v
+      if (writeManifest(fs, root, v, schema, files, hwm, op)) return v
       attempt += 1 // lost the race — replay the merge on the new latest
     }
     sys.error("VersionedLake: commit contention exceeded 50 attempts")
@@ -291,7 +320,7 @@ object VersionedLake {
     val root = new Path(path)
     val entries = stageAndMove(df, path, tsCol, statsCols)
     commit(spark, root, df.drop("dt").schema, prev => prev ++ entries,
-      batchId)
+      batchId, if (batchId.isDefined) "append-batch" else "append")
   }
 
   /** Stage `df` day-partitioned, move its files into the live day dirs,
@@ -536,7 +565,8 @@ object VersionedLake {
       // the merge substitutes ONLY what this run rewrote: files a racing
       // append committed meanwhile stay live (append/compact commute)
       commit(spark, root, snap.schema,
-        prev => prev.filterNot(f => dead(f.path)) ++ fresh)
+        prev => prev.filterNot(f => dead(f.path)) ++ fresh,
+        op = "compact")
     }
   }
 
@@ -641,7 +671,49 @@ object VersionedLake {
     val dead = touched.map(_.path).toSet
     val fresh = added.result()
     commit(spark, root, snap.schema,
-      prev => prev.filterNot(f => dead(f.path)) ++ fresh)
+      prev => prev.filterNot(f => dead(f.path)) ++ fresh, op = "delete")
+  }
+
+  /** ADOPT an existing [[Partitioned]]-layout day tree into a commit log,
+    * IN PLACE: the data files stay exactly where they are (any reader of
+    * the raw tree keeps working), and one `import` commit publishes them
+    * as version 1 — from then on every [[VersionedLake]] op (snapshot
+    * reads, clustered compaction, band skipping, deletes, upserts,
+    * streaming batches) applies. This is the migration path between the
+    * two lake flavors; cost is one metadata listing plus one per-file
+    * stats job over the tree (the one-time census an adoption cannot
+    * avoid — row counts are what make later rewrites verifiable).
+    * Streaming-sink trees import cleanly: `bN-` stamped files are plain
+    * data here, and the `_graft_lake_batches` markers are ignored like
+    * any `_` path.
+    */
+  def importTree(spark: SparkSession, path: String,
+      statsCols: Seq[String] = Nil): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    require(latestVersion(spark, path).isEmpty,
+      s"VersionedLake: $path already has a commit log")
+    val base = fs.makeQualified(root).toString
+    val found = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+      .flatMap { dayDir =>
+        val day = dayDir.getPath.getName.stripPrefix("dt=")
+        fs.listStatus(dayDir.getPath)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(f => (day, f.getPath.getName, f.getLen))
+      }.toSeq
+    require(found.nonEmpty, s"VersionedLake: no dt= data under $path")
+    val stats = perFileStats(spark,
+      found.map { case (day, name, _) => s"$base/dt=$day/$name" }, statsCols)
+    val entries = found.map { case (day, name, len) =>
+      val (rows, ranges) = stats.getOrElse(s"dt=$day/$name",
+        (0L, Map.empty[String, (String, String)]))
+      FileEntry(s"dt=$day/$name", day, rows, len, ranges)
+    }
+    val schema = spark.read.option("basePath", base).parquet(base)
+      .drop("dt").schema
+    commit(spark, root, schema, _ => entries, op = "import")
   }
 
   /** ROLLBACK: publish an old version's exact file list as the new head
@@ -656,7 +728,8 @@ object VersionedLake {
   def restore(spark: SparkSession, path: String, version: Long): Long = {
     val root = new Path(path)
     val target = snapshot(spark, path, Some(version))
-    commit(spark, root, target.schema, _ => target.files)
+    commit(spark, root, target.schema, _ => target.files,
+      op = s"restore-v$version")
   }
 
   /** UPSERT (the MERGE-by-key analog, last-write-wins): every lake row
@@ -732,7 +805,8 @@ object VersionedLake {
       // both row versions of an updated key
       val newEntries = stageAndMove(pinned, path, tsCol, statsCols)
       commit(spark, root, snap.schema,
-        prev => prev.filterNot(f => dead(f.path)) ++ fresh ++ newEntries)
+        prev => prev.filterNot(f => dead(f.path)) ++ fresh ++ newEntries,
+        op = "upsert")
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pinned)
   }
 

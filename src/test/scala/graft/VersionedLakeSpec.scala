@@ -297,6 +297,40 @@ class VersionedLakeSpec extends SparkSessionSpec {
     assert(VersionedLake.read(spark, d).count() === slice(0).count())
   }
 
+  test("importTree adopts a Partitioned tree in place; history narrates " +
+      "the op trail; a second import is refused") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    graft.sources.Partitioned.writeByDay(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), d)
+    graft.sources.Partitioned.appendByDay(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), d)
+    val filesBefore = new java.io.File(d).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .flatMap(day => day.listFiles().map(_.getName)).sorted.toSeq
+    val v1 = VersionedLake.importTree(spark, d)
+    assert(v1 === 1L)
+    // in place: not a byte moved
+    val filesAfter = new java.io.File(d).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .flatMap(day => day.listFiles().map(_.getName)).sorted.toSeq
+    assert(filesAfter === filesBefore, "import moved data files")
+    // census exact: snapshot rows == tree rows; reads agree with flat
+    assert(VersionedLake.snapshot(spark, d).files.map(_.rows).sum
+      === ev.count())
+    assert(VersionedLake.read(spark, d).count() === ev.count())
+    // the adopted lake is fully operational: delete through the log
+    VersionedLake.deleteWhere(spark, d, col("value") >= 300.0)
+    assert(VersionedLake.read(spark, d).count() ===
+      ev.filter(col("value") < 300.0 || col("value").isNull).count())
+    // history narrates the trail
+    assert(VersionedLake.history(spark, d).map(_.op) ===
+      Seq("import", "delete"))
+    intercept[IllegalArgumentException] {
+      VersionedLake.importTree(spark, d)
+    }
+  }
+
   test("a crashed (staged but uncommitted) write is invisible to readers " +
       "and swept by vacuum") {
     val d = freshRoot()
