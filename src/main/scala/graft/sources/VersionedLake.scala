@@ -232,6 +232,18 @@ object VersionedLake {
     * append merges by adding entries; compact merges by substituting
     * exactly the entries it rewrote (and keeping everything else, so a
     * concurrent append to the same day survives).
+    *
+    * CONCURRENCY CONTRACT (what the blind re-merge does and does not
+    * serialize): APPENDS commute with every other op — they only add
+    * entries nobody else references. Two MAINTENANCE ops (compact /
+    * delete / upsert) racing over OVERLAPPING entries do not: each
+    * substitutes files derived from the entries it READ, so the loser's
+    * re-merge would re-publish rewrites carrying the winner's removed
+    * rows (a compact replaying over a delete resurrects the deleted
+    * band). Run maintenance single-writer per day range — the same
+    * scheduling contract as [[Partitioned.compactDays]]'s maintenance
+    * window; true conflict DETECTION (abort when a replayed merge's
+    * read-set changed) is the Delta/Iceberg refinement, out of scope.
     */
   private def commit(spark: SparkSession, root: Path, schema: StructType,
       merge: Seq[FileEntry] => Seq[FileEntry],
