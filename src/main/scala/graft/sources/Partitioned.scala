@@ -334,9 +334,16 @@ object Partitioned {
     val report = bandPrune(spark, path, fromDay, toDay,
       bandCol, lo.toString, hi.toString)
     val base =
-      if (report.selected.isEmpty || report.selected.length == report.total)
-        // nothing prunable (no manifest yet, or the band misses every
-        // file) — the plain pruned-directory read is already correct
+      if (report.total > 0 && report.selected.isEmpty)
+        // every file is PROVABLY disjoint from the band: the result is
+        // empty by the same proof that drives skipping — Filter(false)
+        // collapses to an empty relation, no scan planned (the old
+        // fallback re-read the whole day range exactly when pruning was
+        // total — r10 ADVICE)
+        readDays(spark, path, fromDay, toDay).filter(lit(false))
+      else if (report.selected.isEmpty || report.selected.length == report.total)
+        // nothing prunable (no manifest yet, or no files at all) — the
+        // plain pruned-directory read is already correct
         readDays(spark, path, fromDay, toDay)
       else
         // basePath keeps partition discovery alive on the explicit file
@@ -358,11 +365,18 @@ private[sources] object StatsCompare {
   private val numeric =
     Set("tinyint", "smallint", "int", "bigint", "float", "double")
 
-  /** Can any value in [min, max] (typed per `dtype`) fall in [lo, hi]? */
+  /** Can any value in [min, max] (typed per `dtype`) fall in [lo, hi]?
+    * Float/double columns containing NaN (or ±Infinity) record bounds
+    * BigDecimal cannot parse — an unparseable bound answers TRUE (never
+    * prune), so one NaN row degrades skipping instead of breaking every
+    * later band read of an otherwise healthy lake (r10 ADVICE).
+    */
   def overlaps(dtype: String, min: String, max: String,
       lo: String, hi: String): Boolean =
     if (numeric(dtype) || dtype.startsWith("decimal")) {
-      BigDecimal(max) >= BigDecimal(lo) && BigDecimal(min) <= BigDecimal(hi)
+      scala.util.Try(
+        BigDecimal(max) >= BigDecimal(lo) && BigDecimal(min) <= BigDecimal(hi)
+      ).getOrElse(true)
     } else if (dtype == "string") max >= lo && min <= hi
     else true // unknown comparison — never prune
 }

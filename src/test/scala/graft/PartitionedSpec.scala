@@ -206,4 +206,54 @@ class PartitionedSpec extends SparkSessionSpec {
         s"${d.getName} holds $parts part files — small-files explosion")
     }
   }
+
+  test("NaN stats never break band reads: an unparseable min/max bound " +
+      "degrades to never-prune instead of throwing") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_nan").toString + "/events"
+    // one NaN row per day: max(value) stringifies to "NaN", which
+    // BigDecimal cannot parse — pre-fix every later band read threw
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 06:00:00"), Double.NaN),
+      (3L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 500.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-02 06:00:00"), Double.NaN)
+    ).toDF("event_id", "ts", "value")
+    Partitioned.writeByDay(df, d)
+    Partitioned.compactDays(spark, d, "2024-01-01", "2024-01-02",
+      clusterBy = Seq("value"))
+    val report = Partitioned.bandPrune(spark, d, "2024-01-01", "2024-01-02",
+      "value", "5.0", "15.0")
+    assert(report.selected.length === report.total,
+      "a NaN-polluted range must never prune (bounds are unprovable)")
+    val got = Partitioned
+      .readDaysBand(spark, d, "2024-01-01", "2024-01-02", "value", 5.0, 15.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L))
+  }
+
+  test("a band proven empty by the manifest plans NO scan (empty relation, " +
+      "not the unpruned full read)") {
+    val d = Files.createTempDirectory("graft_emptyband").toString + "/events"
+    val ev = table(spark, sfDir, "events")
+    Partitioned.writeByDay(ev, d)
+    val days = new java.io.File(d).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .map(_.getName.stripPrefix("dt=")).sorted
+    Partitioned.compactDays(spark, d, days.head, days.last,
+      clusterBy = Seq("value"), minFilesPerDay = 4)
+    // a band beyond every recorded max: pruning proves zero overlap
+    val report = Partitioned.bandPrune(spark, d, days.head, days.last,
+      "value", "1.0e15", "2.0e15")
+    assert(report.total > 0 && report.selected.isEmpty,
+      "gate needs a provably-empty band")
+    val df = Partitioned.readDaysBand(spark, d, days.head, days.last,
+      "value", 1.0e15, 2.0e15)
+    assert(df.collect().isEmpty)
+    // pre-fix this fell back to the FULL day-range scan exactly when
+    // pruning proved no file could match
+    assert(!df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[FileSourceScanExec]),
+      "provably-empty band still planned a file scan")
+  }
 }
