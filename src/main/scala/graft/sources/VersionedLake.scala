@@ -3,79 +3,462 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
-/** Day-partitioned lake with a MANIFEST COMMIT LOG — the reader-atomicity
-  * upgrade [[Partitioned.compactDays]]'s scaladoc defers to "Delta/Iceberg
-  * territory": there, the two-rename swap leaves a visibility gap where a
-  * concurrent reader can drop a day. Here no reader ever lists
-  * directories at all — the set of live data files IS the latest manifest
-  * under `_commits/`, data files are IMMUTABLE once committed (writers
-  * only add files; nothing is deleted until [[vacuum]]), and every write
-  * is one atomic manifest publish:
+/** Day-partitioned lake with a DELTA-MANIFEST COMMIT LOG — the
+  * reader-atomicity upgrade [[Partitioned.compactDays]]'s scaladoc defers
+  * to "Delta/Iceberg territory": there, the two-rename swap leaves a
+  * visibility gap where a concurrent reader can drop a day. Here no
+  * reader ever lists directories at all — the live file set is
+  * reconstructed from the commit log under `_commits/`, data files are
+  * IMMUTABLE once committed (writers only add files; nothing is deleted
+  * until [[vacuum]]), and every write is one atomic manifest publish:
   *
-  *  - `_commits/v0000000N.json` — one JSON-lines manifest per version:
-  *    a header line carrying the table schema, then one line per live
-  *    data file (relative path, day, rows, bytes). A manifest is the
-  *    FULL snapshot, not a delta — O(files) text, parsed driver-side,
-  *    no log replay on read (at 100 TB with 128 MB files that is ~10⁶
-  *    lines — megabytes of driver JSON, same order as Spark's own file
-  *    index for one scan);
-  *  - COMMIT = `FileSystem.create(vN+1, overwrite = false)`: on HDFS an
-  *    atomic create-if-absent, so two racing committers cannot both win
-  *    a version — the loser re-reads the new latest, re-merges its file
-  *    list (appends and compactions COMMUTE: an append only adds
-  *    entries, a compaction only replaces the exact entries it read),
-  *    and retries on the next number. Object stores without atomic
-  *    create need an external lock/conditional-put for this step — the
-  *    documented Delta-on-S3 caveat, out of scope here;
+  *  - `_commits/v0000000N.json` — one JSON-lines DELTA per version: a
+  *    header line (schema, op, streaming high-water mark, add/remove
+  *    counts, and the post-commit `n_files`/`rows`/`bytes` totals so
+  *    [[history]] never parses a body), then one line per removed path
+  *    and one per added file (relative path, day, rows, bytes, optional
+  *    per-column min/max stats, producing op). A commit costs O(its own
+  *    files) manifest text no matter how large the lake is — the shape
+  *    that keeps a minute-cadence streaming sink viable at 10⁶ files,
+  *    where a full-snapshot manifest per batch would be ~10⁸ bytes of
+  *    driver JSON per minute;
+  *  - `_commits/v0000000N.ckpt.json` — a full-snapshot CHECKPOINT
+  *    sidecar every [[CkptInterval]] versions (and at v1, and at the
+  *    oldest retained version during [[vacuum]]): [[snapshot]] loads the
+  *    nearest checkpoint at-or-below the requested version and replays
+  *    at most [[CkptInterval]] deltas on top — never the whole log;
+  *  - COMMIT = write the manifest to a hidden temp name, then publish it
+  *    at `vN.json` atomically-if-absent: a POSIX hard link (atomic
+  *    fail-on-EEXIST, full bytes visible instantly) on `file:` roots, a
+  *    rename (refuses an existing destination — the HDFS contract) on
+  *    distributed stores. Readers can never observe a half-written
+  *    manifest, and two racing committers cannot both win a version —
+  *    the loser re-reads the new latest, re-merges, and retries on the
+  *    next number. The header's add/remove counts are verified against
+  *    the parsed body on every read as a belt-and-braces corruption
+  *    tripwire. Object stores without atomic rename-if-absent need an
+  *    external lock/conditional-put — the documented Delta-on-S3 caveat,
+  *    out of scope here;
+  *  - CONFLICT DETECTION: a maintenance commit (compact/delete/upsert/
+  *    restore) declares the exact entries it substitutes; if a re-merge
+  *    after losing a race finds any of them gone from the new base, a
+  *    racing maintenance op won those files and replaying blindly would
+  *    resurrect its removed rows — the loser ABORTS loudly instead and
+  *    must rerun against the new head. Appends (removes = ∅) commute
+  *    with everything and never abort. A commit that would silently
+  *    change the table schema aborts the same way — only the explicit
+  *    schema ops ([[evolveSchema]], [[restore]], [[importTree]]) may
+  *    carry a new schema;
   *  - READERS are snapshot-isolated for free: a query plans against the
-  *    file list of the manifest it loaded, and since committed files are
-  *    immutable and vacuum-protected, a compaction publishing v+1 mid-
-  *    query changes nothing the running query references. Time travel is
-  *    the same mechanism pointed at an older version;
+  *    file list its snapshot reconstructed, and since committed files
+  *    are immutable and vacuum-protected, a compaction publishing v+1
+  *    mid-query changes nothing the running query references. Time
+  *    travel is the same mechanism pointed at an older version;
   *  - data files land via stage-then-move BEFORE the commit, so a crash
   *    leaves orphan files that no manifest references — invisible to
   *    every reader, swept by [[vacuum]] along with files only referenced
   *    by expired versions.
   *
   * Scale shape: appends shuffle once keyed on dt (the [[Partitioned]]
-  * small-files discipline), compaction rewrites only the days it names
-  * and costs ~max(day) on its thread pool, reads open exactly the
-  * manifest's files (day-range pruning is a driver-side filter on the
-  * entries — no directory listing of a 10⁵-day tree), and the control
-  * plane is all Hadoop FileSystem (file:/hdfs: alike).
+  * small-files discipline), commit payloads are O(delta), compaction
+  * rewrites only the days it names, reads open exactly the snapshot's
+  * files (day-range pruning is a driver-side filter on the entries — no
+  * directory listing of a 10⁵-day tree), and the control plane is all
+  * Hadoop FileSystem (file:/hdfs: alike). Snapshot reconstruction parses
+  * one checkpoint plus ≤ [[CkptInterval]] deltas of driver JSON — the
+  * same order of driver work as Spark's own file index for one scan of
+  * the table.
   */
 object VersionedLake {
 
   private val CommitDir = "_commits"
   private val VName = """v(\d{8})\.json""".r
+  private val CkptName = """v(\d{8})\.ckpt\.json""".r
+
+  /** Full-snapshot checkpoint cadence: snapshot() replays at most this
+    * many deltas. 10 balances commit-time amortized checkpoint cost
+    * (O(files)/10 per commit) against read-time replay breadth.
+    */
+  val CkptInterval = 10
 
   /** One live data file in a snapshot. `path` is root-relative
     * (`dt=YYYY-MM-DD/<name>`), so manifests survive a lake relocation.
     * `stats` carries optional per-column (min, max) string pairs — the
     * data-skipping index living IN the commit log (the Delta/Iceberg
     * arrangement, vs [[Partitioned]]'s per-day sidecar): entries without
-    * stats for a column are simply never pruned on it.
+    * stats for a column are simply never pruned on it. `src` records the
+    * op that produced the file — [[compact]]'s idempotence witness
+    * distinguishes genuinely range-clustered files (src == "compact")
+    * from append files that happen to sit at the file-count bound with
+    * coincidental stats.
     */
   final case class FileEntry(path: String, dt: String, rows: Long,
-      bytes: Long, stats: Map[String, (String, String)] = Map.empty)
+      bytes: Long, stats: Map[String, (String, String)] = Map.empty,
+      src: String = "append")
 
-  /** A committed version: the table schema plus its full live-file set.
-    * The version number is carried by the manifest FILE NAME (the atomic
-    * create is on the name), never duplicated inside the content.
-    * `lastBatchId` is the streaming high-water mark (see [[appendBatch]];
-    * -1 when no batch commit has happened).
+  /** A committed version: the table schema plus its full live-file set
+    * (reconstructed from the log). The version number is carried by the
+    * manifest FILE NAME (the atomic publish is on the name), never
+    * duplicated inside the content. `lastBatchId` is the streaming
+    * high-water mark (see [[appendBatch]]; -1 when no batch commit has
+    * happened).
     */
   final case class Snapshot(version: Long, schema: StructType,
       files: Seq[FileEntry], lastBatchId: Long = -1L, op: String = "")
 
-  /** One line of [[history]]: what each commit did, at a glance. */
-  final case class Commit(version: Long, op: String, nFiles: Int,
-      rows: Long, bytes: Long, lastBatchId: Long)
+  /** One line of [[history]]: what each commit did, at a glance — read
+    * from headers only (O(versions) driver work, never O(files)).
+    */
+  final case class Commit(version: Long, op: String, nAdds: Int,
+      nRemoves: Int, nFiles: Int, rows: Long, bytes: Long,
+      lastBatchId: Long)
+
+  /** A parsed manifest (delta or checkpoint): header + body. */
+  private final case class Manifest(op: String, schema: StructType,
+      lastBatchId: Long, nAdds: Int, nRemoves: Int, nFiles: Int,
+      rows: Long, bytes: Long, removes: Seq[String], adds: Seq[FileEntry])
 
   private def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitPath(root: Path, v: Long) =
+    new Path(root, f"$CommitDir/v$v%08d.json")
+  private def ckptPath(root: Path, v: Long) =
+    new Path(root, f"$CommitDir/v$v%08d.ckpt.json")
+
+  /** One listing of `_commits`: (delta versions, checkpoint versions). */
+  private def listCommits(fs: FileSystem, root: Path): (Seq[Long], Seq[Long]) = {
+    val dir = new Path(root, CommitDir)
+    if (!fs.exists(dir)) (Nil, Nil)
+    else {
+      val names = fs.listStatus(dir).toSeq.collect {
+        case s if s.isFile => s.getPath.getName
+      }
+      (names.collect { case VName(n) => n.toLong }.sorted,
+        names.collect { case CkptName(n) => n.toLong }.sorted)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Manifest serialization
+  // ---------------------------------------------------------------------
+
+  private def manifestText(op: String, schema: StructType, hwm: Long,
+      removes: Seq[String], adds: Seq[FileEntry],
+      totals: (Int, Long, Long)): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sb = new StringBuilder
+    val head = om.createObjectNode()
+    head.put("schema", schema.json)
+    head.put("op", op)
+    head.put("last_batch_id", hwm)
+    head.put("n_adds", adds.length)
+    head.put("n_removes", removes.length)
+    head.put("n_files", totals._1)
+    head.put("rows", totals._2)
+    head.put("bytes", totals._3)
+    sb.append(om.writeValueAsString(head)).append('\n')
+    removes.sorted.foreach { p =>
+      val n = om.createObjectNode()
+      n.put("remove", p)
+      sb.append(om.writeValueAsString(n)).append('\n')
+    }
+    adds.sortBy(f => (f.dt, f.path)).foreach { f =>
+      val n = om.createObjectNode()
+      n.put("path", f.path)
+      n.put("dt", f.dt)
+      n.put("rows", f.rows)
+      n.put("bytes", f.bytes)
+      n.put("src", f.src)
+      if (f.stats.nonEmpty) {
+        val st = n.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val cn = st.putObject(c)
+          cn.put("min", mn)
+          cn.put("max", mx)
+        }
+      }
+      sb.append(om.writeValueAsString(n)).append('\n')
+    }
+    sb.toString
+  }
+
+  private def parseManifest(text: String, where: String): Manifest = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty, s"VersionedLake: empty manifest at $where")
+    val header = om.readTree(lines.head)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(header.get("schema").asText()).asInstanceOf[StructType]
+    val removes = Seq.newBuilder[String]
+    val adds = Seq.newBuilder[FileEntry]
+    lines.tail.foreach { l =>
+      val n = om.readTree(l)
+      if (n.has("remove")) removes += n.get("remove").asText()
+      else {
+        val stats =
+          if (!n.has("stats")) Map.empty[String, (String, String)]
+          else {
+            val it = n.get("stats").fields()
+            val b = Map.newBuilder[String, (String, String)]
+            while (it.hasNext) {
+              val e = it.next()
+              b += e.getKey -> (e.getValue.get("min").asText(),
+                e.getValue.get("max").asText())
+            }
+            b.result()
+          }
+        adds += FileEntry(n.get("path").asText(), n.get("dt").asText(),
+          n.get("rows").asLong(), n.get("bytes").asLong(), stats,
+          if (n.has("src")) n.get("src").asText() else "append")
+      }
+    }
+    val m = Manifest(header.get("op").asText(), schema,
+      header.get("last_batch_id").asLong(),
+      header.get("n_adds").asInt(), header.get("n_removes").asInt(),
+      header.get("n_files").asInt(), header.get("rows").asLong(),
+      header.get("bytes").asLong(), removes.result(), adds.result())
+    require(m.adds.length == m.nAdds && m.removes.length == m.nRemoves,
+      s"VersionedLake: manifest $where is truncated — header declares " +
+        s"${m.nAdds}+${m.nRemoves} entries, parsed " +
+        s"${m.adds.length}+${m.removes.length}")
+    m
+  }
+
+  /** Read + validate one manifest file. Publication is atomic (hard
+    * link / rename-if-absent), so a count mismatch means storage-level
+    * corruption, not a commit race — a short retry covers eventually-
+    * visible metadata, then it fails LOUDLY rather than silently
+    * serving a truncated file list.
+    */
+  private def readManifestFile(fs: FileSystem, p: Path): Manifest = {
+    var result: Manifest = null
+    var lastErr: Throwable = null
+    var i = 0
+    while (result == null && i < 3) {
+      if (i > 0) Thread.sleep(50L * i)
+      try {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        result = parseManifest(text, p.toString)
+      } catch { case e: IllegalArgumentException => lastErr = e }
+      i += 1
+    }
+    if (result == null) throw lastErr
+    result
+  }
+
+  /** Parse only the header line — history / high-water-mark reads never
+    * pay for the body.
+    */
+  private def readHeader(fs: FileSystem, p: Path): Manifest = {
+    val in = fs.open(p)
+    val line =
+      try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      finally in.close()
+    require(line != null && line.nonEmpty,
+      s"VersionedLake: empty manifest at $p")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val h = om.readTree(line)
+    Manifest(h.get("op").asText(),
+      org.apache.spark.sql.types.DataType
+        .fromJson(h.get("schema").asText()).asInstanceOf[StructType],
+      h.get("last_batch_id").asLong(), h.get("n_adds").asInt(),
+      h.get("n_removes").asInt(), h.get("n_files").asInt(),
+      h.get("rows").asLong(), h.get("bytes").asLong(), Nil, Nil)
+  }
+
+  /** Publish `text` at `dst` iff `dst` does not exist, ATOMICALLY — the
+    * commit-claim primitive. The bytes are written to a hidden temp name
+    * first, then linked/renamed into place, so no reader can observe a
+    * partial manifest and no two committers can both win a name:
+    * `file:` roots use a POSIX hard link (link(2) fails EEXIST
+    * atomically; the full content appears in one shot); other schemes
+    * use rename, which the HDFS FileSystem contract makes fail when the
+    * destination exists. Returns false when the name was already taken
+    * (the optimistic-concurrency loser). The temp file is always
+    * consumed.
+    */
+  private def publishIfAbsent(fs: FileSystem, root: Path, dst: Path,
+      text: String): Boolean = {
+    fs.mkdirs(new Path(root, CommitDir))
+    val tmp = new Path(root,
+      s"$CommitDir/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    val won =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fs.makeQualified(dst).toUri),
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            !fs.exists(dst) && fs.rename(tmp, dst)
+        }
+      else
+        try !fs.exists(dst) && fs.rename(tmp, dst)
+        catch { case _: java.io.IOException => false }
+    fs.delete(tmp, false): Unit // no-op when a rename consumed it
+    won
+  }
+
+  // ---------------------------------------------------------------------
+  // Snapshot reconstruction
+  // ---------------------------------------------------------------------
+
+  /** Highest committed version, or None for a virgin root. */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+    val root = new Path(path)
+    listCommits(fsOf(spark, root), root)._1.lastOption
+  }
+
+  /** Streaming high-water mark of the latest commit (-1 before any batch
+    * commit) — one header read, never a body parse.
+    */
+  def lastBatchId(spark: SparkSession, path: String): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    listCommits(fs, root)._1.lastOption
+      .map(v => readHeader(fs, commitPath(root, v)).lastBatchId)
+      .getOrElse(-1L)
+  }
+
+  /** Load a committed snapshot (latest when `version` is None): nearest
+    * checkpoint at-or-below the version, plus ≤ [[CkptInterval]] delta
+    * replays on top. Adds replace same-path entries (paths are unique
+    * per job UUID, so this only matters for replayed duplicate commits);
+    * the final file list is canonically (dt, path)-sorted.
+    */
+  def snapshot(spark: SparkSession, path: String,
+      version: Option[Long] = None): Snapshot = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val (versions, ckpts) = listCommits(fs, root)
+    val v = version.orElse(versions.lastOption).getOrElse(
+      sys.error(s"VersionedLake: no committed version under $path"))
+    if (!versions.contains(v))
+      sys.error(s"VersionedLake: version $v does not exist under $path " +
+        "(expired by vacuum?)")
+    val start = ckpts.filter(_ <= v).lastOption
+    var files: Seq[FileEntry] = Nil
+    var last: Manifest = null
+    start.foreach { c =>
+      last = readManifestFile(fs, ckptPath(root, c))
+      files = last.adds
+    }
+    ((start.getOrElse(0L) + 1) to v).foreach { w =>
+      if (!versions.contains(w))
+        sys.error(s"VersionedLake: version $w needed to replay $v is " +
+          s"missing under $path (expired by vacuum?)")
+      val m = readManifestFile(fs, commitPath(root, w))
+      val dead = m.removes.toSet ++ m.adds.map(_.path)
+      files = files.filterNot(f => dead(f.path)) ++ m.adds
+      last = m
+    }
+    Snapshot(v, last.schema, files.sortBy(f => (f.dt, f.path)),
+      last.lastBatchId, last.op)
+  }
+
+  /** The commit log at a glance, oldest first — one driver-side HEADER
+    * read per retained version (totals ride the header at write time;
+    * bodies are never parsed). The `op` trail is the audit view: which
+    * versions were ingest, which were maintenance, which rolled back
+    * what.
+    */
+  def history(spark: SparkSession, path: String): Seq[Commit] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    listCommits(fs, root)._1.map { v =>
+      val h = readHeader(fs, commitPath(root, v))
+      Commit(v, h.op, h.nAdds, h.nRemoves, h.nFiles, h.rows, h.bytes,
+        h.lastBatchId)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Commit
+  // ---------------------------------------------------------------------
+
+  /** Optimistic-concurrency commit loop over a DELTA intent: re-read the
+    * latest snapshot, validate the intent still applies, publish
+    * `adds`/`removes` as the next version's manifest. Intent validation
+    * on every attempt (including the first — the base may have advanced
+    * since the caller read its snapshot):
+    *
+    *  - every removed path must still be live in the base. A missing one
+    *    means a racing maintenance commit substituted entries this op
+    *    derived its rewrites from — replaying blindly would resurrect
+    *    the winner's removed rows (the r10 scaladoc hazard, now an
+    *    enforced invariant). The loser gets a loud error and must rerun
+    *    against the new head. Appends (removes = ∅) trivially pass and
+    *    commute with every other op;
+    *  - the committed schema must match the intent's schema unless the
+    *    op explicitly changes it (`allowSchemaChange`) — a maintenance
+    *    op racing an [[evolveSchema]] would otherwise re-publish the old
+    *    schema or write rewrites missing the new column.
+    *
+    * After winning version v, a full-snapshot checkpoint sidecar is
+    * written at v1 and every [[CkptInterval]]-th version (idempotent —
+    * the same atomic publish, skipped if present).
+    */
+  private[graft] def commitDelta(spark: SparkSession, root: Path,
+      schema: StructType, adds: Seq[FileEntry], removes: Set[String],
+      batchId: Option[Long] = None, op: String = "append",
+      allowSchemaChange: Boolean = false): Long = {
+    val fs = fsOf(spark, root)
+    def norm(s: StructType) =
+      s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    val addPaths = adds.map(_.path).toSet
+    var attempt = 0
+    while (attempt < 50) {
+      val base = listCommits(fs, root)._1.lastOption
+      val (v, baseFiles, prevBatch) = base match {
+        case Some(b) =>
+          val s = snapshot(spark, root.toString, Some(b))
+          if (!allowSchemaChange && norm(s.schema) != norm(schema))
+            sys.error(s"VersionedLake: commit conflict on $op — the " +
+              s"table schema changed concurrently (committed " +
+              s"${s.schema.simpleString}, op carries ${schema.simpleString})")
+          (b + 1, s.files, s.lastBatchId)
+        case None => (1L, Seq.empty[FileEntry], -1L)
+      }
+      val basePaths = baseFiles.iterator.map(_.path).toSet
+      val gone = removes.filterNot(basePaths)
+      if (gone.nonEmpty)
+        sys.error(s"VersionedLake: concurrent commit conflict on $op — " +
+          s"${gone.size} entries this op substitutes were already " +
+          s"removed by another commit (e.g. ${gone.head}); rerun the " +
+          "op against the new head")
+      val merged = (baseFiles.filterNot(f =>
+        removes(f.path) || addPaths(f.path)) ++ adds)
+        .sortBy(f => (f.dt, f.path))
+      val hwm = math.max(prevBatch, batchId.getOrElse(-1L))
+      val totals =
+        (merged.length, merged.map(_.rows).sum, merged.map(_.bytes).sum)
+      val text = manifestText(op, schema, hwm, removes.toSeq, adds, totals)
+      if (publishIfAbsent(fs, root, commitPath(root, v), text)) {
+        if (v == 1L || v % CkptInterval == 0L) {
+          val ckpt = manifestText(op, schema, hwm, Nil, merged, totals)
+          publishIfAbsent(fs, root, ckptPath(root, v), ckpt): Unit
+        }
+        return v
+      }
+      attempt += 1 // lost the race — replay the intent on the new latest
+    }
+    sys.error("VersionedLake: commit contention exceeded 50 attempts")
+  }
+
+  // ---------------------------------------------------------------------
+  // Ingest
+  // ---------------------------------------------------------------------
 
   /** Per-file row counts (and optional per-column min/max strings) for an
     * explicit file list, keyed by the last two path components
@@ -103,168 +486,6 @@ object VersionedLake {
         }.toMap
     }
 
-  private def commitPath(root: Path, v: Long) =
-    new Path(root, f"$CommitDir/v$v%08d.json")
-
-  /** Highest committed version, or None for a virgin root. */
-  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
-    val root = new Path(path)
-    val fs = fsOf(spark, root)
-    val dir = new Path(root, CommitDir)
-    if (!fs.exists(dir)) None
-    else fs.listStatus(dir).toSeq
-      .collect { case s if s.isFile =>
-        s.getPath.getName match {
-          case VName(n) => Some(n.toLong)
-          case _        => None
-        }
-      }.flatten match {
-        case Nil => None
-        case vs  => Some(vs.max)
-      }
-  }
-
-  /** Load a committed snapshot (latest when `version` is None). */
-  def snapshot(spark: SparkSession, path: String,
-      version: Option[Long] = None): Snapshot = {
-    val root = new Path(path)
-    val fs = fsOf(spark, root)
-    val v = version.orElse(latestVersion(spark, path)).getOrElse(
-      sys.error(s"VersionedLake: no committed version under $path"))
-    val p = commitPath(root, v)
-    if (!fs.exists(p))
-      sys.error(s"VersionedLake: version $v does not exist under $path")
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
-    val header = om.readTree(lines.head)
-    val schema = org.apache.spark.sql.types.DataType
-      .fromJson(header.get("schema").asText()).asInstanceOf[StructType]
-    val lastBatch =
-      if (header.has("last_batch_id")) header.get("last_batch_id").asLong()
-      else -1L
-    val op = if (header.has("op")) header.get("op").asText() else ""
-    val files = lines.tail.map { l =>
-      val n = om.readTree(l)
-      val stats =
-        if (!n.has("stats")) Map.empty[String, (String, String)]
-        else {
-          val it = n.get("stats").fields()
-          val b = Map.newBuilder[String, (String, String)]
-          while (it.hasNext) {
-            val e = it.next()
-            b += e.getKey -> (e.getValue.get("min").asText(),
-              e.getValue.get("max").asText())
-          }
-          b.result()
-        }
-      FileEntry(n.get("path").asText(), n.get("dt").asText(),
-        n.get("rows").asLong(), n.get("bytes").asLong(), stats)
-    }
-    Snapshot(v, schema, files, lastBatch, op)
-  }
-
-  /** The commit log at a glance, oldest first — one driver-side header
-    * read per retained version (expired versions are gone with their
-    * manifests). The `op` trail is the audit view: which versions were
-    * ingest, which were maintenance, which rolled back what.
-    */
-  def history(spark: SparkSession, path: String): Seq[Commit] = {
-    val root = new Path(path)
-    val fs = fsOf(spark, root)
-    val dir = new Path(root, CommitDir)
-    if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).toSeq.collect {
-      case s if s.isFile =>
-        s.getPath.getName match {
-          case VName(n) => Some(n.toLong)
-          case _        => None
-        }
-    }.flatten.sorted.map { v =>
-      val snap = snapshot(spark, path, Some(v))
-      Commit(v, snap.op, snap.files.length, snap.files.map(_.rows).sum,
-        snap.files.map(_.bytes).sum, snap.lastBatchId)
-    }
-  }
-
-  private def writeManifest(fs: FileSystem, root: Path, v: Long,
-      schema: StructType, files: Seq[FileEntry],
-      lastBatchId: Long, op: String): Boolean = {
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val sb = new StringBuilder
-    val head = om.createObjectNode()
-    head.put("schema", schema.json)
-    head.put("n_files", files.length)
-    head.put("last_batch_id", lastBatchId)
-    head.put("op", op)
-    sb.append(om.writeValueAsString(head)).append('\n')
-    files.sortBy(f => (f.dt, f.path)).foreach { f =>
-      val n = om.createObjectNode()
-      n.put("path", f.path)
-      n.put("dt", f.dt)
-      n.put("rows", f.rows)
-      n.put("bytes", f.bytes)
-      if (f.stats.nonEmpty) {
-        val st = n.putObject("stats")
-        f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
-          val cn = st.putObject(c)
-          cn.put("min", mn)
-          cn.put("max", mx)
-        }
-      }
-      sb.append(om.writeValueAsString(n)).append('\n')
-    }
-    fs.mkdirs(new Path(root, CommitDir))
-    // create-if-absent IS the commit: exactly one committer wins vN
-    val out =
-      try fs.create(commitPath(root, v), false)
-      catch { case _: java.io.IOException => return false }
-    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
-    true
-  }
-
-  /** Optimistic-concurrency commit loop: re-read the latest snapshot,
-    * merge this writer's intent on top of it, try the next version
-    * number. `merge` must be REPLAYABLE against any newer snapshot —
-    * append merges by adding entries; compact merges by substituting
-    * exactly the entries it rewrote (and keeping everything else, so a
-    * concurrent append to the same day survives).
-    *
-    * CONCURRENCY CONTRACT (what the blind re-merge does and does not
-    * serialize): APPENDS commute with every other op — they only add
-    * entries nobody else references. Two MAINTENANCE ops (compact /
-    * delete / upsert) racing over OVERLAPPING entries do not: each
-    * substitutes files derived from the entries it READ, so the loser's
-    * re-merge would re-publish rewrites carrying the winner's removed
-    * rows (a compact replaying over a delete resurrects the deleted
-    * band). Run maintenance single-writer per day range — the same
-    * scheduling contract as [[Partitioned.compactDays]]'s maintenance
-    * window; true conflict DETECTION (abort when a replayed merge's
-    * read-set changed) is the Delta/Iceberg refinement, out of scope.
-    */
-  private def commit(spark: SparkSession, root: Path, schema: StructType,
-      merge: Seq[FileEntry] => Seq[FileEntry],
-      batchId: Option[Long] = None, op: String = "append"): Long = {
-    val fs = fsOf(spark, root)
-    var attempt = 0
-    while (attempt < 50) {
-      val base = latestVersion(spark, root.toString)
-      val (v, files, prevBatch) = base match {
-        case Some(b) =>
-          val s = snapshot(spark, root.toString, Some(b))
-          (b + 1, merge(s.files), s.lastBatchId)
-        case None => (1L, merge(Nil), -1L)
-      }
-      val hwm = math.max(prevBatch, batchId.getOrElse(-1L))
-      if (writeManifest(fs, root, v, schema, files, hwm, op)) return v
-      attempt += 1 // lost the race — replay the merge on the new latest
-    }
-    sys.error("VersionedLake: commit contention exceeded 50 attempts")
-  }
-
   /** Stage `df` partitioned by the day of `tsCol`, move the files into
     * the day dirs, and publish them in one atomic commit. Returns the
     * committed version. Crash-safe: files without a manifest entry are
@@ -290,14 +511,15 @@ object VersionedLake {
     *    exactly once.
     * Assumes ONE streaming writer per lake (batch ids from one
     * checkpoint are monotone — the Structured Streaming contract);
-    * concurrent BATCH appends/compactions still commute with it.
+    * concurrent BATCH appends/compactions still commute with it. Cost
+    * per batch: one header read for the replay check, O(batch) manifest
+    * text for the commit — never O(lake files).
     */
   def appendBatch(df: DataFrame, path: String, batchId: Long,
       tsCol: String = "ts", statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     latestVersion(spark, path) match {
-      case Some(v)
-          if snapshot(spark, path, Some(v)).lastBatchId >= batchId =>
+      case Some(v) if lastBatchId(spark, path) >= batchId =>
         v // replay of a fully-committed batch — nothing to do
       case _ => appendInternal(df, path, tsCol, statsCols, Some(batchId))
     }
@@ -331,7 +553,7 @@ object VersionedLake {
     val spark = df.sparkSession
     val root = new Path(path)
     val entries = stageAndMove(df, path, tsCol, statsCols)
-    commit(spark, root, df.drop("dt").schema, prev => prev ++ entries,
+    commitDelta(spark, root, df.drop("dt").schema, entries, Set.empty,
       batchId, if (batchId.isDefined) "append-batch" else "append")
   }
 
@@ -352,9 +574,10 @@ object VersionedLake {
     // explicit list, so a divergent append would poison the table with
     // mixed file schemas that surface as silent column loss on read —
     // fail LOUDLY at the write boundary instead (field order is layout,
-    // not identity; evolution = a new lake + an explicit backfill)
+    // not identity). ADDITIVE evolution is the explicit [[evolveSchema]]
+    // commit; anything else is a new lake + an explicit backfill.
     latestVersion(spark, path).foreach { v =>
-      val committed = snapshot(spark, path, Some(v)).schema
+      val committed = readHeader(fs, commitPath(root, v)).schema
       val norm = (s: StructType) =>
         s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
       require(norm(schema) == norm(committed),
@@ -402,11 +625,27 @@ object VersionedLake {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Read
+  // ---------------------------------------------------------------------
+
+  /** Empty result carrying the snapshot's schema (+ the dt partition
+    * column) — what a read returns when pruning proves no file can
+    * contribute. No scan is planned.
+    */
+  private def emptyFrame(spark: SparkSession, snap: Snapshot): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      snap.schema.add("dt", "string"))
+
   /** Read a snapshot (latest when `version` is None), day-ranged when
-    * bounds are given. Pruning is a driver-side filter on manifest
+    * bounds are given. Pruning is a driver-side filter on snapshot
     * entries — no directory walks; `basePath` keeps the dt partition
     * column alive on the explicit file list, type-stable with
-    * [[Partitioned.readDays]].
+    * [[Partitioned.readDays]]. The scan carries the SNAPSHOT schema
+    * explicitly: after an [[evolveSchema]], files written before the
+    * evolution read NULL for the added columns (parquet by-name
+    * resolution) instead of poisoning schema inference.
     */
   def read(spark: SparkSession, path: String,
       version: Option[Long] = None,
@@ -414,31 +653,33 @@ object VersionedLake {
       toDay: String = "9999-12-31"): DataFrame = {
     val snap = snapshot(spark, path, version)
     val picked = snap.files.filter(f => f.dt >= fromDay && f.dt <= toDay)
-    if (picked.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        snap.schema.add("dt", "string"))
+    if (picked.isEmpty) emptyFrame(spark, snap)
     else {
       val root = new Path(path)
       val fs = fsOf(spark, root)
       val base = fs.makeQualified(root).toString
-      spark.read.option("basePath", base)
+      spark.read.schema(snap.schema).option("basePath", base)
         .parquet(picked.map(f => s"$base/${f.path}"): _*)
         .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
     }
   }
 
-  /** Which manifest entries a `bandCol ∈ [lo, hi]` read must open
+  /** Which snapshot entries a `bandCol ∈ [lo, hi]` read must open
     * (exposed for tests/observability): entries without stats for the
     * column always survive — the [[Partitioned.bandPrune]] soundness
     * contract, with the ranges read from the commit log instead of a
-    * sidecar. The column's dtype comes from the manifest schema.
+    * sidecar. The column's dtype comes from the snapshot schema.
     */
   def bandReport(spark: SparkSession, path: String, bandCol: String,
       lo: String, hi: String, version: Option[Long] = None,
       fromDay: String = "0000-01-01", toDay: String = "9999-12-31")
+      : Partitioned.PruneReport =
+    bandReportOf(snapshot(spark, path, version), bandCol, lo, hi,
+      fromDay, toDay)
+
+  private def bandReportOf(snap: Snapshot, bandCol: String,
+      lo: String, hi: String, fromDay: String, toDay: String)
       : Partitioned.PruneReport = {
-    val snap = snapshot(spark, path, version)
     val dtype = snap.schema(bandCol).dataType.simpleString
     val inDays = snap.files.filter(f => f.dt >= fromDay && f.dt <= toDay)
     val selected = inDays.filter { f =>
@@ -451,40 +692,50 @@ object VersionedLake {
       inDays.length - selected.length)
   }
 
-  /** Day-ranged band read, file-pruned by the manifest stats. Result is
+  /** Day-ranged band read, file-pruned by the snapshot stats. Result is
     * IDENTICAL to `read(...).filter(bandCol between lo and hi)` — stats
     * only decide which files open; the predicate still runs per row (and
     * pushes into the surviving scans for row-group skipping on the same
-    * clustered layout).
+    * clustered layout). When pruning proves NO file overlaps, the
+    * result is an empty frame with the snapshot schema — not the
+    * unpruned full read this used to fall back to (r10 ADVICE).
     */
   def readBand(spark: SparkSession, path: String, bandCol: String,
       lo: Double, hi: Double, version: Option[Long] = None,
       fromDay: String = "0000-01-01", toDay: String = "9999-12-31")
       : DataFrame = {
-    val report = bandReport(spark, path, bandCol,
-      lo.toString, hi.toString, version, fromDay, toDay)
+    val snap = snapshot(spark, path, version)
+    val report = bandReportOf(snap, bandCol, lo.toString, hi.toString,
+      fromDay, toDay)
     val base =
-      if (report.selected.isEmpty || report.skipped == 0)
+      if (report.total > 0 && report.selected.isEmpty)
+        emptyFrame(spark, snap)
+      else if (report.selected.isEmpty || report.skipped == 0)
         read(spark, path, version, fromDay, toDay)
       else {
         val root = new Path(path)
         val fs = fsOf(spark, root)
         val qualified = fs.makeQualified(root).toString
-        spark.read.option("basePath", qualified)
+        spark.read.schema(snap.schema).option("basePath", qualified)
           .parquet(report.selected.map(p => s"$qualified/$p"): _*)
           .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
       }
     base.filter(col(bandCol) >= lo && col(bandCol) <= hi)
   }
 
+  // ---------------------------------------------------------------------
+  // Maintenance
+  // ---------------------------------------------------------------------
+
   /** Compact each day in [fromDay, toDay] of the LATEST snapshot down to
     * `ceil(bytes / targetFileMB)` files (floored at `minFilesPerDay`) and
     * publish the substitution atomically. Readers of older versions keep
     * their files — nothing is deleted here ([[vacuum]] reclaims). Days
-    * already at-or-under their bound are skipped (a clustered run
-    * rewrites a day once — per-file stats on every entry of the day are
-    * the idempotence witness). Returns the committed version (the latest
-    * version when every day was already compact).
+    * already at-or-under their bound are skipped when their entries were
+    * PRODUCED by a clustered compaction (src == "compact" with stats for
+    * every manifest column — append files at the bound with coincidental
+    * stats don't count as clustered; r10 ADVICE). Returns the committed
+    * version (the latest version when every day was already compact).
     *
     * `clusterBy` range-partitions + sorts each day on the key, so every
     * output file owns a disjoint key range and the manifest stats it
@@ -513,14 +764,17 @@ object VersionedLake {
       val bytes = entries.map(_.bytes).sum
       val want = math.max(minFilesPerDay.toLong,
         math.max(1L, (bytes + targetBytes - 1) / targetBytes)).toInt
-      // at-bound days are skipped, EXCEPT when this run would add stats
-      // the day's entries don't carry yet (the clustered-run witness)
+      // at-bound days are skipped only when a clustered run produced
+      // them: src == "compact" is the witness that the layout (not just
+      // the stats) is the clustered one — append files carry stats too
       val alreadyDone = entries.length <= want &&
-        manifestCols.forall(c => entries.forall(_.stats.contains(c)))
+        (manifestCols.isEmpty || entries.forall(e =>
+          e.src == "compact" && manifestCols.forall(e.stats.contains)))
       if (!alreadyDone) {
         val stage = new Path(root,
           s".vstage_compact_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
-        val dayDf = spark.read.parquet(entries.map(e => s"$base/${e.path}"): _*)
+        val dayDf = spark.read.schema(snap.schema)
+          .parquet(entries.map(e => s"$base/${e.path}"): _*)
         val laid =
           if (clusterBy.isEmpty) dayDf.coalesce(want)
           // disjoint key ranges per file — tight stats, maximal skipping
@@ -550,7 +804,8 @@ object VersionedLake {
         moved.foreach { case (name, len) =>
           val (n, ranges) = stats.getOrElse(s"dt=$day/$name",
             (0L, Map.empty[String, (String, String)]))
-          added.add(FileEntry(s"dt=$day/$name", day, n, len, ranges))
+          added.add(FileEntry(s"dt=$day/$name", day, n, len, ranges,
+            src = "compact"))
         }
       }
     }
@@ -574,11 +829,11 @@ object VersionedLake {
         val it = added.iterator(); val b = Seq.newBuilder[FileEntry]
         while (it.hasNext) b += it.next(); b.result()
       }
-      // the merge substitutes ONLY what this run rewrote: files a racing
-      // append committed meanwhile stay live (append/compact commute)
-      commit(spark, root, snap.schema,
-        prev => prev.filterNot(f => dead(f.path)) ++ fresh,
-        op = "compact")
+      // the delta substitutes ONLY what this run rewrote: files a racing
+      // append committed meanwhile stay live (append/compact commute);
+      // a racing maintenance op over the same entries trips the commit
+      // loop's conflict detection instead of resurrecting rows
+      commitDelta(spark, root, snap.schema, fresh, dead, op = "compact")
     }
   }
 
@@ -619,8 +874,8 @@ object VersionedLake {
       lo: Double, hi: Double,
       fromDay: String = "0000-01-01", toDay: String = "9999-12-31"): Long = {
     val snap = snapshot(spark, path, None)
-    val report = bandReport(spark, path, bandCol, lo.toString, hi.toString,
-      None, fromDay, toDay)
+    val report = bandReportOf(snap, bandCol, lo.toString, hi.toString,
+      fromDay, toDay)
     val picked = report.selected.toSet
     val candidates = snap.files.filter(f => picked(f.path))
     deleteFromFiles(spark, path, snap, candidates,
@@ -636,7 +891,7 @@ object VersionedLake {
     if (candidates.isEmpty) return snap.version
     // one job: per-file match counts over just the candidates
     val isMatch = coalesce(predicate, lit(false)) // NULL is not a match
-    val matches = spark.read
+    val matches = spark.read.schema(snap.schema)
       .parquet(candidates.map(e => s"$base/${e.path}"): _*)
       .filter(isMatch)
       .groupBy(col("_metadata.file_path").as("f")).count().collect()
@@ -652,7 +907,8 @@ object VersionedLake {
       // keep = NOT match; one rewrite job per touched day over only its
       // touched files, preserving their file count (no re-layout here —
       // compact() is the re-layout op)
-      spark.read.parquet(entries.map(e => s"$base/${e.path}"): _*)
+      spark.read.schema(snap.schema)
+        .parquet(entries.map(e => s"$base/${e.path}"): _*)
         .filter(!isMatch)
         .coalesce(entries.length)
         .write.mode("overwrite").parquet(stage.toString)
@@ -677,13 +933,12 @@ object VersionedLake {
       moved.foreach { case (name, len) =>
         val (n, ranges) = stats.getOrElse(s"dt=$day/$name",
           (0L, Map.empty[String, (String, String)]))
-        added += FileEntry(s"dt=$day/$name", day, n, len, ranges)
+        added += FileEntry(s"dt=$day/$name", day, n, len, ranges,
+          src = "delete")
       }
     }
-    val dead = touched.map(_.path).toSet
-    val fresh = added.result()
-    commit(spark, root, snap.schema,
-      prev => prev.filterNot(f => dead(f.path)) ++ fresh, op = "delete")
+    commitDelta(spark, root, snap.schema, added.result(),
+      touched.map(_.path).toSet, op = "delete")
   }
 
   /** ADOPT an existing [[Partitioned]]-layout day tree into a commit log,
@@ -721,17 +976,19 @@ object VersionedLake {
     val entries = found.map { case (day, name, len) =>
       val (rows, ranges) = stats.getOrElse(s"dt=$day/$name",
         (0L, Map.empty[String, (String, String)]))
-      FileEntry(s"dt=$day/$name", day, rows, len, ranges)
+      FileEntry(s"dt=$day/$name", day, rows, len, ranges, src = "import")
     }
     val schema = spark.read.option("basePath", base).parquet(base)
       .drop("dt").schema
-    commit(spark, root, schema, _ => entries, op = "import")
+    commitDelta(spark, root, schema, entries, Set.empty, op = "import",
+      allowSchemaChange = true)
   }
 
   /** ROLLBACK: publish an old version's exact file list as the new head
-    * — a pure manifest commit (no data moves, O(files) text). The target
-    * version's files must still exist, i.e. it must be inside the
-    * [[vacuum]] retention window; afterwards the mistake-versions remain
+    * — a pure manifest commit expressing the difference from the current
+    * head (no data moves, O(changed entries) text). The target version's
+    * files must still exist, i.e. it must be inside the [[vacuum]]
+    * retention window; afterwards the mistake-versions remain
     * time-travelable until retention expires them. The streaming
     * high-water mark is PRESERVED (not rolled back): replayed batch ids
     * must stay no-ops even when their data was intentionally restored
@@ -740,26 +997,71 @@ object VersionedLake {
   def restore(spark: SparkSession, path: String, version: Long): Long = {
     val root = new Path(path)
     val target = snapshot(spark, path, Some(version))
-    commit(spark, root, target.schema, _ => target.files,
-      op = s"restore-v$version")
+    val head = snapshot(spark, path, None)
+    val targetPaths = target.files.map(_.path).toSet
+    val headPaths = head.files.map(_.path).toSet
+    val removes = head.files.map(_.path).filterNot(targetPaths).toSet
+    val adds = target.files.filterNot(f => headPaths(f.path))
+    commitDelta(spark, root, target.schema, adds, removes,
+      op = s"restore-v$version", allowSchemaChange = true)
+  }
+
+  /** ADDITIVE SCHEMA EVOLUTION: one pure-manifest commit extends the
+    * table schema with new NULLABLE columns. Appends after it must carry
+    * the full evolved schema (the drift guard keeps refusing anything
+    * else — silent drift stays an error); files written BEFORE the
+    * evolution are never rewritten — reads resolve parquet columns
+    * by name against the snapshot schema, so old files yield NULL for
+    * the added columns. This is the 100 TB-shaped path: adding a column
+    * costs one commit, not a corpus rewrite. Column removal or a type
+    * change remains "new lake + explicit backfill" by design.
+    */
+  def evolveSchema(spark: SparkSession, path: String,
+      addColumns: Seq[StructField]): Long = {
+    require(addColumns.nonEmpty, "evolveSchema: no columns to add")
+    val root = new Path(path)
+    val snap = snapshot(spark, path, None)
+    val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
+    val dup = addColumns.map(_.name).filter(n => existing(n.toLowerCase))
+    require(dup.isEmpty,
+      s"evolveSchema: column(s) ${dup.mkString(", ")} already exist")
+    val evolved = StructType(
+      snap.schema.fields ++ addColumns.map(_.copy(nullable = true)))
+    commitDelta(spark, root, evolved, Nil, Set.empty,
+      op = "evolve-schema", allowSchemaChange = true)
   }
 
   /** UPSERT (the MERGE-by-key analog, last-write-wins): every lake row
     * whose `key` appears in `updates` is replaced by the update row, and
     * update rows with unseen keys are appended — one atomic commit.
-    * Copy-on-write like [[deleteWhere]]: one semi-join match scan finds
-    * the files holding stale versions of updated keys (`updates`' key
-    * set broadcasts when small — pass compact update batches, the CDC
-    * shape), each touched day rewrites only its touched files with the
-    * stale rows anti-joined out, and the whole `updates` frame lands via
-    * the append path (so it carries stats for `statsCols`). Older
-    * versions keep the pre-image — the CDC audit trail.
+    * Copy-on-write like [[deleteWhere]], with the match scan BOUNDED the
+    * same way the delete path bounds its rewrites:
+    *
+    *  - candidate files are pruned FIRST by the snapshot's key-column
+    *    stats against the update batch's [min(key), max(key)] envelope —
+    *    on a key-clustered lake ([[compact]] with `clusterBy = key`) a
+    *    narrow CDC batch scans O(band) files, never the corpus. Stat-less
+    *    entries stay candidates (soundness over speed);
+    *  - optional `fromDay`/`toDay` scope the match scan to the days the
+    *    caller KNOWS hold the updated keys (the day-local CDC shape).
+    *    Contract: a stale row of an updated key living OUTSIDE the range
+    *    is not rewritten — scope only when key placement is day-stable;
+    *  - the key-set joins are UNHINTED: statistics/AQE size the build
+    *    side, so a compact CDC batch broadcasts itself and a fat backfill
+    *    frame degrades to a shuffle join instead of OOMing the driver.
+    *
+    * Then each touched day rewrites only its touched files with the
+    * stale rows anti-joined out, the whole `updates` frame lands via the
+    * append path (so it carries stats for `statsCols`), and BOTH publish
+    * in one commit. Older versions keep the pre-image — the CDC audit
+    * trail.
     *
     * `updates` must be key-unique (the caller's CDC compaction step —
     * enforce upstream with a window-dedup when feeds can double-emit).
     */
   def upsert(updates: DataFrame, path: String, key: String,
-      tsCol: String = "ts", statsCols: Seq[String] = Nil): Long = {
+      tsCol: String = "ts", statsCols: Seq[String] = Nil,
+      fromDay: String = "0000-01-01", toDay: String = "9999-12-31"): Long = {
     val spark = updates.sparkSession
     val root = new Path(path)
     val fs = fsOf(spark, root)
@@ -769,87 +1071,120 @@ object VersionedLake {
     // unpinned lineage would re-execute the caller's feed per action
     val pinned = updates.localCheckpoint()
     try {
-      val keys = pinned.select(col(key)).distinct()
-      // one job: which files hold a stale version of an updated key
-      // (metadata columns resolve only on the scan itself — project the
-      // file path BEFORE the join)
-      val matches = spark.read
-        .parquet(snap.files.map(e => s"$base/${e.path}"): _*)
-        .select(col("_metadata.file_path").as("f"), col(key))
-        .join(broadcast(keys), Seq(key), "left_semi")
-        .groupBy(col("f")).count().collect()
-        .map(r => r.getString(0).split('/').takeRight(2).mkString("/"))
-        .toSet
-      val touched = snap.files.filter(e => matches(e.path))
-      val added = Seq.newBuilder[FileEntry]
-      touched.groupBy(_.dt).toSeq.sortBy(_._1).foreach { case (day, entries) =>
-        val dayStats = entries.flatMap(_.stats.keys).distinct
-        val stage = new Path(root,
-          s".vstage_upsert_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
-        spark.read.parquet(entries.map(e => s"$base/${e.path}"): _*)
-          .join(broadcast(keys), Seq(key), "left_anti") // drop stale rows
-          .coalesce(entries.length)
-          .write.mode("overwrite").parquet(stage.toString)
-        val live = new Path(root, s"dt=$day")
-        val moved = fs.listStatus(stage)
-          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-          .map { f =>
-            val target = new Path(live, f.getPath.getName)
-            if (!fs.rename(f.getPath, target))
-              throw new java.io.IOException(
-                s"VersionedLake: rename ${f.getPath} -> $target failed")
-            (f.getPath.getName, f.getLen)
+      // the batch's key envelope: one tiny driver-side agg, stringified
+      // to compare against the manifest's string-encoded ranges
+      val bounds = pinned.agg(min(col(key)).cast("string"),
+        max(col(key)).cast("string")).head()
+      if (bounds.isNullAt(0)) snap.version // empty batch — no-op
+      else {
+        val (kMin, kMax) = (bounds.getString(0), bounds.getString(1))
+        val keyType = snap.schema(key).dataType.simpleString
+        val candidates = snap.files
+          .filter(f => f.dt >= fromDay && f.dt <= toDay)
+          .filter { f =>
+            f.stats.get(key) match {
+              case Some((mn, mx)) =>
+                StatsCompare.overlaps(keyType, mn, mx, kMin, kMax)
+              case None => true // no recorded key range — must scan
+            }
           }
-        fs.delete(stage, true): Unit
-        val stats = perFileStats(spark,
-          moved.map(m => s"$base/dt=$day/${m._1}"), dayStats)
-        moved.foreach { case (name, len) =>
-          val (n, ranges) = stats.getOrElse(s"dt=$day/$name",
-            (0L, Map.empty[String, (String, String)]))
-          added += FileEntry(s"dt=$day/$name", day, n, len, ranges)
+        val keys = pinned.select(col(key)).distinct()
+        // one job: which candidate files hold a stale version of an
+        // updated key (metadata columns resolve only on the scan itself —
+        // project the file path BEFORE the join)
+        val matches =
+          if (candidates.isEmpty) Set.empty[String]
+          else spark.read.schema(snap.schema)
+            .parquet(candidates.map(e => s"$base/${e.path}"): _*)
+            .select(col("_metadata.file_path").as("f"), col(key))
+            .join(keys, Seq(key), "left_semi")
+            .groupBy(col("f")).count().collect()
+            .map(r => r.getString(0).split('/').takeRight(2).mkString("/"))
+            .toSet
+        val touched = snap.files.filter(e => matches(e.path))
+        val added = Seq.newBuilder[FileEntry]
+        touched.groupBy(_.dt).toSeq.sortBy(_._1).foreach { case (day, entries) =>
+          val dayStats = entries.flatMap(_.stats.keys).distinct
+          val stage = new Path(root,
+            s".vstage_upsert_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
+          spark.read.schema(snap.schema)
+            .parquet(entries.map(e => s"$base/${e.path}"): _*)
+            .join(keys, Seq(key), "left_anti") // drop stale rows
+            .coalesce(entries.length)
+            .write.mode("overwrite").parquet(stage.toString)
+          val live = new Path(root, s"dt=$day")
+          val moved = fs.listStatus(stage)
+            .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+            .map { f =>
+              val target = new Path(live, f.getPath.getName)
+              if (!fs.rename(f.getPath, target))
+                throw new java.io.IOException(
+                  s"VersionedLake: rename ${f.getPath} -> $target failed")
+              (f.getPath.getName, f.getLen)
+            }
+          fs.delete(stage, true): Unit
+          val stats = perFileStats(spark,
+            moved.map(m => s"$base/dt=$day/${m._1}"), dayStats)
+          moved.foreach { case (name, len) =>
+            val (n, ranges) = stats.getOrElse(s"dt=$day/$name",
+              (0L, Map.empty[String, (String, String)]))
+            added += FileEntry(s"dt=$day/$name", day, n, len, ranges,
+              src = "upsert")
+          }
         }
+        // the update batch's files move in manifest-less (invisible), then
+        // ONE commit publishes substitutions + additions together: no
+        // reader — current or time-traveling — ever sees a snapshot with
+        // both row versions of an updated key
+        val newEntries = stageAndMove(pinned, path, tsCol, statsCols)
+        commitDelta(spark, root, snap.schema, added.result() ++ newEntries,
+          touched.map(_.path).toSet, op = "upsert")
       }
-      val dead = touched.map(_.path).toSet
-      val fresh = added.result()
-      // the update batch's files move in manifest-less (invisible), then
-      // ONE commit publishes substitutions + additions together: no
-      // reader — current or time-traveling — ever sees a snapshot with
-      // both row versions of an updated key
-      val newEntries = stageAndMove(pinned, path, tsCol, statsCols)
-      commit(spark, root, snap.schema,
-        prev => prev.filterNot(f => dead(f.path)) ++ fresh ++ newEntries,
-        op = "upsert")
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pinned)
   }
 
   /** Reclaim storage: delete data files referenced by NO retained
     * version (the latest `retainVersions` manifests), drop the expired
-    * manifests, and sweep orphaned stage dirs. This is the op that
+    * manifests + checkpoints, and sweep orphaned stage dirs and commit
+    * temp files. Before anything is dropped, the OLDEST retained version
+    * gets a full checkpoint sidecar, so every retained version stays
+    * reconstructible without the expired deltas. This is the op that
     * bounds time travel — versions older than the retention window stop
     * being readable, which is the documented price of reclaiming their
-    * exclusive files. Run it OUTSIDE any reader still pinned to an
-    * expiring version (the same maintenance-window contract as any
-    * retention system).
+    * exclusive files.
+    *
+    * `olderThanHours` is the WRITER-SAFETY horizon (the Delta
+    * convention): files and stage dirs modified more recently are never
+    * swept, so an in-flight append that has staged/moved files but not
+    * yet committed cannot lose them to a concurrent vacuum. Set it above
+    * the longest plausible write duration; 0 is safe only when no writer
+    * is running. Readers pinned to an EXPIRING version still need the
+    * maintenance-window contract — run vacuum outside their lifetime.
     */
   def vacuum(spark: SparkSession, path: String,
-      retainVersions: Int = 1): Unit = {
+      retainVersions: Int = 1, olderThanHours: Double = 168.0): Unit = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    val dir = new Path(root, CommitDir)
-    if (!fs.exists(dir)) return
-    val versions = fs.listStatus(dir).toSeq.collect {
-      case s if s.isFile =>
-        s.getPath.getName match {
-          case VName(n) => Some(n.toLong)
-          case _        => None
-        }
-    }.flatten.sorted
+    val (versions, ckpts) = listCommits(fs, root)
     if (versions.isEmpty) return
     val retained = versions.takeRight(retainVersions)
+    val oldest = retained.head
+    // self-contain the oldest retained version BEFORE dropping the
+    // deltas below it (idempotent atomic publish — skipped if present)
+    if (!ckpts.contains(oldest)) {
+      val s = snapshot(spark, path, Some(oldest))
+      val totals =
+        (s.files.length, s.files.map(_.rows).sum, s.files.map(_.bytes).sum)
+      publishIfAbsent(fs, root, ckptPath(root, oldest),
+        manifestText(s.op, s.schema, s.lastBatchId, Nil, s.files, totals)): Unit
+    }
     val live: Set[String] = retained.flatMap(v =>
       snapshot(spark, path, Some(v)).files.map(_.path)).toSet
-    // sweep data files no retained manifest references
+    val horizon =
+      System.currentTimeMillis() - (olderThanHours * 3600 * 1000).toLong
+    // sweep data files no retained manifest references — but never
+    // anything young enough to be an in-flight writer's (the horizon)
     fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
       .foreach { dayDir =>
@@ -858,17 +1193,30 @@ object VersionedLake {
           .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
             !s.getPath.getName.startsWith("_"))
           .foreach { f =>
-            if (!live(s"$day/${f.getPath.getName}"))
+            if (!live(s"$day/${f.getPath.getName}") &&
+                f.getModificationTime <= horizon)
               fs.delete(f.getPath, false): Unit
           }
         if (fs.listStatus(dayDir.getPath).isEmpty)
           fs.delete(dayDir.getPath, false): Unit // day emptied by retention
       }
-    // expired manifests + crashed writers' stage dirs
-    versions.dropRight(retainVersions)
+    // expired manifests + checkpoints (everything strictly below the
+    // oldest retained version — it is now checkpoint-self-contained)
+    versions.filter(_ < oldest)
       .foreach(v => fs.delete(commitPath(root, v), false): Unit)
+    ckpts.filter(_ < oldest)
+      .foreach(v => fs.delete(ckptPath(root, v), false): Unit)
+    // crashed writers' stage dirs + crashed committers' temp manifests,
+    // age-gated the same way
     fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".vstage_"))
+      .filter(_.getModificationTime <= horizon)
       .foreach(s => fs.delete(s.getPath, true): Unit)
+    val commitDir = new Path(root, CommitDir)
+    if (fs.exists(commitDir))
+      fs.listStatus(commitDir)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-"))
+        .filter(_.getModificationTime <= horizon)
+        .foreach(s => fs.delete(s.getPath, false): Unit)
   }
 }

@@ -22,4 +22,11 @@ object GraftBridge {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false); ()
       case _ => ()
     }
+
+  /** Drain the listener bus (private[spark]) — lets a test register a
+    * QueryExecutionListener, run work, and assert on the captured plans
+    * without racing the asynchronous delivery.
+    */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

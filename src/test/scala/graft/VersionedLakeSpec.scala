@@ -54,7 +54,8 @@ class VersionedLakeSpec extends SparkSessionSpec {
     assert(VersionedLake.read(spark, d).count() === ev.count())
     // vacuum to the latest version only → the rewritten files vanish,
     // old manifests go with them, the head still reads clean
-    VersionedLake.vacuum(spark, d, retainVersions = 1)
+    // horizon 0: this test IS the single-writer maintenance window
+    VersionedLake.vacuum(spark, d, retainVersions = 1, olderThanHours = 0.0)
     val liveNames = snapAfter.files.map(_.path).toSet
     val onDisk = new java.io.File(d).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("dt="))
@@ -74,8 +75,9 @@ class VersionedLakeSpec extends SparkSessionSpec {
     val ev = table(spark, sfDir, "events")
     VersionedLake.append(ev.filter(pmod(col("event_id"), lit(2)) === 0), d)
     // simulate a concurrent committer that won v2: copy v1's manifest
-    // bytes to the v2 name (a valid no-op commit — version lives in the
-    // NAME, never the content, exactly so this replay is legal)
+    // bytes to the v2 name (a legal duplicate-replay delta — version
+    // lives in the NAME, never the content, and replay dedupes re-added
+    // paths, so the doubled adds are a no-op)
     val commits = new java.io.File(d, "_commits")
     val v1 = new java.io.File(commits, "v00000001.json")
     val v2 = new java.io.File(commits, "v00000002.json")
@@ -341,9 +343,149 @@ class VersionedLakeSpec extends SparkSessionSpec {
     ev.limit(100).write.mode("overwrite").parquet(s"$d/.vstage_crashed")
     assert(VersionedLake.read(spark, d).count() === before,
       "uncommitted staged files leaked into a read")
+    // the default writer-safety horizon (168h) must NOT sweep a fresh
+    // stage dir — it could be an in-flight writer's
     VersionedLake.vacuum(spark, d)
+    assert(new java.io.File(s"$d/.vstage_crashed").exists(),
+      "vacuum swept a stage dir younger than the writer-safety horizon")
+    // horizon 0 (an explicit maintenance window) reclaims it
+    VersionedLake.vacuum(spark, d, olderThanHours = 0.0)
     assert(!new java.io.File(s"$d/.vstage_crashed").exists(),
       "vacuum did not sweep the crashed stage dir")
     assert(VersionedLake.read(spark, d).count() === before)
+  }
+
+  test("a small append's commit payload is O(its files), not O(lake " +
+      "files); v1 carries a full checkpoint sidecar") {
+    import spark.implicits._
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    VersionedLake.append(ev.filter(pmod(col("event_id"), lit(2)) === 0), d)
+    VersionedLake.append(ev.filter(pmod(col("event_id"), lit(2)) === 1), d)
+    val lakeFiles = VersionedLake.snapshot(spark, d).files.length
+    assert(lakeFiles > 10, "gate needs a many-file lake")
+    // one-row append: its delta must list ONLY its own file(s)
+    val tiny = ev.limit(1).withColumn("event_id", lit(-1L))
+      .select(ev.columns.map(col): _*)
+    val v3 = VersionedLake.append(tiny, d)
+    val lines = scala.io.Source.fromFile(
+      new java.io.File(d, f"_commits/v$v3%08d.json")).getLines()
+      .filter(_.nonEmpty).toSeq
+    assert(lines.length <= 3, // header + the tiny append's file(s)
+      s"a 1-row append wrote ${lines.length} manifest lines — O(lake)?")
+    assert(lines.length - 1 < lakeFiles / 2)
+    // the full state lives in v1's checkpoint sidecar, not in the delta
+    assert(new java.io.File(d, "_commits/v00000001.ckpt.json").exists(),
+      "v1 checkpoint sidecar missing")
+    assert(VersionedLake.read(spark, d).count() === ev.count() + 1)
+  }
+
+  test("snapshots replay from the nearest checkpoint: >CkptInterval " +
+      "commits stay correct and every 10th version gets a sidecar") {
+    import spark.implicits._
+    val d = freshRoot()
+    def row(i: Int) = Seq(
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${(i % 9) + 1}%02d 00:00:00"), i * 1.0))
+      .toDF("event_id", "ts", "value")
+    (1 to 12).foreach(i => VersionedLake.append(row(i), d))
+    assert(new java.io.File(d, "_commits/v00000010.ckpt.json").exists(),
+      "interval checkpoint missing at v10")
+    assert(VersionedLake.read(spark, d).count() === 12)
+    // time travel across the checkpoint boundary
+    assert(VersionedLake.read(spark, d, Some(9L)).count() === 9)
+    assert(VersionedLake.read(spark, d, Some(11L)).count() === 11)
+    // history reads headers only and narrates every version
+    val hist = VersionedLake.history(spark, d)
+    assert(hist.map(_.version) === (1L to 12L))
+    assert(hist.forall(_.op == "append"))
+    assert(hist.last.nFiles === VersionedLake.snapshot(spark, d).files.length)
+    assert(hist.last.rows === 12L)
+  }
+
+  test("conflict DETECTION: a maintenance commit whose substituted " +
+      "entries were removed by a racing commit ABORTS instead of " +
+      "resurrecting rows") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    VersionedLake.append(ev, d)
+    val snap = VersionedLake.snapshot(spark, d)
+    val victim = snap.files.head
+    // winner: a (simulated) maintenance commit removes `victim`
+    VersionedLake.commitDelta(spark,
+      new org.apache.hadoop.fs.Path(d), snap.schema,
+      adds = Nil, removes = Set(victim.path), op = "delete")
+    // loser: a second maintenance op replayed against the new base must
+    // see its read-set gone and abort LOUDLY (pre-fix it re-published
+    // rewrites carrying the winner's removed rows)
+    val e = intercept[RuntimeException] {
+      VersionedLake.commitDelta(spark,
+        new org.apache.hadoop.fs.Path(d), snap.schema,
+        adds = Nil, removes = Set(victim.path), op = "compact")
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    // appends (removes = ∅) still commute freely after the near-miss
+    VersionedLake.append(ev.limit(0), d) // schema-matching empty append
+    assert(VersionedLake.read(spark, d).count() === ev.count() - victim.rows)
+  }
+
+  test("vacuum self-contains the oldest retained version with a " +
+      "checkpoint before dropping older deltas") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+    VersionedLake.append(slice(0), d)
+    VersionedLake.append(slice(1), d)
+    VersionedLake.append(slice(2), d)
+    VersionedLake.vacuum(spark, d, retainVersions = 2, olderThanHours = 0.0)
+    // v1 (and its auto-checkpoint) are gone; v2 is reconstructible from
+    // its own new checkpoint; v3 replays one delta on top
+    intercept[RuntimeException] { VersionedLake.snapshot(spark, d, Some(1L)) }
+    assert(new java.io.File(d, "_commits/v00000002.ckpt.json").exists(),
+      "oldest retained version was not checkpoint-self-contained")
+    assert(VersionedLake.read(spark, d, Some(2L)).count() ===
+      slice(0).count() + slice(1).count())
+    assert(VersionedLake.read(spark, d).count() === ev.count())
+  }
+
+  test("additive schema evolution: one manifest commit adds nullable " +
+      "columns; old files read NULL; silent drift stays refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    val d = freshRoot()
+    val old = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 20.0)
+    ).toDF("event_id", "ts", "value")
+    VersionedLake.append(old, d)
+    // un-evolved drift is still refused loudly
+    intercept[IllegalArgumentException] {
+      VersionedLake.append(old.withColumn("score", col("value") * 2), d)
+    }
+    val vEvolve = VersionedLake.evolveSchema(spark, d,
+      Seq(StructField("score", DoubleType)))
+    // appends AFTER the evolution must carry the full evolved schema...
+    intercept[IllegalArgumentException] { VersionedLake.append(old, d) }
+    val fresh = Seq(
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 30.0, 60.0)
+    ).toDF("event_id", "ts", "value", "score")
+    VersionedLake.append(fresh, d)
+    // ...and a read spans old+new files: old rows yield NULL score with
+    // not a byte of the old files rewritten
+    val got = VersionedLake.read(spark, d)
+      .select("event_id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === Map(1L -> None, 2L -> None, 3L -> Some(60.0)))
+    // time travel BEFORE the evolution serves the old schema
+    assert(!VersionedLake.read(spark, d, Some(vEvolve - 1))
+      .columns.contains("score"))
+    // a second evolve refuses duplicate names
+    intercept[IllegalArgumentException] {
+      VersionedLake.evolveSchema(spark, d,
+        Seq(StructField("score", DoubleType)))
+    }
+    // band reads and deletes keep working across the boundary
+    VersionedLake.deleteWhere(spark, d, col("score") > 50.0)
+    assert(VersionedLake.read(spark, d).count() === 2)
   }
 }
