@@ -488,4 +488,90 @@ class VersionedLakeSpec extends SparkSessionSpec {
     VersionedLake.deleteWhere(spark, d, col("score") > 50.0)
     assert(VersionedLake.read(spark, d).count() === 2)
   }
+
+  test("upsert's match scan is BOUNDED: key-clustered files provably " +
+      "disjoint from the batch envelope are never scanned, and no join " +
+      "is broadcast when stats forbid it") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    VersionedLake.append(ev, d, statsCols = Seq("event_id"))
+    VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31",
+      minFilesPerDay = 4, clusterBy = Seq("event_id"))
+    val snap = VersionedLake.snapshot(spark, d)
+    // a narrow CDC batch: keys from the bottom of the event_id domain
+    val ids = ev.select(min(col("event_id")), max(col("event_id"))).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(0) +
+      (ids.getLong(1) - ids.getLong(0)) / 20)
+    val batch = ev.filter(col("event_id").between(lo, hi))
+      .withColumn("value", col("value") + 1000.0)
+    // files whose recorded event_id range cannot intersect the batch
+    // envelope — the set the match scan must never open
+    val disjoint = snap.files.filter(_.stats.get("event_id")
+      .exists { case (mn, mx) =>
+        BigDecimal(mx) < BigDecimal(lo) || BigDecimal(mn) > BigDecimal(hi) })
+      .map(_.path).toSet
+    assert(disjoint.nonEmpty, "clustering produced no provably-safe files")
+    // capture every executed plan during the upsert
+    val plans = scala.collection.mutable.Buffer[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.synchronized { plans += qe; () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    // forbid broadcasts outright: a forced broadcast(keys) hint would
+    // override these and surface in the captured plans (the r10 OOM
+    // hazard on fat update frames); unhinted joins degrade to shuffles
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.filter(_ != null)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.listenerManager.register(listener)
+    try {
+      VersionedLake.upsert(batch, d, key = "event_id",
+        statsCols = Seq("event_id"))
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    val captured = plans.synchronized { plans.toSeq }
+    assert(captured.nonEmpty)
+    // 1) scan bound: no plan opened a proven-disjoint lake file
+    val scannedLake = captured.flatMap(_.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }).flatMap(_.relation.location.inputFiles)
+      .filter(_.contains("dt="))
+      .map(_.split('/').takeRight(2).mkString("/")).toSet
+    val leaked = scannedLake.intersect(disjoint)
+    assert(leaked.isEmpty,
+      s"upsert scanned ${leaked.size} proven-disjoint files, e.g. " +
+        leaked.headOption.getOrElse(""))
+    // 2) no broadcast anywhere with the thresholds at -1: the joins are
+    // unhinted, so stats own the strategy
+    captured.foreach { qe =>
+      val s = qe.executedPlan.toString
+      assert(!s.contains("BroadcastHashJoin") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+        "upsert planned a broadcast despite threshold -1 — a forced hint?")
+    }
+    // and the merge itself is still exact
+    val head = VersionedLake.read(spark, d)
+    assert(head.count() === ev.count())
+    assert(head.filter(col("event_id").between(lo, hi) &&
+      col("value") < 1000.0).count() === 0, "a stale pre-image survived")
+  }
 }
