@@ -1028,10 +1028,15 @@ object Relational {
       graft.sources.VersionedLake.append(
         ev.filter(pmod(col("event_id"), lit(2)) === 1), out,
         statsCols = Seq("value"))
+      // maintenance scoped to the week the query reads (r10 next-round
+      // #6): clustering outside the read window buys nothing here, and
+      // the delete's day scope keeps its blast radius to the same week —
+      // out-of-window rows never reach the result either way
       graft.sources.VersionedLake.compact(
-        s, out, "2024-01-05", "2024-01-15", targetFileMB = 128,
+        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128,
         minFilesPerDay = 4, clusterBy = Seq("value"))
-      graft.sources.VersionedLake.deleteBand(s, out, "value", 300.0, 1.0e12)
+      graft.sources.VersionedLake.deleteBand(s, out, "value", 300.0, 1.0e12,
+        fromDay = "2024-01-08", toDay = "2024-01-14")
       graft.sources.VersionedLake
         .read(s, out, None, "2024-01-08", "2024-01-14")
         .groupBy(col("dt"), col("event_type"))
@@ -1128,6 +1133,46 @@ object Relational {
           countDistinct(col("user_id")).as("n_users"),
           min(col("event_id")).as("min_event_id"),
           max(col("event_id")).as("max_event_id"))
+    }),
+
+    // ADDITIVE SCHEMA EVOLUTION on the versioned lake
+    // (VersionedLake.evolveSchema — the 100 TB path for "add a column":
+    // one pure-manifest commit, zero data rewrites): the even event_id
+    // half lands on the original schema, one evolve commit adds a
+    // nullable `score`, the odd half arrives carrying it, and the week
+    // read SPANS both file generations — parquet by-name resolution
+    // against the snapshot schema yields NULL score for pre-evolution
+    // files. The oracle reconstructs the same union from flat parquet
+    // (old half with NULL score, new half with value+100), so the hash
+    // match proves the evolve commit, the post-evolve drift guard, and
+    // the NULL back-fill semantics end-to-end; count(score) per group
+    // pins exactly WHICH rows are scoreless. VersionedLakeSpec pins the
+    // boundary cases (drift still refused, duplicate evolve refused,
+    // pre-evolution time travel serves the old schema).
+    "q139_lake_evolution" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_q139").toFile
+      val out = root.getAbsolutePath + "/events"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      graft.sources.VersionedLake.append(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), out)
+      graft.sources.VersionedLake.evolveSchema(s, out, Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.sources.VersionedLake.append(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .withColumn("score", col("value") + 100.0), out)
+      graft.sources.VersionedLake
+        .read(s, out, None, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("score")).as("n_scored"),
+          dec38(sum(dec(col("score")))).cast("double").as("sum_score"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          min(col("event_id")).as("min_event_id"))
     }),
 
     // CSV ingest gate (sources/Csv.scala): the documents table round-
@@ -1755,6 +1800,33 @@ object Relational {
            count(DISTINCT user_id) AS n_users,
            min(event_id) AS min_event_id,
            max(event_id) AS max_event_id
+         FROM merged
+         GROUP BY 1, 2""",
+    // Mirrors q139 from the FLAT side: the evolved lake reconstructed
+    // relationally — the pre-evolution half carries NULL score, the
+    // post-evolution half carries value+100 (count(score) pins which).
+    "q139_lake_evolution" ->
+      """WITH week AS (
+           SELECT * FROM events
+           WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+             AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+         ), merged AS (
+           SELECT event_id, ts, event_type, value,
+             CAST(NULL AS DOUBLE) AS score
+           FROM week WHERE event_id % 2 = 0
+           UNION ALL
+           SELECT event_id, ts, event_type, value,
+             value + 100.0 AS score
+           FROM week WHERE event_id % 2 = 1
+         )
+         SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           count(score) AS n_scored,
+           CAST(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_score,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           min(event_id) AS min_event_id
          FROM merged
          GROUP BY 1, 2""",
     // Mirrors q136 from the FLAT side: the complement of the deleted
