@@ -48,6 +48,12 @@ object Bench {
     }
     val warmDir = "/root/testdata/sf0.001"
     val spark = Engine.session(master = s"local[$cpus]")
+    // the dimension-level sorts (q58-class: windows over ≤2k-row
+    // aggregates, never data) flood the tail with "No Partition Defined"
+    // warnings — silence that one logger so REAL warnings stay visible
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // localCheckpoint blocks (the iterative-graph/walk queries) register
     // as persistent RDDs and NOTHING evicts them between queries — by
     // the registry's tail, hundreds of dead blocks crowd the block
@@ -89,6 +95,17 @@ object Bench {
     // min, which is what BASELINE.md compares anyway). Odd lengths (the
     // full record's 5 runs) are unchanged.
     def median(ts: Seq[Double]): Double = ts.sorted.apply((ts.length - 1) / 2)
+    // wall-clock budget for contention re-measures: the defense designed
+    // for hot windows must not itself overrun the driver wrapper's
+    // timeout and cost the round its record (r10: rc 124 mid-re-measure).
+    // Past the budget, contended queries keep their first-pass numbers
+    // and are NAMED in the record so the reader knows they stood
+    // unchallenged.
+    val benchStart = System.nanoTime()
+    val remeasureBudgetSec = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+    val remeasureSkipped = scala.collection.mutable.Buffer[String]()
     val results = selected.map { case (name, fn) =>
       // quick mode: probe once; only the >1s head earns its full run
       // count (stratification decided per query off its own first run).
@@ -117,11 +134,18 @@ object Bench {
           else median(first) > 3.0 * first.min
         }
         val all =
-          if (contended) {
+          if (contended && elapsedSec <= remeasureBudgetSec) {
             System.err.println(
               s"[bench] $name spread ${first.max}/${first.min} flags contention; re-measuring")
             first ++ measure(name, runs, fn) // contended window: widen the sample
-          } else first
+          } else {
+            if (contended) {
+              System.err.println(s"[bench] $name flags contention but the " +
+                s"re-measure budget (${remeasureBudgetSec}s) is spent; keeping first pass")
+              remeasureSkipped += name
+            }
+            first
+          }
         if (all.contains(-1.0)) (-1.0, -1.0) else (median(all), all.min)
       })
     }
@@ -139,8 +163,20 @@ object Bench {
     val anchorQuietMin = 2.45 // sf0.1 local[32] quiet envelope, r7-r9
     val anchorRatio = results.get("q35_triangles")
       .map(_._2).filter(_ > 0).map(_ / anchorQuietMin).getOrElse(-1.0)
+    // Second anchor for the WRITE-heavy family (lake lifecycle queries):
+    // q35 is CPU/shuffle-bound and cannot adjudicate write-path I/O
+    // variance (r10: q137 swung 2.78→8.28 beside near-identical q35
+    // anchors). q114's per-run dt-tree write + read is the registry's
+    // steadiest write-shaped query; its quiet envelope is the r9 quiet
+    // record's min (BASELINE.md). Grade lake-family readings against
+    // THIS ratio, CPU-family against anchor_ratio.
+    val anchorQuietIoMin = 0.62 // q114 sf0.1 local[32] quiet envelope, r9
+    val anchorRatioIo = results.get("q114_partitioned_scan")
+      .map(_._2).filter(_ > 0).map(_ / anchorQuietIoMin).getOrElse(-1.0)
+    val skippedJson = remeasureSkipped
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2._1)},"queries_min":${jmap(_._2._2)},"total_min":$totalMin,"anchor_ratio":$anchorRatio,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2._1)},"queries_min":${jmap(_._2._2)},"total_min":$totalMin,"anchor_ratio":$anchorRatio,"anchor_ratio_io":$anchorRatioIo,"remeasure_skipped":$skippedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's stdout capture has twice head-truncated this line
     // (BASELINE.md:81-83); persist it so the record survives regardless.
