@@ -1135,6 +1135,40 @@ object Relational {
           max(col("event_id")).as("max_event_id"))
     }),
 
+    // Z-ORDER clustering gate (VersionedLake.compact zorder = true): the
+    // week is compacted on the Morton interleave of (value, user_id), and
+    // the query reads a band on USER_ID — the trailing column a lexical
+    // (value, user_id) layout cannot skip on, because its per-file
+    // user_id ranges span the domain. The manifest-stats pruning runs
+    // through the same readBand path as q135, and the oracle computes the
+    // band from FLAT parquet, so the hash match proves the interleaved
+    // layout + two-column stats lossless end-to-end; VersionedLakeSpec
+    // pins that BOTH columns actually skip files (skipped > 0 each).
+    "q140_lake_zorder" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_q140").toFile
+      val out = root.getAbsolutePath + "/events"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+      graft.sources.VersionedLake.append(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), out)
+      graft.sources.VersionedLake.append(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), out)
+      graft.sources.VersionedLake.compact(
+        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128,
+        minFilesPerDay = 4, clusterBy = Seq("value", "user_id"),
+        zorder = true)
+      graft.sources.VersionedLake
+        .readBand(s, out, "user_id", 5.0, 25.0,
+          None, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+    }),
+
     // ADDITIVE SCHEMA EVOLUTION on the versioned lake
     // (VersionedLake.evolveSchema — the 100 TB path for "add a column":
     // one pure-manifest commit, zero data rewrites): the even event_id
@@ -1801,6 +1835,21 @@ object Relational {
            min(event_id) AS min_event_id,
            max(event_id) AS max_event_id
          FROM merged
+         GROUP BY 1, 2""",
+    // Mirrors q140 from the FLAT side (q133's oracle with a user_id
+    // band): Spark answers through the z-order-clustered manifest read.
+    "q140_lake_zorder" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND user_id >= 5.0 AND user_id <= 25.0
          GROUP BY 1, 2""",
     // Mirrors q139 from the FLAT side: the evolved lake reconstructed
     // relationally — the pre-evolution half carries NULL score, the

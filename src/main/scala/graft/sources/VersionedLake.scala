@@ -742,11 +742,29 @@ object VersionedLake {
     * records (for `clusterBy ++ statsCols`) make [[readBand]] skip every
     * non-overlapping file — [[Partitioned.compactDays]]'s clustering with
     * the stats in the commit log instead of a sidecar.
+    *
+    * With `zorder = true` and ≥2 numeric `clusterBy` columns, each day
+    * is laid out on a Z-ORDER (Morton) key instead of the lexical tuple:
+    * every column's value maps to a 16-bit linear bucket between the
+    * day's min and max, the buckets' bits interleave into one long, and
+    * files own contiguous Z-ranges — compact hyper-rectangles in the
+    * key space, so [[readBand]] skips files on ANY clustered column
+    * (lexical tuple order gives the trailing columns near-useless
+    * ranges). Linear bucketing trades the quantile pass a production
+    * Z-order would run for one tiny min/max job per day; skew costs
+    * stats RESOLUTION only — file sizes stay balanced because the range
+    * partitioner samples the Z values themselves. NULLs bucket to 0
+    * (they sort first, as in the lexical layout).
     */
   def compact(spark: SparkSession, path: String,
       fromDay: String, toDay: String, targetFileMB: Int = 128,
       parallelism: Int = 4, minFilesPerDay: Int = 1,
-      clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      zorder: Boolean = false): Long = {
+    if (zorder) {
+      require(clusterBy.nonEmpty, "zorder requires clusterBy columns")
+      require(clusterBy.size <= 4, "zorder supports at most 4 columns")
+    }
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val snap = snapshot(spark, path, None)
@@ -777,6 +795,40 @@ object VersionedLake {
           .parquet(entries.map(e => s"$base/${e.path}"): _*)
         val laid =
           if (clusterBy.isEmpty) dayDf.coalesce(want)
+          else if (zorder && clusterBy.size >= 2) {
+            // Z-order: one tiny min/max job per day bounds the bucket
+            // mapping, then the interleaved key drives the same
+            // range-partition machinery as the lexical path
+            clusterBy.foreach { c =>
+              require(snap.schema(c).dataType
+                .isInstanceOf[org.apache.spark.sql.types.NumericType],
+                s"zorder column $c must be numeric")
+            }
+            val aggExprs = clusterBy.flatMap(c => Seq(
+              min(col(c)).cast("double"), max(col(c)).cast("double")))
+            val b = dayDf.agg(aggExprs.head, aggExprs.tail: _*).head()
+            val buckets = clusterBy.zipWithIndex.map { case (c, i) =>
+              if (b.isNullAt(2 * i) || b.isNullAt(2 * i + 1) ||
+                  b.getDouble(2 * i + 1) <= b.getDouble(2 * i)) lit(0L)
+              else {
+                val (mn, mx) = (b.getDouble(2 * i), b.getDouble(2 * i + 1))
+                // NULL value → NULL ratio → greatest(NULL, 0) = 0
+                least(greatest(floor(
+                  (col(c).cast("double") - mn) / (mx - mn) * 65535.0),
+                  lit(0.0)), lit(65535.0)).cast("long")
+              }
+            }
+            val k = buckets.length
+            // bit b of bucket i lands at position b*k + i
+            val z = (0 until 16).flatMap(bit => buckets.zipWithIndex.map {
+              case (bc, i) => shiftleft(
+                shiftright(bc, bit).bitwiseAND(lit(1L)), bit * k + i)
+            }).reduce(_.bitwiseOR(_))
+            dayDf.withColumn("_graft_z", z)
+              .repartitionByRange(want, col("_graft_z"))
+              .sortWithinPartitions(col("_graft_z"))
+              .drop("_graft_z")
+          }
           // disjoint key ranges per file — tight stats, maximal skipping
           else dayDf.repartitionByRange(want, clusterBy.map(col): _*)
             .sortWithinPartitions(clusterBy.map(col): _*)

@@ -574,4 +574,39 @@ class VersionedLakeSpec extends SparkSessionSpec {
     assert(head.filter(col("event_id").between(lo, hi) &&
       col("value") < 1000.0).count() === 0, "a stale pre-image survived")
   }
+
+  test("z-order compaction makes BOTH cluster columns skippable, and the " +
+      "pruned reads stay exact") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    VersionedLake.append(ev.filter(pmod(col("event_id"), lit(2)) === 0), d)
+    VersionedLake.append(ev.filter(pmod(col("event_id"), lit(2)) === 1), d)
+    VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31",
+      minFilesPerDay = 8, clusterBy = Seq("value", "user_id"),
+      zorder = true)
+    val snap = VersionedLake.snapshot(spark, d)
+    // every rewritten entry carries ranges for BOTH cluster columns
+    assert(snap.files.forall(f =>
+      f.stats.contains("value") && f.stats.contains("user_id")))
+    // narrow bands on EACH column must prove files disjoint — the
+    // lexical tuple layout gives the trailing column near-useless
+    // ranges; the Morton interleave is what makes user_id skippable
+    val rv = VersionedLake.bandReport(spark, d, "value", "0.0", "40.0")
+    assert(rv.skipped > 0, s"z-order pruned nothing on value (${rv.total})")
+    val ru = VersionedLake.bandReport(spark, d, "user_id", "0", "3")
+    assert(ru.skipped > 0, s"z-order pruned nothing on user_id (${ru.total})")
+    // and both pruned reads equal the unpruned filter (soundness)
+    def expect(c: String, lo: Double, hi: Double) = VersionedLake
+      .read(spark, d).filter(col(c) >= lo && col(c) <= hi)
+      .collect().map(_.toSeq).toSet
+    assert(VersionedLake.readBand(spark, d, "value", 0.0, 40.0)
+      .collect().map(_.toSeq).toSet === expect("value", 0.0, 40.0))
+    assert(VersionedLake.readBand(spark, d, "user_id", 0.0, 3.0)
+      .collect().map(_.toSeq).toSet === expect("user_id", 0.0, 3.0))
+    // a non-numeric z-order column is refused loudly
+    intercept[IllegalArgumentException] {
+      VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31",
+        clusterBy = Seq("event_type", "value"), zorder = true)
+    }
+  }
 }
