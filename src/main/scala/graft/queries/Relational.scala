@@ -1019,8 +1019,11 @@ object Relational {
     "q136_lake_delete" -> ((s, dir) => {
       val root = graft.TempDirs.scratch("graft_q136").toFile
       val out = root.getAbsolutePath + "/events"
+      // the ingest slice is the read week + one out-of-window day (kept
+      // so the day-scoped read still proves pruning); staging the full
+      // 11-day lake bought this gate nothing (r10 next-round #6)
       val ev = table(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+        .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
           col("ts") < lit("2024-01-16").cast("timestamp"))
       graft.sources.VersionedLake.append(
         ev.filter(pmod(col("event_id"), lit(2)) === 0), out,
@@ -1128,6 +1131,43 @@ object Relational {
       graft.sources.VersionedLake
         .read(s, out, None, "2024-01-08", "2024-01-14")
         .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+    }),
+
+    // CHANGE FEED gate (VersionedLake.changes — the CDC read): after the
+    // q136-style lifecycle (two appends → clustered compact → band
+    // delete), the feed between the post-append and post-delete versions
+    // must be EXACTLY the deleted band tagged `delete`: the compaction
+    // in between rewrote every in-window file, and those rows must
+    // CANCEL in the multiset diff (the feed reads only files present in
+    // exactly one snapshot — never the unchanged corpus). The oracle
+    // recomputes the deleted band from FLAT parquet, so the hash match
+    // proves cancellation + pre-image fidelity end-to-end;
+    // VersionedLakeSpec pins the insert side (appends, upsert images)
+    // and the pure-compaction empty feed.
+    "q141_lake_changes" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_q141").toFile
+      val out = root.getAbsolutePath + "/events"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
+          col("ts") < lit("2024-01-15").cast("timestamp"))
+      graft.sources.VersionedLake.append(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), out,
+        statsCols = Seq("value"))
+      val vBase = graft.sources.VersionedLake.append(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), out,
+        statsCols = Seq("value"))
+      graft.sources.VersionedLake.compact(
+        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128,
+        minFilesPerDay = 4, clusterBy = Seq("value"))
+      graft.sources.VersionedLake.deleteBand(s, out, "value", 300.0, 1.0e12,
+        fromDay = "2024-01-08", toDay = "2024-01-14")
+      graft.sources.VersionedLake.changes(s, out, vBase, None)
+        .groupBy(col("dt"), col("event_type"), col("_change_type"))
         .agg(count(lit(1)).as("n_events"),
           dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
           countDistinct(col("user_id")).as("n_users"),
@@ -1835,6 +1875,23 @@ object Relational {
            min(event_id) AS min_event_id,
            max(event_id) AS max_event_id
          FROM merged
+         GROUP BY 1, 2""",
+    // Mirrors q141 from the FLAT side: the change feed across
+    // compact+delete must be exactly the deleted band tagged 'delete'
+    // (compaction rows cancel in the multiset diff).
+    "q141_lake_changes" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           'delete' AS "_change_type",
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND value >= 300.0 AND value <= 1000000000000.0
          GROUP BY 1, 2""",
     // Mirrors q140 from the FLAT side (q133's oracle with a user_id
     // band): Spark answers through the z-order-clustered manifest read.

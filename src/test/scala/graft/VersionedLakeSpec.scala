@@ -609,4 +609,46 @@ class VersionedLakeSpec extends SparkSessionSpec {
         clusterBy = Seq("event_type", "value"), zorder = true)
     }
   }
+
+  test("change feed: a pure compaction feeds NOTHING; deletes, appends " +
+      "and upserts surface exactly their rows, reading only changed files") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    VersionedLake.append(ev.filter(pmod(col("event_id"), lit(2)) === 0), d,
+      statsCols = Seq("value"))
+    val v2 = VersionedLake.append(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), d,
+      statsCols = Seq("value"))
+    val v3 = VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31",
+      minFilesPerDay = 2, clusterBy = Seq("value"))
+    // compaction rewrites files but not rows: the multiset diff cancels
+    assert(VersionedLake.changes(spark, d, v2, Some(v3)).count() === 0,
+      "a pure compaction leaked rows into the change feed")
+    val v4 = VersionedLake.deleteBand(spark, d, "value", 300.0, 1.0e12)
+    val fed = VersionedLake.changes(spark, d, v3, Some(v4))
+    assert(fed.filter(col("_change_type") =!= "delete").count() === 0)
+    assert(fed.count() ===
+      ev.filter(col("value") >= 300.0 && col("value") <= 1.0e12).count())
+    // spanning compact + delete: the compact legs still cancel
+    assert(VersionedLake.changes(spark, d, v2, Some(v4)).count()
+      === fed.count())
+    // appends feed pure inserts
+    val extra = ev.limit(50).withColumn("event_id", col("event_id") + 5000000L)
+    val v5 = VersionedLake.append(extra, d)
+    val ins = VersionedLake.changes(spark, d, v4, Some(v5))
+    assert(ins.filter(col("_change_type") =!= "insert").count() === 0)
+    assert(ins.count() === 50)
+    // an upsert feeds the pre-image as delete and the new image as insert
+    val touched = ev.filter(col("value") < 300.0)
+      .limit(20).withColumn("value", col("value") + 10000.0)
+    val v6 = VersionedLake.upsert(touched, d, key = "event_id")
+    val up = VersionedLake.changes(spark, d, v5, Some(v6))
+    assert(up.filter(col("_change_type") === "insert").count() === 20)
+    val preImages = up.filter(col("_change_type") === "delete")
+    assert(preImages.count() === 20)
+    assert(preImages.filter(col("value") >= 10000.0).count() === 0,
+      "the delete side must carry PRE-images")
+  }
 }
