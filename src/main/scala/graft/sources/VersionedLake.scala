@@ -408,6 +408,16 @@ object VersionedLake {
     * After winning version v, a full-snapshot checkpoint sidecar is
     * written at v1 and every [[CkptInterval]]-th version (idempotent —
     * the same atomic publish, skipped if present).
+    *
+    * COST: a pure-append commit (removes = ∅) that is not a checkpoint
+    * version runs entirely off the base HEADER — schema check, streaming
+    * high-water mark, and the running totals all ride it, and add paths
+    * are fresh per-job UUIDs so they cannot collide with live entries.
+    * The streaming sink's steady state is therefore one header read +
+    * O(batch) manifest text per micro-batch, with the O(files) snapshot
+    * parse paid only every [[CkptInterval]]-th commit (amortized — the
+    * Delta checkpoint discipline). Maintenance commits always parse the
+    * base in full: conflict detection needs the live path set.
     */
   private[graft] def commitDelta(spark: SparkSession, root: Path,
       schema: StructType, adds: Seq[FileEntry], removes: Set[String],
@@ -416,41 +426,58 @@ object VersionedLake {
     val fs = fsOf(spark, root)
     def norm(s: StructType) =
       s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    def schemaConflict(committed: StructType): Unit =
+      if (!allowSchemaChange && norm(committed) != norm(schema))
+        sys.error(s"VersionedLake: commit conflict on $op — the " +
+          s"table schema changed concurrently (committed " +
+          s"${committed.simpleString}, op carries ${schema.simpleString})")
     val addPaths = adds.map(_.path).toSet
     var attempt = 0
     while (attempt < 50) {
       val base = listCommits(fs, root)._1.lastOption
-      val (v, baseFiles, prevBatch) = base match {
-        case Some(b) =>
-          val s = snapshot(spark, root.toString, Some(b))
-          if (!allowSchemaChange && norm(s.schema) != norm(schema))
-            sys.error(s"VersionedLake: commit conflict on $op — the " +
-              s"table schema changed concurrently (committed " +
-              s"${s.schema.simpleString}, op carries ${schema.simpleString})")
-          (b + 1, s.files, s.lastBatchId)
-        case None => (1L, Seq.empty[FileEntry], -1L)
-      }
-      val basePaths = baseFiles.iterator.map(_.path).toSet
-      val gone = removes.filterNot(basePaths)
-      if (gone.nonEmpty)
-        sys.error(s"VersionedLake: concurrent commit conflict on $op — " +
-          s"${gone.size} entries this op substitutes were already " +
-          s"removed by another commit (e.g. ${gone.head}); rerun the " +
-          "op against the new head")
-      val merged = (baseFiles.filterNot(f =>
-        removes(f.path) || addPaths(f.path)) ++ adds)
-        .sortBy(f => (f.dt, f.path))
-      val hwm = math.max(prevBatch, batchId.getOrElse(-1L))
-      val totals =
-        (merged.length, merged.map(_.rows).sum, merged.map(_.bytes).sum)
-      val text = manifestText(op, schema, hwm, removes.toSeq, adds, totals)
-      if (publishIfAbsent(fs, root, commitPath(root, v), text)) {
-        if (v == 1L || v % CkptInterval == 0L) {
-          val ckpt = manifestText(op, schema, hwm, Nil, merged, totals)
-          publishIfAbsent(fs, root, ckptPath(root, v), ckpt): Unit
+      val v = base.map(_ + 1L).getOrElse(1L)
+      val headerOnly = base.isDefined && removes.isEmpty &&
+        v % CkptInterval != 0L
+      val won =
+        if (headerOnly) {
+          val h = readHeader(fs, commitPath(root, base.get))
+          schemaConflict(h.schema)
+          val hwm = math.max(h.lastBatchId, batchId.getOrElse(-1L))
+          val totals = (h.nFiles + adds.length,
+            h.rows + adds.map(_.rows).sum,
+            h.bytes + adds.map(_.bytes).sum)
+          publishIfAbsent(fs, root, commitPath(root, v),
+            manifestText(op, schema, hwm, Nil, adds, totals))
+        } else {
+          val (baseFiles, prevBatch) = base match {
+            case Some(b) =>
+              val s = snapshot(spark, root.toString, Some(b))
+              schemaConflict(s.schema)
+              (s.files, s.lastBatchId)
+            case None => (Seq.empty[FileEntry], -1L)
+          }
+          val basePaths = baseFiles.iterator.map(_.path).toSet
+          val gone = removes.filterNot(basePaths)
+          if (gone.nonEmpty)
+            sys.error(s"VersionedLake: concurrent commit conflict on $op — " +
+              s"${gone.size} entries this op substitutes were already " +
+              s"removed by another commit (e.g. ${gone.head}); rerun the " +
+              "op against the new head")
+          val merged = (baseFiles.filterNot(f =>
+            removes(f.path) || addPaths(f.path)) ++ adds)
+            .sortBy(f => (f.dt, f.path))
+          val hwm = math.max(prevBatch, batchId.getOrElse(-1L))
+          val totals =
+            (merged.length, merged.map(_.rows).sum, merged.map(_.bytes).sum)
+          val ok = publishIfAbsent(fs, root, commitPath(root, v),
+            manifestText(op, schema, hwm, removes.toSeq, adds, totals))
+          if (ok && (v == 1L || v % CkptInterval == 0L)) {
+            val ckpt = manifestText(op, schema, hwm, Nil, merged, totals)
+            publishIfAbsent(fs, root, ckptPath(root, v), ckpt): Unit
+          }
+          ok
         }
-        return v
-      }
+      if (won) return v
       attempt += 1 // lost the race — replay the intent on the new latest
     }
     sys.error("VersionedLake: commit contention exceeded 50 attempts")

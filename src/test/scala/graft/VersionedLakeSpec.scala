@@ -610,6 +610,24 @@ class VersionedLakeSpec extends SparkSessionSpec {
     }
   }
 
+  test("a band read pushes its predicate into the surviving scans (file " +
+      "skip AND row-group skip ride the same clustered layout)") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    VersionedLake.append(ev, d, statsCols = Seq("value"))
+    VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31",
+      minFilesPerDay = 4, clusterBy = Seq("value"))
+    val df = VersionedLake.readBand(spark, d, "value", 100.0, 150.0)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "band read planned no file scan")
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", ""))
+    assert(pushed.exists(p => p.contains("GreaterThanOrEqual(value,100.0)")
+        && p.contains("LessThanOrEqual(value,150.0)")),
+      s"band predicate not pushed to parquet: $pushed")
+  }
+
   test("change feed: a pure compaction feeds NOTHING; deletes, appends " +
       "and upserts surface exactly their rows, reading only changed files") {
     val d = freshRoot()
