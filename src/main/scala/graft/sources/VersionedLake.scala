@@ -928,18 +928,23 @@ object VersionedLake {
     *
     * Cost shape: one match-count scan over the candidate files (grouped
     * by `_metadata.file_path` — per-file match counts in a single job),
-    * then one rewrite job per touched DAY over only its touched files.
-    * Untouched files keep their entries (and their stats) verbatim —
-    * zero write amplification outside the blast radius. [[deleteBand]]
-    * shrinks the candidate set further using manifest stats BEFORE any
-    * footer opens — the read-path skipping contract applied to writes.
+    * then one rewrite job per touched DAY over only its touched files,
+    * `parallelism` days in flight at once on a driver-side pool (the
+    * [[compact]] discipline — per-day jobs are small, so overlapping
+    * them keeps the cluster busy when a wide predicate touches many
+    * days). Untouched files keep their entries (and their stats)
+    * verbatim — zero write amplification outside the blast radius.
+    * [[deleteBand]] shrinks the candidate set further using manifest
+    * stats BEFORE any footer opens — the read-path skipping contract
+    * applied to writes.
     */
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
-      fromDay: String = "0000-01-01", toDay: String = "9999-12-31"): Long = {
+      fromDay: String = "0000-01-01", toDay: String = "9999-12-31",
+      parallelism: Int = 4): Long = {
     val snap = snapshot(spark, path, None)
     val candidates = snap.files.filter(f => f.dt >= fromDay && f.dt <= toDay)
-    deleteFromFiles(spark, path, snap, candidates, predicate)
+    deleteFromFiles(spark, path, snap, candidates, predicate, parallelism)
   }
 
   /** [[deleteWhere]] for a band predicate, with the candidate files
@@ -951,19 +956,49 @@ object VersionedLake {
     */
   def deleteBand(spark: SparkSession, path: String, bandCol: String,
       lo: Double, hi: Double,
-      fromDay: String = "0000-01-01", toDay: String = "9999-12-31"): Long = {
+      fromDay: String = "0000-01-01", toDay: String = "9999-12-31",
+      parallelism: Int = 4): Long = {
     val snap = snapshot(spark, path, None)
     val report = bandReportOf(snap, bandCol, lo.toString, hi.toString,
       fromDay, toDay)
     val picked = report.selected.toSet
     val candidates = snap.files.filter(f => picked(f.path))
     deleteFromFiles(spark, path, snap, candidates,
-      col(bandCol) >= lo && col(bandCol) <= hi)
+      col(bandCol) >= lo && col(bandCol) <= hi, parallelism)
+  }
+
+  /** Run `rewriteOne(day, entries)` for every touched day on a bounded
+    * driver-side pool (Spark sessions are thread-safe; each day is one
+    * small job, so overlapping them keeps the cluster busy), collect the
+    * produced entries, rethrow the first failure.
+    */
+  private def rewriteDays(touched: Seq[FileEntry], parallelism: Int)(
+      rewriteOne: (String, Seq[FileEntry]) => Seq[FileEntry])
+      : Seq[FileEntry] = {
+    val byDay = touched.groupBy(_.dt).toSeq.sortBy(_._1)
+    val added = new java.util.concurrent.ConcurrentLinkedQueue[FileEntry]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, byDay.length)))
+    try {
+      byDay.foreach { case (day, entries) =>
+        pool.execute(() =>
+          try rewriteOne(day, entries).foreach(added.add)
+          catch { case t: Throwable => failures.add(t); () })
+      }
+      pool.shutdown()
+      pool.awaitTermination(24, java.util.concurrent.TimeUnit.HOURS): Unit
+    } finally pool.shutdownNow()
+    if (!failures.isEmpty) throw failures.peek()
+    val b = Seq.newBuilder[FileEntry]
+    val it = added.iterator()
+    while (it.hasNext) b += it.next()
+    b.result()
   }
 
   private def deleteFromFiles(spark: SparkSession, path: String,
       snap: Snapshot, candidates: Seq[FileEntry],
-      predicate: org.apache.spark.sql.Column): Long = {
+      predicate: org.apache.spark.sql.Column, parallelism: Int): Long = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val base = fs.makeQualified(root).toString
@@ -978,8 +1013,7 @@ object VersionedLake {
         -> r.getLong(1)).toMap
     val touched = candidates.filter(e => matches.contains(e.path))
     if (touched.isEmpty) return snap.version
-    val added = Seq.newBuilder[FileEntry]
-    touched.groupBy(_.dt).toSeq.sortBy(_._1).foreach { case (day, entries) =>
+    val fresh = rewriteDays(touched, parallelism) { (day, entries) =>
       val statsCols = entries.flatMap(_.stats.keys).distinct
       val stage = new Path(root,
         s".vstage_delete_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
@@ -1009,14 +1043,13 @@ object VersionedLake {
       require(stats.values.map(_._1).sum == oldRows - hit,
         s"VersionedLake: delete on $day rewrote ${stats.values.map(_._1).sum}" +
           s" rows, expected ${oldRows - hit}")
-      moved.foreach { case (name, len) =>
+      moved.toSeq.map { case (name, len) =>
         val (n, ranges) = stats.getOrElse(s"dt=$day/$name",
           (0L, Map.empty[String, (String, String)]))
-        added += FileEntry(s"dt=$day/$name", day, n, len, ranges,
-          src = "delete")
+        FileEntry(s"dt=$day/$name", day, n, len, ranges, src = "delete")
       }
     }
-    commitDelta(spark, root, snap.schema, added.result(),
+    commitDelta(spark, root, snap.schema, fresh,
       touched.map(_.path).toSet, op = "delete")
   }
 
@@ -1140,7 +1173,8 @@ object VersionedLake {
     */
   def upsert(updates: DataFrame, path: String, key: String,
       tsCol: String = "ts", statsCols: Seq[String] = Nil,
-      fromDay: String = "0000-01-01", toDay: String = "9999-12-31"): Long = {
+      fromDay: String = "0000-01-01", toDay: String = "9999-12-31",
+      parallelism: Int = 4): Long = {
     val spark = updates.sparkSession
     val root = new Path(path)
     val fs = fsOf(spark, root)
@@ -1181,8 +1215,9 @@ object VersionedLake {
             .map(r => r.getString(0).split('/').takeRight(2).mkString("/"))
             .toSet
         val touched = snap.files.filter(e => matches(e.path))
-        val added = Seq.newBuilder[FileEntry]
-        touched.groupBy(_.dt).toSeq.sortBy(_._1).foreach { case (day, entries) =>
+        // per-day anti-join rewrites, `parallelism` days in flight (the
+        // compact/delete pool discipline)
+        val fresh = rewriteDays(touched, parallelism) { (day, entries) =>
           val dayStats = entries.flatMap(_.stats.keys).distinct
           val stage = new Path(root,
             s".vstage_upsert_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
@@ -1204,10 +1239,10 @@ object VersionedLake {
           fs.delete(stage, true): Unit
           val stats = perFileStats(spark,
             moved.map(m => s"$base/dt=$day/${m._1}"), dayStats)
-          moved.foreach { case (name, len) =>
+          moved.toSeq.map { case (name, len) =>
             val (n, ranges) = stats.getOrElse(s"dt=$day/$name",
               (0L, Map.empty[String, (String, String)]))
-            added += FileEntry(s"dt=$day/$name", day, n, len, ranges,
+            FileEntry(s"dt=$day/$name", day, n, len, ranges,
               src = "upsert")
           }
         }
@@ -1216,7 +1251,7 @@ object VersionedLake {
         // reader — current or time-traveling — ever sees a snapshot with
         // both row versions of an updated key
         val newEntries = stageAndMove(pinned, path, tsCol, statsCols)
-        commitDelta(spark, root, snap.schema, added.result() ++ newEntries,
+        commitDelta(spark, root, snap.schema, fresh ++ newEntries,
           touched.map(_.path).toSet, op = "upsert")
       }
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pinned)
