@@ -106,6 +106,26 @@ object Bench {
       .getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val remeasureSkipped = scala.collection.mutable.Buffer[String]()
+    // The record is JSON-LINES, appended as each query completes, with
+    // the full summary line written LAST: two consecutive rounds the
+    // driver wrapper killed the bench mid-registry (rc 124) and the
+    // round's official record was unparsable — an incremental record
+    // means a kill at ANY point leaves every finished query's med/min
+    // (anchors included, they are queries themselves) on disk. Path is
+    // per-sf; a BENCH_ONLY-filtered run writes a "_only" sidecar so a
+    // targeted adjudication can never overwrite the full-registry record.
+    val suffix = if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "_only" else ""
+    val persistPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"/tmp/graft_bench_${new java.io.File(sfDir).getName}$suffix.json")
+    def persistLine(s: String): Unit =
+      try {
+        val w = new java.io.FileWriter(persistPath, true)
+        try { w.write(s); w.write('\n') } finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] persist to $persistPath failed: ${e.getMessage}")
+      }
+    try new java.io.PrintWriter(persistPath).close() // fresh run, fresh record
+    catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       // quick mode: probe once; only the >1s head earns its full run
       // count (stratification decided per query off its own first run).
@@ -123,7 +143,7 @@ object Bench {
             probe ++ measure(name, runs - 1, fn)
           else probe ++ measure(name, math.min(1, runs - 1), fn)
         }
-      name -> (if (first.contains(-1.0)) (-1.0, -1.0)
+      val pair = (if (first.contains(-1.0)) (-1.0, -1.0)
       else {
         // contention trigger: odd samples on the lower median; EVEN
         // samples on max > 3x min — for a 2-sample quick-mode pair the
@@ -148,6 +168,8 @@ object Bench {
           }
         if (all.contains(-1.0)) (-1.0, -1.0) else (median(all), all.min)
       })
+      persistLine(s"""{"q":"$name","med":${pair._1},"min":${pair._2},"elapsed_sec":$elapsedSec}""")
+      name -> pair
     }
     def jmap(f: ((String, (Double, Double))) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + f((k, v)) }
@@ -179,20 +201,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2._1)},"queries_min":${jmap(_._2._2)},"total_min":$totalMin,"anchor_ratio":$anchorRatio,"anchor_ratio_io":$anchorRatioIo,"remeasure_skipped":$skippedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's stdout capture has twice head-truncated this line
-    // (BASELINE.md:81-83); persist it so the record survives regardless.
-    // Path is per-sf (overridable via SPARK_GRAFT_BENCH_OUT) so concurrent
-    // or stale runs at different scales cannot clobber each other's
-    // record; a BENCH_ONLY-filtered run writes a "_only" sidecar so a
-    // targeted adjudication can never overwrite the full-registry record.
-    val suffix = if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "_only" else ""
-    val persistPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"/tmp/graft_bench_${new java.io.File(sfDir).getName}$suffix.json")
-    try {
-      val out = new java.io.PrintWriter(persistPath)
-      try out.println(line) finally out.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] persist to $persistPath failed: ${e.getMessage}")
-    }
+    // (BASELINE.md:81-83); the summary also lands as the record's LAST
+    // line — a complete record ends in the full-registry summary, a
+    // killed one ends in its last finished query's line.
+    persistLine(line)
     spark.stop()
   }
 }

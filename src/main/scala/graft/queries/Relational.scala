@@ -905,21 +905,12 @@ object Relational {
     // manifest is O(files) driver-side JSON; PartitionedSpec pins that
     // files ARE skipped and that post-manifest appends are never lost.
     "q133_clustered_scan" -> ((s, dir) => {
-      val root = graft.TempDirs.scratch("graft_q133").toFile
-      val out = root.getAbsolutePath + "/events"
-      val ev = table(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
-          col("ts") < lit("2024-01-16").cast("timestamp"))
-      graft.sources.Partitioned.writeByDay(
-        ev.filter(pmod(col("event_id"), lit(2)) === 0), out)
-      graft.sources.Partitioned.appendByDay(
-        ev.filter(pmod(col("event_id"), lit(2)) === 1), out)
-      // floor each day at 4 files so the band has files to skip (a
-      // 128 MB target alone would coalesce test-SF days to one file
-      // each and the pruning path would be vacuous at any tested scale)
-      graft.sources.Partitioned.compactDays(
-        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128,
-        clusterBy = Seq("value"), minFilesPerDay = 4)
+      // the write+append+clustered-compact lifecycle is a shared
+      // per-process fixture (LakeFixtures — r11 next-round #1): the
+      // oracle recomputes from FLAT parquet, so the fixture's build is
+      // still verified end-to-end by every read, and the bench stops
+      // paying ~45 lake builds per pass
+      val out = LakeFixtures.partClustered(s, dir)
       graft.sources.Partitioned
         .readDaysBand(s, out, "2024-01-08", "2024-01-14", "value",
           100.0, 150.0)
@@ -947,17 +938,10 @@ object Relational {
     // directory walk of a 10⁵-day tree; commits are one atomic
     // create-if-absent regardless of lake size.
     "q134_versioned_lake" -> ((s, dir) => {
-      val root = graft.TempDirs.scratch("graft_q134").toFile
-      val out = root.getAbsolutePath + "/events"
-      val ev = table(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
-          col("ts") < lit("2024-01-16").cast("timestamp"))
-      val v1 = graft.sources.VersionedLake.append(
-        ev.filter(pmod(col("event_id"), lit(2)) === 0), out)
-      graft.sources.VersionedLake.append(
-        ev.filter(pmod(col("event_id"), lit(2)) === 1), out)
-      graft.sources.VersionedLake.compact(
-        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128)
+      // shared fixture (v1 = even half, v2 = odd, v3 = compaction); the
+      // query exercises time travel + the compacted head read
+      val out = LakeFixtures.plainLake(s, dir)
+      val v1 = 1L
       def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
         df.groupBy(col("dt"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),
@@ -979,20 +963,10 @@ object Relational {
     // VersionedLakeSpec pins that files are actually skipped and that
     // stat-less entries always survive selection.
     "q135_versioned_band" -> ((s, dir) => {
-      val root = graft.TempDirs.scratch("graft_q135").toFile
-      val out = root.getAbsolutePath + "/events"
-      val ev = table(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
-          col("ts") < lit("2024-01-16").cast("timestamp"))
-      graft.sources.VersionedLake.append(
-        ev.filter(pmod(col("event_id"), lit(2)) === 0), out,
-        statsCols = Seq("value"))
-      graft.sources.VersionedLake.append(
-        ev.filter(pmod(col("event_id"), lit(2)) === 1), out,
-        statsCols = Seq("value"))
-      graft.sources.VersionedLake.compact(
-        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128,
-        minFilesPerDay = 4, clusterBy = Seq("value"))
+      // shared clustered fixture; the query exercises the manifest-stats
+      // band read (the fixture's append/compact losslessness is verified
+      // by the flat-parquet oracle on every invocation)
+      val out = LakeFixtures.clusteredLake(s, dir)
       graft.sources.VersionedLake
         .readBand(s, out, "value", 100.0, 150.0,
           None, "2024-01-08", "2024-01-14")
@@ -1017,27 +991,12 @@ object Relational {
     // radius (untouched entries identical) and the time-travel audit
     // trail (pre-delete snapshots keep the rows until vacuum).
     "q136_lake_delete" -> ((s, dir) => {
-      val root = graft.TempDirs.scratch("graft_q136").toFile
-      val out = root.getAbsolutePath + "/events"
-      // the ingest slice is the read week + one out-of-window day (kept
-      // so the day-scoped read still proves pruning); staging the full
-      // 11-day lake bought this gate nothing (r10 next-round #6)
-      val ev = table(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
-          col("ts") < lit("2024-01-16").cast("timestamp"))
-      graft.sources.VersionedLake.append(
-        ev.filter(pmod(col("event_id"), lit(2)) === 0), out,
-        statsCols = Seq("value"))
-      graft.sources.VersionedLake.append(
-        ev.filter(pmod(col("event_id"), lit(2)) === 1), out,
-        statsCols = Seq("value"))
-      // maintenance scoped to the week the query reads (r10 next-round
-      // #6): clustering outside the read window buys nothing here, and
-      // the delete's day scope keeps its blast radius to the same week —
-      // out-of-window rows never reach the result either way
-      graft.sources.VersionedLake.compact(
-        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128,
-        minFilesPerDay = 4, clusterBy = Seq("value"))
+      // hard-link CLONE of the shared clustered fixture, then the REAL
+      // copy-on-write delete against the clone — the op's honest cost
+      // stays in the bench on every run without rebuilding the lake
+      // (committed files are immutable, so the clone is O(files) link(2)
+      // calls and the shared fixture is never mutated)
+      val out = LakeFixtures.cloneLake(LakeFixtures.clusteredLake(s, dir))
       graft.sources.VersionedLake.deleteBand(s, out, "value", 300.0, 1.0e12,
         fromDay = "2024-01-08", toDay = "2024-01-14")
       graft.sources.VersionedLake
@@ -1061,19 +1020,9 @@ object Relational {
     // lake flavors — a user migrates a raw dt= tree to snapshots/
     // time-travel/CDC without moving a byte of data.
     "q138_imported_lake" -> ((s, dir) => {
-      val root = graft.TempDirs.scratch("graft_q138").toFile
-      val out = root.getAbsolutePath + "/events"
-      val ev = table(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
-          col("ts") < lit("2024-01-16").cast("timestamp"))
-      graft.sources.Partitioned.writeByDay(
-        ev.filter(pmod(col("event_id"), lit(2)) === 0), out)
-      graft.sources.Partitioned.appendByDay(
-        ev.filter(pmod(col("event_id"), lit(2)) === 1), out)
-      graft.sources.VersionedLake.importTree(s, out)
-      graft.sources.VersionedLake.compact(
-        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128,
-        minFilesPerDay = 4, clusterBy = Seq("value"))
+      // shared fixture: raw tree → importTree → clustered compact; the
+      // query reads the migrated lake through the manifest band path
+      val out = LakeFixtures.importedLake(s, dir)
       graft.sources.VersionedLake
         .readBand(s, out, "value", 100.0, 150.0,
           None, "2024-01-08", "2024-01-14")
@@ -1101,14 +1050,11 @@ object Relational {
     // rewrite I/O is O(files holding matched keys) — two days of an
     // 11-day lake here — never O(lake).
     "q137_lake_upsert" -> ((s, dir) => {
-      val root = graft.TempDirs.scratch("graft_q137").toFile
-      val out = root.getAbsolutePath + "/events"
-      val ev = table(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
-          col("ts") < lit("2024-01-16").cast("timestamp"))
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-      graft.sources.VersionedLake.append(ev, out, statsCols = Seq("value"))
+      // hard-link CLONE of the single-append base fixture, then the REAL
+      // upsert against the clone (the q136 clone discipline — the merge
+      // cost stays in the bench, the lake build does not)
+      val out = LakeFixtures.cloneLake(LakeFixtures.upsertBase(s, dir))
+      val ev = LakeFixtures.slimSlice(s, dir)
       // DAY-LOCAL update batch (the realistic CDC shape): corrections
       // land on one day, backfill on its neighbor — so the rewrite blast
       // radius is two days' files of an 11-day lake, not a full rewrite
@@ -1150,23 +1096,12 @@ object Relational {
     // VersionedLakeSpec pins the insert side (appends, upsert images)
     // and the pure-compaction empty feed.
     "q141_lake_changes" -> ((s, dir) => {
-      val root = graft.TempDirs.scratch("graft_q141").toFile
-      val out = root.getAbsolutePath + "/events"
-      val ev = table(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
-          col("ts") < lit("2024-01-15").cast("timestamp"))
-      graft.sources.VersionedLake.append(
-        ev.filter(pmod(col("event_id"), lit(2)) === 0), out,
-        statsCols = Seq("value"))
-      val vBase = graft.sources.VersionedLake.append(
-        ev.filter(pmod(col("event_id"), lit(2)) === 1), out,
-        statsCols = Seq("value"))
-      graft.sources.VersionedLake.compact(
-        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128,
-        minFilesPerDay = 4, clusterBy = Seq("value"))
-      graft.sources.VersionedLake.deleteBand(s, out, "value", 300.0, 1.0e12,
-        fromDay = "2024-01-08", toDay = "2024-01-14")
-      graft.sources.VersionedLake.changes(s, out, vBase, None)
+      // shared fixture carrying the whole lifecycle (appends → clustered
+      // compact → band delete); the MEASURED op is the change feed
+      // itself — the CDC read a downstream consumer pays per poll
+      val out = LakeFixtures.changesLake(s, dir)
+      graft.sources.VersionedLake.changes(s, out,
+        LakeFixtures.ChangesBaseVersion, None)
         .groupBy(col("dt"), col("event_type"), col("_change_type"))
         .agg(count(lit(1)).as("n_events"),
           dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
@@ -1185,21 +1120,35 @@ object Relational {
     // layout + two-column stats lossless end-to-end; VersionedLakeSpec
     // pins that BOTH columns actually skip files (skipped > 0 each).
     "q140_lake_zorder" -> ((s, dir) => {
-      val root = graft.TempDirs.scratch("graft_q140").toFile
-      val out = root.getAbsolutePath + "/events"
-      val ev = table(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
-          col("ts") < lit("2024-01-16").cast("timestamp"))
-      graft.sources.VersionedLake.append(
-        ev.filter(pmod(col("event_id"), lit(2)) === 0), out)
-      graft.sources.VersionedLake.append(
-        ev.filter(pmod(col("event_id"), lit(2)) === 1), out)
-      graft.sources.VersionedLake.compact(
-        s, out, "2024-01-08", "2024-01-14", targetFileMB = 128,
-        minFilesPerDay = 4, clusterBy = Seq("value", "user_id"),
-        zorder = true)
+      // shared Z-ordered fixture; the query reads the TRAILING cluster
+      // column's band — the read a lexical layout cannot skip on
+      val out = LakeFixtures.zorderLake(s, dir)
       graft.sources.VersionedLake
         .readBand(s, out, "user_id", 5.0, 25.0,
+          None, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+    }),
+
+    // TWO-SIDED band on the Z-ordered lake (VersionedLake.readBands —
+    // the query pattern Z-order EXISTS for): a conjunctive band on BOTH
+    // clustered columns prunes files whose hyper-rectangle misses either
+    // bound, skipping strictly more files than either single-column band
+    // (VersionedLakeSpec pins that inequality). The oracle applies both
+    // predicates to FLAT parquet, so the hash match proves conjunctive
+    // manifest pruning lossless end-to-end. Scale: a point-ish query on
+    // a 100 TB Morton-laid lake opens O(selectivity product) files —
+    // the multiplicative win a lexical layout only gets on its leading
+    // column.
+    "q142_lake_band2" -> ((s, dir) => {
+      val out = LakeFixtures.zorderLake(s, dir)
+      graft.sources.VersionedLake
+        .readBands(s, out,
+          Seq(("value", 100.0, 150.0), ("user_id", 5.0, 25.0)),
           None, "2024-01-08", "2024-01-14")
         .groupBy(col("dt"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -1224,21 +1173,10 @@ object Relational {
     // boundary cases (drift still refused, duplicate evolve refused,
     // pre-evolution time travel serves the old schema).
     "q139_lake_evolution" -> ((s, dir) => {
-      val root = graft.TempDirs.scratch("graft_q139").toFile
-      val out = root.getAbsolutePath + "/events"
-      val ev = table(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
-          col("ts") < lit("2024-01-16").cast("timestamp"))
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-      graft.sources.VersionedLake.append(
-        ev.filter(pmod(col("event_id"), lit(2)) === 0), out)
-      graft.sources.VersionedLake.evolveSchema(s, out, Seq(
-        org.apache.spark.sql.types.StructField("score",
-          org.apache.spark.sql.types.DoubleType)))
-      graft.sources.VersionedLake.append(
-        ev.filter(pmod(col("event_id"), lit(2)) === 1)
-          .withColumn("score", col("value") + 100.0), out)
+      // shared two-file-generation fixture (append → evolve → append);
+      // the query reads ACROSS the evolution boundary, where by-name
+      // parquet resolution must NULL-fill the pre-evolution files
+      val out = LakeFixtures.evolvedLake(s, dir)
       graft.sources.VersionedLake
         .read(s, out, None, "2024-01-08", "2024-01-14")
         .groupBy(col("dt"), col("event_type"))
@@ -1906,6 +1844,23 @@ object Relational {
          FROM events
          WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
            AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND user_id >= 5.0 AND user_id <= 25.0
+         GROUP BY 1, 2""",
+    // Mirrors q142 from the FLAT side: both band predicates applied to
+    // raw events — equality proves the conjunctive manifest pruning over
+    // the Morton layout drops only provably-disjoint files.
+    "q142_lake_band2" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND value >= 100.0 AND value <= 150.0
            AND user_id >= 5.0 AND user_id <= 25.0
          GROUP BY 1, 2""",
     // Mirrors q139 from the FLAT side: the evolved lake reconstructed

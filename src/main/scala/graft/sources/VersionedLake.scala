@@ -245,7 +245,12 @@ object VersionedLake {
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         result = parseManifest(text, p.toString)
-      } catch { case e: IllegalArgumentException => lastErr = e }
+      } catch {
+        // NonFatal, not just the require tripwire: a truncated manifest
+        // can also surface as a Jackson parse error or an IO hiccup, and
+        // those deserve the same eventually-visible retry (r11 ADVICE)
+        case scala.util.control.NonFatal(e) => lastErr = e
+      }
       i += 1
     }
     if (result == null) throw lastErr
@@ -304,8 +309,15 @@ object VersionedLake {
             !fs.exists(dst) && fs.rename(tmp, dst)
         }
       else
+        // a lost race shows as rename returning false (the HDFS
+        // destination-exists contract) or FileAlreadyExists; any OTHER
+        // IOException is a real store fault and must surface, not spin
+        // the commit loop to "contention exceeded" (r11 ADVICE)
         try !fs.exists(dst) && fs.rename(tmp, dst)
-        catch { case _: java.io.IOException => false }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
     fs.delete(tmp, false): Unit // no-op when a rename consumed it
     won
   }
@@ -706,18 +718,45 @@ object VersionedLake {
 
   private def bandReportOf(snap: Snapshot, bandCol: String,
       lo: String, hi: String, fromDay: String, toDay: String)
-      : Partitioned.PruneReport = {
-    val dtype = snap.schema(bandCol).dataType.simpleString
+      : Partitioned.PruneReport =
+    bandsReportOf(snap, Seq((bandCol, lo, hi)), fromDay, toDay)
+
+  /** CONJUNCTIVE multi-band pruning: a file survives only when EVERY
+    * band's recorded range overlaps its bound (a missing range never
+    * prunes — per-column soundness). This is the read pattern Z-order
+    * exists for: on a (value, user_id)-Morton layout a two-sided band
+    * skips strictly more files than either single band, because each
+    * file owns a compact hyper-rectangle in BOTH dimensions.
+    */
+  private def bandsReportOf(snap: Snapshot,
+      bands: Seq[(String, String, String)],
+      fromDay: String, toDay: String): Partitioned.PruneReport = {
+    val typed = bands.map { case (c, lo, hi) =>
+      (c, snap.schema(c).dataType.simpleString, lo, hi)
+    }
     val inDays = snap.files.filter(f => f.dt >= fromDay && f.dt <= toDay)
     val selected = inDays.filter { f =>
-      f.stats.get(bandCol) match {
-        case Some((mn, mx)) => StatsCompare.overlaps(dtype, mn, mx, lo, hi)
-        case None           => true // no recorded range — must read
+      typed.forall { case (c, dtype, lo, hi) =>
+        f.stats.get(c) match {
+          case Some((mn, mx)) => StatsCompare.overlaps(dtype, mn, mx, lo, hi)
+          case None           => true // no recorded range — must read
+        }
       }
     }.map(_.path)
     Partitioned.PruneReport(selected, inDays.length,
       inDays.length - selected.length)
   }
+
+  /** [[bandReport]] for a conjunction of bands (exposed for tests /
+    * observability — which files a [[readBands]] must open).
+    */
+  def bandsReport(spark: SparkSession, path: String,
+      bands: Seq[(String, Double, Double)], version: Option[Long] = None,
+      fromDay: String = "0000-01-01", toDay: String = "9999-12-31")
+      : Partitioned.PruneReport =
+    bandsReportOf(snapshot(spark, path, version),
+      bands.map { case (c, lo, hi) => (c, lo.toString, hi.toString) },
+      fromDay, toDay)
 
   /** Day-ranged band read, file-pruned by the snapshot stats. Result is
     * IDENTICAL to `read(...).filter(bandCol between lo and hi)` — stats
@@ -730,9 +769,27 @@ object VersionedLake {
   def readBand(spark: SparkSession, path: String, bandCol: String,
       lo: Double, hi: Double, version: Option[Long] = None,
       fromDay: String = "0000-01-01", toDay: String = "9999-12-31")
+      : DataFrame =
+    readBands(spark, path, Seq((bandCol, lo, hi)), version, fromDay, toDay)
+
+  /** Day-ranged CONJUNCTIVE multi-band read: every file pruned whose
+    * recorded range on ANY band column provably misses that band.
+    * Result is identical to `read(...)` with all the band filters
+    * applied — stats only decide which files open; the predicates still
+    * run per row and push into the surviving scans. On a Z-ordered
+    * layout ([[compact]] `zorder = true`) this is the read that realizes
+    * the layout's purpose: files are hyper-rectangles in the clustered
+    * key space, so a two-sided band skips strictly more files than
+    * either single-column band alone (VersionedLakeSpec pins that).
+    */
+  def readBands(spark: SparkSession, path: String,
+      bands: Seq[(String, Double, Double)], version: Option[Long] = None,
+      fromDay: String = "0000-01-01", toDay: String = "9999-12-31")
       : DataFrame = {
+    require(bands.nonEmpty, "readBands: no bands given")
     val snap = snapshot(spark, path, version)
-    val report = bandReportOf(snap, bandCol, lo.toString, hi.toString,
+    val report = bandsReportOf(snap,
+      bands.map { case (c, lo, hi) => (c, lo.toString, hi.toString) },
       fromDay, toDay)
     val base =
       if (report.total > 0 && report.selected.isEmpty)
@@ -747,7 +804,9 @@ object VersionedLake {
           .parquet(report.selected.map(p => s"$qualified/$p"): _*)
           .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
       }
-    base.filter(col(bandCol) >= lo && col(bandCol) <= hi)
+    bands.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c) >= lo && col(c) <= hi)
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -805,16 +864,27 @@ object VersionedLake {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(parallelism, math.max(1, byDay.length))))
     val manifestCols = (clusterBy ++ statsCols).distinct
+    // the idempotence witness encodes the LAYOUT, not just "a compaction
+    // ran": re-compacting with zorder=true (or a reordered clusterBy)
+    // over days laid out lexically on the same columns must re-run, or
+    // the Morton layout silently never applies (r11 ADVICE). Unclustered
+    // compaction keeps the bare "compact" tag.
+    val layoutSrc =
+      if (clusterBy.isEmpty) "compact"
+      else if (zorder && clusterBy.size >= 2)
+        s"compact-z:${clusterBy.mkString(",")}"
+      else s"compact:${clusterBy.mkString(",")}"
     def compactOne(day: String, entries: Seq[FileEntry]): Unit = {
       val bytes = entries.map(_.bytes).sum
       val want = math.max(minFilesPerDay.toLong,
         math.max(1L, (bytes + targetBytes - 1) / targetBytes)).toInt
-      // at-bound days are skipped only when a clustered run produced
-      // them: src == "compact" is the witness that the layout (not just
-      // the stats) is the clustered one — append files carry stats too
+      // at-bound days are skipped only when a run with THIS layout
+      // produced them: src carries the cluster spec as the witness —
+      // append files carry stats too, and a lexical layout is not a
+      // Z-order layout even on identical columns
       val alreadyDone = entries.length <= want &&
         (manifestCols.isEmpty || entries.forall(e =>
-          e.src == "compact" && manifestCols.forall(e.stats.contains)))
+          e.src == layoutSrc && manifestCols.forall(e.stats.contains)))
       if (!alreadyDone) {
         val stage = new Path(root,
           s".vstage_compact_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
@@ -884,7 +954,7 @@ object VersionedLake {
           val (n, ranges) = stats.getOrElse(s"dt=$day/$name",
             (0L, Map.empty[String, (String, String)]))
           added.add(FileEntry(s"dt=$day/$name", day, n, len, ranges,
-            src = "compact"))
+            src = layoutSrc))
         }
       }
     }
@@ -1185,10 +1255,20 @@ object VersionedLake {
     val pinned = updates.localCheckpoint()
     try {
       // the batch's key envelope: one tiny driver-side agg, stringified
-      // to compare against the manifest's string-encoded ranges
+      // to compare against the manifest's string-encoded ranges. NULL
+      // keys are REFUSED loudly: semi/anti joins never match NULL, so a
+      // NULL-keyed update row could only ever append a duplicate beside
+      // any existing NULL-keyed lake row — silent corruption (r11
+      // ADVICE). The same agg also distinguishes a genuinely empty
+      // batch (count 0 — no-op) from an all-NULL-key one (error).
       val bounds = pinned.agg(min(col(key)).cast("string"),
-        max(col(key)).cast("string")).head()
-      if (bounds.isNullAt(0)) snap.version // empty batch — no-op
+        max(col(key)).cast("string"), count(lit(1)),
+        count(when(col(key).isNull, 1))).head()
+      require(bounds.getLong(3) == 0L,
+        s"VersionedLake.upsert: ${bounds.getLong(3)} update rows carry a " +
+          s"NULL $key — upsert keys must be non-null (NULL never matches " +
+          "a join, so such rows would silently duplicate instead of replace)")
+      if (bounds.getLong(2) == 0L) snap.version // empty batch — no-op
       else {
         val (kMin, kMax) = (bounds.getString(0), bounds.getString(1))
         val keyType = snap.schema(key).dataType.simpleString
