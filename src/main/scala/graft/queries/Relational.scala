@@ -1009,6 +1009,29 @@ object Relational {
           max(col("event_id")).as("max_event_id"))
     }),
 
+    // MERGE-ON-READ delete gate (VersionedLake deletion vectors): the
+    // SAME lifecycle and oracle as q136, but the delete commits row
+    // TOMBSTONES instead of rewriting files — zero data-file rewrites
+    // (VersionedLakeSpec pins the byte-identical file set), and the
+    // read anti-applies the positions. The hash match against q136's
+    // flat-parquet oracle proves both delete modes serve EXACTLY the
+    // same table; the bench carries the honest dv-write + merge-read
+    // cost. Scale: a scattered-key erasure over 100 TB commits
+    // O(matches) sidecar bytes where copy-on-write rewrites the corpus.
+    "q143_lake_dv_delete" -> ((s, dir) => {
+      val out = LakeFixtures.cloneLake(LakeFixtures.clusteredLake(s, dir))
+      graft.sources.VersionedLake.deleteBand(s, out, "value", 300.0, 1.0e12,
+        fromDay = "2024-01-08", toDay = "2024-01-14", mode = "dv")
+      graft.sources.VersionedLake
+        .read(s, out, None, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+    }),
+
     // ADOPTION gate (VersionedLake.importTree): an existing Partitioned
     // day tree — base write plus an append, the q127 lifecycle — is
     // imported IN PLACE into a commit log (one census job, files
@@ -1889,6 +1912,21 @@ object Relational {
              AS DOUBLE) AS sum_value,
            min(event_id) AS min_event_id
          FROM merged
+         GROUP BY 1, 2""",
+    // Mirrors q143 from the FLAT side — q136's oracle verbatim: both
+    // delete modes must serve the identical complement of the band.
+    "q143_lake_dv_delete" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND (value < 300.0 OR value IS NULL)
          GROUP BY 1, 2""",
     // Mirrors q136 from the FLAT side: the complement of the deleted
     // band (NULL values kept — deletes never match NULL).

@@ -93,10 +93,19 @@ object VersionedLake {
     * distinguishes genuinely range-clustered files (src == "compact")
     * from append files that happen to sit at the file-count bound with
     * coincidental stats.
+    *
+    * `dv` is an optional DELETION VECTOR: the root-relative path of a
+    * tombstone sidecar (parquet of `(path, pos)` rows) listing the
+    * file's deleted row positions — merge-on-read deletes
+    * ([[deleteWhere]] `mode = "dv"`) tombstone instead of rewriting, and
+    * every read anti-applies the positions. When set, `rows` counts the
+    * LIVE rows (physical minus tombstoned) so history totals and rewrite
+    * tripwires stay truthful; `stats` keep their pre-delete bounds —
+    * a conservative over-approximation that stays SOUND for pruning.
     */
   final case class FileEntry(path: String, dt: String, rows: Long,
       bytes: Long, stats: Map[String, (String, String)] = Map.empty,
-      src: String = "append")
+      src: String = "append", dv: Option[String] = None)
 
   /** A committed version: the table schema plus its full live-file set
     * (reconstructed from the log). The version number is carried by the
@@ -172,6 +181,7 @@ object VersionedLake {
       n.put("rows", f.rows)
       n.put("bytes", f.bytes)
       n.put("src", f.src)
+      f.dv.foreach(d => n.put("dv", d))
       if (f.stats.nonEmpty) {
         val st = n.putObject("stats")
         f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
@@ -212,7 +222,8 @@ object VersionedLake {
           }
         adds += FileEntry(n.get("path").asText(), n.get("dt").asText(),
           n.get("rows").asLong(), n.get("bytes").asLong(), stats,
-          if (n.has("src")) n.get("src").asText() else "append")
+          if (n.has("src")) n.get("src").asText() else "append",
+          if (n.has("dv")) Some(n.get("dv").asText()) else None)
       }
     }
     val m = Manifest(header.get("op").asText(), schema,
@@ -677,6 +688,69 @@ object VersionedLake {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       snap.schema.add("dt", "string"))
 
+  /** Root-relative `dt=DAY/name` of a scan's absolute file path — the
+    * join key between `_metadata.file_path` and manifest entry paths.
+    */
+  private def relPathCol(c: org.apache.spark.sql.Column) =
+    concat_ws("/", slice(split(c, "/"), -2, 2))
+
+  /** Tombstone rows `(path, pos)` for the given dv'd entries: each
+    * distinct sidecar is read once, filtered to the paths whose CURRENT
+    * entry still references it (a later compaction may have materialized
+    * a sibling's tombstones out of a shared sidecar — its rows must not
+    * resurrect as someone else's deletes).
+    */
+  private def dvFrame(spark: SparkSession, base: String,
+      dvd: Seq[FileEntry]): DataFrame =
+    dvd.groupBy(_.dv.get).toSeq.sortBy(_._1).map { case (dvp, es) =>
+      spark.read.parquet(s"$base/$dvp")
+        .filter(col("path").isin(es.map(_.path): _*))
+    }.reduce(_.union(_))
+
+  /** THE snapshot scan: read `entries` as (schema columns + dt), with
+    * every entry's deletion vector anti-applied. Entries without a dv
+    * plan exactly the pre-dv scan (no metadata columns, no join — the
+    * hot path is untouched when no tombstones exist); dv'd entries scan
+    * with `_metadata` (file path, row index) and anti-join their
+    * tombstone positions — the merge-on-read contract. The tombstone
+    * side is small by construction (a dv delete that would tombstone
+    * most of a file should have been copy-on-write), so AQE sizes it
+    * into a broadcast unhinted.
+    *
+    * `withMeta` keeps `_graft_file` (root-relative path) and
+    * `_graft_pos` (row index) in the output — the match scans' handle
+    * for per-file accounting.
+    */
+  private def scanEntries(spark: SparkSession, base: String,
+      schema: StructType, entries: Seq[FileEntry],
+      withMeta: Boolean = false): DataFrame = {
+    require(entries.nonEmpty, "scanEntries: no entries")
+    val metaCols = if (withMeta) Seq("_graft_file", "_graft_pos") else Nil
+    val outCols = (schema.fieldNames.toSeq ++ Seq("dt") ++ metaCols).map(col)
+    def raw(fs: Seq[FileEntry], meta: Boolean) = {
+      val b = spark.read.schema(schema).option("basePath", base)
+        .parquet(fs.map(f => s"$base/${f.path}"): _*)
+        .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
+      if (meta)
+        b.withColumn("_graft_file", relPathCol(col("_metadata.file_path")))
+          .withColumn("_graft_pos", col("_metadata.row_index"))
+      else b
+    }
+    val (plain, dvd) = entries.partition(_.dv.isEmpty)
+    val parts = Seq(
+      if (plain.isEmpty) None
+      else Some(raw(plain, withMeta).select(outCols: _*)),
+      if (dvd.isEmpty) None
+      else Some {
+        val tomb = dvFrame(spark, base, dvd)
+        raw(dvd, meta = true)
+          .join(tomb, col("_graft_file") === tomb("path") &&
+            col("_graft_pos") === tomb("pos"), "left_anti")
+          .select(outCols: _*)
+      }).flatten
+    parts.reduce(_.unionByName(_))
+  }
+
   /** Read a snapshot (latest when `version` is None), day-ranged when
     * bounds are given. Pruning is a driver-side filter on snapshot
     * entries — no directory walks; `basePath` keeps the dt partition
@@ -697,9 +771,7 @@ object VersionedLake {
       val root = new Path(path)
       val fs = fsOf(spark, root)
       val base = fs.makeQualified(root).toString
-      spark.read.schema(snap.schema).option("basePath", base)
-        .parquet(picked.map(f => s"$base/${f.path}"): _*)
-        .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
+      scanEntries(spark, base, snap.schema, picked)
     }
   }
 
@@ -792,17 +864,14 @@ object VersionedLake {
       bands.map { case (c, lo, hi) => (c, lo.toString, hi.toString) },
       fromDay, toDay)
     val base =
-      if (report.total > 0 && report.selected.isEmpty)
-        emptyFrame(spark, snap)
-      else if (report.selected.isEmpty || report.skipped == 0)
-        read(spark, path, version, fromDay, toDay)
+      if (report.selected.isEmpty) emptyFrame(spark, snap)
       else {
+        val picked = report.selected.toSet
         val root = new Path(path)
         val fs = fsOf(spark, root)
         val qualified = fs.makeQualified(root).toString
-        spark.read.schema(snap.schema).option("basePath", qualified)
-          .parquet(report.selected.map(p => s"$qualified/$p"): _*)
-          .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
+        scanEntries(spark, qualified, snap.schema,
+          snap.files.filter(f => picked(f.path)))
       }
     bands.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c) >= lo && col(c) <= hi)
@@ -881,15 +950,20 @@ object VersionedLake {
       // at-bound days are skipped only when a run with THIS layout
       // produced them: src carries the cluster spec as the witness —
       // append files carry stats too, and a lexical layout is not a
-      // Z-order layout even on identical columns
+      // Z-order layout even on identical columns. A day holding
+      // tombstoned files is never "done": compaction is where deletion
+      // vectors MATERIALIZE (rows drop out physically, dv refs drop)
       val alreadyDone = entries.length <= want &&
+        entries.forall(_.dv.isEmpty) &&
         (manifestCols.isEmpty || entries.forall(e =>
           e.src == layoutSrc && manifestCols.forall(e.stats.contains)))
       if (!alreadyDone) {
         val stage = new Path(root,
           s".vstage_compact_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
-        val dayDf = spark.read.schema(snap.schema)
-          .parquet(entries.map(e => s"$base/${e.path}"): _*)
+        // dv-applied scan: the rewrite absorbs any tombstones, so the
+        // new files are plain and the sidecars become vacuum garbage
+        val dayDf = scanEntries(spark, base, snap.schema, entries)
+          .drop("dt")
         val laid =
           if (clusterBy.isEmpty) dayDf.coalesce(want)
           else if (zorder && clusterBy.size >= 2) {
@@ -986,11 +1060,14 @@ object VersionedLake {
     }
   }
 
-  /** COPY-ON-WRITE DELETE (the retention/right-to-erasure op a 100 TB
-    * training lake cannot live without): remove every row matching
-    * `predicate` from the LATEST snapshot, by rewriting ONLY the files
-    * that actually contain matches and publishing the substitution as
-    * one atomic commit. Rows where the predicate is NULL are KEPT (a
+  /** DELETE (the retention/right-to-erasure op a 100 TB training lake
+    * cannot live without): remove every row matching `predicate` from
+    * the LATEST snapshot. `mode = "cow"` (default) is COPY-ON-WRITE —
+    * rewrite ONLY the files that actually contain matches and publish
+    * the substitution as one atomic commit; `mode = "dv"` is
+    * MERGE-ON-READ — tombstone the matching row positions in a sidecar
+    * with ZERO data-file rewrites (see [[deleteVectors]]; the right
+    * choice when matches are scattered across many files). Rows where the predicate is NULL are KEPT (a
     * null is not a match — the SQL DELETE convention). Semantics per
     * snapshot: the new version has the rows filtered out; OLDER versions
     * still carry them (time travel is the audit trail), so a true purge
@@ -1011,10 +1088,17 @@ object VersionedLake {
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       fromDay: String = "0000-01-01", toDay: String = "9999-12-31",
-      parallelism: Int = 4): Long = {
+      parallelism: Int = 4, mode: String = "cow"): Long = {
     val snap = snapshot(spark, path, None)
     val candidates = snap.files.filter(f => f.dt >= fromDay && f.dt <= toDay)
-    deleteFromFiles(spark, path, snap, candidates, predicate, parallelism)
+    mode match {
+      case "cow" =>
+        deleteFromFiles(spark, path, snap, candidates, predicate, parallelism)
+      case "dv" =>
+        deleteVectors(spark, path, snap, candidates, predicate)
+      case other => sys.error(
+        s"VersionedLake.deleteWhere: unknown mode '$other' (cow | dv)")
+    }
   }
 
   /** [[deleteWhere]] for a band predicate, with the candidate files
@@ -1027,14 +1111,20 @@ object VersionedLake {
   def deleteBand(spark: SparkSession, path: String, bandCol: String,
       lo: Double, hi: Double,
       fromDay: String = "0000-01-01", toDay: String = "9999-12-31",
-      parallelism: Int = 4): Long = {
+      parallelism: Int = 4, mode: String = "cow"): Long = {
     val snap = snapshot(spark, path, None)
     val report = bandReportOf(snap, bandCol, lo.toString, hi.toString,
       fromDay, toDay)
     val picked = report.selected.toSet
     val candidates = snap.files.filter(f => picked(f.path))
-    deleteFromFiles(spark, path, snap, candidates,
-      col(bandCol) >= lo && col(bandCol) <= hi, parallelism)
+    val predicate = col(bandCol) >= lo && col(bandCol) <= hi
+    mode match {
+      case "cow" =>
+        deleteFromFiles(spark, path, snap, candidates, predicate, parallelism)
+      case "dv" => deleteVectors(spark, path, snap, candidates, predicate)
+      case other => sys.error(
+        s"VersionedLake.deleteBand: unknown mode '$other' (cow | dv)")
+    }
   }
 
   /** Run `rewriteOne(day, entries)` for every touched day on a bounded
@@ -1073,14 +1163,14 @@ object VersionedLake {
     val fs = fsOf(spark, root)
     val base = fs.makeQualified(root).toString
     if (candidates.isEmpty) return snap.version
-    // one job: per-file match counts over just the candidates
+    // one job: per-file match counts over just the candidates —
+    // dv-applied, so already-tombstoned rows never re-match
     val isMatch = coalesce(predicate, lit(false)) // NULL is not a match
-    val matches = spark.read.schema(snap.schema)
-      .parquet(candidates.map(e => s"$base/${e.path}"): _*)
+    val matches = scanEntries(spark, base, snap.schema, candidates,
+        withMeta = true)
       .filter(isMatch)
-      .groupBy(col("_metadata.file_path").as("f")).count().collect()
-      .map(r => r.getString(0).split('/').takeRight(2).mkString("/")
-        -> r.getLong(1)).toMap
+      .groupBy(col("_graft_file").as("f")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val touched = candidates.filter(e => matches.contains(e.path))
     if (touched.isEmpty) return snap.version
     val fresh = rewriteDays(touched, parallelism) { (day, entries) =>
@@ -1089,10 +1179,11 @@ object VersionedLake {
         s".vstage_delete_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
       // keep = NOT match; one rewrite job per touched day over only its
       // touched files, preserving their file count (no re-layout here —
-      // compact() is the re-layout op)
-      spark.read.schema(snap.schema)
-        .parquet(entries.map(e => s"$base/${e.path}"): _*)
+      // compact() is the re-layout op). The dv-applied scan means a
+      // rewrite of a tombstoned file also MATERIALIZES its dv.
+      scanEntries(spark, base, snap.schema, entries)
         .filter(!isMatch)
+        .drop("dt")
         .coalesce(entries.length)
         .write.mode("overwrite").parquet(stage.toString)
       val live = new Path(root, s"dt=$day")
@@ -1121,6 +1212,84 @@ object VersionedLake {
     }
     commitDelta(spark, root, snap.schema, fresh,
       touched.map(_.path).toSet, op = "delete")
+  }
+
+  /** MERGE-ON-READ delete (deletion vectors — the Delta/Iceberg answer
+    * to "right-to-erasure over 100 TB with scattered keys"): instead of
+    * rewriting every file that holds a match (copy-on-write amplifies a
+    * one-row delete into a whole-file rewrite), the matching ROW
+    * POSITIONS are recorded in one tombstone sidecar under `_dv/` and
+    * each touched entry is re-published pointing at it — the commit is
+    * O(matches) sidecar bytes + O(touched entries) manifest text, ZERO
+    * data-file rewrites. Every read ([[read]]/[[readBands]]/[[changes]]/
+    * maintenance scans) anti-applies the positions; [[compact]]
+    * MATERIALIZES them (tombstoned days are never "already done"), which
+    * is also how the read-side join debt is paid down — the Delta
+    * convention of dv-then-compact.
+    *
+    * Row identity is the parquet row index within the immutable file
+    * (`_metadata.row_index` — stable because committed files are never
+    * modified in place). Re-deleting a tombstoned file folds its prior
+    * positions into the new sidecar, so an entry always references
+    * exactly ONE dv file; orphaned sidecars are swept by [[vacuum]].
+    * Entries whose every row is tombstoned are dropped outright. `rows`
+    * stays the LIVE count; `stats` keep their (conservative, sound)
+    * pre-delete bounds until a compaction tightens them.
+    */
+  private def deleteVectors(spark: SparkSession, path: String,
+      snap: Snapshot, candidates: Seq[FileEntry],
+      predicate: org.apache.spark.sql.Column): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val base = fs.makeQualified(root).toString
+    if (candidates.isEmpty) return snap.version
+    val isMatch = coalesce(predicate, lit(false)) // NULL is not a match
+    // one job: (file, position) of every NEW tombstone — the scan is
+    // dv-applied, so already-deleted rows never re-match. Pinned: the
+    // frame drives both the per-file counts and the sidecar write.
+    val pos = scanEntries(spark, base, snap.schema, candidates,
+        withMeta = true)
+      .filter(isMatch)
+      .select(col("_graft_file").as("path"), col("_graft_pos").as("pos"))
+      .localCheckpoint()
+    try {
+      val perFile = pos.groupBy(col("path")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perFile.isEmpty) return snap.version
+      val touched = candidates.filter(e => perFile.contains(e.path))
+      // prior tombstones of the touched files fold into the NEW sidecar
+      // (one dv reference per entry, ever); untouched dv'd files keep
+      // referencing their old sidecar — dvFrame filters per entry, so a
+      // shared sidecar serving both old and new references stays exact
+      val priorDvd = touched.filter(_.dv.isDefined)
+      val allPos =
+        if (priorDvd.isEmpty) pos else pos.union(dvFrame(spark, base, priorDvd))
+      val stage = new Path(root,
+        s".vstage_dv_${java.util.UUID.randomUUID.toString.take(8)}")
+      // tombstones are tiny relative to the data (a delete tombstoning
+      // most of a file should be copy-on-write); one sidecar file keeps
+      // the manifest O(touched entries)
+      allPos.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val dvDir = new Path(root, "_dv")
+      fs.mkdirs(dvDir)
+      val dvName = s"dv-${java.util.UUID.randomUUID.toString.take(12)}.parquet"
+      val part = fs.listStatus(stage)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      require(part.length == 1,
+        s"VersionedLake: dv sidecar stage holds ${part.length} files")
+      if (!fs.rename(part.head.getPath, new Path(dvDir, dvName)))
+        throw new java.io.IOException(
+          s"VersionedLake: rename ${part.head.getPath} -> _dv/$dvName failed")
+      fs.delete(stage, true): Unit
+      val dvRel = s"_dv/$dvName"
+      val adds = touched.flatMap { e =>
+        val live = e.rows - perFile(e.path)
+        if (live <= 0L) None // fully tombstoned: drop the entry outright
+        else Some(e.copy(rows = live, dv = Some(dvRel), src = "delete-dv"))
+      }
+      commitDelta(spark, root, snap.schema, adds,
+        touched.map(_.path).toSet, op = "delete-dv")
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pos)
   }
 
   /** ADOPT an existing [[Partitioned]]-layout day tree into a commit log,
@@ -1180,10 +1349,14 @@ object VersionedLake {
     val root = new Path(path)
     val target = snapshot(spark, path, Some(version))
     val head = snapshot(spark, path, None)
-    val targetPaths = target.files.map(_.path).toSet
-    val headPaths = head.files.map(_.path).toSet
-    val removes = head.files.map(_.path).filterNot(targetPaths).toSet
-    val adds = target.files.filterNot(f => headPaths(f.path))
+    // identity is (path, dv), like [[changes]]: rolling back past a
+    // merge-on-read delete must re-publish the path WITHOUT its
+    // tombstone reference, which is a remove+add of the same path
+    val targetKeys = target.files.map(f => (f.path, f.dv)).toSet
+    val headKeys = head.files.map(f => (f.path, f.dv)).toSet
+    val removes = head.files
+      .filterNot(f => targetKeys((f.path, f.dv))).map(_.path).toSet
+    val adds = target.files.filterNot(f => headKeys((f.path, f.dv)))
     commitDelta(spark, root, target.schema, adds, removes,
       op = s"restore-v$version", allowSchemaChange = true)
   }
@@ -1283,16 +1456,17 @@ object VersionedLake {
           }
         val keys = pinned.select(col(key)).distinct()
         // one job: which candidate files hold a stale version of an
-        // updated key (metadata columns resolve only on the scan itself —
-        // project the file path BEFORE the join)
+        // updated key — dv-applied (a tombstoned row is not stale, it is
+        // gone); metadata columns resolve only on the scan itself, so
+        // scanEntries projects the file path BEFORE the join
         val matches =
           if (candidates.isEmpty) Set.empty[String]
-          else spark.read.schema(snap.schema)
-            .parquet(candidates.map(e => s"$base/${e.path}"): _*)
-            .select(col("_metadata.file_path").as("f"), col(key))
+          else scanEntries(spark, base, snap.schema, candidates,
+              withMeta = true)
+            .select(col("_graft_file").as("f"), col(key))
             .join(keys, Seq(key), "left_semi")
             .groupBy(col("f")).count().collect()
-            .map(r => r.getString(0).split('/').takeRight(2).mkString("/"))
+            .map(r => r.getString(0))
             .toSet
         val touched = snap.files.filter(e => matches(e.path))
         // per-day anti-join rewrites, `parallelism` days in flight (the
@@ -1301,8 +1475,8 @@ object VersionedLake {
           val dayStats = entries.flatMap(_.stats.keys).distinct
           val stage = new Path(root,
             s".vstage_upsert_${day}_${java.util.UUID.randomUUID.toString.take(8)}")
-          spark.read.schema(snap.schema)
-            .parquet(entries.map(e => s"$base/${e.path}"): _*)
+          scanEntries(spark, base, snap.schema, entries)
+            .drop("dt")
             .join(keys, Seq(key), "left_anti") // drop stale rows
             .coalesce(entries.length)
             .write.mode("overwrite").parquet(stage.toString)
@@ -1368,21 +1542,26 @@ object VersionedLake {
     val to = snapshot(spark, path, toVersion)
     require(from.version <= to.version,
       s"changes: fromVersion ${from.version} is newer than ${to.version}")
-    val fromPaths = from.files.map(_.path).toSet
-    val toPaths = to.files.map(_.path).toSet
-    val removedFiles = from.files.filterNot(f => toPaths(f.path))
-    val addedFiles = to.files.filterNot(f => fromPaths(f.path))
-    // read one side's exclusive files with ITS schema, then align both
-    // sides on the TO schema (evolution adds nullable columns only, so
-    // the from-side fills NULL for anything it predates)
+    // entry identity is (path, dv): committed files are immutable per
+    // PATH, but a merge-on-read delete re-publishes the same path with a
+    // new tombstone reference — the dv-applied row sets differ, so such
+    // an entry must land on BOTH sides (its unchanged live rows cancel
+    // in the multiset diff; the newly-tombstoned rows surface as
+    // deletes). Plain shared paths still provably contribute nothing.
+    val fromKeys = from.files.map(f => (f.path, f.dv)).toSet
+    val toKeys = to.files.map(f => (f.path, f.dv)).toSet
+    val removedFiles = from.files.filterNot(f => toKeys((f.path, f.dv)))
+    val addedFiles = to.files.filterNot(f => fromKeys((f.path, f.dv)))
+    // read one side's exclusive files with ITS schema (tombstones
+    // anti-applied per side), then align both sides on the TO schema
+    // (evolution adds nullable columns only, so the from-side fills
+    // NULL for anything it predates)
     def side(files: Seq[FileEntry], schema: StructType): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema.add("dt", "string"))
-      else spark.read.schema(schema).option("basePath", base)
-        .parquet(files.map(f => s"$base/${f.path}"): _*)
-        .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
+      else scanEntries(spark, base, schema, files)
     val outCols = to.schema.fieldNames.toSeq :+ "dt"
     val older = {
       val raw = side(removedFiles, from.schema)
@@ -1434,8 +1613,12 @@ object VersionedLake {
       publishIfAbsent(fs, root, ckptPath(root, oldest),
         manifestText(s.op, s.schema, s.lastBatchId, Nil, s.files, totals)): Unit
     }
-    val live: Set[String] = retained.flatMap(v =>
-      snapshot(spark, path, Some(v)).files.map(_.path)).toSet
+    val retainedSnaps = retained.map(v => snapshot(spark, path, Some(v)))
+    val live: Set[String] = retainedSnaps.flatMap(_.files.map(_.path)).toSet
+    // dv sidecars some retained entry still references — everything else
+    // under _dv/ is a superseded or expired tombstone file
+    val liveDv: Set[String] =
+      retainedSnaps.flatMap(_.files.flatMap(_.dv)).toSet
     val horizon =
       System.currentTimeMillis() - (olderThanHours * 3600 * 1000).toLong
     // sweep data files no retained manifest references — but never
@@ -1455,6 +1638,14 @@ object VersionedLake {
         if (fs.listStatus(dayDir.getPath).isEmpty)
           fs.delete(dayDir.getPath, false): Unit // day emptied by retention
       }
+    // dv sidecars referenced by NO retained version (age-gated like the
+    // data files — an in-flight dv delete's fresh sidecar must survive)
+    val dvDir = new Path(root, "_dv")
+    if (fs.exists(dvDir))
+      fs.listStatus(dvDir)
+        .filter(s => s.isFile && !liveDv(s"_dv/${s.getPath.getName}") &&
+          s.getModificationTime <= horizon)
+        .foreach(s => fs.delete(s.getPath, false): Unit)
     // expired manifests + checkpoints (everything strictly below the
     // oldest retained version — it is now checkpoint-self-contained)
     versions.filter(_ < oldest)

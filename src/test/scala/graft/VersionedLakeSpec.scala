@@ -669,4 +669,105 @@ class VersionedLakeSpec extends SparkSessionSpec {
     assert(preImages.filter(col("value") >= 10000.0).count() === 0,
       "the delete side must carry PRE-images")
   }
+
+  private def dataFilesOn(d: String): Set[(String, Long, Long)] =
+    new java.io.File(d).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .flatMap(day => day.listFiles().filter(_.getName.startsWith("part-"))
+        .map(p => (s"${day.getName}/${p.getName}", p.length(), p.lastModified())))
+      .toSet
+
+  test("deletion vectors: a dv delete rewrites ZERO data files, commits " +
+      "O(matches) sidecar bytes, reads stay exact, time travel keeps the " +
+      "pre-image") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    VersionedLake.append(ev.filter(pmod(col("event_id"), lit(2)) === 0), d,
+      statsCols = Seq("value"))
+    val vPre = VersionedLake.append(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), d,
+      statsCols = Seq("value"))
+    val before = VersionedLake.snapshot(spark, d)
+    val disk0 = dataFilesOn(d)
+    val vDel = VersionedLake.deleteBand(spark, d, "value", 300.0, 1.0e12,
+      mode = "dv")
+    assert(vDel === vPre + 1)
+    // the dt= tree is BYTE-IDENTICAL: merge-on-read never rewrites data
+    assert(dataFilesOn(d) === disk0,
+      "dv delete must not rewrite, add, or drop data files")
+    val after = VersionedLake.snapshot(spark, d)
+    assert(after.files.map(_.path).toSet
+      .subsetOf(before.files.map(_.path).toSet))
+    val dvd = after.files.filter(_.dv.isDefined)
+    assert(dvd.nonEmpty, "the band should tombstone something")
+    assert(dvd.forall(_.src == "delete-dv"))
+    // reads anti-apply the tombstones exactly (NULLs kept — not a match)
+    val expect = ev.filter(col("value") < 300.0 || col("value").isNull)
+    assert(VersionedLake.read(spark, d).count() === expect.count())
+    // the manifest's live-row accounting matches what reads serve
+    assert(after.files.map(_.rows).sum === expect.count())
+    // band reads still prune AND stay exact over tombstoned files
+    val band = VersionedLake.readBand(spark, d, "value", 100.0, 150.0)
+    assert(band.count() ===
+      ev.filter(col("value") >= 100.0 && col("value") <= 150.0).count())
+    // time travel: the pre-delete snapshot still serves every row
+    assert(VersionedLake.read(spark, d, Some(vPre)).count() === ev.count())
+    // and the two delete modes serve the SAME table: a cow twin agrees
+    val d2 = freshRoot()
+    VersionedLake.append(ev, d2)
+    VersionedLake.deleteBand(spark, d2, "value", 300.0, 1.0e12)
+    val cols = ev.columns.map(col).toSeq
+    assert(VersionedLake.read(spark, d).select(cols: _*).exceptAll(
+      VersionedLake.read(spark, d2).select(cols: _*)).count() === 0)
+  }
+
+  test("deletion vectors MATERIALIZE on compaction (a tombstoned day is " +
+      "never 'already done'); vacuum sweeps the orphaned sidecar") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    VersionedLake.append(ev, d, statsCols = Seq("value"))
+    VersionedLake.deleteBand(spark, d, "value", 300.0, 1.0e12, mode = "dv")
+    val live = VersionedLake.read(spark, d).count()
+    assert(VersionedLake.snapshot(spark, d).files.exists(_.dv.isDefined))
+    VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31",
+      clusterBy = Seq("value"))
+    val after = VersionedLake.snapshot(spark, d)
+    assert(after.files.forall(_.dv.isEmpty),
+      "compaction must absorb deletion vectors")
+    assert(after.files.map(_.rows).sum === live)
+    assert(VersionedLake.read(spark, d).count() === live)
+    // the sidecar is unreferenced now; vacuum reclaims it
+    VersionedLake.vacuum(spark, d, retainVersions = 1, olderThanHours = 0.0)
+    val dvDir = new java.io.File(s"$d/_dv")
+    assert(!dvDir.exists() || dvDir.listFiles().isEmpty,
+      "vacuum left an orphaned dv sidecar")
+    assert(VersionedLake.read(spark, d).count() === live)
+  }
+
+  test("stacked dv deletes fold prior tombstones into ONE sidecar per " +
+      "entry; changes() surfaces a dv delete as deletes; restore rolls " +
+      "the tombstones back") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    val vPre = VersionedLake.append(ev, d, statsCols = Seq("value"))
+    val v2 = VersionedLake.deleteBand(spark, d, "value", 400.0, 1.0e12,
+      mode = "dv")
+    val v3 = VersionedLake.deleteBand(spark, d, "value", 300.0, 400.0,
+      mode = "dv")
+    assert(v3 === v2 + 1)
+    // every entry references at most one sidecar, and both bands applied
+    val snap = VersionedLake.snapshot(spark, d)
+    val expect = ev.filter(col("value") < 300.0 || col("value").isNull)
+    assert(VersionedLake.read(spark, d).count() === expect.count())
+    assert(snap.files.map(_.rows).sum === expect.count())
+    // the feed across BOTH dv commits is exactly the deleted rows
+    val fed = VersionedLake.changes(spark, d, vPre, Some(v3))
+    assert(fed.filter(col("_change_type") =!= "delete").count() === 0)
+    assert(fed.count() ===
+      ev.filter(col("value") >= 300.0 && col("value") <= 1.0e12).count())
+    // restore to the pre-delete version: tombstones roll back
+    VersionedLake.restore(spark, d, vPre)
+    assert(VersionedLake.read(spark, d).count() === ev.count())
+    assert(VersionedLake.snapshot(spark, d).files.forall(_.dv.isEmpty))
+  }
 }
