@@ -202,6 +202,45 @@ object StreamQueries {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // LAKE→LAKE STREAMING RELAY (VersionedLake.source → sink — the
+    // multi-stage pipeline shape every 100 TB training flow wants): lake
+    // A ingests three batches; a REAL Structured Streaming query tails
+    // A's commit log (offset = commit version, checkpointed), applies a
+    // stateless filter, and lands exactly-once in lake B — batch 3
+    // arrives WHILE the stream runs, so the relay exercises both the
+    // initial-snapshot batch and the incremental per-version batch. The
+    // week aggregate is answered from B; the oracle computes the same
+    // filter + aggregate from FLAT parquet, so the hash match proves the
+    // whole chain (commit tailing, no version skipped or doubled, the
+    // downstream exactly-once sink) end-to-end. VersionedLakeSpec pins
+    // the restart (no double-read) and refusal (history rewrite) cases.
+    "s21_lake_relay" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_s21").toFile.getAbsolutePath
+      val a = root + "/lakeA"
+      val b = root + "/lakeB"
+      val ck = root + "/ckpt"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      graft.sources.VersionedLake.appendBatch(slice(0), a, batchId = 0)
+      graft.sources.VersionedLake.appendBatch(slice(1), a, batchId = 1)
+      val q = graft.sources.VersionedLake.sink(
+        graft.sources.VersionedLake.source(s, a)
+          .filter(pmod(col("event_id"), lit(2)) === 0), b, ck)
+      try {
+        q.processAllAvailable()
+        graft.sources.VersionedLake.appendBatch(slice(2), a, batchId = 2)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.VersionedLake
+        .read(s, b, None, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // File-ingest twin of s06 — the batch form of FileStreamSpec's
     // production topology (JSONL shards in a watched dir → dedup state
     // → KV store): the planted corpus is written out as JSONL, read
@@ -248,6 +287,19 @@ object StreamQueries {
          FROM events
          WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
            AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+         GROUP BY 1, 2""",
+    // Mirrors s21 from the FLAT side: the relayed filter + the week
+    // aggregate — Spark answers from lake B at the end of the stream.
+    "s21_lake_relay" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND event_id % 2 = 0
          GROUP BY 1, 2""",
     // Mirrors s17 with the plain global prefix max (max is associative,
     // so Spark's two-level bucket scan is bit-equal); integer micros,

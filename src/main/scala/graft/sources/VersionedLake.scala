@@ -125,14 +125,14 @@ object VersionedLake {
       lastBatchId: Long)
 
   /** A parsed manifest (delta or checkpoint): header + body. */
-  private final case class Manifest(op: String, schema: StructType,
+  private[sources] final case class Manifest(op: String, schema: StructType,
       lastBatchId: Long, nAdds: Int, nRemoves: Int, nFiles: Int,
       rows: Long, bytes: Long, removes: Seq[String], adds: Seq[FileEntry])
 
-  private def fsOf(spark: SparkSession, root: Path): FileSystem =
+  private[sources] def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def commitPath(root: Path, v: Long) =
+  private[sources] def commitPath(root: Path, v: Long) =
     new Path(root, f"$CommitDir/v$v%08d.json")
   private def ckptPath(root: Path, v: Long) =
     new Path(root, f"$CommitDir/v$v%08d.ckpt.json")
@@ -244,7 +244,7 @@ object VersionedLake {
     * visible metadata, then it fails LOUDLY rather than silently
     * serving a truncated file list.
     */
-  private def readManifestFile(fs: FileSystem, p: Path): Manifest = {
+  private[sources] def readManifestFile(fs: FileSystem, p: Path): Manifest = {
     var result: Manifest = null
     var lastErr: Throwable = null
     var i = 0
@@ -598,6 +598,22 @@ object VersionedLake {
       }
       .start()
 
+  /** Open the lake as a STREAMING SOURCE tailing the commit log (the
+    * [[sink]]'s read twin — see [[LakeSource]] for the contract): the
+    * stream's offset is the commit VERSION, checkpointed by Structured
+    * Streaming, so a restart resumes at the exact high-water mark and no
+    * version is double-read. First batch = the current snapshot; each
+    * later batch = the next versions' appended files only. Lake→lake
+    * stages compose exactly-once with [[sink]] on the write side.
+    */
+  def source(spark: SparkSession, path: String,
+      ignoreChanges: Boolean = false): DataFrame =
+    spark.readStream
+      .format("graft.sources.LakeSourceProvider")
+      .option("path", path)
+      .option("ignoreChanges", ignoreChanges.toString)
+      .load()
+
   private def appendInternal(df: DataFrame, path: String, tsCol: String,
       statsCols: Seq[String], batchId: Option[Long]): Long = {
     val spark = df.sparkSession
@@ -721,7 +737,7 @@ object VersionedLake {
     * `_graft_pos` (row index) in the output — the match scans' handle
     * for per-file accounting.
     */
-  private def scanEntries(spark: SparkSession, base: String,
+  private[sources] def scanEntries(spark: SparkSession, base: String,
       schema: StructType, entries: Seq[FileEntry],
       withMeta: Boolean = false): DataFrame = {
     require(entries.nonEmpty, "scanEntries: no entries")

@@ -29,4 +29,25 @@ object GraftBridge {
     */
   def waitListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Wrap a BATCH plan's rows as a streaming-tagged DataFrame — what a
+    * V1 streaming Source's getBatch must return (MicroBatchExecution
+    * asserts `isStreaming`; Spark's own FileStreamSource builds its
+    * batches exactly this way via `internalCreateDataFrame`, which is
+    * private[sql] — hence this bridge).
+    */
+  def asStreamingFrame(df: Dataset[Row]): Dataset[Row] = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
+  /** Streaming-tagged empty batch with the given schema. */
+  def emptyStreamingFrame(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): Dataset[Row] = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema, isStreaming = true)
+  }
 }

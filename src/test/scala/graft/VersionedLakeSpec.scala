@@ -770,4 +770,90 @@ class VersionedLakeSpec extends SparkSessionSpec {
     assert(VersionedLake.read(spark, d).count() === ev.count())
     assert(VersionedLake.snapshot(spark, d).files.forall(_.dv.isEmpty))
   }
+
+  test("streaming SOURCE tails the commit log: initial snapshot, then one " +
+      "batch per appended version; a compaction feeds NOTHING; a restart " +
+      "on the same checkpoint never double-reads a version") {
+    val a = freshRoot()
+    val b = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_lakesrc_ckpt").toString
+    val ev = table(spark, sfDir, "events")
+    def sl(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+    VersionedLake.appendBatch(sl(0), a, batchId = 0)
+    VersionedLake.appendBatch(sl(1), a, batchId = 1)
+    // the lake→lake relay: source(A) → stateless projection → sink(B)
+    val q = VersionedLake.sink(VersionedLake.source(spark, a).drop("dt"),
+      b, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(VersionedLake.read(spark, b).count() ===
+        sl(0).count() + sl(1).count())
+      // a version landing mid-stream relays exactly its rows
+      VersionedLake.appendBatch(sl(2), a, batchId = 2)
+      q.processAllAvailable()
+      assert(VersionedLake.read(spark, b).count() === ev.count())
+      // compaction publishes a version but feeds nothing (pure rewrite)
+      val days = VersionedLake.snapshot(spark, a).files.map(_.dt).distinct.sorted
+      VersionedLake.compact(spark, a, days.head, days.last)
+      q.processAllAvailable()
+      assert(VersionedLake.read(spark, b).count() === ev.count())
+    } finally q.stop()
+    // RESTART on the same checkpoint: the version high-water mark rides
+    // the stream checkpoint — nothing re-delivers, and the next append
+    // streams exactly once
+    val extra = ev.limit(37).withColumn("event_id", col("event_id") + 7000000L)
+    VersionedLake.append(extra, a)
+    val q2 = VersionedLake.sink(VersionedLake.source(spark, a).drop("dt"),
+      b, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(VersionedLake.read(spark, b).count() === ev.count() + 37)
+    // row-level equality with the upstream lake, not just counts
+    val cols = ev.columns.map(col).toSeq
+    assert(VersionedLake.read(spark, b).select(cols: _*)
+      .exceptAll(VersionedLake.read(spark, a).select(cols: _*)).count() === 0)
+  }
+
+  test("streaming source REFUSES history rewrites by default; " +
+      "ignoreChanges streams an upsert's new images and skips rewrites") {
+    val a = freshRoot()
+    val ev = table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    VersionedLake.append(ev, a, statsCols = Seq("value"))
+    val ck1 = Files.createTempDirectory("graft_lakesrc_ck1").toString
+    val q = VersionedLake.source(spark, a).writeStream
+      .format("memory").queryName("lakesrc_strict")
+      .option("checkpointLocation", ck1).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from lakesrc_strict").count() === ev.count())
+      // a cow delete rewrites history → the stream must fail loudly
+      VersionedLake.deleteBand(spark, a, "value", 300.0, 1.0e12)
+      val err = intercept[Exception] { q.processAllAvailable() }
+      assert(err.getMessage.contains("only tails appends"),
+        s"unexpected failure: ${err.getMessage}")
+    } finally q.stop()
+    // fresh checkpoint with ignoreChanges: an upsert's NEW images stream,
+    // its rewrites do not
+    val postDelete = VersionedLake.read(spark, a).count()
+    val ck2 = Files.createTempDirectory("graft_lakesrc_ck2").toString
+    val q2 = VersionedLake.source(spark, a, ignoreChanges = true)
+      .writeStream.format("memory").queryName("lakesrc_loose")
+      .option("checkpointLocation", ck2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.sql("select * from lakesrc_loose").count() === postDelete)
+      val touched = VersionedLake.read(spark, a).drop("dt")
+        .filter(col("value") < 200.0).limit(20)
+        .withColumn("value", col("value") + 10000.0)
+        .localCheckpoint()
+      VersionedLake.upsert(touched, a, key = "event_id")
+      q2.processAllAvailable()
+      assert(spark.sql("select * from lakesrc_loose").count() ===
+        postDelete + 20)
+      assert(spark.sql("select * from lakesrc_loose")
+        .filter(col("value") >= 10000.0).count() === 20,
+        "the streamed rows must be the upsert's NEW images")
+    } finally q2.stop()
+  }
 }
