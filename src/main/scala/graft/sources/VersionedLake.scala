@@ -579,9 +579,26 @@ object VersionedLake {
     * each micro-batch is one [[appendBatch]] commit, so the stream gets
     * snapshot-isolated readers, exactly-once replays, and [[compact]] /
     * [[vacuum]] maintenance with no extra machinery.
+    *
+    * AUTO-MAINTENANCE (the Delta auto-compaction convention): without
+    * it, a minute-cadence stream appends ≤1 file/day/partition per batch
+    * FOREVER — ~1,440 files/day and ~500k manifest versions/year unless
+    * an operator schedules maintenance externally. `compactEvery = N`
+    * runs [[compact]] over the whole day range after every Nth batch
+    * (the layout witness skips at-bound days, so the sweep's rewrite
+    * work is O(days that actually accumulated files)); `vacuumEvery = M`
+    * reclaims expired versions/files after every Mth batch, retaining
+    * `vacuumRetain` versions with `vacuumHorizonHours` writer safety.
+    * Maintenance commits conflict-check like any other, so a racing
+    * external compact aborts cleanly and the stream's next batch
+    * proceeds; a replayed batch re-triggering a hook is harmless — the
+    * compact witness makes it a no-op and vacuum is idempotent.
     */
   def sink(df: DataFrame, path: String, checkpointDir: String,
-      tsCol: String = "ts", statsCols: Seq[String] = Nil)
+      tsCol: String = "ts", statsCols: Seq[String] = Nil,
+      compactEvery: Long = 0L, vacuumEvery: Long = 0L,
+      compactTargetMB: Int = 128, clusterBy: Seq[String] = Nil,
+      vacuumRetain: Int = 10, vacuumHorizonHours: Double = 1.0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
@@ -593,8 +610,17 @@ object VersionedLake {
           // write and the stats job are separate actions on a stateful
           // lineage that must not re-execute
           val pinned = batch.toDF().localCheckpoint()
-          try appendBatch(pinned, path, batchId, tsCol, statsCols): Unit
-          finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pinned)
+          try {
+            val spark = batch.sparkSession
+            appendBatch(pinned, path, batchId, tsCol, statsCols): Unit
+            if (compactEvery > 0L && (batchId + 1) % compactEvery == 0L)
+              compact(spark, path, "0000-01-01", "9999-12-31",
+                targetFileMB = compactTargetMB, clusterBy = clusterBy,
+                statsCols = statsCols): Unit
+            if (vacuumEvery > 0L && (batchId + 1) % vacuumEvery == 0L)
+              vacuum(spark, path, retainVersions = vacuumRetain,
+                olderThanHours = vacuumHorizonHours)
+          } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pinned)
       }
       .start()
 

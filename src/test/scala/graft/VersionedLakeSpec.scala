@@ -145,6 +145,49 @@ class VersionedLakeSpec extends SparkSessionSpec {
       .count() === 2) // events 3 and 4
   }
 
+  test("sink auto-maintenance: compactEvery keeps per-day file counts at " +
+      "the compact bound and vacuumEvery prunes expired versions — with " +
+      "rows exactly the batches' union throughout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(day: Int, h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-02-$day%02d $h%02d:00:00")
+    val root = Files.createTempDirectory("graft_vlake_automnt").toString
+    val lake = s"$root/events"
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    // every 2nd batch compacts, every 3rd vacuums down to 2 versions
+    // (horizon 0: the sink is the only writer here)
+    val q = VersionedLake.sink(mem.toDF().toDF("event_id", "ts", "value"),
+      lake, checkpointDir = s"$root/__ckpt",
+      compactEvery = 2L, vacuumEvery = 3L,
+      vacuumRetain = 2, vacuumHorizonHours = 0.0)
+    val sent = scala.collection.mutable.Buffer[(Long, java.sql.Timestamp, Double)]()
+    try {
+      // 6 micro-batches, all into the SAME two days — the accumulation
+      // pattern auto-compaction exists for
+      (0 until 6).foreach { i =>
+        val b = Seq((i * 2L, t(1, i), i * 1.0), (i * 2L + 1, t(2, i), i * 2.0))
+        sent ++= b
+        mem.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // per-day file count sits at the compact bound (1 compacted file +
+    // at most compactEvery-1 fresh appends awaiting the next sweep)
+    val snap = VersionedLake.snapshot(spark, lake)
+    val perDay = snap.files.groupBy(_.dt).map(_._2.size)
+    assert(perDay.max <= 2,
+      s"auto-compact let a day grow past the bound: ${snap.files.groupBy(_.dt)}")
+    // vacuum pruned the version trail to the retain window
+    val versions = VersionedLake.history(spark, lake).map(_.version)
+    assert(versions.size <= 5,
+      s"auto-vacuum left ${versions.size} versions: $versions")
+    // stream == batch: every row exactly once through compactions+vacuums
+    val rows = VersionedLake.read(spark, lake)
+      .select("event_id", "ts", "value").collect().map(_.toSeq).toSet
+    assert(rows === sent.map(r => Seq(r._1, r._2, r._3)).toSet)
+  }
+
   test("manifest stats: clustered compaction makes readBand skip files; " +
       "stat-less entries are never pruned") {
     val d = freshRoot()
@@ -769,6 +812,108 @@ class VersionedLakeSpec extends SparkSessionSpec {
     VersionedLake.restore(spark, d, vPre)
     assert(VersionedLake.read(spark, d).count() === ev.count())
     assert(VersionedLake.snapshot(spark, d).files.forall(_.dv.isEmpty))
+  }
+
+  private def raceOps(ops: Seq[() => Any]): Seq[Either[Throwable, Any]] = {
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(ops.size)
+    try {
+      val futs = ops.map { op =>
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, Any]] {
+          def call(): Either[Throwable, Any] = {
+            start.await()
+            try Right(op()) catch { case t: Throwable => Left(t) }
+          }
+        })
+      }
+      start.countDown()
+      futs.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+  }
+
+  private def snapshotFilesExist(d: String): Unit = {
+    val snap = VersionedLake.snapshot(spark, d)
+    snap.files.foreach { f =>
+      assert(new java.io.File(s"$d/${f.path}").isFile,
+        s"snapshot references a missing file: ${f.path}")
+    }
+  }
+
+  test("TRUE concurrent-writer races (latch-synchronized threads on one " +
+      "lake): racing appends both land, append commutes with compact, " +
+      "racing maintenance loses loudly — and the head always equals the " +
+      "serial union of the winners") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    def shifted(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+      .withColumn("event_id", col("event_id") + i * 10000000L)
+    VersionedLake.append(ev.filter(pmod(col("event_id"), lit(3)) === 0), d)
+    val base = VersionedLake.read(spark, d).count()
+    val sliceN = shifted(0).count()
+
+    // RACE 1: two concurrent appends — pure appends commute, so BOTH
+    // must retry-merge through the version race and land
+    val r1 = raceOps(Seq(
+      () => VersionedLake.append(shifted(1), d),
+      () => VersionedLake.append(shifted(2), d)))
+    assert(r1.forall(_.isRight),
+      s"an append lost a commute-able race: ${r1.collect { case Left(t) => t.getMessage }}")
+    assert(VersionedLake.read(spark, d).count() === base + 2 * sliceN)
+    snapshotFilesExist(d)
+
+    // RACE 2: compact vs append — maintenance commutes with appends
+    // too (the append removes nothing; compact substitutes only what it
+    // read). Both succeed, no row lost or doubled.
+    val r2 = raceOps(Seq(
+      () => VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31"),
+      () => VersionedLake.append(shifted(3), d)))
+    assert(r2.forall(_.isRight),
+      s"compact/append race failed: ${r2.collect { case Left(t) => t.getMessage }}")
+    assert(VersionedLake.read(spark, d).count() === base + 3 * sliceN)
+    snapshotFilesExist(d)
+
+    // RACE 3: two compacts over the same days — they substitute the
+    // same entries, so EXACTLY one wins and the loser aborts loudly on
+    // conflict detection instead of resurrecting replaced files.
+    // (Re-append first so there is something to compact.)
+    VersionedLake.append(shifted(4), d)
+    val r3 = raceOps(Seq(
+      () => VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31",
+        clusterBy = Seq("value")),
+      () => VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31",
+        clusterBy = Seq("value"))))
+    assert(r3.count(_.isRight) === 1,
+      s"same-day compact race: expected exactly one winner, got $r3")
+    r3.collect { case Left(t) =>
+      assert(t.getMessage.contains("conflict"),
+        s"loser must abort on CONFLICT, not: ${t.getMessage}")
+    }
+    assert(VersionedLake.read(spark, d).count() === base + 4 * sliceN)
+    snapshotFilesExist(d)
+
+    // RACE 4: two deletes of DISJOINT bands — each rewrites only files
+    // holding its matches; whether they collide on shared files (one
+    // aborts) or not (both land) the head must equal the serial union
+    // of the winners' predicates
+    val m1 = VersionedLake.read(spark, d)
+      .filter(col("value") >= 900.0 && col("value") <= 1.0e12).count()
+    val m2 = VersionedLake.read(spark, d)
+      .filter(col("value") >= 800.0 && col("value") < 900.0).count()
+    val r4 = raceOps(Seq(
+      () => VersionedLake.deleteBand(spark, d, "value", 900.0, 1.0e12),
+      () => VersionedLake.deleteWhere(spark, d,
+        col("value") >= 800.0 && col("value") < 900.0)))
+    assert(r4.exists(_.isRight), s"both deletes aborted: $r4")
+    r4.collect { case Left(t) =>
+      assert(t.getMessage.contains("conflict"),
+        s"loser must abort on CONFLICT, not: ${t.getMessage}")
+    }
+    val removed = (if (r4.head.isRight) m1 else 0L) +
+      (if (r4(1).isRight) m2 else 0L)
+    assert(VersionedLake.read(spark, d).count() ===
+      base + 4 * sliceN - removed,
+      "the head must be exactly the winners' serial union")
+    snapshotFilesExist(d)
   }
 
   test("streaming SOURCE tails the commit log: initial snapshot, then one " +
