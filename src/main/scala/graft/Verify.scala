@@ -9,6 +9,12 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.session(
       master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+    // the dimension-level sorts (windows over tiny aggregates, by
+    // design) flood the dump log with "No Partition Defined" warnings
+    // that bury real ones — silence that single logger (Bench does too)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Clean any previous dump: a renamed/removed query must not leave a
     // stale result dir for the driver's compare to trip over.
     def rm(f: java.io.File): Unit = {

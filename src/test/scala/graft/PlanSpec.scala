@@ -52,6 +52,30 @@ class PlanSpec extends SparkSessionSpec {
       l.contains("cosine_sim") && l.trim.startsWith("+- *(")))
   }
 
+  test("a small versioned-lake read broadcasts into a join WITHOUT a " +
+      "hint: the manifest's explicit file list carries real sizes, so " +
+      "stats/AQE-gated build-side sizing works on lake reads like on " +
+      "parquet tables") {
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft_lake_cbo")
+      .toString + "/events"
+    val small = graft.Engine.table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .limit(200)
+    graft.sources.VersionedLake.append(small, d)
+    val lake = graft.sources.VersionedLake.read(spark, d)
+      .select(col("event_id"), col("value").as("lake_value"))
+    val fact = graft.Engine.table(spark, sfDir, "events")
+    val joined = fact.join(lake, Seq("event_id")) // no broadcast() hint
+      .groupBy(col("event_type"))
+      .agg(sum(col("lake_value")).as("s"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"a 200-row lake read must broadcast unhinted; plan:\n$p")
+  }
+
   test("q104: all three filters push to their scans; top-10 is TakeOrdered") {
     val p = plan("q104_shipping_priority")
     assert(p.contains("GreaterThan(l_shipdate"))

@@ -651,6 +651,22 @@ class VersionedLakeSpec extends SparkSessionSpec {
       VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31",
         clusterBy = Seq("event_type", "value"), zorder = true)
     }
+    // CONJUNCTIVE pruning (readBands): the two-sided band — the query
+    // pattern Z-order exists for — skips STRICTLY more files than
+    // either single band, because each file is a hyper-rectangle in
+    // both dimensions and must overlap both bounds to survive
+    val rBoth = VersionedLake.bandsReport(spark, d,
+      Seq(("value", 0.0, 40.0), ("user_id", 0.0, 3.0)))
+    assert(rBoth.skipped > rv.skipped && rBoth.skipped > ru.skipped,
+      s"conjunction skipped ${rBoth.skipped}, singles ${rv.skipped}/${ru.skipped}")
+    // pruned == unpruned on the conjunction
+    assert(VersionedLake.readBands(spark, d,
+        Seq(("value", 0.0, 40.0), ("user_id", 0.0, 3.0)))
+      .collect().map(_.toSeq).toSet ===
+      VersionedLake.read(spark, d)
+        .filter(col("value") >= 0.0 && col("value") <= 40.0 &&
+          col("user_id") >= 0.0 && col("user_id") <= 3.0)
+        .collect().map(_.toSeq).toSet)
   }
 
   test("a band read pushes its predicate into the surviving scans (file " +
