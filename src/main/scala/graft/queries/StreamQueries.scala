@@ -241,6 +241,42 @@ object StreamQueries {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // CDC TAIL (VersionedLake.source cdc = true — Delta's readChangeFeed
+    // as a live stream): lake A ingests the slice, a CDC stream starts
+    // (initial batch = the snapshot tagged insert), then a copy-on-write
+    // band delete lands UPSTREAM and must arrive as `delete` rows — a
+    // history rewrite is DATA to a CDC consumer, where the plain source
+    // correctly refuses it. The feed relays into lake B (the downstream
+    // materialization every CDC pipeline ends in); the week aggregate by
+    // change type is answered from B, and the oracle reconstructs
+    // insert-side ∪ delete-side from FLAT parquet — the hash match
+    // proves snapshot tagging, per-version diffing, and exactly-once
+    // relay end-to-end.
+    "s22_lake_cdc_tail" -> ((s, dir) => {
+      val root = graft.TempDirs.scratch("graft_s22").toFile.getAbsolutePath
+      val a = root + "/lakeA"
+      val b = root + "/lakeB"
+      val ck = root + "/ckpt"
+      val ev = table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+      graft.sources.VersionedLake.append(ev, a, statsCols = Seq("value"))
+      val q = graft.sources.VersionedLake.sink(
+        graft.sources.VersionedLake.source(s, a, cdc = true), b, ck)
+      try {
+        q.processAllAvailable()
+        graft.sources.VersionedLake.deleteBand(s, a, "value", 300.0, 1.0e12,
+          fromDay = "2024-01-08", toDay = "2024-01-14")
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.VersionedLake
+        .read(s, b, None, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"), col("_change_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // File-ingest twin of s06 — the batch form of FileStreamSpec's
     // production topology (JSONL shards in a watched dir → dedup state
     // → KV store): the planted corpus is written out as JSONL, read
@@ -300,6 +336,32 @@ object StreamQueries {
          WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
            AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
            AND event_id % 2 = 0
+         GROUP BY 1, 2""",
+    // Mirrors s22 from the FLAT side: the insert side is the full week
+    // (the CDC initial snapshot), the delete side is the banded week
+    // (the cow delete's feed) — both reconstructed from raw events.
+    "s22_lake_cdc_tail" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           'insert' AS "_change_type",
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+         GROUP BY 1, 2
+         UNION ALL
+         SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           'delete' AS "_change_type",
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND value >= 300.0 AND value <= 1000000000000.0
          GROUP BY 1, 2""",
     // Mirrors s17 with the plain global prefix max (max is associative,
     // so Spark's two-level bucket scan is bit-equal); integer micros,

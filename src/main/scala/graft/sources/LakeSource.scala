@@ -32,7 +32,17 @@ import org.apache.spark.sql.types.StructType
   *    not — downstream must tolerate updated keys arriving again;
   *  - a version vacuumed past retention fails the batch with a loud
   *    error naming the cure (fresh checkpoint) instead of silently
-  *    serving a gap.
+  *    serving a gap;
+  *  - CDC MODE (`cdc = true`): the stream is the CHANGE FEED itself —
+  *    the initial batch is the snapshot tagged `insert`, every later
+  *    batch is [[VersionedLake.changes]] between the offsets, so deletes
+  *    arrive as `delete` rows and upserts as pre-image + new-image
+  *    pairs; history rewrites are DATA here, never failures (Delta's
+  *    readChangeFeed);
+  *  - `maxVersionsPerBatch` caps how many commit-log versions one
+  *    micro-batch spans past the committed high-water mark — a cold
+  *    start against a 10⁴-version backlog drains in bounded batches
+  *    (Delta's maxFilesPerTrigger analog; best-effort across restarts).
   *
   * The V1 `Source` API is deliberate: `getBatch` composes the batch as a
   * driver-side plan over exactly the versions' files (the same
@@ -40,7 +50,8 @@ import org.apache.spark.sql.types.StructType
   * `MicroBatchStream` would force into hand-rolled per-partition parquet
   * readers. Spark's own FileStreamSource ships on the same API.
   */
-class LakeSource(spark: SparkSession, path: String, ignoreChanges: Boolean)
+class LakeSource(spark: SparkSession, path: String, ignoreChanges: Boolean,
+    cdc: Boolean = false, maxVersionsPerBatch: Long = 0L)
     extends Source {
 
   private val root = new org.apache.hadoop.fs.Path(path)
@@ -49,10 +60,30 @@ class LakeSource(spark: SparkSession, path: String, ignoreChanges: Boolean)
   private val dataSchema: StructType =
     VersionedLake.snapshot(spark, path, None).schema
 
-  override val schema: StructType = dataSchema.add("dt", "string")
+  override val schema: StructType = {
+    val s = dataSchema.add("dt", "string")
+    if (cdc) s.add("_change_type", "string") else s
+  }
+
+  // end version of the last batch this source PLANNED (getBatch runs
+  // before the engine polls getOffset again, so this is the correct
+  // rate-limit anchor — the engine's commit() callback lands too late
+  // and anchoring on it makes the engine believe it caught up early).
+  // Best-effort across restarts: the recovered batch replays uncapped,
+  // like Delta's maxFilesPerTrigger.
+  @volatile private var plannedV: Option[Long] = None
 
   override def getOffset: Option[Offset] =
-    VersionedLake.latestVersion(spark, path).map(v => LongOffset(v))
+    VersionedLake.latestVersion(spark, path).map { latest =>
+      val capped = (maxVersionsPerBatch, plannedV) match {
+        // cap how far one micro-batch reaches past the last planned
+        // batch: a backlog of 10⁴ versions drains in bounded batches
+        // instead of one giant catch-up plan
+        case (n, Some(p)) if n > 0L => math.min(latest, p + n)
+        case _ => latest
+      }
+      LongOffset(capped)
+    }
 
   /** Adds a version contributes to the stream (empty for pure rewrites;
     * loud for history rewrites unless `ignoreChanges`).
@@ -84,19 +115,52 @@ class LakeSource(spark: SparkSession, path: String, ignoreChanges: Boolean)
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     def ver(o: Offset): Long = o.json.trim.toLong
     val endV = ver(end)
-    val entries = start match {
-      // initial batch: the whole snapshot at endV (tombstones applied) —
-      // NOT the union of historical adds, which would double-count every
-      // compaction rewrite
-      case None => VersionedLake.snapshot(spark, path, Some(endV)).files
-      case Some(s) => ((ver(s) + 1L) to endV).flatMap(addsOf)
-    }
+    plannedV = Some(endV)
     val batch =
-      if (entries.isEmpty)
-        org.apache.spark.sql.GraftBridge.emptyStreamingFrame(spark, schema)
-      else org.apache.spark.sql.GraftBridge.asStreamingFrame(
-        VersionedLake.scanEntries(spark, base, dataSchema, entries))
-    batch
+      if (cdc) getCdcBatch(start.map(ver), endV)
+      else {
+        val entries = start match {
+          // initial batch: the whole snapshot at endV (tombstones
+          // applied) — NOT the union of historical adds, which would
+          // double-count every compaction rewrite
+          case None => VersionedLake.snapshot(spark, path, Some(endV)).files
+          case Some(s) => ((ver(s) + 1L) to endV).flatMap(addsOf)
+        }
+        if (entries.isEmpty) null
+        else VersionedLake.scanEntries(spark, base, dataSchema, entries)
+      }
+    if (batch == null)
+      org.apache.spark.sql.GraftBridge.emptyStreamingFrame(spark, schema)
+    else org.apache.spark.sql.GraftBridge.asStreamingFrame(
+      batch.select(schema.fieldNames.map(
+        org.apache.spark.sql.functions.col).toSeq: _*))
+  }
+
+  /** CDC mode: the micro-batch IS the change feed. Initial batch = the
+    * snapshot tagged `insert`; every later batch = [[VersionedLake.changes]]
+    * between the offsets — deletes surface as `delete` rows, an upsert
+    * as pre-image `delete` + new-image `insert`, compactions cancel.
+    * History rewrites are DATA here, not a failure: CDC consumers exist
+    * precisely to see them.
+    */
+  private def getCdcBatch(startV: Option[Long], endV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    startV match {
+      case None =>
+        val files = VersionedLake.snapshot(spark, path, Some(endV)).files
+        if (files.isEmpty) null
+        else VersionedLake.scanEntries(spark, base, dataSchema, files)
+          .withColumn("_change_type", lit("insert"))
+      case Some(s) =>
+        try VersionedLake.changes(spark, path, s, Some(endV))
+        catch {
+          case e: RuntimeException
+              if e.getMessage != null && e.getMessage.contains("vacuum") =>
+            sys.error(s"graft-lake source (cdc): versions ($s, $endV] of " +
+              s"$path were vacuumed past retention before the stream read " +
+              s"them — restart from a fresh checkpoint (${e.getMessage})")
+        }
+    }
   }
 
   override def commit(end: Offset): Unit = ()
@@ -115,18 +179,25 @@ class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
     params.getOrElse("path",
       sys.error("graft-lake source: option 'path' is required"))
 
+  private def flag(params: Map[String, String], k: String): Boolean =
+    params.get(k).exists(_.trim.equalsIgnoreCase("true"))
+
   override def sourceSchema(ctx: SQLContext, userSchema: Option[StructType],
       providerName: String, params: Map[String, String])
       : (String, StructType) = {
     val snap = VersionedLake.snapshot(ctx.sparkSession, pathOf(params), None)
     // the lake IS the schema authority: a user override could only
     // diverge from what the manifests will serve
-    (shortName(), snap.schema.add("dt", "string"))
+    val s = snap.schema.add("dt", "string")
+    (shortName(), if (flag(params, "cdc")) s.add("_change_type", "string") else s)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       userSchema: Option[StructType], providerName: String,
       params: Map[String, String]): Source =
     new LakeSource(ctx.sparkSession, pathOf(params),
-      params.get("ignoreChanges").exists(_.trim.equalsIgnoreCase("true")))
+      ignoreChanges = flag(params, "ignoreChanges"),
+      cdc = flag(params, "cdc"),
+      maxVersionsPerBatch =
+        params.get("maxVersionsPerBatch").map(_.trim.toLong).getOrElse(0L))
 }

@@ -632,12 +632,22 @@ object VersionedLake {
     * later batch = the next versions' appended files only. Lake→lake
     * stages compose exactly-once with [[sink]] on the write side.
     */
+  /** With `cdc = true` the stream is the CHANGE FEED itself (rows carry
+    * `_change_type` ∈ insert/delete; history rewrites are data, not
+    * failures); `maxVersionsPerBatch > 0` bounds how many commit-log
+    * versions one micro-batch may span (the Delta maxFilesPerTrigger
+    * analog — a cold start against a deep backlog drains in bounded
+    * batches).
+    */
   def source(spark: SparkSession, path: String,
-      ignoreChanges: Boolean = false): DataFrame =
+      ignoreChanges: Boolean = false, cdc: Boolean = false,
+      maxVersionsPerBatch: Long = 0L): DataFrame =
     spark.readStream
       .format("graft.sources.LakeSourceProvider")
       .option("path", path)
       .option("ignoreChanges", ignoreChanges.toString)
+      .option("cdc", cdc.toString)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
       .load()
 
   private def appendInternal(df: DataFrame, path: String, tsCol: String,

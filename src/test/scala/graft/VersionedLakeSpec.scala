@@ -974,6 +974,66 @@ class VersionedLakeSpec extends SparkSessionSpec {
       .exceptAll(VersionedLake.read(spark, a).select(cols: _*)).count() === 0)
   }
 
+  test("streaming source CDC mode: the stream IS the change feed " +
+      "(rewrites are data, not failures); maxVersionsPerBatch drains a " +
+      "version backlog in bounded batches") {
+    val a = freshRoot()
+    val ev = table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    VersionedLake.append(ev, a, statsCols = Seq("value"))
+    val ck = Files.createTempDirectory("graft_lakecdc_ck").toString
+    val q = VersionedLake.source(spark, a, cdc = true).writeStream
+      .format("memory").queryName("lakesrc_cdc")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      def fed = spark.sql("select * from lakesrc_cdc")
+      // initial batch: the snapshot tagged insert
+      assert(fed.filter(col("_change_type") === "insert").count() === ev.count())
+      // a cow delete is DATA in cdc mode: its rows arrive tagged delete
+      VersionedLake.deleteBand(spark, a, "value", 300.0, 1.0e12)
+      q.processAllAvailable()
+      val banded = ev.filter(col("value") >= 300.0 && col("value") <= 1.0e12)
+      assert(fed.filter(col("_change_type") === "delete").count() ===
+        banded.count())
+      // an upsert arrives as pre-image delete + new-image insert
+      val touched = VersionedLake.read(spark, a).drop("dt")
+        .filter(col("value") < 200.0).limit(15)
+        .withColumn("value", col("value") + 20000.0).localCheckpoint()
+      VersionedLake.upsert(touched, a, key = "event_id")
+      q.processAllAvailable()
+      assert(fed.filter(col("_change_type") === "insert" &&
+        col("value") >= 20000.0).count() === 15)
+      assert(fed.filter(col("_change_type") === "delete").count() ===
+        banded.count() + 15)
+    } finally q.stop()
+    // rate limit: after the initial snapshot, a 3-version backlog with
+    // maxVersionsPerBatch=1 must drain across ≥3 bounded micro-batches,
+    // delivering every row exactly once
+    val b = freshRoot()
+    val slim = ev.limit(200).localCheckpoint()
+    VersionedLake.append(slim, b)
+    val ck2 = Files.createTempDirectory("graft_lakerate_ck").toString
+    val q2 = VersionedLake.source(spark, b, maxVersionsPerBatch = 1L)
+      .writeStream.format("memory").queryName("lakesrc_rate")
+      .option("checkpointLocation", ck2).start()
+    try {
+      q2.processAllAvailable() // initial snapshot (batch 0)
+      (1 to 3).foreach { i =>
+        VersionedLake.append(
+          slim.withColumn("event_id", col("event_id") + i * 1000000L), b)
+      }
+      q2.processAllAvailable() // drains the backlog, capped per batch
+      assert(spark.sql("select * from lakesrc_rate").count() === 200L * 4)
+      assert(spark.sql("select distinct event_id from lakesrc_rate").count()
+        === 200L * 4, "rate-limited drain must not double-deliver")
+      // the 3-version backlog took ≥3 bounded batches, not one giant one
+      assert(q2.recentProgress.map(_.batchId).max >= 3,
+        s"backlog drained in too few batches: ${q2.recentProgress.map(_.batchId).toSeq}")
+    } finally q2.stop()
+  }
+
   test("streaming source REFUSES history rewrites by default; " +
       "ignoreChanges streams an upsert's new images and skips rewrites") {
     val a = freshRoot()
