@@ -51,8 +51,8 @@ import org.apache.spark.sql.types.StructType
   * readers. Spark's own FileStreamSource ships on the same API.
   */
 class LakeSource(spark: SparkSession, path: String, ignoreChanges: Boolean,
-    cdc: Boolean = false, maxVersionsPerBatch: Long = 0L)
-    extends Source {
+    cdc: Boolean = false, maxVersionsPerBatch: Long = 0L,
+    startingVersion: Long = 0L) extends Source {
 
   private val root = new org.apache.hadoop.fs.Path(path)
   private val fs = VersionedLake.fsOf(spark, root)
@@ -116,15 +116,20 @@ class LakeSource(spark: SparkSession, path: String, ignoreChanges: Boolean,
     def ver(o: Offset): Long = o.json.trim.toLong
     val endV = ver(end)
     plannedV = Some(endV)
+    // startingVersion (Delta parity): the first batch tails from that
+    // version onward INSTEAD of serving the initial snapshot — the
+    // "resume a pipeline without replaying the corpus" knob
+    val effStart: Option[Long] = start.map(ver).orElse(
+      if (startingVersion > 0L) Some(startingVersion - 1L) else None)
     val batch =
-      if (cdc) getCdcBatch(start.map(ver), endV)
+      if (cdc) getCdcBatch(effStart, endV)
       else {
-        val entries = start match {
+        val entries = effStart match {
           // initial batch: the whole snapshot at endV (tombstones
           // applied) — NOT the union of historical adds, which would
           // double-count every compaction rewrite
           case None => VersionedLake.snapshot(spark, path, Some(endV)).files
-          case Some(s) => ((ver(s) + 1L) to endV).flatMap(addsOf)
+          case Some(s) => ((s + 1L) to endV).flatMap(addsOf)
         }
         if (entries.isEmpty) null
         else VersionedLake.scanEntries(spark, base, dataSchema, entries)
@@ -151,6 +156,11 @@ class LakeSource(spark: SparkSession, path: String, ignoreChanges: Boolean,
         if (files.isEmpty) null
         else VersionedLake.scanEntries(spark, base, dataSchema, files)
           .withColumn("_change_type", lit("insert"))
+      case Some(s) if s >= endV => null // startingVersion beyond the head
+      case Some(s) if s < 1L => sys.error("graft-lake source (cdc): " +
+        "startingVersion must be >= 2 in cdc mode (the predecessor " +
+        "version must exist to diff against); omit it to start from the " +
+        "initial snapshot")
       case Some(s) =>
         try VersionedLake.changes(spark, path, s, Some(endV))
         catch {
@@ -199,5 +209,7 @@ class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
       ignoreChanges = flag(params, "ignoreChanges"),
       cdc = flag(params, "cdc"),
       maxVersionsPerBatch =
-        params.get("maxVersionsPerBatch").map(_.trim.toLong).getOrElse(0L))
+        params.get("maxVersionsPerBatch").map(_.trim.toLong).getOrElse(0L),
+      startingVersion =
+        params.get("startingVersion").map(_.trim.toLong).getOrElse(0L))
 }

@@ -406,6 +406,35 @@ object VersionedLake {
     }
   }
 
+  /** TIMESTAMP-based time travel (Delta's `TIMESTAMP AS OF`): the
+    * highest version whose manifest was published at-or-before
+    * `tsMillis` — commit time is the manifest file's store timestamp
+    * (publish is atomic, so the mtime IS the moment the version became
+    * visible to readers). One listing, no header reads. Errors when
+    * every retained version is newer (the cure is a version read or a
+    * later timestamp); a timestamp after the last commit reads the
+    * head, like Delta.
+    */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val versions = listCommits(fs, root)._1
+    require(versions.nonEmpty, s"VersionedLake: no committed version under $path")
+    val atOrBefore = versions.filter(v =>
+      fs.getFileStatus(commitPath(root, v)).getModificationTime <= tsMillis)
+    atOrBefore.lastOption.getOrElse(
+      sys.error(s"VersionedLake: no version of $path existed at " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)} — the oldest " +
+        s"retained commit (v${versions.head}) is newer (earlier versions " +
+        "may have been vacuumed)"))
+  }
+
+  /** [[read]] pinned to the snapshot visible at `tsMillis`. */
+  def readAt(spark: SparkSession, path: String, tsMillis: Long,
+      fromDay: String = "0000-01-01", toDay: String = "9999-12-31")
+      : DataFrame =
+    read(spark, path, Some(versionAt(spark, path, tsMillis)), fromDay, toDay)
+
   // ---------------------------------------------------------------------
   // Commit
   // ---------------------------------------------------------------------
@@ -641,13 +670,15 @@ object VersionedLake {
     */
   def source(spark: SparkSession, path: String,
       ignoreChanges: Boolean = false, cdc: Boolean = false,
-      maxVersionsPerBatch: Long = 0L): DataFrame =
+      maxVersionsPerBatch: Long = 0L, startingVersion: Long = 0L)
+      : DataFrame =
     spark.readStream
       .format("graft.sources.LakeSourceProvider")
       .option("path", path)
       .option("ignoreChanges", ignoreChanges.toString)
       .option("cdc", cdc.toString)
       .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .option("startingVersion", startingVersion.toString)
       .load()
 
   private def appendInternal(df: DataFrame, path: String, tsCol: String,

@@ -932,6 +932,28 @@ class VersionedLakeSpec extends SparkSessionSpec {
     snapshotFilesExist(d)
   }
 
+  test("timestamp time travel: versionAt maps publish times to versions, " +
+      "readAt serves the snapshot visible then, pre-history timestamps " +
+      "fail loudly") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    val even = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    VersionedLake.append(even, d)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(60) // publish mtimes must straddle t1
+    VersionedLake.append(ev.filter(pmod(col("event_id"), lit(2)) === 1), d)
+    assert(VersionedLake.versionAt(spark, d, t1) === 1L)
+    assert(VersionedLake.readAt(spark, d, t1).count() === even.count())
+    // a timestamp after the last commit reads the head (the Delta rule)
+    assert(VersionedLake.versionAt(spark, d,
+      System.currentTimeMillis() + 60000) === 2L)
+    // a timestamp before the first retained commit is an error, not v1
+    val err = intercept[RuntimeException] {
+      VersionedLake.versionAt(spark, d, t1 - 3600 * 1000)
+    }
+    assert(err.getMessage.contains("no version"))
+  }
+
   test("streaming SOURCE tails the commit log: initial snapshot, then one " +
       "batch per appended version; a compaction feeds NOTHING; a restart " +
       "on the same checkpoint never double-reads a version") {
@@ -1032,6 +1054,19 @@ class VersionedLakeSpec extends SparkSessionSpec {
       assert(q2.recentProgress.map(_.batchId).max >= 3,
         s"backlog drained in too few batches: ${q2.recentProgress.map(_.batchId).toSeq}")
     } finally q2.stop()
+    // startingVersion: the first batch tails FROM that version — no
+    // initial snapshot replay (the resume-a-pipeline knob)
+    val ck3 = Files.createTempDirectory("graft_lakestart_ck").toString
+    val q3 = VersionedLake.source(spark, b, startingVersion = 4L)
+      .writeStream.format("memory").queryName("lakesrc_startv")
+      .option("checkpointLocation", ck3).start()
+    try {
+      q3.processAllAvailable()
+      // lake b holds 4 appends of 200; starting at v4 serves only v4's
+      assert(spark.sql("select * from lakesrc_startv").count() === 200L)
+      assert(spark.sql("select min(event_id) from lakesrc_startv").head()
+        .getLong(0) >= 3000000L, "startingVersion must skip v1-v3 rows")
+    } finally q3.stop()
   }
 
   test("streaming source REFUSES history rewrites by default; " +
