@@ -217,4 +217,17 @@ object LakeFixtures {
 
   /** The [[changesLake]] version the feed diffs FROM (post-append head). */
   val ChangesBaseVersion = 2L
+
+  /** s21 (clone → tail → mid-stream append → relay): the pre-stream
+    * state — event_id % 3 slices 0 and 1 landed as streaming batches 0
+    * and 1 (slice 2 arrives per run, mid-stream).
+    */
+  def relayBase(s: SparkSession, dir: String): String =
+    fixture("lake_relay_base", dir) { out =>
+      val ev = slice(s, dir, "2024-01-05", "2024-01-16")
+      graft.sources.VersionedLake.appendBatch(
+        ev.filter(pmod(col("event_id"), lit(3)) === 0), out, batchId = 0)
+      graft.sources.VersionedLake.appendBatch(
+        ev.filter(pmod(col("event_id"), lit(3)) === 1), out, batchId = 1): Unit
+    }
 }

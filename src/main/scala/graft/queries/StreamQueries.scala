@@ -215,22 +215,24 @@ object StreamQueries {
     // downstream exactly-once sink) end-to-end. VersionedLakeSpec pins
     // the restart (no double-read) and refusal (history rewrite) cases.
     "s21_lake_relay" -> ((s, dir) => {
+      // lake A's pre-stream state is a shared fixture, hard-link CLONED
+      // per run (the q136 discipline) because the mid-stream append
+      // mutates it — the bench pays the RELAY (tail + filter +
+      // exactly-once land + the incremental batch), not two lake builds
+      val a = LakeFixtures.cloneLake(LakeFixtures.relayBase(s, dir))
       val root = graft.TempDirs.scratch("graft_s21").toFile.getAbsolutePath
-      val a = root + "/lakeA"
       val b = root + "/lakeB"
       val ck = root + "/ckpt"
       val ev = table(s, dir, "events")
         .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
           col("ts") < lit("2024-01-16").cast("timestamp"))
-      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
-      graft.sources.VersionedLake.appendBatch(slice(0), a, batchId = 0)
-      graft.sources.VersionedLake.appendBatch(slice(1), a, batchId = 1)
       val q = graft.sources.VersionedLake.sink(
         graft.sources.VersionedLake.source(s, a)
           .filter(pmod(col("event_id"), lit(2)) === 0), b, ck)
       try {
         q.processAllAvailable()
-        graft.sources.VersionedLake.appendBatch(slice(2), a, batchId = 2)
+        graft.sources.VersionedLake.appendBatch(
+          ev.filter(pmod(col("event_id"), lit(3)) === 2), a, batchId = 2)
         q.processAllAvailable()
       } finally q.stop()
       graft.sources.VersionedLake
@@ -253,14 +255,13 @@ object StreamQueries {
     // proves snapshot tagging, per-version diffing, and exactly-once
     // relay end-to-end.
     "s22_lake_cdc_tail" -> ((s, dir) => {
+      // lake A = a CLONE of the shared clustered fixture (the per-run
+      // delete mutates it); the bench pays the CDC tail + the cow
+      // delete + the relay, not the lake build
+      val a = LakeFixtures.cloneLake(LakeFixtures.clusteredLake(s, dir))
       val root = graft.TempDirs.scratch("graft_s22").toFile.getAbsolutePath
-      val a = root + "/lakeA"
       val b = root + "/lakeB"
       val ck = root + "/ckpt"
-      val ev = table(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
-          col("ts") < lit("2024-01-16").cast("timestamp"))
-      graft.sources.VersionedLake.append(ev, a, statsCols = Seq("value"))
       val q = graft.sources.VersionedLake.sink(
         graft.sources.VersionedLake.source(s, a, cdc = true), b, ck)
       try {
