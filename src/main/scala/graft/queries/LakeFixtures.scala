@@ -103,19 +103,38 @@ object LakeFixtures {
         clusterBy = Seq("value"), minFilesPerDay = 4)
     }
 
-  /** q134: versioned lake — v1 = even half, v2 = odd half, v3 = plain
-    * compaction of the read week (the time-travel fixture; v1 is pinned
-    * as the even-half snapshot the oracle recomputes).
+  /** Wall-clock instants captured between fixture commits, keyed like
+    * [[built]] — what the TIMESTAMP time-travel gate (q144) resolves
+    * against. Manifest publish mtimes are immutable, so a stamp taken
+    * at build time stays valid for every later invocation in the JVM.
+    */
+  private val stamps =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** q134/q144: versioned lake — v1 = even half, v2 = odd half, v3 =
+    * plain compaction of the read week (the time-travel fixture; v1 is
+    * pinned as the even-half snapshot the oracle recomputes).
     */
   def plainLake(s: SparkSession, dir: String): String =
     fixture("lake_plain", dir) { out =>
       val ev = slice(s, dir, "2024-01-05", "2024-01-16")
       val v1 = graft.sources.VersionedLake.append(even(ev), out)
       require(v1 == 1L, s"plain lake fixture: first append committed v$v1")
+      // the instant v1 was the visible head — q144 travels HERE by
+      // timestamp; the sleep keeps v2's publish mtime strictly later
+      // than the stamp even on coarse filesystem clocks
+      stamps.put(s"lake_plain|$dir", System.currentTimeMillis())
+      Thread.sleep(60)
       graft.sources.VersionedLake.append(odd(ev), out)
       graft.sources.VersionedLake.compact(
         s, out, "2024-01-08", "2024-01-14", targetFileMB = 128)
     }
+
+  /** The wall-clock instant at which [[plainLake]]'s v1 was the head. */
+  def plainLakeV1Stamp(s: SparkSession, dir: String): Long = {
+    plainLake(s, dir): Unit // ensure built
+    stamps.get(s"lake_plain|$dir")
+  }
 
   /** q135 (read) / q136 + q143 (clone → delete): versioned lake with
     * value stats on every commit and a value-clustered 4-file-floor

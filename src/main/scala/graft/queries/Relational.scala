@@ -1157,6 +1157,28 @@ object Relational {
           max(col("event_id")).as("max_event_id"))
     }),
 
+    // TIMESTAMP time travel (VersionedLake.readAt — Delta's `TIMESTAMP
+    // AS OF`): the query reads the lake AS OF the wall-clock instant
+    // captured between the fixture's v1 and v2 commits — versionAt maps
+    // the instant to v1 via manifest publish mtimes (atomic publish
+    // makes the mtime the visibility instant), so the result must be
+    // exactly the even event_id half (q134's v1 leg, same oracle
+    // shape). A mapping error of ±1 version serves the wrong row set
+    // and fails the hash. Scale: resolution is one commit-dir listing —
+    // no header or body reads.
+    "q144_lake_as_of" -> ((s, dir) => {
+      val out = LakeFixtures.plainLake(s, dir)
+      val t1 = LakeFixtures.plainLakeV1Stamp(s, dir)
+      graft.sources.VersionedLake
+        .readAt(s, out, t1, "2024-01-08", "2024-01-14")
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec38(sum(dec(col("value")))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+    }),
+
     // TWO-SIDED band on the Z-ordered lake (VersionedLake.readBands —
     // the query pattern Z-order EXISTS for): a conjunctive band on BOTH
     // clustered columns prunes files whose hyper-rectangle misses either
@@ -1868,6 +1890,21 @@ object Relational {
          WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
            AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
            AND user_id >= 5.0 AND user_id <= 25.0
+         GROUP BY 1, 2""",
+    // Mirrors q144 from the FLAT side: AS-OF the captured instant only
+    // the even half existed (q134's v1 reconstruction + the extremes).
+    "q144_lake_as_of" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+           AND event_id % 2 = 0
          GROUP BY 1, 2""",
     // Mirrors q142 from the FLAT side: both band predicates applied to
     // raw events — equality proves the conjunctive manifest pruning over

@@ -648,7 +648,7 @@ object VersionedLake {
                 statsCols = statsCols): Unit
             if (vacuumEvery > 0L && (batchId + 1) % vacuumEvery == 0L)
               vacuum(spark, path, retainVersions = vacuumRetain,
-                olderThanHours = vacuumHorizonHours)
+                olderThanHours = vacuumHorizonHours): Unit
           } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pinned)
       }
       .start()
@@ -1678,18 +1678,28 @@ object VersionedLake {
     * is running. Readers pinned to an EXPIRING version still need the
     * maintenance-window contract — run vacuum outside their lifetime.
     */
+  /** What a [[vacuum]] would (or did) reclaim — `dryRun = true` returns
+    * this WITHOUT deleting anything or writing the self-containment
+    * checkpoint: the audit an operator runs before an irreversible
+    * retention sweep. `bytes` covers the data files only.
+    */
+  final case class VacuumReport(dataFiles: Seq[String],
+      dvFiles: Seq[String], expiredVersions: Seq[Long],
+      expiredCheckpoints: Seq[Long], bytes: Long)
+
   def vacuum(spark: SparkSession, path: String,
-      retainVersions: Int = 1, olderThanHours: Double = 168.0): Unit = {
+      retainVersions: Int = 1, olderThanHours: Double = 168.0,
+      dryRun: Boolean = false): VacuumReport = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val (versions, ckpts) = listCommits(fs, root)
-    if (versions.isEmpty) return
+    if (versions.isEmpty) return VacuumReport(Nil, Nil, Nil, Nil, 0L)
     val retained = versions.takeRight(retainVersions)
     val oldest = retained.head
     // self-contain the oldest retained version BEFORE dropping the
     // deltas below it (idempotent atomic publish — skipped if present)
-    if (!ckpts.contains(oldest)) {
+    if (!dryRun && !ckpts.contains(oldest)) {
       val s = snapshot(spark, path, Some(oldest))
       val totals =
         (s.files.length, s.files.map(_.rows).sum, s.files.map(_.bytes).sum)
@@ -1704,36 +1714,44 @@ object VersionedLake {
       retainedSnaps.flatMap(_.files.flatMap(_.dv)).toSet
     val horizon =
       System.currentTimeMillis() - (olderThanHours * 3600 * 1000).toLong
-    // sweep data files no retained manifest references — but never
-    // anything young enough to be an in-flight writer's (the horizon)
-    fs.listStatus(root)
+    // data files no retained manifest references — but never anything
+    // young enough to be an in-flight writer's (the horizon)
+    val deadData = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
-      .foreach { dayDir =>
+      .flatMap { dayDir =>
         val day = dayDir.getPath.getName
         fs.listStatus(dayDir.getPath)
           .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
             !s.getPath.getName.startsWith("_"))
-          .foreach { f =>
-            if (!live(s"$day/${f.getPath.getName}") &&
-                f.getModificationTime <= horizon)
-              fs.delete(f.getPath, false): Unit
-          }
-        if (fs.listStatus(dayDir.getPath).isEmpty)
-          fs.delete(dayDir.getPath, false): Unit // day emptied by retention
-      }
-    // dv sidecars referenced by NO retained version (age-gated like the
-    // data files — an in-flight dv delete's fresh sidecar must survive)
+          .filter(f => !live(s"$day/${f.getPath.getName}") &&
+            f.getModificationTime <= horizon)
+          .map(f => (s"$day/${f.getPath.getName}", f.getPath, f.getLen))
+      }.toSeq
+    // dv sidecars referenced by NO retained version, age-gated the same
+    // way (an in-flight dv delete's fresh sidecar must survive)
     val dvDir = new Path(root, "_dv")
-    if (fs.exists(dvDir))
-      fs.listStatus(dvDir)
+    val deadDv =
+      if (!fs.exists(dvDir)) Seq.empty
+      else fs.listStatus(dvDir)
         .filter(s => s.isFile && !liveDv(s"_dv/${s.getPath.getName}") &&
           s.getModificationTime <= horizon)
-        .foreach(s => fs.delete(s.getPath, false): Unit)
+        .map(s => (s"_dv/${s.getPath.getName}", s.getPath)).toSeq
+    val report = VacuumReport(deadData.map(_._1), deadDv.map(_._1),
+      versions.filter(_ < oldest), ckpts.filter(_ < oldest),
+      deadData.map(_._3).sum)
+    if (dryRun) return report
+    deadData.foreach(f => fs.delete(f._2, false): Unit)
+    // drop days emptied by retention
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+      .filter(d => fs.listStatus(d.getPath).isEmpty)
+      .foreach(d => fs.delete(d.getPath, false): Unit)
+    deadDv.foreach(f => fs.delete(f._2, false): Unit)
     // expired manifests + checkpoints (everything strictly below the
     // oldest retained version — it is now checkpoint-self-contained)
-    versions.filter(_ < oldest)
+    report.expiredVersions
       .foreach(v => fs.delete(commitPath(root, v), false): Unit)
-    ckpts.filter(_ < oldest)
+    report.expiredCheckpoints
       .foreach(v => fs.delete(ckptPath(root, v), false): Unit)
     // crashed writers' stage dirs + crashed committers' temp manifests,
     // age-gated the same way
@@ -1747,5 +1765,6 @@ object VersionedLake {
         .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-"))
         .filter(_.getModificationTime <= horizon)
         .foreach(s => fs.delete(s.getPath, false): Unit)
+    report
   }
 }

@@ -795,12 +795,44 @@ class VersionedLakeSpec extends SparkSessionSpec {
       "compaction must absorb deletion vectors")
     assert(after.files.map(_.rows).sum === live)
     assert(VersionedLake.read(spark, d).count() === live)
-    // the sidecar is unreferenced now; vacuum reclaims it
-    VersionedLake.vacuum(spark, d, retainVersions = 1, olderThanHours = 0.0)
+    // the sidecar is unreferenced now; a DRY RUN names it (and the
+    // pre-compaction data files) without touching anything
+    val audit = VersionedLake.vacuum(spark, d, retainVersions = 1,
+      olderThanHours = 0.0, dryRun = true)
+    assert(audit.dvFiles.nonEmpty, "dry run must report the orphaned dv")
+    assert(audit.dataFiles.nonEmpty && audit.bytes > 0)
+    assert(new java.io.File(s"$d/_dv").listFiles().nonEmpty,
+      "dry run must not delete")
+    // the real sweep reclaims exactly what the audit named
+    val swept = VersionedLake.vacuum(spark, d, retainVersions = 1,
+      olderThanHours = 0.0)
+    assert(swept.dvFiles.toSet === audit.dvFiles.toSet &&
+      swept.dataFiles.toSet === audit.dataFiles.toSet)
     val dvDir = new java.io.File(s"$d/_dv")
     assert(!dvDir.exists() || dvDir.listFiles().isEmpty,
       "vacuum left an orphaned dv sidecar")
     assert(VersionedLake.read(spark, d).count() === live)
+  }
+
+  test("the tombstone-free read path plans ZERO joins — the dv anti-join " +
+      "enters only while tombstones exist and a compaction removes it " +
+      "again") {
+    val d = freshRoot()
+    val ev = table(spark, sfDir, "events")
+    VersionedLake.append(ev, d, statsCols = Seq("value"))
+    def readPlan(): String = {
+      val df = VersionedLake.read(spark, d)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(!readPlan().contains("Join"),
+      "a lake without tombstones must plan a bare scan")
+    VersionedLake.deleteBand(spark, d, "value", 300.0, 1.0e12, mode = "dv")
+    assert(readPlan().contains("Join"),
+      "tombstoned files must anti-join their positions")
+    VersionedLake.compact(spark, d, "0000-01-01", "9999-12-31")
+    assert(!readPlan().contains("Join"),
+      "compaction must pay down the read-side join debt")
   }
 
   test("stacked dv deletes fold prior tombstones into ONE sidecar per " +
