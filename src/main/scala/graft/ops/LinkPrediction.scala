@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -27,6 +26,19 @@ import org.apache.spark.sql.types.DecimalType
   * round-6 of one libm ln summed as exact DECIMAL (the t11 cross-row
   * double-sum discipline). cn/jaccard are defined over the sampled
   * wedges by contract.
+  *
+  * Wedge generation is IN-ROW (the Triangles adjacency idiom): one
+  * explicit-width exchange groups each pivot's sorted neighbor list
+  * (truncated to `maxFanout` — identical to the former row_number cut)
+  * together with its full degree, and the a<b wedge pairs explode from
+  * the array. The former form (row_number window → degree join → pivot
+  * self-join) paid two extra exchanges AND hit AQE's byte-based
+  * coalescing: the ~10 MB pivot exchange coalesced to 4 partitions, so
+  * the 25× wedge explosion plus the (a, b) partial aggregation ran
+  * nearly single-task (measured 7.3 s of a 14.3 s wall at sf0.1). A
+  * generator's output size is invisible to AQE (guide §2.5's synthetic-
+  * key collapse genus); the explicit repartition width pins the
+  * explode + partial-agg stage at cluster parallelism.
   */
 object LinkPrediction {
 
@@ -39,19 +51,25 @@ object LinkPrediction {
       minCommon: Int = 12): DataFrame = {
     require(maxFanout >= 2, s"maxFanout must be >= 2, got $maxFanout")
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val p = math.max(
+      edges.sparkSession.sparkContext.defaultParallelism * 2, 16)
     val both = edges.select(col("lo").as("z"), col("hi").as("n"))
       .unionAll(edges.select(col("hi").as("z"), col("lo").as("n")))
     val deg = both.groupBy(col("z").as("v")).agg(count(lit(1)).as("d"))
-    val piv = both
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("z")).orderBy(col("n").asc)))
-      .filter(col("__rn") <= maxFanout)
-      .join(deg.select(col("v").as("z"), col("d").as("__dz")), Seq("z"))
-      .select(col("z"), col("n"), col("__dz"))
-    val cand = piv.as("p").join(piv.as("q"), Seq("z"))
-      .filter(col("p.n") < col("q.n"))
-      .select(col("p.n").as("a"), col("q.n").as("b"),
-        round(lit(1.0) / log(col("p.__dz").cast("double")), 6)
+    // per pivot: full degree + the first-maxFanout sorted neighbors
+    // (edges are distinct, so the neighbor list is duplicate-free and
+    // slice(sort_array(...), 1, maxFanout) equals the old
+    // row_number-over-(z order by n) <= maxFanout cut)
+    val adj = both.repartition(p, col("z"))
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("__dz"),
+        slice(sort_array(collect_list(col("n"))), 1, maxFanout).as("__ns"))
+    val cand = adj
+      .select(col("__dz"), explode(flatten(transform(col("__ns"), (x, i) =>
+        transform(slice(col("__ns"), i + lit(2), size(col("__ns"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__w"))
+      .select(col("__w.a").as("a"), col("__w.b").as("b"),
+        round(lit(1.0) / log(col("__dz").cast("double")), 6)
           .cast(DecimalType(18, 6)).as("__aa"))
     val scored = cand.groupBy("a", "b")
       .agg(count(lit(1)).as("cn"),

@@ -16,6 +16,59 @@ import graft.Engine.table
   */
 object GraphQueries {
 
+  /** Co-purchase part pairs (lo < hi), one row per order containing both
+    * parts — the edge-build preamble every co-order graph query shares.
+    *
+    * The original form (`distinct (l_orderkey, l_partkey)` → self-join on
+    * `l_orderkey` → pair filter) pays two full-table exchanges plus a join
+    * per query. Here the per-order DISTINCT part set is collected in ONE
+    * explicit-width exchange and the i<j pairs are generated in-row from
+    * the sorted array (guide §2.4: remove shuffles outright) — the emitted
+    * multiset is identical (collect_set per order ≡ the old global
+    * distinct's per-order effect; sorted-array combinations ≡ the join's
+    * `<` filter), so every consumer's result is byte-unchanged.
+    *
+    * Order line counts are schema-bounded (single-digit parts per order at
+    * any SF), so the per-row array and its C(n,2) pair list are O(1) — no
+    * skew rides the explode. The explicit repartition width pins the
+    * generate stage at cluster parallelism: AQE's byte-based coalescing is
+    * blind to generators and would otherwise run the pair explosion in 1-2
+    * tasks (the q97 wedge-stage collapse, measured 7.3 s of a 14.3 s wall
+    * at sf0.1).
+    */
+  private def coOrderSets(s: SparkSession, dir: String): DataFrame = {
+    // exactly cluster parallelism, not a multiple: the iterative
+    // consumers (BFS/SSSP/PageRank rounds) checkpoint the derived edge
+    // table in THIS width and pay per-task overhead on it every round
+    val p = math.max(s.sparkContext.defaultParallelism, 16)
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(p, col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
+  }
+
+  private def coOrderPairs(s: SparkSession, dir: String): DataFrame =
+    coOrderSets(s, dir)
+      .select(explode(flatten(transform(col("__ps"), (x, i) =>
+        transform(slice(col("__ps"), i + lit(2), size(col("__ps"))),
+          y => struct(x.as("lo"), y.as("hi")))))).as("__p"))
+      .select(col("__p.lo").as("lo"), col("__p.hi").as("hi"))
+
+  /** Both-orientation variant: every ordered pair (src ≠ dst) once per
+    * order — the old self-join's `=!=` multiset. Emitted in-row (each
+    * i<j combination yields both orientations) rather than by a
+    * `unionAll` of two projections of [[coOrderPairs]], which would put
+    * the generation subtree in the plan twice and execute it twice.
+    */
+  private def coOrderBoth(s: SparkSession, dir: String): DataFrame =
+    coOrderSets(s, dir)
+      .select(explode(flatten(transform(col("__ps"), (x, i) =>
+        flatten(transform(slice(col("__ps"), i + lit(2), size(col("__ps"))),
+          y => array(struct(x.as("src"), y.as("dst")),
+            struct(y.as("src"), x.as("dst")))))))).as("__p"))
+      .select(col("__p.src").as("src"), col("__p.dst").as("dst"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // k-core of the co-order part graph (the q57 edge set): the unique
     // maximal subgraph of minimum degree >= k, by decremental parallel
@@ -23,26 +76,19 @@ object GraphQueries {
     // sequential removal, and the oracle's full-recompute rounds all
     // reach the same fixpoint — which is what lets an iterative
     // algorithm hash-match a 12-round unrolled SQL oracle exactly.
-    "q65_kcore" -> ((s, dir) => {
-      val lp = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      graft.ops.KCore.kCore(e, k = 60, maxRounds = 32)
-    }),
+    "q65_kcore" -> ((s, dir) =>
+      graft.ops.KCore.kCore(coOrderBoth(s, dir), k = 60, maxRounds = 32)),
 
     // Degree distribution of the co-order part graph (the q30/q35/q51
     // graph family's structural readout): distinct-neighbor degree per
     // node, then degree → node-count histogram. Two partially-aggregated
     // key groupBys over the distinct edge set — no iteration.
     "q57_degree_histogram" -> ((s, dir) => {
-      val lp = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      lp.as("x").join(lp.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      // distinct the lo<hi pairs (half the both-orientation row count),
+      // then count each vertex across both endpoint columns
+      coOrderPairs(s, dir)
         .distinct()
+        .select(explode(array(col("lo"), col("hi"))).as("src"))
         .groupBy(col("src")).agg(count(lit(1)).as("__deg"))
         .groupBy(col("__deg")).agg(count(lit(1)).as("n_nodes"))
         .select(col("__deg").as("degree"), col("n_nodes"))
@@ -111,11 +157,7 @@ object GraphQueries {
     // BFS levels — two entirely different executions of the same
     // fixpoint.
     "q51_bfs_levels" -> ((s, dir) => {
-      val lp = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      val edges = coOrderBoth(s, dir)
       val sources = table(s, dir, "lineitem")
         .filter(col("l_partkey") < 10)
         .select(col("l_partkey").as("node")).distinct()
@@ -130,13 +172,16 @@ object GraphQueries {
     // bit-replayable; scale 10⁸ keeps r·w inside a long at any
     // multiplicity (the op's overflow require).
     "q75_weighted_pagerank" -> ((s, dir) => {
-      val lp = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pw = lp.as("x").join(lp.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("src"),
-          col("y.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      // co-order multiplicity is symmetric: aggregate the lo<hi pairs
+      // (half the rows and groups of the both-orientation form), then
+      // emit both orientations in-row off the aggregated result
+      val pw = coOrderPairs(s, dir)
+        .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("w"))
+        .select(explode(array(
+          struct(col("lo").as("src"), col("hi").as("dst"), col("w")),
+          struct(col("hi").as("src"), col("lo").as("dst"), col("w"))))
+          .as("__e"))
+        .select(col("__e.src"), col("__e.dst"), col("__e.w"))
       graft.ops.PageRank.fixedPointPageRank(pw, iterations = 5,
         scale = 100000000L)
     }),
@@ -147,6 +192,12 @@ object GraphQueries {
     // part-affinity radius from the seed parts — the weighted complement
     // of q51's hop-count BFS. Pure long arithmetic end to end; the
     // oracle unrolls the identical four relax/min rounds.
+    // NOTE (r12 optimization round): q78 deliberately KEEPS the original
+    // self-join edge build. The coOrderPairs/coOrderBoth rewire measured
+    // +20-25% here in three variants (anchor-normalized, same windows) —
+    // this query's groupBy(src,dst) output partitioning feeds
+    // bellmanFord's internal min-agg with zero re-exchange, and every
+    // generator-based variant broke that reuse or re-aggregated.
     "q78_sssp" -> ((s, dir) => {
       val lp = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -186,11 +237,8 @@ object GraphQueries {
     // traversal credits all three corners of every triangle in a
     // single pass (Triangles.vertexTriangles).
     "q85_clustering" -> ((s, dir) => {
-      val lp = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = lp.as("x").join(lp.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      val edges = coOrderPairs(s, dir)
+        .select(col("lo").as("src"), col("hi").as("dst"))
       graft.ops.Triangles.vertexTriangles(edges)
     }),
 
@@ -203,12 +251,9 @@ object GraphQueries {
     // degree joins, one partial agg, combinable across shards at any
     // scale). The closing r is one round-6 double chain.
     "q90_assortativity" -> ((s, dir) => {
-      val lp = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").cast("long").as("lo"),
-          col("y.l_partkey").cast("long").as("hi"))
+      val e = coOrderPairs(s, dir)
+        .select(col("lo").cast("long").as("lo"),
+          col("hi").cast("long").as("hi"))
         .distinct()
       val deg = e.select(col("lo").as("v"))
         .unionAll(e.select(col("hi").as("v")))
@@ -241,12 +286,9 @@ object GraphQueries {
     // sized); m rides a 1-row broadcast and each term is one round-6
     // double chain.
     "q94_modularity" -> ((s, dir) => {
-      val lp = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").cast("long").as("lo"),
-          col("y.l_partkey").cast("long").as("hi"))
+      val e = coOrderPairs(s, dir)
+        .select(col("lo").cast("long").as("lo"),
+          col("hi").cast("long").as("hi"))
         .distinct()
       val brand = table(s, dir, "part")
         .select(col("p_partkey").cast("long").as("v"),
@@ -290,12 +332,8 @@ object GraphQueries {
     // all three rounds unrolled (the q30 discipline; float-free —
     // ops/LabelProp.scala for the co-partitioned round shape).
     "q96_label_prop" -> ((s, dir) => {
-      val lp = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"),
-          col("y.l_partkey").as("dst"))
+      val e = coOrderPairs(s, dir)
+        .select(col("lo").as("src"), col("hi").as("dst"))
         .distinct()
       graft.ops.LabelProp.propagate(e, rounds = 3)
     }),
@@ -310,12 +348,9 @@ object GraphQueries {
     // one libm ln summed as exact DECIMAL (the t11 discipline); jaccard
     // is one integer-ratio round-6 division (ops/LinkPrediction.scala).
     "q97_link_prediction" -> ((s, dir) => {
-      val lp = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").cast("long").as("lo"),
-          col("y.l_partkey").cast("long").as("hi"))
+      val e = coOrderPairs(s, dir)
+        .select(col("lo").cast("long").as("lo"),
+          col("hi").cast("long").as("hi"))
         .distinct()
       graft.ops.LinkPrediction.neighborScores(
         e, maxFanout = 32, minCommon = 12)
@@ -329,12 +364,9 @@ object GraphQueries {
     // all four steps unrolled (ops/RandomWalks.scala for the
     // two-co-partitioned-joins-per-step scale shape).
     "q98_random_walks" -> ((s, dir) => {
-      val lp = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = lp.as("x").join(lp.as("y"), "l_orderkey")
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").cast("long").as("lo"),
-          col("y.l_partkey").cast("long").as("hi"))
+      val e = coOrderPairs(s, dir)
+        .select(col("lo").cast("long").as("lo"),
+          col("hi").cast("long").as("hi"))
         .distinct()
       graft.ops.RandomWalks.walkCorpus(
         e, steps = 4, walksPerVertex = 3, seed = 11L)
