@@ -73,7 +73,9 @@ object VectorFunctions {
     */
   def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(lit): _*)
+      // one array literal per plane (not dim unrolled Literal nodes —
+      // the Similarity tree-size discipline); dot semantics unchanged
+      val pl = typedLit(p.toSeq)
       when(dot(v, pl) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 

@@ -280,7 +280,12 @@ object Similarity {
     val base = if (useLiterals) df else withCentroidsCol(df, centroids)
     val cosines =
       if (useLiterals)
-        array(centroids.map(c => cosine(col(vecCol), array(c.map(lit(_)): _*))): _*)
+        // ONE array literal + one lambda — not nCells unrolled cosines
+        // over nCells×dim CreateArray(Literal) nodes, whose analysis/
+        // optimization cost dominated the v04/v11 wall at bench scale
+        // (same per-row kernel, same order, same values)
+        transform(typedLit(centroids.map(_.toSeq).toSeq),
+          c => cosine(col(vecCol), c))
       else
         transform(col("__cents"), c => cosine(col(vecCol), c))
     base.withColumn("__cos", cosines)
@@ -828,7 +833,7 @@ object Similarity {
       .withColumn("mean_sim",
         round(col("__s").cast("double") / col("n_vecs").cast("double"), 6))
       .withColumn("nn_sim",
-        element_at(array(nn.map(lit(_)): _*), col("cell")))
+        element_at(typedLit(nn.toSeq), col("cell")))
       .select(col("cell"), col("n_vecs"), col("mean_sim"), col("nn_sim"),
         round(col("mean_sim") - col("nn_sim"), 6).as("margin"))
   }
@@ -1011,8 +1016,12 @@ object Similarity {
     val sub = codebooks(0)(0).length
     val codes = codebooks.zipWithIndex.map { case (cb, mi) =>
       val s = slice(vec, mi * sub + 1, sub)
-      val dists = array(cb.map(c =>
-        l2sq(s, array(c.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
+      // one codebook literal + one lambda per sub-space (not nCodes
+      // unrolled aggregate(zip_with) trees over CreateArray literals —
+      // the tree-size cut that keeps planning off the v09/v11/v13
+      // critical path); per-element arithmetic and first-min tie
+      // semantics are unchanged
+      val dists = transform(typedLit(cb.map(_.toSeq).toSeq), c => l2sq(s, c))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     array(codes.toIndexedSeq: _*)
@@ -1024,11 +1033,12 @@ object Similarity {
     * `element_at`.
     */
   def pqDecode(codes: Column, codebooks: Array[Array[Array[Float]]]): Column = {
-    val nested = codebooks.map(cb =>
-      array(cb.map(c =>
-        array(c.map(x => lit(x.toDouble)).toIndexedSeq: _*)).toIndexedSeq: _*))
-    concat(nested.zipWithIndex.map { case (n, mi) =>
-      element_at(n, element_at(codes, mi + 1) + 1)
+    // one 3-level array literal shared by every sub-space lookup (the
+    // unrolled form carried m·nCodes·sub Literal nodes through analysis)
+    val books = typedLit(
+      codebooks.map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq)
+    concat(codebooks.indices.map { mi =>
+      element_at(element_at(books, mi + 1), element_at(codes, mi + 1) + 1)
     }.toIndexedSeq: _*)
   }
 
@@ -1226,7 +1236,9 @@ object Similarity {
     val sub = cbs(0)(0).length
     val lut = array(cbs.zipWithIndex.map { case (cb, mi) =>
       val s = slice(col(qvecCol), mi * sub + 1, sub)
-      array(cb.map(c => l2sq(s, array(c.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
+      // one codebook literal + one lambda per sub-space (the pqEncode
+      // tree-size discipline); per-entry arithmetic unchanged
+      transform(typedLit(cb.map(_.toSeq).toSeq), c => l2sq(s, c))
     }.toIndexedSeq: _*)
     val qb = withCellCosines(queries, cents, qvecCol, maxLiteralCells)
       .withColumn("__lut", lut)
