@@ -541,8 +541,17 @@ object Similarity {
   private[graft] def saltedBlockPairs(
       rows: DataFrame, blockCol: String, maxBlockRows: Int): DataFrame = {
     require(maxBlockRows >= 1, s"maxBlockRows must be >= 1, got $maxBlockRows")
-    val sizes = rows.groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
-    val salted = rows.join(broadcast(sizes), Seq(blockCol))
+    // Materialize the slim (id, vec, block) rows ONCE: this operator
+    // scans its input three times (size table, left tile leg, right tile
+    // leg), and without a checkpoint each pass re-executed the upstream
+    // signature/cell-assignment compute (measured: m09's 64-md5-per-row
+    // fingerprint pass ran 3x, ~1.6 s of its 3.6 s min at sf0.1). The
+    // frame is the blocking-slim projection by construction — at any
+    // scale one write + three scans of it beats three recomputes of the
+    // corpus-wide kernel feeding it.
+    val mat = rows.localCheckpoint()
+    val sizes = mat.groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
+    val salted = mat.join(broadcast(sizes), Seq(blockCol))
       .withColumn("__s", greatest(lit(1),
         ceil(col("__n").cast("double") / lit(maxBlockRows))).cast("int"))
       .withColumn("__g", pmod(xxhash64(col("id")), col("__s")).cast("int"))
