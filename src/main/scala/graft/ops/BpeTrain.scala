@@ -46,51 +46,68 @@ object BpeTrain {
       .select(col("word"), col("c"),
         posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
       .localCheckpoint()
-    var merges: DataFrame = null
+    // merge rows accumulate on the driver: the per-round argmax is ONE
+    // row by construction, so it is collected (the PageRank bounded
+    // 1-row-stats idiom) and re-enters the plan as literals. The former
+    // form kept it as a limit(1) frame, which re-executed that round's
+    // pair-count join+agg TWICE more — once building the crossJoin
+    // broadcast, once again when the final merges union was evaluated
+    // (8 rounds = 16 extra aggregation jobs per run of t29).
+    val mergeRows = scala.collection.mutable.Buffer[(Int, String, String, String, Long)]()
     var r = 1
-    while (r <= rounds) {
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val pairCounts = sym.as("s1")
         .join(sym.as("s2"),
           col("s1.word") === col("s2.word") &&
             col("s2.pos") === col("s1.pos") + 1)
         .groupBy(col("s1.sym").as("l"), col("s2.sym").as("r2"))
         .agg(sum(col("s1.c")).as("pc"))
-      val mx = pairCounts
+      val top = pairCounts
         .orderBy(col("pc").desc, col("l").asc, col("r2").asc).limit(1)
-      val roundRow = mx.select(lit(r).as("round"), col("l").as("l_sym"),
-        col("r2").as("r_sym"), concat(col("l"), col("r2")).as("merged"),
-        col("pc").as("pair_count"))
-      merges = if (merges == null) roundRow else merges.unionAll(roundRow)
-      // match marks + greedy run-parity selection + rebuild
-      val marked = sym.crossJoin(broadcast(mx))
-        .withColumn("__next", lead(col("sym"), 1).over(wWord))
-        .withColumn("__m",
-          when(col("sym") === col("l") && col("__next") === col("r2"), 1)
-            .otherwise(0))
-      val runs = marked
-        // run id: consecutive match positions share (pos − rank among
-        // matches); non-matches get null and never group
-        .withColumn("__grp",
-          when(col("__m") === 1, col("pos") - row_number().over(
-            Window.partitionBy(col("word"), col("__m"))
-              .orderBy(col("pos").asc))))
-      val chosen = runs
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("word"), col("__m"), col("__grp"))
-            .orderBy(col("pos").asc)))
-        .withColumn("__take",
-          (col("__m") === 1 && col("__rn") % 2 === 1).cast("int"))
-      sym = chosen
-        .withColumn("__dropped",
-          lag(col("__take"), 1, 0).over(wWord) === 1)
-        .filter(!col("__dropped"))
-        .select(col("word"), col("c"),
-          row_number().over(wWord).as("pos"),
-          when(col("__take") === 1, concat(col("sym"), col("__next")))
-            .otherwise(col("sym")).as("sym"))
-        .localCheckpoint()
-      r += 1
+        .collect()
+      if (top.isEmpty) {
+        // vocabulary exhausted: the old empty-limit(1) frames added no
+        // rows and emptied sym — identical output, fewer no-op rounds
+        exhausted = true
+      } else {
+        val (lSym, rSym, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        mergeRows += ((r, lSym, rSym, lSym + rSym, pc))
+        // match marks + greedy run-parity selection + rebuild
+        val marked = sym
+          .withColumn("__next", lead(col("sym"), 1).over(wWord))
+          .withColumn("__m",
+            when(col("sym") === lit(lSym) && col("__next") === lit(rSym), 1)
+              .otherwise(0))
+        val runs = marked
+          // run id: consecutive match positions share (pos − rank among
+          // matches); non-matches get null and never group
+          .withColumn("__grp",
+            when(col("__m") === 1, col("pos") - row_number().over(
+              Window.partitionBy(col("word"), col("__m"))
+                .orderBy(col("pos").asc))))
+        val chosen = runs
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("word"), col("__m"), col("__grp"))
+              .orderBy(col("pos").asc)))
+          .withColumn("__take",
+            (col("__m") === 1 && col("__rn") % 2 === 1).cast("int"))
+        sym = chosen
+          .withColumn("__dropped",
+            lag(col("__take"), 1, 0).over(wWord) === 1)
+          .filter(!col("__dropped"))
+          .select(col("word"), col("c"),
+            row_number().over(wWord).as("pos"),
+            when(col("__take") === 1, concat(col("sym"), col("__next")))
+              .otherwise(col("sym")).as("sym"))
+          .localCheckpoint()
+        r += 1
+      }
     }
-    merges
+    val spark = df.sparkSession
+    import spark.implicits._
+    mergeRows.toSeq
+      .toDF("round", "l_sym", "r_sym", "merged", "pair_count")
   }
 }

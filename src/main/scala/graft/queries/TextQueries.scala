@@ -271,7 +271,12 @@ object TextQueries {
     "t28_textrank" -> ((s, dir) => {
       def wid(w: org.apache.spark.sql.Column) =
         conv(substring(md5(w), 1, 13), 16, 10).cast("long")
-      val toks = table(s, dir, "documents")
+      // widen the scan (the tokenize+explode kernel otherwise runs at
+      // the 2-task scan width), and checkpoint the adjacent-pair frame
+      // ONCE: edges and vocab consumed it through four union branches,
+      // re-running tokenization per branch (2×0.8 s of the warm profile)
+      val toks = graft.ops.widen(
+          table(s, dir, "documents").select(col("text")))
         .select(tokens(lower(col("text"))).as("__ts"))
         .filter(size(col("__ts")) >= 2)
       val ap = toks.select(explode(filter(
@@ -280,10 +285,14 @@ object TextQueries {
               element_at(col("__ts"), i + 1).as("b"))),
           p => p("a") =!= p("b"))).as("__p"))
         .select(col("__p.a").as("a"), col("__p.b").as("b"))
-      val edges = ap.select(wid(col("a")).as("src"), wid(col("b")).as("dst"))
-        .unionAll(ap.select(wid(col("b")).as("src"), wid(col("a")).as("dst")))
-      val vocab = ap.select(col("a").as("word"))
-        .unionAll(ap.select(col("b").as("word"))).distinct()
+        .localCheckpoint()
+      val edges = ap.select(explode(array(
+          struct(wid(col("a")).as("src"), wid(col("b")).as("dst")),
+          struct(wid(col("b")).as("src"), wid(col("a")).as("dst"))))
+          .as("__e"))
+        .select(col("__e.src"), col("__e.dst"))
+      val vocab = ap
+        .select(explode(array(col("a"), col("b"))).as("word")).distinct()
         .select(col("word"), wid(col("word")).as("__wid"))
       graft.ops.PageRank.fixedPointPageRank(edges, iterations = 5)
         .join(vocab, col("vertex") === col("__wid"))
