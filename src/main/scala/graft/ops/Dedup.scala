@@ -312,7 +312,10 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val p = expansionParallelism(df)
     // spread signature computation: small single-file inputs otherwise run
-    // the whole shingling/minhash map side on 1-2 scan partitions
+    // the whole shingling/minhash map side on 1-2 scan partitions.
+    // (r13 measured a localCheckpoint here at 0.5× — persisting the wide
+    // shingle arrays costs more than the codegen'd recompute, and the
+    // repartition exchange is already reused across the consumers.)
     val sh = df.repartition(p).select(
       col(idCol).as("id"), hashedShingles(col(textCol), k).as("shingles"))
     // band keys carry (id, bucket) ONLY: the wide shingle arrays never
@@ -524,14 +527,22 @@ object Dedup {
     * 2–3 small shuffles — the DataFrame-native Pregel-lite that stays in
     * Catalyst instead of dropping to RDDs.
     */
-  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 25,
+      broadcastMaxVertices: Long = 2L * 1000 * 1000): DataFrame = {
     // localCheckpoint (not cache): each round's plan must start from a
     // materialized result, or the lineage grows by one join per round and
     // analysis cost explodes exponentially — the classic iterative-
     // DataFrame trap.
+    // both orientations explode IN-ROW: a `unionAll` of two projections
+    // would put the pair-generation subtree (for d06/d15 the entire
+    // minhash LSH pipeline) in the plan twice and execute it twice —
+    // the TextRank/coOrderBoth lesson (guide §1.2 compute once). The
+    // emitted multiset is identical, so the distinct edge set is too.
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       // src-keyed layout, materialized once: every round's label join
       // then satisfies its distribution from the checkpoint — only the
@@ -547,6 +558,14 @@ object Dedup {
       .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
       .select(col("src").as("id"), col("cluster_id"))
       .localCheckpoint()
+    // the q30 regime gate (bounded 1-row collect over the materialized
+    // label table): below it the node-sized label table BROADCASTS into
+    // each round's edge join and pointer-jump joins — the edge
+    // checkpoint is neither re-sorted nor re-exchanged per round (a
+    // stat-less checkpoint otherwise sort-merge-joins; guide §3.1)
+    val useBroadcast = labels.count() <= broadcastMaxVertices
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
     // decimal sum: exact at any scale (a long sum could overflow on
     // trillions of rows with large ids)
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -559,7 +578,7 @@ object Dedup {
       // neighbor-min pass: label'(v) = min(label(v), min over (u,v) edges
       // of label(u))
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .join(maybeBcast(labels.withColumnRenamed("id", "src")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster_id")).as("nmin"))
       // materialized: the pointer-jump joins below reference this table
@@ -593,8 +612,8 @@ object Dedup {
         // so the sum test still detects the combined fixpoint.
         val next = (1 to 3).foldLeft(afterNeighbors) { (l, i) =>
           l.join(
-              afterNeighbors.select(col("id").as(s"__p$i"),
-                col("cluster_id").as(s"__l$i")),
+              maybeBcast(afterNeighbors.select(col("id").as(s"__p$i"),
+                col("cluster_id").as(s"__l$i"))),
               col("cluster_id") === col(s"__p$i"), "left")
             .select(col("id"),
               coalesce(col(s"__l$i"), col("cluster_id")).as("cluster_id"))

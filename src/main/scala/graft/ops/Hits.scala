@@ -48,7 +48,8 @@ object Hits {
 
   def fixedPointHits(
       edges: DataFrame, iterations: Int,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      broadcastMaxVertices: Long = 2L * 1000 * 1000): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     require(scale >= 100L, s"scale must be >= 100, got $scale")
@@ -57,15 +58,30 @@ object Hits {
         col("auth").cast("long").as("auth"))
       .distinct()
       .localCheckpoint()
-    // two aggs over the already-materialized checkpoint (the PageRank
-    // weighted-guard idiom): bounded 1-row collects, annotated
-    val dh = e.groupBy(col("hub")).agg(count(lit(1)).as("d"))
-      .agg(max(col("d"))).collect()(0).getLong(0)
-    val da = e.groupBy(col("auth")).agg(count(lit(1)).as("d"))
-      .agg(max(col("d"))).collect()(0).getLong(0)
-    val maxDeg = math.max(dh, da)
+    // ONE bounded 1-row collect over the already-materialized checkpoint
+    // (the PageRank weighted-guard idiom): both sides' max degrees AND
+    // the vertex count (the broadcast-regime gate) fold into a single job
+    val stats = e.groupBy(col("hub")).agg(count(lit(1)).as("d"))
+      .select(col("d"))
+      .unionAll(e.groupBy(col("auth")).agg(count(lit(1)).as("d"))
+        .select(col("d")))
+      .agg(max(col("d")), count(lit(1))).collect()(0)
+    val (maxDeg, nV) = (stats.getLong(0), stats.getLong(1))
     require(maxDeg <= Long.MaxValue / scale / scale,
       s"maxDegree*scale^2 must fit a long: maxDegree=$maxDeg, scale=$scale")
+    // The q30 regime gate: a checkpointed edge table carries no stats, so
+    // without a hint Catalyst sort-merge-joins each half-round and
+    // RE-EXCHANGES the data-sized edge list every time (the exact failure
+    // PageRank.round documents; guide §3.1 pick the strategy
+    // deliberately). Below the gate the vertex-sized score table
+    // broadcasts and the edge table never moves; above it the edge list
+    // is pinned hash-partitioned on each half-round's key ONCE, so only
+    // the score side exchanges per half-round.
+    val useBroadcast = nV <= broadcastMaxVertices
+    val eByAuth =
+      if (useBroadcast) e else e.repartition(col("auth")).localCheckpoint()
+    val eByHub =
+      if (useBroadcast) e else e.repartition(col("hub")).localCheckpoint()
     var a = e.select(col("auth").as("v")).distinct()
       .withColumn("s", lit(scale)).localCheckpoint()
     var h: DataFrame = null
@@ -77,14 +93,19 @@ object Hits {
       // materialized table folded in as a literal (a bounded 1-row
       // collect — the PageRank stats idiom), and the normalized view is
       // a lazy projection the next join reads straight off the
-      // checkpoint (no second shuffle, no recompute)
-      val hRaw = e.join(a, e("auth") === a("v"))
+      // checkpoint (no second shuffle, no recompute). (r13 measured the
+      // fold-the-max-into-a-broadcast-cross-join alternative at 0.93× —
+      // the extra broadcast stage inside each half-round's job cost more
+      // than the separate bounded collect.)
+      val hRaw = eByAuth
+        .join(if (useBroadcast) broadcast(a) else a, col("auth") === a("v"))
         .groupBy(col("hub")).agg(sum(col("s")).as("__r"))
         .localCheckpoint()
       val hm = hRaw.agg(max(col("__r"))).collect()(0).getLong(0)
       h = hRaw.select(col("hub").as("v"),
         expr(s"(__r * ${scale}L) div ${hm}L").as("s"))
-      val aRaw = e.join(h, e("hub") === h("v"))
+      val aRaw = eByHub
+        .join(if (useBroadcast) broadcast(h) else h, col("hub") === h("v"))
         .groupBy(col("auth")).agg(sum(col("s")).as("__r"))
         .localCheckpoint()
       val am = aRaw.agg(max(col("__r"))).collect()(0).getLong(0)

@@ -45,7 +45,8 @@ object KCore {
     */
   def kCore(
       edges: DataFrame, k: Int, maxRounds: Int = 64,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      broadcastMaxVertices: Long = 2L * 1000 * 1000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val e = edges
@@ -60,6 +61,14 @@ object KCore {
     var deg = e.groupBy(col("__src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // the q30 regime gate, read off the already-materialized degree
+    // table (bounded 1-row collect): below it the node-bounded doomed
+    // set BROADCASTS into the decrement join, so the edge table is
+    // neither re-sorted nor re-exchanged per round (a stat-less
+    // checkpoint otherwise sort-merge-joins and pays a full edge sort
+    // every round — guide §3.1); the vertex-sized bookkeeping joins
+    // broadcast their small sides the same way
+    val useBroadcast = deg.count() <= broadcastMaxVertices
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
@@ -70,13 +79,15 @@ object KCore {
         // each removed vertex decrements its still-alive neighbors; a
         // neighbor removed in the SAME round is dropped by the
         // anti-join anyway, so over-decrementing it is harmless
-        val dec = doomed
+        val dec = (if (useBroadcast) broadcast(doomed) else doomed)
           .join(e, col("node") === col("__src"))
           .groupBy(col("__dst").as("__n"))
           .agg(count(lit(1)).as("__dec"))
         deg = deg
-          .join(doomed, Seq("node"), "left_anti")
-          .join(dec, col("node") === col("__n"), "left")
+          .join(if (useBroadcast) broadcast(doomed) else doomed,
+            Seq("node"), "left_anti")
+          .join(if (useBroadcast) broadcast(dec) else dec,
+            col("node") === col("__n"), "left")
           .select(col("node"),
             (col("deg") - coalesce(col("__dec"), lit(0L))).as("deg"))
           .localCheckpoint()

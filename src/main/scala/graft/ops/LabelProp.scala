@@ -50,8 +50,12 @@ object LabelProp {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-    val adj = e.select(col("a").as("v"), col("b").as("n"))
-      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+    // both orientations explode IN-ROW: a unionAll of two projections
+    // would execute the caller's edge build twice (guide §1.2)
+    val adj = e.select(explode(array(
+        struct(col("a").as("v"), col("b").as("n")),
+        struct(col("b").as("v"), col("a").as("n")))).as("__o"))
+      .select(col("__o.v").as("v"), col("__o.n").as("n"))
       .repartition(col("n"))
       .localCheckpoint()
     var labels = adj.select(col("v")).distinct()
@@ -63,6 +67,12 @@ object LabelProp {
     // re-exchanges; above it the rounds fall back to the co-partitioned
     // shuffle join (the billions-of-vertices path).
     val bcastLabels = labels.count() <= broadcastMaxVertices
+    // each round references the label table exactly ONCE, so the fixed
+    // rounds unroll LAZILY into one plan: a single action executes all
+    // rounds instead of paying an eager localCheckpoint job per round
+    // (the PageRank round-composition discipline, guide §1.2 — the plan
+    // grows linearly with the round count and every round still pays
+    // only its own partially-aggregated label shuffle)
     for (_ <- 1 to rounds) {
       val lbl = labels.select(col("v").as("n"), col("label"))
       labels = adj
@@ -73,7 +83,6 @@ object LabelProp {
         .agg(max(struct(col("__c").as("c"), (-col("label")).as("nl")))
           .as("__m"))
         .select(col("v"), (-col("__m.nl")).as("label"))
-        .localCheckpoint()
     }
     labels.select(col("v").as("node"), col("label").as("community"))
   }

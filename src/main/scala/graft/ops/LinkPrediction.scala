@@ -53,8 +53,19 @@ object LinkPrediction {
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
     val p = math.max(
       edges.sparkSession.sparkContext.defaultParallelism * 2, 16)
-    val both = edges.select(col("lo").as("z"), col("hi").as("n"))
-      .unionAll(edges.select(col("hi").as("z"), col("lo").as("n")))
+    // MATERIALIZED once (guide §1.2 compute once): the edge set is
+    // consumed from five plan branches (both orientations for the degree
+    // table and the adjacency build, plus the final anti-join) — without
+    // the checkpoint the caller's edge construction (for q97 a full
+    // lineitem scan + per-order set aggregation + pair explode +
+    // distinct) re-executes per branch
+    val ed = edges.localCheckpoint()
+    // both orientations explode IN-ROW (one pass over the materialized
+    // edges instead of a two-branch unionAll scanning them twice)
+    val both = ed.select(explode(array(
+        struct(col("lo").as("z"), col("hi").as("n")),
+        struct(col("hi").as("z"), col("lo").as("n")))).as("__b"))
+      .select(col("__b.z").as("z"), col("__b.n").as("n"))
     val deg = both.groupBy(col("z").as("v")).agg(count(lit(1)).as("d"))
     // per pivot: full degree + the first-maxFanout sorted neighbors
     // (edges are distinct, so the neighbor list is duplicate-free and
@@ -76,7 +87,7 @@ object LinkPrediction {
         sum(col("__aa")).cast(DecimalType(38, 6)).as("__aas"))
       .filter(col("cn") >= minCommon)
     scored
-      .join(edges, scored("a") === edges("lo") && scored("b") === edges("hi"),
+      .join(ed, scored("a") === ed("lo") && scored("b") === ed("hi"),
         "left_anti")
       .join(deg.select(col("v").as("a"), col("d").as("__da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("__db")), Seq("b"))

@@ -63,8 +63,11 @@ object PageRank {
     // cases share one code path (and q30's oracle is untouched).
     // Parallel (src, dst) rows canonicalize by summing their weights.
     val weighted = edges.columns.contains("w")
-    val e =
-      if (weighted) edges
+    // `e` feeds both withDeg join sides, but its terminal aggregation
+    // exchange is identical in both branches and ReuseExchange serves the
+    // second from the first — an explicit checkpoint here measured SLOWER
+    // (extra materialization job) than the reused exchange
+    val e = if (weighted) edges
         .select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
         .groupBy("src", "dst").agg(sum(col("w")).as("w"))
@@ -124,7 +127,10 @@ object PageRank {
       else withDeg.repartition(col("src")).localCheckpoint()
     val base = scale / 100L * 15L
     // initial ranks project straight off the materialized vflags — no
-    // extra checkpoint job; each round's result is checkpointed below
+    // extra checkpoint job; each round's result is checkpointed below.
+    // (r13 measured the lazy alternative — unrolling all rounds into one
+    // action — at 0.6–0.8× on q30/q75/q115 despite the fewer driver
+    // actions; the per-round checkpoint stays.)
     var ranks = vertices.withColumn("r", lit(scale))
     for (_ <- 1 to iterations)
       ranks = (if (complete) round(edgeSide, ranks, base, useBroadcast)

@@ -38,7 +38,8 @@ object ShortestPaths {
   def bfsLevels(
       edges: DataFrame, sources: DataFrame, maxDepth: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      nodeCol: String = "node"): DataFrame = {
+      nodeCol: String = "node",
+      broadcastMaxVertices: Long = 2L * 1000 * 1000): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val e = edges
       .select(col(srcCol).cast("long").as("__src"),
@@ -50,6 +51,15 @@ object ShortestPaths {
       // only the frontier side exchanges
       .repartition(col("__src"))
       .localCheckpoint()
+    // The q30 regime gate (one bounded 1-row collect over the
+    // materialized checkpoint): below it the node-bounded frontier and
+    // visited sets BROADCAST into each round — the edge table is neither
+    // re-sorted nor re-exchanged (a stat-less checkpoint otherwise
+    // sort-merge-joins: its partitioning is preserved but every round
+    // pays a full edge SORT; guide §3.1). Above the gate the rounds keep
+    // the co-partitioned shuffle join.
+    val useBroadcast = e.select(col("__src")).distinct().count() <=
+      broadcastMaxVertices
     var visited = sources
       .select(col(nodeCol).cast("long").as("node"))
       .distinct()
@@ -59,11 +69,12 @@ object ShortestPaths {
     var d = 0
     while (d < maxDepth && !frontier.isEmpty) {
       d += 1
-      val next = frontier
+      val next = (if (useBroadcast) broadcast(frontier) else frontier)
         .join(e, col("node") === col("__src"))
         .select(col("__dst").as("node"))
         .distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .join(if (useBroadcast) broadcast(visited.select(col("node")))
+          else visited.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(d).as("level"))
         .localCheckpoint()
       visited = visited.unionAll(next).localCheckpoint()
@@ -95,7 +106,8 @@ object ShortestPaths {
   def bellmanFord(
       edges: DataFrame, sources: DataFrame, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      lenCol: String = "len", nodeCol: String = "node"): DataFrame = {
+      lenCol: String = "len", nodeCol: String = "node",
+      broadcastMaxVertices: Long = 2L * 1000 * 1000): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1, 50], got $rounds")
     val e = edges
@@ -107,11 +119,19 @@ object ShortestPaths {
       .agg(min(col("__len")).as("__len"))
       .repartition(col("__src"))
       .localCheckpoint()
-    // one agg over the already-materialized checkpoint (null ⇔ no edges,
-    // which is trivially valid: dist stays the source set)
+    // TWO bounded 1-row reads over the already-materialized checkpoint:
+    // the positive-length guard, and the vertex count for the q30
+    // broadcast-regime gate — below it the node-bounded dist table
+    // BROADCASTS into each round's relax join, so the edge table is
+    // neither re-sorted nor re-exchanged per round (guide §3.1; a
+    // stat-less checkpoint otherwise sort-merge-joins and pays a full
+    // edge sort every round). Above the gate the co-partitioned shuffle
+    // join stands.
     val minRow = e.agg(min(col("__len"))).collect()(0)
     val minLen = if (minRow.isNullAt(0)) 1L else minRow.getLong(0)
     require(minLen >= 1L, s"edge lengths must be positive, got $minLen")
+    val useBroadcast = e.select(col("__src")).distinct().count() <=
+      broadcastMaxVertices
     var dist = sources
       .select(col(nodeCol).cast("long").as("node"))
       .distinct()
@@ -121,7 +141,7 @@ object ShortestPaths {
     while (d < rounds) {
       d += 1
       dist = dist
-        .unionAll(dist
+        .unionAll((if (useBroadcast) broadcast(dist) else dist)
           .join(e, col("node") === col("__src"))
           .select(col("__dst").as("node"),
             (col("dist") + col("__len")).as("dist")))

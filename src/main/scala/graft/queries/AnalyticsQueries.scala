@@ -174,13 +174,47 @@ object AnalyticsQueries {
         .select(col("l_partkey"),
           col("l_extendedprice").cast(DecimalType(18, 2)).as("__p"))
         .groupBy(col("l_partkey")).agg(sum(col("__p")).as("__rev"))
-      val ord = Window.orderBy(col("__rev").desc, col("l_partkey").asc)
+      // TWO-LEVEL distributed prefix sum (guide §2): the former
+      // unpartitioned `Window.orderBy(...)` ran the ranked cumsum as a
+      // SINGLE-partition sort of the whole part dimension — a frame that
+      // GROWS with SF (the one global window in the registry whose input
+      // isn't bounded by a calendar/bucket dimension). Here the rows are
+      // range-partitioned by the same total order, each partition prefix-
+      // sums locally, and the exact-DECIMAL totals of the preceding
+      // partitions (bounded by the partition count — a driver-safe
+      // collect, the PageRank stats idiom) are added back per partition.
+      // Every sum stays exact DECIMAL, so cum/tot — and the doubles and
+      // class cuts derived from them — are bit-identical to the global
+      // window's.
+      val p = math.max(s.sparkContext.defaultParallelism, 16)
+      // checkpoint pins the physical layout: the per-partition offsets
+      // below must describe the exact partitions the window pass reads
+      val ranged = pr
+        .repartitionByRange(p, col("__rev").desc, col("l_partkey").asc)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint()
+      // exact-DECIMAL offset of each range partition = the revenue sum of
+      // the partitions BEFORE it (q77's distributed-order-statistics
+      // shape: the prefix window runs over the partition-count-sized sum
+      // table and rides a broadcast, never a data-sized window)
+      val psums = ranged.groupBy(col("__pid"))
+        .agg(sum(col("__rev")).cast(DecimalType(38, 2)).as("__s"))
+      val byPid = Window.orderBy(col("__pid").asc)
+      val offs = psums.select(col("__pid"),
+        (coalesce(sum(col("__s")).over(
+            byPid.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast(DecimalType(38, 2)))).as("__off"),
+        sum(col("__s")).over(byPid.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))
+          .cast(DecimalType(38, 2)).as("__tot"))
+      val wLocal = Window.partitionBy(col("__pid"))
+        .orderBy(col("__rev").desc, col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val share = col("__cum").cast("double") / col("__tot").cast("double")
-      pr.withColumn("__cum", sum(col("__rev")).over(
-          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("__tot", sum(col("__rev")).over(
-          ord.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
+      ranged.join(broadcast(offs), Seq("__pid"))
+        .withColumn("__cum",
+          (col("__off") + sum(col("__rev")).over(wLocal))
+            .cast(DecimalType(38, 2)))
         .select(col("l_partkey"),
           col("__rev").cast("double").as("revenue"),
           round(share, 6).as("cum_share"),

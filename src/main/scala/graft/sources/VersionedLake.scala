@@ -635,21 +635,24 @@ object VersionedLake {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
-          // pin the batch (the KVSink/LakeSink discipline): the stage
-          // write and the stats job are separate actions on a stateful
-          // lineage that must not re-execute
-          val pinned = batch.toDF().localCheckpoint()
-          try {
-            val spark = batch.sparkSession
-            appendBatch(pinned, path, batchId, tsCol, statsCols): Unit
-            if (compactEvery > 0L && (batchId + 1) % compactEvery == 0L)
-              compact(spark, path, "0000-01-01", "9999-12-31",
-                targetFileMB = compactTargetMB, clusterBy = clusterBy,
-                statsCols = statsCols): Unit
-            if (vacuumEvery > 0L && (batchId + 1) % vacuumEvery == 0L)
-              vacuum(spark, path, retainVersions = vacuumRetain,
-                olderThanHours = vacuumHorizonHours): Unit
-          } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pinned)
+          // No batch pin here, unlike KVSink/LakeSink: those sinks run
+          // TWO actions per batch (a probe plus the write) on the batch
+          // lineage, so they must checkpoint it to keep the actions
+          // consistent. This sink's batch lineage executes in exactly
+          // ONE action — the staged write inside appendBatch (the stats
+          // job reads the WRITTEN FILES, not the lineage) — so a pin
+          // here was one full extra materialization job per micro-batch
+          // for nothing (r13, guide §1.2; measured on the s20–s22 lake
+          // streaming queries).
+          val spark = batch.sparkSession
+          appendBatch(batch.toDF(), path, batchId, tsCol, statsCols): Unit
+          if (compactEvery > 0L && (batchId + 1) % compactEvery == 0L)
+            compact(spark, path, "0000-01-01", "9999-12-31",
+              targetFileMB = compactTargetMB, clusterBy = clusterBy,
+              statsCols = statsCols): Unit
+          if (vacuumEvery > 0L && (batchId + 1) % vacuumEvery == 0L)
+            vacuum(spark, path, retainVersions = vacuumRetain,
+              olderThanHours = vacuumHorizonHours): Unit
       }
       .start()
 
